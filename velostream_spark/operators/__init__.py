@@ -1,0 +1,18 @@
+"""Operator library: the data-processing operators a 100-TB training-data
+pipeline needs, built Spark-first (declarative array/aggregate expressions
+where possible, Arrow-batched Pandas UDFs only where built-ins cannot express
+the semantics).
+
+Modules:
+- ``textops``   — normalization, tokenization, language-ID, quality scoring,
+                  fingerprinting (whole-stage-codegen expressions, no UDFs).
+- ``dedup``     — exact, n-gram Jaccard, MinHash+LSH, SimHash near-dup.
+- ``similarity``— embedding cosine brute-force top-k + LSH-bucketed ANN.
+- ``multimodal``— binary media columns: typed metadata, decode/feature
+                  plumbing via mapInPandas (decode kernels stubbed — the
+                  image/audio libs aren't in this container).
+- ``asof``      — as-of joins (composition of window + union, no UDF).
+
+None of these exist in the reference (SURVEY §7 Phase 4 — 'beyond the
+reference'); they are the Phase-4 extensions the north star asks for.
+"""

@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first design notes (per operator, with the 100-TB rationale):
+
+- **Exact**: fingerprint = md5(normalized text); deterministic survivor =
+  min(id) per fingerprint. One shuffle on the 32-char fingerprint — never on
+  the document body — so shuffle volume is O(rows·32B) regardless of doc size.
+- **n-gram Jaccard**: explode distinct shingles → self-join on shingle →
+  per-pair intersection counts → jaccard from per-doc shingle counts. The
+  join key is a single shingle string; hot shingles (stopword trigrams) are
+  the skew risk, handled by AQE skew-join splitting.
+- **MinHash+LSH**: the signature is computed per-row with array expressions
+  (no shuffle, no UDF: min over md5(seed:shingle) strings); banding turns
+  near-dup search into an equi-join on band hashes — the only shuffle is on
+  band keys, and candidate verification re-computes exact Jaccard only for
+  bucket collisions. This is the textbook sub-quadratic path that still
+  works at 10^10 documents.
+- **SimHash**: 32-bit signature via per-word md5 nibble bits, majority vote
+  per bit — again pure array expressions; near-dup = equal signature band +
+  Hamming ≤ k verification.
+
+All hash primitives are md5-based specifically so a DuckDB oracle can compute
+bit-identical values (cross-engine determinism; Spark's xxhash64/hash are not
+portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from velostream_spark.operators import textops
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row per exact-content group — the row with the
+    smallest id (deterministic, unlike dropDuplicates)."""
+    w = W.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", textops.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-content-group summary: fingerprint, survivor id, group size."""
+    return (
+        df.select(
+            textops.fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+
+def minhash_signature(col: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex strings.
+
+    Hash family k ∈ [0, num_hashes): h_k(s) = md5(f"{k}:{s}"); the signature
+    component is the lexicographic minimum over the document's shingles.
+    Computed entirely per-row (array_min over transform) — no shuffle.
+    """
+    sh = textops.shingles(col, shingle_n)
+
+    def seeded_md5(k: int):
+        def f(s):
+            return F.md5(F.concat(F.lit(f"{k}:"), s))
+
+        return f
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded_md5(k))) for k in range(num_hashes)]
+    )
+
+
+def minhash_signature_sql(expr: str, num_hashes: int = 8, shingle_n: int = 3) -> str:
+    sh = f"({textops.shingles_sql(expr, shingle_n)})"
+    comps = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5('{k}:' || s)))" for k in range(num_hashes)
+    )
+    return f"[{comps}]"
+
+
+def band_hashes(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of the concatenated signature slice per band."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]))
+            for b in range(num_bands)
+        ]
+    )
+
+
+def band_hashes_sql(sig_expr: str, num_bands: int, rows_per_band: int) -> str:
+    comps = []
+    for b in range(num_bands):
+        parts = " || '|' || ".join(
+            f"({sig_expr})[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        comps.append(f"md5({parts})")
+    return f"[{', '.join(comps)}]"
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold.
+    Shuffles: one on band hash (candidate generation), dedup of candidate
+    pairs, and the verify join — all keyed on ids/band keys, never on text.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        textops.shingles(F.col(text_col), shingle_n).alias("_sh"),
+        band_hashes(sig, num_bands, rows_per_band).alias("_bands"),
+    )
+    banded = docs.select("_id", "_sh", F.explode("_bands").alias("_band"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_band"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_band"
+    )
+    pairs = (
+        a.join(b, "_band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jacc"),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact all-pairs over a shingle join)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via the inverted-index join:
+    explode distinct shingles, self-join on shingle, count co-occurrences,
+    jaccard = inter / (|A| + |B| - inter). Returns (id_a, id_b, jacc)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(textops.shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
+    )
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter = (
+        a.join(b, "_s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+            ).alias("jacc"),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash_bits(col: Column, bits: int = 32) -> Column:
+    """SimHash as a ``bits``-char '0'/'1' string (cross-engine-comparable).
+
+    Bit j is the majority vote over the document's words of bit j of
+    md5(word): nibble = hex digit j//4 of the md5, bit = (nibble >> (j%4)) & 1.
+    Token multiplicity counts (standard SimHash weighting by term frequency).
+    """
+    w = textops.words(col)
+
+    def word_bit(nib_idx: int, mask: int):
+        # Per-word bit via hex-digit → int (conv) → mask. Closure (not lambda
+        # defaults): Spark treats every lambda parameter as a lambda variable.
+        def f(x):
+            nib = F.conv(F.substring(F.md5(x), nib_idx, 1), 16, 10).cast("int")
+            return (nib.bitwiseAND(F.lit(mask)) > 0).cast("int")
+
+        return f
+
+    bit_cols = []
+    for j in range(bits):
+        nib_idx = j // 4 + 1  # 1-based position in the hex string
+        shift = j % 4
+        per_word = F.transform(w, word_bit(nib_idx, 1 << shift))
+        ones = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+        bit_cols.append(F.when(ones * 2 > F.size(w), F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def simhash_bits_sql(expr: str, bits: int = 32) -> str:
+    w = f"({textops.words_sql(expr)})"
+    parts = []
+    for j in range(bits):
+        nib_idx = j // 4 + 1
+        shift = j % 4
+        per_word = (
+            f"list_transform({w}, x -> "
+            f"CASE WHEN (strpos('0123456789abcdef', substr(md5(x), {nib_idx}, 1)) - 1) "
+            f"// {1 << shift} % 2 = 1 THEN 1 ELSE 0 END)"
+        )
+        parts.append(
+            f"CASE WHEN 2 * list_sum({per_word}) > len({w}) THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def hamming_distance_bitstr(a: Column, b: Column, bits: int) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    diff = F.lit(0)
+    for j in range(1, bits + 1):
+        diff = diff + (F.substring(a, j, 1) != F.substring(b, j, 1)).cast("int")
+    return diff
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the bit string into ``num_bands`` chunks,
+    candidate pairs share ≥1 exact band, verified by Hamming ≤ max_hamming."""
+    band_len = bits // num_bands
+    docs = df.select(
+        F.col(id_col).alias("_id"), simhash_bits(F.col(text_col), bits).alias("_sh")
+    )
+    banded = docs.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.substring("_sh", b * band_len + 1, band_len))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_band"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), "_band")
+    pairs = (
+        a.join(b, "_band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            hamming_distance_bitstr(F.col("_sha"), F.col("_shb"), bits).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

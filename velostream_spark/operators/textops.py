@@ -1,0 +1,240 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Catalyst expressions (split/transform/filter/aggregate
+over arrays) — no Python UDFs — so they run inside whole-stage codegen and
+scale linearly with no shuffle: at 100 TB each document is scored
+independently in its scan task.
+
+Each helper has a ``*_sql`` twin producing the equivalent DuckDB SQL snippet
+from the SAME constants, so catalog oracles can never drift from the Spark
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization & tokenization
+
+def normalize(col: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def normalize_sql(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize(col), " ")
+
+
+def words_sql(expr: str) -> str:
+    return f"string_split({normalize_sql(expr)}, ' ')"
+
+
+#: BPE-ish subword token pattern: runs of letters, runs of digits, or a single
+#: non-space symbol — approximates byte-pair tokenizer granularity closely
+#: enough for budget/counting purposes.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (LongType)."""
+    w = words(col)
+    return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(F.size(w)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN length({normalize_sql(expr)}) = 0 THEN 0 "
+        f"ELSE len({words_sql(expr)}) END AS BIGINT)"
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Regex-token count approximating BPE granularity (LongType)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), F.lit(0))).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{_BPE_RE}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Raw quality signals: char length, token count, mean word length,
+    punctuation ratio, stopword ratio, digit ratio, uppercase ratio."""
+    norm = normalize(col)
+    w = words(col)
+    n_chars = F.length(col).cast("double")
+    n_tokens = F.size(w).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    n_punct = (F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))).cast("double")
+    n_digit = (F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))).cast("double")
+    n_upper = (F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": F.length(F.regexp_replace(norm, " ", "")).cast("double")
+        / F.greatest(n_tokens, F.lit(1.0)),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1.0)),
+        "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1.0)),
+        "digit_ratio": n_digit / F.greatest(n_chars, F.lit(1.0)),
+        "upper_ratio": n_upper / F.greatest(n_chars, F.lit(1.0)),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length documents with a
+    natural stopword ratio; penalizes punctuation/digit soup.
+
+    score = 0.25·len_score + 0.25·stop_score + 0.25·(1-punct) + 0.25·(1-digit)
+    with len_score = min(n_tokens/100, 1), stop_score = min(stop_ratio/0.3, 1).
+    """
+    f = quality_features(col)
+    len_score = F.least(f["n_tokens"] / 100.0, F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] / 0.3, F.lit(1.0))
+    return (
+        0.25 * len_score
+        + 0.25 * stop_score
+        + 0.25 * (1.0 - f["punct_ratio"])
+        + 0.25 * (1.0 - f["digit_ratio"])
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    w = words_sql(expr)
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    n_tokens = f"CAST(len({w}) AS DOUBLE)"
+    n_stop = f"CAST(len(list_filter({w}, x -> list_contains([{stop_list}], x))) AS DOUBLE)"
+    n_punct = f"CAST(length({expr}) - length(regexp_replace({expr}, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    n_digit = f"CAST(length({expr}) - length(regexp_replace({expr}, '[0-9]', '', 'g')) AS DOUBLE)"
+    return (
+        f"(0.25 * LEAST({n_tokens} / 100.0, 1.0)"
+        f" + 0.25 * LEAST(({n_stop} / GREATEST({n_tokens}, 1.0)) / 0.3, 1.0)"
+        f" + 0.25 * (1.0 - {n_punct} / GREATEST({n_chars}, 1.0))"
+        f" + 0.25 * (1.0 - {n_digit} / GREATEST({n_chars}, 1.0)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-word heuristic)
+
+#: Marker words per language; scoring counts marker hits among the document's
+#: tokens. Deterministic tie-break: earlier list wins, then 'und' order below.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "in", "is", "that", "for")),
+    ("de", ("der", "die", "und", "ist", "das", "nicht", "ein", "zu")),
+    ("es", ("el", "la", "de", "que", "y", "los", "una", "por")),
+    ("fr", ("le", "la", "les", "et", "des", "une", "est", "dans")),
+)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-hit count per language (token-weighted, duplicates count)."""
+    w = words(col)
+    out = {}
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x))).cast("long")
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Best-scoring language code, or 'und' when no marker hits at all.
+
+    Argmax with deterministic preference order = declaration order in
+    LANG_MARKERS (expressed as a strict > comparison chain).
+    """
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)  # 'und' unless some language scores > 0
+    # Forward fold with strict >: on ties the earlier declaration wins.
+    for lang, _ in LANG_MARKERS:
+        s = scores[lang]
+        take = s > best_score
+        best_lang, best_score = (
+            F.when(take, F.lit(lang)).otherwise(best_lang),
+            F.when(take, s).otherwise(best_score),
+        )
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    w = words_sql(expr)
+
+    def score(markers: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return f"CAST(len(list_filter({w}, x -> list_contains([{lst}], x))) AS BIGINT)"
+
+    # Same forward fold with strict > as lang_id(), over identical score
+    # expressions, so the oracle can never rank differently.
+    best_lang, best_score = "'und'", "0"
+    for lang, markers in LANG_MARKERS:
+        s = score(markers)
+        cond = f"{s} > {best_score}"
+        best_lang = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {cond} THEN {s} ELSE {best_score} END"
+    return best_lang
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+
+def fingerprint(col: Column) -> Column:
+    """Exact-content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5({normalize_sql(expr)})"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (ArrayType[str]).
+
+    Documents shorter than n words yield a single shingle of the whole text,
+    so every non-empty document has at least one shingle.
+    """
+    w = words(col)
+    k = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(F.array_join(w, " "))))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    w = f"({words_sql(expr)})"
+    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({w}) >= {n} "
+        f"THEN list_distinct(list_transform(range(1, len({w}) - {n} + 2), i -> {joined})) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+def rolling_fingerprint(col: Column, n: int = 3) -> Column:
+    """Content-defined fingerprint robust to local edits: the lexicographic
+    minimum of the md5 hashes of the document's n-gram shingles (a 1-hash
+    MinHash — identical for documents sharing their minimal shingle)."""
+    return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+def rolling_fingerprint_sql(expr: str, n: int = 3) -> str:
+    return f"list_min(list_transform({shingles_sql(expr, n)}, s -> md5(s)))"

@@ -1,0 +1,316 @@
+"""Core relational operators: projection, filter, aggregation, HAVING,
+DISTINCT, ORDER BY/LIMIT, set ops.
+
+Reference parity (SURVEY.md §2.2, §2.4, §2.8):
+- SELECT projection / WHERE — reference src/velostream/sql/execution/processors/select.rs:350,427
+- GROUP BY hash agg + accumulators — reference src/velostream/sql/execution/aggregation/accumulator.rs:88-258
+- HAVING — reference select.rs:1782-1795
+- SELECT DISTINCT — reference processors/context.rs:144-155
+- ORDER BY / LIMIT — reference processors/order.rs:31-46, limit.rs:13-33
+- UNION / UNION ALL — reference ast.rs:404-412 (parsed-only there; fully native here)
+- INTERSECT / EXCEPT — absent in the reference; native in Spark (superset)
+
+All implementations are declarative DataFrame ops so Catalyst pushes filters
+and prunes columns into the parquet scan; aggregations get map-side partial
+aggregation (HashAggregate partial/final) automatically, which is what makes
+them scale: at 100 TB the shuffle carries only per-partition group states,
+not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.registry import query, tables
+
+
+@query(
+    "select_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 20 THEN 'mid'
+                ELSE 'small' END AS qty_band
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_discount > 0.02
+      AND l_returnflag <> 'R'
+    """,
+    tags=("projection", "filter", "case-when", "between"),
+)
+def select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT + WHERE with arithmetic, CASE WHEN, BETWEEN.
+
+    Catalyst pushes the shipdate/discount/returnflag predicates into the
+    parquet scan (PushedFilters) and prunes to the 7 referenced columns.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    return (
+        li.where(
+            F.col("l_shipdate").between("1995-01-01", "1996-12-31 00:00:00")
+            & (F.col("l_discount") > 0.02)
+            & (F.col("l_returnflag") != "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            F.when(F.col("l_quantity") > 40, "bulk")
+            .when(F.col("l_quantity") > 20, "mid")
+            .otherwise("small")
+            .alias("qty_band"),
+        )
+    )
+
+
+@query(
+    "select_wildcard",
+    oracle="SELECT * FROM events WHERE value > 150 AND event_type <> 'error'",
+    tags=("projection", "filter"),
+)
+def select_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * passthrough with filter (quickstart fixture shape,
+    reference demo/quickstart/02_filter.sql)."""
+    t = tables(spark, sf_dir)
+    return t["events"].where((F.col("value") > 150) & (F.col("event_type") != "error"))
+
+
+@query(
+    "group_by_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                  AS avg_price,
+           ROUND(AVG(l_discount), 6)                                       AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "flagship"),
+)
+def group_by_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped grouped aggregation (the reference's 1BRC /
+    GROUP BY continuous benchmark shape, reference demo/1brc/1brc.sql:20-28).
+
+    Partial aggregation happens map-side; the shuffle carries only
+    (flag,status) group states — constant-size regardless of input scale.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "group_by_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5 AND SUM(o_totalprice) > 100000
+    """,
+    tags=("aggregation", "having"),
+)
+def group_by_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (reference select.rs:1782-1795): post-aggregation
+    filter is just .filter() after .agg() — Catalyst keeps it after the
+    final HashAggregate."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total_raw"),
+        )
+        .where((F.col("n_orders") >= 5) & (F.col("_total_raw") > 100000))
+        .select(
+            "o_custkey", "n_orders", F.round("_total_raw", 2).alias("total_spent")
+        )
+    )
+
+
+@query(
+    "select_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN l_tax > 0.04 THEN 'TAXED' ELSE 'LOW' END AS l_shipmode
+          FROM lineitem) t
+    """,
+    tags=("distinct",),
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (reference DistinctState, processors/context.rs:144-155).
+    Spark plans this as a grouped aggregate with partial map-side dedup."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_tax") > 0.04, "TAXED").otherwise("LOW").alias("l_shipmode"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "count-distinct"),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (reference accumulator.rs:198-210).
+    Catalyst plans distinct-agg with a two-phase expand+aggregate, keeping
+    dedup distributed instead of the reference's per-group HashSet."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "order_by_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT / Top-K (reference processors/order.rs, limit.rs).
+
+    Spark plans orderBy().limit() as TakeOrderedAndProject — each partition
+    keeps only its local top-25, so no global sort materializes even at
+    100 TB. Tie-break on the unique key makes the row set deterministic.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT event_id AS id, event_type AS kind, value FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id AS id, event_type AS kind, value FROM events WHERE value > 180
+    """,
+    tags=("set-ops",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (reference parses but never executes it — ast.rs:404-412,
+    processors/mod.rs:106-113 no-op; fully supported here)."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("event_id").alias("id"), F.col("event_type").alias("kind"), "value"
+    )
+    return ev.where(F.col("kind") == "purchase").unionAll(ev.where(F.col("value") > 180))
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT n_regionkey AS rk FROM nation
+    UNION
+    SELECT r_regionkey AS rk FROM region
+    """,
+    tags=("set-ops",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + dedup, planned as aggregate over union."""
+    t = tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .select(F.col("n_regionkey").alias("rk"))
+        .union(t["region"].select(F.col("r_regionkey").alias("rk")))
+        .distinct()
+    )
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT
+     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("set-ops", "beyond-reference"),
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent from the reference entirely (SURVEY §2.8);
+    native left-semi/left-anti aggregates in Spark."""
+    t = tables(spark, sf_dir)
+    o = t["orders"]
+    f_cust = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    big = o.where(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return f_cust.intersect(o_cust).subtract(big)
+
+
+@query(
+    "grouping_sets_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "beyond-reference"),
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — absent from the reference (SURVEY §2.4 'Absent'); native in
+    Spark via expand + aggregate."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

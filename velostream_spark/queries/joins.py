@@ -1,0 +1,248 @@
+"""Join operators: stream-table (broadcast), multi-way, outer, interval
+(time-range), semi/anti, and graceful-degradation defaults.
+
+Reference parity (SURVEY.md §2.3):
+- Stream-table join — reference src/velostream/sql/execution/processors/stream_table_join.rs:22-455
+  (per-record O(1) hash lookup into a materialized table). Spark-first: an
+  equi-join against the dimension table; Catalyst auto-broadcasts the small
+  side so every executor gets the same O(1) hash lookup, distributed.
+- Graceful degradation (UseDefaults/EmitNulls/SkipRecord) — reference
+  src/velostream/server/graceful_degradation.rs:16-30 → left join + coalesce /
+  inner join / left join.
+- Interval stream-stream join — reference processors/interval_join.rs:39 →
+  time-range join condition (Spark plans stream-stream interval joins natively
+  with watermark-bounded state; batch analog below uses the same condition).
+- Join types INNER/LEFT/RIGHT/FULL — reference ast.rs:541-552; semi/anti are
+  a Spark superset (the reference covers them only via EXISTS/IN subqueries).
+
+Scale notes: dimension joins broadcast (no shuffle of the fact table);
+fact-fact joins shuffle on the join key where AQE handles skew; the interval
+self-join pre-buckets both sides on a coarse time bucket so the range match
+never becomes a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.registry import query, tables
+
+
+@query(
+    "stream_table_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("join", "broadcast"),
+)
+def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table enrichment join (reference stream_table_join.rs:91):
+    fact stream enriched through a chain of dimension tables.
+
+    All three dims broadcast (customer/nation/region are tiny relative to
+    orders at every scale factor), so the plan is a single scan of orders
+    with three BroadcastHashJoins — zero shuffles, which is exactly the
+    reference's O(1)-lookup-per-record model, distributed.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+@query(
+    "join_left_with_defaults",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey,
+           COALESCE(p.p_brand, 'UNKNOWN') AS brand,
+           COALESCE(p.p_retailprice, 0.0) AS retail_price
+    FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l
+    LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p ON l.l_partkey = p.p_partkey
+    """,
+    tags=("join", "graceful-degradation"),
+)
+def join_left_with_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graceful-degradation UseDefaults mode (reference
+    graceful_degradation.rs:16-30): left join + COALESCE defaults for
+    missing table rows. EmitNulls is the plain left join; SkipRecord is an
+    inner join — all three reduce to join-mode selection here."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_linenumber") == 1)
+    p = t["part"].where(F.col("p_size") > 25)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.coalesce(F.col("p_brand"), F.lit("UNKNOWN")).alias("brand"),
+            F.coalesce(F.col("p_retailprice"), F.lit(0.0)).alias("retail_price"),
+        )
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_f, b.n_o
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+    ON a.k = b.k
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (reference ast.rs:541-552 JoinType::FullOuter)."""
+    t = tables(spark, sf_dir)
+    o = t["orders"]
+    a = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a["k"] == b["k"], "full_outer").select(
+        F.coalesce(a["k"], b["k"]).alias("k"), "n_f", "n_o"
+    )
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    tags=("join", "semi", "anti"),
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins — the physical form of the reference's
+    IN / NOT IN subqueries (reference subquery_executor.rs:20-104); Spark
+    exposes them directly as join types."""
+    t = tables(spark, sf_dir)
+    o = t["orders"]
+    big = o.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    pend = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == big["o_custkey"], "left_semi")
+        .join(pend, F.col("c_custkey") == pend["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "interval_join",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id, a.ts AS left_ts, b.ts AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("join", "interval", "stream-stream"),
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stream-stream join (reference interval_join.rs:39:
+    right.time in [left.time+lower, left.time+upper]): click→purchase
+    attribution within 10 minutes per user.
+
+    Batch analog of the streaming form (same condition under watermarks —
+    velostream_spark.streaming). The equi-key on user_id keeps this a hash
+    join with a range residual, not a cartesian: state per key is bounded
+    by the 10-minute span exactly as the reference's dual state stores
+    bound theirs.
+    """
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("left_ts"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("right_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.col("a_user").alias("user_id"),
+            "left_ts",
+            "right_ts",
+        )
+    )
+
+
+@query(
+    "windowed_join",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, event_id,
+             to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start
+      FROM events
+    )
+    SELECT a.window_start, a.user_id,
+           COUNT(*) AS n_pairs
+    FROM (SELECT * FROM w WHERE event_type = 'view') a
+    JOIN (SELECT * FROM w WHERE event_type = 'click') b
+      ON a.window_start = b.window_start AND a.user_id = b.user_id
+    GROUP BY a.window_start, a.user_id
+    """,
+    tags=("join", "windowed"),
+)
+def windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window co-windowed join (reference coordinator.rs:92-102):
+    two streams matched within the same 5-minute tumbling window + key.
+
+    Spark-first: join on (window, key) — the window bucket is just another
+    equi-join column, so this shuffles once on (window,user) and never holds
+    more than one window of state per key."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].withColumn("win", F.window("ts", "5 minutes"))
+    a = ev.where(F.col("event_type") == "view").select(
+        F.col("win").alias("a_win"), F.col("user_id").alias("a_user"), "event_id"
+    )
+    b = ev.where(F.col("event_type") == "click").select(
+        F.col("win").alias("b_win"), F.col("user_id").alias("b_user")
+    )
+    return (
+        a.join(b, (F.col("a_win") == F.col("b_win")) & (F.col("a_user") == F.col("b_user")))
+        .groupBy(
+            F.col("a_win").start.alias("window_start"),
+            F.col("a_user").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

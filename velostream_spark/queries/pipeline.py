@@ -1,0 +1,347 @@
+"""Training-data pipeline operators as catalog queries: dedup (exact,
+MinHash-LSH, n-gram Jaccard, SimHash), similarity search (brute-force +
+LSH ANN), and text analysis (lang-ID, quality, token counts, fingerprints).
+
+These are the SURVEY §7 Phase-4 / north-star operators ("beyond the
+reference"). Every oracle is generated from the SAME constants as the Spark
+implementation (velostream_spark.operators.*_sql builders), so the DuckDB
+side cannot drift — including the md5-based hash families chosen expressly
+for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.operators import dedup, similarity, textops
+from velostream_spark.registry import query, tables
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+_TEXT_ANALYSIS_ORACLE = f"""
+SELECT doc_id,
+       {textops.token_count_sql("text")}                AS n_tokens,
+       {textops.bpe_token_count_sql("text")}            AS n_bpe_tokens,
+       ROUND({textops.quality_score_sql("text")}, 6)    AS quality,
+       {textops.lang_id_sql("text")}                    AS detected_lang,
+       {textops.fingerprint_sql("text")}                AS fingerprint
+FROM documents
+"""
+
+
+@query("text_analysis", oracle=_TEXT_ANALYSIS_ORACLE, tags=("pipeline", "text"))
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality scoring, token counting, fingerprinting — all
+    pure Catalyst expressions (no UDFs), one scan, zero shuffles."""
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        textops.token_count(txt).alias("n_tokens"),
+        textops.bpe_token_count(txt).alias("n_bpe_tokens"),
+        F.round(textops.quality_score(txt), 6).alias("quality"),
+        textops.lang_id(txt).alias("detected_lang"),
+        textops.fingerprint(txt).alias("fingerprint"),
+    )
+
+
+_ROLLING_FP_ORACLE = f"""
+SELECT doc_id,
+       {textops.rolling_fingerprint_sql("text")} AS rolling_fp
+FROM documents
+"""
+
+
+@query("rolling_fingerprint", oracle=_ROLLING_FP_ORACLE, tags=("pipeline", "text"))
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-min-hash document fingerprint (edit-robust, 1-hash MinHash)."""
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        textops.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT {textops.fingerprint_sql("text")} AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*)    AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("pipeline", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup groups: fingerprint → deterministic survivor +
+    group size. Shuffle carries 32-byte fingerprints, not documents."""
+    t = tables(spark, sf_dir)
+    return dedup.exact_duplicate_groups(t["documents"], "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+_MINHASH_SIG_ORACLE = f"""
+SELECT doc_id,
+       array_to_string({dedup.minhash_signature_sql("text", 8, 3)}, ',') AS minhash_sig
+FROM documents
+"""
+
+
+@query("minhash_signature", oracle=_MINHASH_SIG_ORACLE, tags=("pipeline", "dedup", "minhash"))
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 hashes over 3-gram shingles),
+    computed row-local with array expressions — no shuffle, no UDF."""
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(dedup.minhash_signature(F.col("text"), 8, 3), ",").alias(
+            "minhash_sig"
+        ),
+    )
+
+
+def _minhash_pairs_oracle(num_hashes: int = 8, num_bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = num_hashes // num_bands
+    sig = dedup.minhash_signature_sql("text", num_hashes, 3)
+    bands = dedup.band_hashes_sql(sig, num_bands, rows_per_band)
+    sh = textops.shingles_sql("text", 3)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS _id, {sh} AS _sh, {bands} AS _bands FROM documents
+    ),
+    banded AS (SELECT _id, unnest(_bands) AS _band FROM docs),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM banded a JOIN banded b ON a._band = b._band AND a._id < b._id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(da._sh, db._sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(da._sh, db._sh))) AS DOUBLE), 6) AS jacc
+    FROM cand c
+    JOIN docs da ON c.id_a = da._id
+    JOIN docs db ON c.id_b = db._id
+    WHERE ROUND(CAST(len(list_intersect(da._sh, db._sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(da._sh, db._sh))) AS DOUBLE), 6)
+          >= {threshold}
+    """
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=_minhash_pairs_oracle(8, 4, 0.5),
+    tags=("pipeline", "dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (banded candidate join + exact
+    Jaccard verification) — the sub-quadratic fuzzy-dedup path."""
+    t = tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=8, num_bands=4, threshold=0.5
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS _id, unnest({textops.shingles_sql("text", 3)}) AS _s FROM documents
+),
+counts AS (SELECT _id, COUNT(*) AS _n FROM sh GROUP BY _id),
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a._s = b._s AND a._id < b._id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(_inter AS DOUBLE) / CAST(na._n + nb._n - _inter AS DOUBLE), 6) AS jacc
+FROM inter i
+JOIN counts na ON i.id_a = na._id
+JOIN counts nb ON i.id_b = nb._id
+WHERE ROUND(CAST(_inter AS DOUBLE) / CAST(na._n + nb._n - _inter AS DOUBLE), 6) >= 0.3
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join
+    (explode shingles → equi-join → per-pair intersection counts)."""
+    t = tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", threshold=0.3, shingle_n=3
+    )
+
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id, {dedup.simhash_bits_sql("text", 32)} AS simhash
+FROM documents
+"""
+
+
+@query("simhash", oracle=_SIMHASH_ORACLE, tags=("pipeline", "dedup", "simhash"))
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (term-frequency-weighted
+    majority vote over per-word md5 bits) as a portable bit string."""
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", dedup.simhash_bits(F.col("text"), 32).alias("simhash")
+    )
+
+
+@query("simhash_pairs", oracle=None, tags=("pipeline", "dedup", "simhash"))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded candidates + Hamming ≤ 6 verify).
+    Rows-only driver check; bit-level parity is covered by the `simhash`
+    oracle and pytest unit tests against a pure-Python reimplementation."""
+    t = tables(spark, sf_dir)
+    return dedup.simhash_pairs(
+        t["documents"], "text", "doc_id", bits=32, num_bands=4, max_hamming=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+
+_BRUTE_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+              THEN list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+              ELSE 0.0 END AS _cos
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _cos DESC, neighbor_id)
+              AS INTEGER) AS rank,
+         _cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle=_BRUTE_TOPK_ORACLE,
+    tags=("pipeline", "similarity", "ann"),
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for a broadcast query set — the ANN
+    correctness baseline. Queries broadcast; the corpus is never shuffled."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), "embedding", "vec_id", k=10
+    )
+
+
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    bits = []
+    for plane in planes:
+        terms = " + ".join(
+            f"({vec_expr})[{i + 1}] * ({float(w)!r})" for i, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN (0.0 + {terms}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _ann_lsh_oracle(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _lsh_bucket_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS _bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, _bucket FROM d WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) > 0
+                  THEN list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+                  ELSE 0.0 END AS _cos
+      FROM d JOIN q ON d._bucket = q._bucket
+      WHERE d.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _cos DESC, neighbor_id)
+                  AS INTEGER) AS rank,
+             _cos
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(_cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_ann_lsh_oracle(),
+    tags=("pipeline", "similarity", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane sign buckets,
+    exact re-rank in bucket) — the 100-TB ANN path. The oracle embeds the
+    same seeded hyperplanes, so bucket assignment matches bit-for-bit."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        "embedding",
+        "vec_id",
+        k=10,
+        n_planes=6,
+        dim=64,
+        seed=42,
+    )
+
+
+def _near_dup_oracle(threshold: float = 0.9, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bucket = _lsh_bucket_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS _bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                      THEN list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                      ELSE 0.0 END, 6) AS cos_sim
+    FROM d a JOIN d b ON a._bucket = b._bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+                     THEN list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     ELSE 0.0 END, 6) >= {threshold}
+    """
+
+
+@query(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
+    tags=("pipeline", "dedup", "embedding"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (cos ≥ 0.9) — semantic dedup at sub-quadratic candidate cost."""
+    t = tables(spark, sf_dir)
+    return similarity.embedding_near_dup_pairs(
+        t["embeddings"], "embedding", "vec_id", threshold=0.9, n_planes=8, dim=64, seed=42
+    )

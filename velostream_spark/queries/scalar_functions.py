@@ -1,0 +1,384 @@
+"""Scalar + aggregate function catalog coverage.
+
+Reference parity (SURVEY.md §2.9): the reference's 75-function registry at
+src/velostream/sql/execution/expression/functions.rs:3040-3791
+(docs/sql/FUNCTION_CATALOG.md). Each battery below exercises one family with
+identical aliases on the Spark and DuckDB sides.
+
+Cross-engine type notes (encoded in both sides so schemas hash-match):
+- Spark ceil/floor(double) → BIGINT while DuckDB returns DOUBLE → oracle casts.
+- Spark length/instr → INT while DuckDB returns BIGINT → Spark casts to long.
+- DuckDB regexp_replace is first-match by default → 'g' flag in the oracle.
+- DuckDB SUM(int) → HUGEINT → oracle casts to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.registry import query, tables
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 1000.0)          AS abs_diff,
+           ROUND(l_extendedprice, 1)              AS rounded,
+           CAST(CEIL(l_discount * 100) AS BIGINT)  AS ceil_disc,
+           CAST(FLOOR(l_tax * 100) AS BIGINT)      AS floor_tax,
+           ROUND(SQRT(l_quantity), 6)             AS sqrt_qty,
+           ROUND(POWER(l_discount, 2), 8)         AS disc_sq,
+           MOD(l_orderkey, 7)                     AS key_mod,
+           LEAST(l_quantity, 25.0)                AS least_q,
+           GREATEST(l_quantity, 25.0)             AS greatest_q
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    tags=("functions", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABS/ROUND/CEIL/FLOOR/SQRT/POWER/MOD/LEAST/GREATEST
+    (reference functions.rs:3273-3345)."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.round("l_extendedprice", 1).alias("rounded"),
+        F.ceil(F.col("l_discount") * 100).alias("ceil_disc"),
+        F.floor(F.col("l_tax") * 100).alias("floor_tax"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", 2), 8).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("least_q"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("greatest_q"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS name_upper,
+           LOWER(p_brand)                                  AS brand_lower,
+           SUBSTRING(p_name, 1, 8)                         AS name_prefix,
+           REPLACE(p_type, ' ', '_')                       AS type_snake,
+           TRIM(CONCAT('  ', p_brand, '  '))               AS trimmed,
+           CAST(LENGTH(p_name) AS BIGINT)                  AS name_len,
+           CONCAT(p_brand, '#', p_type)                    AS brand_type,
+           LEFT(p_name, 5)                                 AS name_left,
+           RIGHT(p_name, 5)                                AS name_right,
+           SPLIT_PART(p_type, ' ', 1)                      AS type_first_word,
+           CAST(POSITION('a' IN p_name) AS BIGINT)         AS a_pos,
+           (p_name LIKE '%gold%')                          AS has_gold,
+           REGEXP_REPLACE(p_type, '[aeiou]', '*', 'g')     AS type_devoweled,
+           (p_brand || '-' || p_type)                      AS concat_op
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER/LOWER/SUBSTRING/REPLACE/TRIM/LENGTH/CONCAT/LEFT/RIGHT/
+    SPLIT_PART/POSITION/LIKE/REGEXP_REPLACE/|| concat
+    (reference functions.rs:3358-3502, ast.rs:805-835)."""
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_left"),
+        F.expr("right(p_name, 5)").alias("name_right"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.regexp_replace("p_type", "[aeiou]", "*").alias("type_devoweled"),
+        F.concat_ws("-", "p_brand", "p_type").alias("concat_op"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)    AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)   AS mon,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT)     AS dom,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT)    AS wk,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                 AS order_day,
+           CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)         AS epoch_s
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+    tags=("functions", "datetime"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT parts / DATE_FORMAT / DATEDIFF / UNIX_TIMESTAMP
+    (reference functions.rs:3542-3596; EXTRACT parts functions.rs:1904-1923)."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey") % 3 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("wk"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).cast("long").alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_adj,
+           CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_int,
+           CAST(c_custkey AS VARCHAR)       AS key_str,
+           CAST(c_acctbal > 0 AS BOOLEAN)   AS in_credit,
+           (c_acctbal IS NULL)              AS bal_is_null,
+           (c_acctbal IS NOT NULL)          AS bal_not_null
+    FROM customer
+    """,
+    tags=("functions", "conditional", "cast"),
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE/NULLIF/CAST/IS NULL (reference functions.rs:3609-3627,
+    unary IS NULL ops ast.rs:837-844; CAST targets types.rs:740+)."""
+    t = tables(spark, sf_dir)
+    c = t["customer"]
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_adj"
+        ),
+        F.col("c_acctbal").cast("long").alias("bal_int"),
+        F.col("c_custkey").cast("string").alias("key_str"),
+        (F.col("c_acctbal") > 0).cast("boolean").alias("in_credit"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.col("c_acctbal").isNotNull().alias("bal_not_null"),
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                 AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           (json_extract(props, '$.k') IS NOT NULL)          AS has_k,
+           (json_extract(props, '$.missing') IS NOT NULL)    AS has_missing
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+    tags=("functions", "json"),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_VALUE / JSON_EXTRACT / JSON_EXISTS over a JSON string column
+    (reference functions.rs:3640-3667) → get_json_object."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_id") % 2 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+@query(
+    "collection_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INTEGER)     AS n_words,
+           string_split(p_type, ' ')[1]                        AS first_word,
+           list_contains(string_split(p_type, ' '), 'brushed') AS has_brushed,
+           array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_words,
+           map_from_entries([('brand', p_brand), ('type', p_type)])['brand'][1]
+             AS brand_from_map,
+           struct_pack(k := p_partkey, b := p_brand).b         AS struct_brand
+    FROM part
+    WHERE p_partkey % 4 = 0
+    """,
+    tags=("functions", "collections"),
+)
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY/STRUCT/MAP constructors + ARRAY_LENGTH/ARRAY_CONTAINS/element
+    access/MAP access (reference functions.rs:3680-3734). Collection values
+    are built then reduced to scalar outputs so the oracle hash compares
+    engine-neutral values."""
+    t = tables(spark, sf_dir)
+    p = t["part"].where(F.col("p_partkey") % 4 == 0)
+    words = F.split(F.col("p_type"), " ")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    s = F.struct(F.col("p_partkey").alias("k"), F.col("p_brand").alias("b"))
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.array_contains(words, "brushed").alias("has_brushed"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        m.getItem("brand").alias("brand_from_map"),
+        s.getField("b").alias("struct_brand"),
+    )
+
+
+@query(
+    "statistical_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_POP(l_extendedprice), 4)  AS std_pop,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_samp,
+           ROUND(VAR_POP(l_quantity), 6)          AS var_pop,
+           ROUND(VAR_SAMP(l_quantity), 6)         AS var_samp,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS qty_price_covp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covs,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistical"),
+)
+def statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV*/VAR*/CORR/COVAR*/REGR_* (reference accumulator.rs:146-168,
+    functions.rs:3215-3268) — all Spark built-ins, computed in one pass with
+    partial aggregation instead of the reference's buffered-values approach."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_pop"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_samp"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_pop"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_samp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covs"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "percentile_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           quantile_disc(l_quantity, 0.5) AS qty_p50_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "percentile"),
+)
+def percentile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN / PERCENTILE_CONT / PERCENTILE_DISC — exact (reference
+    accumulator.rs:169-197, functions.rs:3139-3206). Spark's exact
+    `percentile` matches DuckDB's quantile_cont interpolation."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "qty_p50_disc"
+        ),
+    )
+
+
+@query(
+    "first_last_aggs",
+    oracle="""
+    SELECT user_id,
+           min_by(value, event_id) AS first_value_by_arrival,
+           max_by(value, event_id) AS last_value_by_arrival,
+           min(ts)  AS first_ts,
+           max(ts)  AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("aggregation", "first-last"),
+)
+def first_last_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST per group (reference accumulator.rs:222-243). The
+    reference's FIRST/LAST are arrival-ordered; the deterministic
+    distributed equivalent is min_by/max_by over the arrival-order key
+    (event_id), which is order-insensitive across partitions."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "event_id").alias("first_value_by_arrival"),
+            F.max_by("value", "event_id").alias("last_value_by_arrival"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@query(
+    "string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("aggregation", "string-agg"),
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG / GROUP_CONCAT / LISTAGG (reference accumulator.rs:244-258)
+    with deterministic ORDER BY — collect_list + array_sort + array_join."""
+    t = tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "approx_count_distinct",
+    oracle=None,  # approximate result has no cross-engine oracle; rows-only check
+    tags=("aggregation", "approx"),
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT — the reference fakes this with an exact HashSet
+    (accumulator.rs:212-220); we use real HyperLogLog++, which is the point
+    at 100 TB (bounded memory per group). No cross-engine oracle since sketch
+    estimates differ; correctness is covered by unit test tolerance vs exact."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+    )

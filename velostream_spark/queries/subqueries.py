@@ -1,0 +1,190 @@
+"""Subquery forms: scalar, correlated scalar, EXISTS/NOT EXISTS, IN/NOT IN,
+ANY/ALL.
+
+Reference parity (SURVEY.md §2.7): SubqueryType at reference
+src/velostream/sql/ast.rs:753-768, executed per-record against materialized
+tables via the SubqueryExecutor trait
+(src/velostream/sql/execution/expression/subquery_executor.rs:20-104) with
+correlation support (select.rs:423-425).
+
+Spark-first: all of these are native Spark SQL; Catalyst decorrelates
+correlated subqueries into joins (far better than per-record re-execution —
+the reference interprets the subquery for every input row). These queries are
+expressed via spark.sql on registered views to exercise exactly that path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from velostream_spark.registry import query, views
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) AS delta_vs_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+    """,
+    tags=("subquery", "scalar"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (reference SubqueryType::Scalar):
+    Catalyst evaluates it once and broadcasts the scalar — vs the
+    reference's per-record table aggregate."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) AS delta_vs_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+        """
+    )
+
+
+@query(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE c.c_acctbal > 5000
+    """,
+    tags=("subquery", "correlated"),
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (reference correlation_context,
+    select.rs:423-425). Catalyst decorrelates to an aggregate + left join."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c.c_acctbal > 5000
+        """
+    )
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+    """,
+    tags=("subquery", "exists"),
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (reference SubqueryType::Exists) → left-semi join."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "not_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("subquery", "not-exists"),
+)
+def not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (reference SubqueryType::NotExists) → left-anti."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+      AND p_size NOT IN (1, 2, 3)
+    """,
+    tags=("subquery", "in"),
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery + literal NOT IN list (reference SubqueryType::In and the
+    IN/NOT IN binary operators, ast.rs:805-835)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+          AND p_size NOT IN (1, 2, 3)
+        """
+    )
+
+
+@query(
+    "not_in_subquery",
+    oracle="""
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+    """,
+    tags=("subquery", "not-in"),
+)
+def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery (reference SubqueryType::NotIn) — null-aware anti join."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name
+        FROM nation
+        WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+        """
+    )
+
+
+@query(
+    "any_all_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > ANY (SELECT c_acctbal FROM customer WHERE c_nationkey = 1)
+      AND s_acctbal < ALL (SELECT o_totalprice FROM orders WHERE o_totalprice > 100000)
+    """,
+    tags=("subquery", "any-all"),
+)
+def any_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY / ALL quantified comparisons (reference SubqueryType::Any/All,
+    benchmark headline 'ANY/ALL operators' in BASELINE.md).
+
+    Spark SQL has no ANY/ALL quantifier; the engine rewrites them to
+    MIN/MAX scalar-subquery comparisons — `> ANY (S)` ⇔ `> (SELECT MIN(S))`,
+    `< ALL (S)` ⇔ `< (SELECT MIN(S))` (null/empty-set caveats aside, which
+    the rewrite preserves for non-empty non-null subqueries).
+    """
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_acctbal > (SELECT MIN(c_acctbal) FROM customer WHERE c_nationkey = 1)
+          AND s_acctbal < (SELECT MIN(o_totalprice) FROM orders WHERE o_totalprice > 100000)
+        """
+    )
