@@ -72,7 +72,16 @@ def minhash_signature(col: Column, num_hashes: int = 8, shingle_n: int = 3) -> C
     component is the lexicographic minimum over the document's shingles.
     Computed entirely per-row (array_min over transform) — no shuffle.
     """
-    sh = textops.shingles(col, shingle_n)
+    return minhash_signature_from_shingles(textops.shingles(col, shingle_n), num_hashes)
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature from a pre-computed shingle-array column.
+
+    Prefer this over minhash_signature when the shingle array is already a
+    projected column: inlining the shingle expression ``num_hashes`` times
+    multiplies codegen size (and compile time) by ``num_hashes``.
+    """
 
     def seeded_md5(k: int):
         def f(s):
@@ -135,28 +144,66 @@ def minhash_lsh_pairs(
     Shuffles: one on band hash (candidate generation), dedup of candidate
     pairs, and the verify join — all keyed on ids/band keys, never on text.
     """
+    docs = minhash_stage(df, text_col, id_col, num_hashes, num_bands, shingle_n)
+    return minhash_pairs_from_stage(docs, threshold)
+
+
+def minhash_stage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persisted (id, shingle-array, band-keys) stage for LSH dedup.
+
+    Stages the expensive expressions: shingles computed ONCE as a column,
+    the signature/bands derived from that column (inlining the shingle
+    expression into every hash multiplies codegen size ~num_hashes×).
+    Persisted because three plan branches (both join sides + verify) reuse
+    it; at cluster scale this is a cheap columnar cache of
+    (id, shingle-array, band-keys) — never the raw documents. Callers that
+    run repeatedly should reuse one stage (see queries.pipeline memoization).
+    """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        textops.shingles(F.col(text_col), shingle_n).alias("_sh"),
-        band_hashes(sig, num_bands, rows_per_band).alias("_bands"),
+    return (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("_id"),
+            textops.shingles(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        .withColumn(
+            "_bands",
+            band_hashes(
+                minhash_signature_from_shingles(F.col("_sh"), num_hashes),
+                num_bands,
+                rows_per_band,
+            ),
+        )
+        .persist()
     )
-    banded = docs.select("_id", "_sh", F.explode("_bands").alias("_band"))
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_band"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"), "_band"
-    )
+
+
+def minhash_pairs_from_stage(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate generation + exact-Jaccard verification over a stage."""
+    # Candidate generation joins on (band, id) ONLY — no arrays in the
+    # shuffle; shingles rejoin after pair dedup (candidate count << rows).
+    banded = docs.select("_id", F.explode("_bands").alias("_band"))
+    a = banded.select(F.col("_id").alias("id_a"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), "_band")
     pairs = (
         a.join(b, "_band")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
-        pairs.select(
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jacc"),
@@ -219,25 +266,84 @@ def simhash_bits(col: Column, bits: int = 32) -> Column:
     md5(word): nibble = hex digit j//4 of the md5, bit = (nibble >> (j%4)) & 1.
     Token multiplicity counts (standard SimHash weighting by term frequency).
     """
-    w = textops.words(col)
+    return simhash_bits_from_md5s(
+        F.transform(textops.words(col), F.md5), bits
+    )
+
+
+def simhash_bits_from_md5s(md5s: Column, bits: int = 32) -> Column:
+    """SimHash bit string from a pre-computed array of per-word md5 hex
+    strings. Callers should stage the md5 array as its own projected column
+    (one md5 per word total) rather than inlining — otherwise the md5
+    computation is duplicated into all ``bits`` bit expressions."""
 
     def word_bit(nib_idx: int, mask: int):
-        # Per-word bit via hex-digit → int (conv) → mask. Closure (not lambda
-        # defaults): Spark treats every lambda parameter as a lambda variable.
-        def f(x):
-            nib = F.conv(F.substring(F.md5(x), nib_idx, 1), 16, 10).cast("int")
+        # Closure (not lambda defaults): Spark treats every lambda parameter
+        # as a lambda variable.
+        def f(m):
+            nib = F.conv(F.substring(m, nib_idx, 1), 16, 10).cast("int")
             return (nib.bitwiseAND(F.lit(mask)) > 0).cast("int")
 
         return f
 
+    n = F.size(md5s)
     bit_cols = []
     for j in range(bits):
         nib_idx = j // 4 + 1  # 1-based position in the hex string
         shift = j % 4
-        per_word = F.transform(w, word_bit(nib_idx, 1 << shift))
+        per_word = F.transform(md5s, word_bit(nib_idx, 1 << shift))
         ones = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
-        bit_cols.append(F.when(ones * 2 > F.size(w), F.lit("1")).otherwise(F.lit("0")))
+        bit_cols.append(F.when(ones * 2 > n, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bit_cols)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash-bit-string) per document — the scale implementation.
+
+    Instead of per-bit array transforms (Catalyst higher-order functions are
+    evaluated interpreted, per element), this explodes words and does pure
+    codegen bit arithmetic: one md5 per word, the first 16 hex chars parsed
+    into two 32-bit longs, each of the ``bits`` bit positions extracted with
+    shift/mask, then a map-side-combined groupBy(id) sums the votes. The
+    shuffle carries one row of 64 small ints per document — independent of
+    document size. Bit definition matches simhash_bits_sql exactly:
+    bit j = (hex_nibble[j//4] >> (j%4)) & 1 of md5(word).
+    """
+    assert bits <= 64
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(textops.words(F.col(text_col))).alias("_w"),
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long").alias("_h2"),
+    )
+    votes = []
+    for j in range(bits):
+        k = j // 4  # nibble index in the hex string
+        h = F.col("_h1") if k < 8 else F.col("_h2")
+        shift = 4 * (7 - (k % 8)) + (j % 4)
+        votes.append(
+            F.sum(F.shiftright(h, shift).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        )
+    agg = w.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *votes)
+    bit_chars = [
+        F.when(F.col(f"_b{j}") * 2 > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return agg.select(F.col("_id").alias(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, id_col: str, out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """Append a SimHash column by joining simhash_signatures back on id."""
+    sig = simhash_signatures(df, text_col, id_col, bits).withColumnRenamed(
+        "simhash", out_col
+    )
+    return df.join(sig, id_col)
 
 
 def simhash_bits_sql(expr: str, bits: int = 32) -> str:
@@ -269,19 +375,33 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    bits: int = 32,
+    bits: int = 64,
     num_bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the bit string into ``num_bands`` chunks,
-    candidate pairs share ≥1 exact band, verified by Hamming ≤ max_hamming."""
-    band_len = bits // num_bands
-    docs = df.select(
-        F.col(id_col).alias("_id"), simhash_bits(F.col(text_col), bits).alias("_sh")
+    candidate pairs share ≥1 exact band, verified by Hamming ≤ max_hamming.
+
+    Band width = bits/num_bands (64/4 = 16 bits) keeps the bucket space large
+    enough (2^16 per band position) that random collisions stay rare — with
+    8-bit bands the candidate set explodes quadratically. Band join carries
+    only (band, id); signatures rejoin after pair dedup.
+    """
+    docs = (
+        simhash_signatures(df, text_col, id_col, bits)
+        .select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sh"))
+        .persist()
     )
+    return simhash_pairs_from_signatures(docs, bits, num_bands, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    docs: DataFrame, bits: int = 64, num_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Banded candidates + Hamming verify over an (_id, _sh) signature DF."""
+    band_len = bits // num_bands
     banded = docs.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -291,15 +411,20 @@ def simhash_pairs(
             )
         ).alias("_band"),
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), "_band")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), "_band")
+    a = banded.select(F.col("_id").alias("id_a"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), "_band")
     pairs = (
         a.join(b, "_band")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sha = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     return (
-        pairs.select(
+        pairs.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
             "id_a",
             "id_b",
             hamming_distance_bitstr(F.col("_sha"), F.col("_shb"), bits).alias("hamming"),

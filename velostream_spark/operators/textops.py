@@ -44,8 +44,12 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def token_count(col: Column) -> Column:
     """Whitespace token count (LongType)."""
-    w = words(col)
-    return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(F.size(w)).cast("long")
+    return token_count_from(normalize(col), words(col))
+
+
+def token_count_from(norm: Column, w: Column) -> Column:
+    """token_count from pre-staged normalized-text / words columns."""
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(w)).cast("long")
 
 
 def token_count_sql(expr: str) -> str:
@@ -76,8 +80,13 @@ _STOPWORDS = (
 def quality_features(col: Column) -> dict[str, Column]:
     """Raw quality signals: char length, token count, mean word length,
     punctuation ratio, stopword ratio, digit ratio, uppercase ratio."""
-    norm = normalize(col)
-    w = words(col)
+    return quality_features_from(col, normalize(col), words(col))
+
+
+def quality_features_from(col: Column, norm: Column, w: Column) -> dict[str, Column]:
+    """quality_features from pre-staged normalized-text / words columns —
+    use when computing several text features over one scan so the
+    normalize/split work happens once per row, not once per feature."""
     n_chars = F.length(col).cast("double")
     n_tokens = F.size(w).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -104,7 +113,12 @@ def quality_score(col: Column) -> Column:
     score = 0.25·len_score + 0.25·stop_score + 0.25·(1-punct) + 0.25·(1-digit)
     with len_score = min(n_tokens/100, 1), stop_score = min(stop_ratio/0.3, 1).
     """
-    f = quality_features(col)
+    return quality_score_from(col, normalize(col), words(col))
+
+
+def quality_score_from(col: Column, norm: Column, w: Column) -> Column:
+    """quality_score from pre-staged normalized-text / words columns."""
+    f = quality_features_from(col, norm, w)
     len_score = F.least(f["n_tokens"] / 100.0, F.lit(1.0))
     stop_score = F.least(f["stopword_ratio"] / 0.3, F.lit(1.0))
     return (
@@ -146,7 +160,10 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
 
 def lang_scores(col: Column) -> dict[str, Column]:
     """Marker-hit count per language (token-weighted, duplicates count)."""
-    w = words(col)
+    return lang_scores_from(words(col))
+
+
+def lang_scores_from(w: Column) -> dict[str, Column]:
     out = {}
     for lang, markers in LANG_MARKERS:
         arr = F.array(*[F.lit(m) for m in markers])
@@ -160,7 +177,12 @@ def lang_id(col: Column) -> Column:
     Argmax with deterministic preference order = declaration order in
     LANG_MARKERS (expressed as a strict > comparison chain).
     """
-    scores = lang_scores(col)
+    return lang_id_from(words(col))
+
+
+def lang_id_from(w: Column) -> Column:
+    """lang_id from a pre-staged words column."""
+    scores = lang_scores_from(w)
     best_lang = F.lit("und")
     best_score = F.lit(0)  # 'und' unless some language scores > 0
     # Forward fold with strict >: on ties the earlier declaration wins.
