@@ -1,0 +1,263 @@
+"""Streaming-semantics tests: multi-batch state carry-over, EMIT CHANGES
+changelogs, job lifecycle (pause/resume from checkpoint), late-data DLQ —
+the behaviors the single-batch oracle parity can't see.
+
+Mirrors the reference's emit/watermark unit tests (SURVEY.md §5:
+tests/integration/emit_functionality_test, window state tests) using file
+micro-batches (maxFilesPerTrigger=1 over sequentially written chunks) in
+place of Kafka.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_SMOKE
+
+from velostream_spark.session import load_tables
+from velostream_spark.streaming.emit import EmitMode, default_emit_mode, output_mode_for
+from velostream_spark.streaming.jobs import StreamJobManager
+from velostream_spark.streaming.late_data import DeadLetterSplitter
+from velostream_spark.streaming.rows_window import (
+    rows_window_batch,
+    rows_window_stream,
+)
+from velostream_spark.streaming.runner import run_available_now, run_foreach_batch
+from velostream_spark.streaming.source import stream_csv, stream_parquet
+
+
+def _events(spark):
+    return load_tables(spark, SF_SMOKE, register_views=False)["events"]
+
+
+def _write_chunks(spark, df, tmpdir: str, n: int, order_col: str) -> str:
+    """Write df as n single-file parquet chunks, ordered by order_col across
+    chunks, with increasing mtimes so the file source picks them up in
+    order (one chunk per micro-batch with maxFilesPerTrigger=1)."""
+    rows = df.count()
+    per = (rows + n - 1) // n
+    ranked = df.orderBy(order_col).withColumn(
+        "_rk", F.row_number().over(Window.orderBy(order_col))
+    )
+    os.makedirs(tmpdir, exist_ok=True)
+    for i in range(n):
+        chunk = ranked.where(
+            (F.col("_rk") > i * per) & (F.col("_rk") <= (i + 1) * per)
+        ).drop("_rk")
+        path = os.path.join(tmpdir, f"chunk_{i:03d}.parquet")
+        chunk.toPandas().to_parquet(path, index=False)
+        mtime = time.time() - (n - i) * 10
+        os.utime(path, (mtime, mtime))
+    return tmpdir
+
+
+# -- emit-mode mapping -------------------------------------------------------
+
+
+def test_emit_defaults_match_reference():
+    # select.rs:490-501: windowed → FINAL, non-windowed → CHANGES
+    assert default_emit_mode(has_window=True) is EmitMode.FINAL
+    assert default_emit_mode(has_window=False) is EmitMode.CHANGES
+
+
+@pytest.mark.parametrize(
+    "emit,window,agg,expected",
+    [
+        (EmitMode.CHANGES, False, False, "append"),
+        (EmitMode.FINAL, False, False, "append"),
+        (EmitMode.CHANGES, False, True, "update"),
+        (EmitMode.CHANGES, True, True, "update"),
+        (EmitMode.FINAL, True, True, "append"),
+        (EmitMode.FINAL, False, True, "complete"),
+        (None, True, True, "append"),
+        (None, False, True, "update"),
+    ],
+)
+def test_output_mode_mapping(emit, window, agg, expected):
+    assert output_mode_for(emit, window, agg) == expected
+
+
+# -- multi-batch stateful semantics -----------------------------------------
+
+
+def test_rows_window_state_carries_across_batches(spark, tmp_path):
+    """ROWS WINDOW over 4 micro-batches == batch window functions over the
+    whole input: proves the buffer state (applyInPandasWithState) survives
+    batch boundaries exactly like the reference's ring buffer."""
+    ev = _events(spark).select("user_id", "event_id", "value")
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 4, "event_id")
+    sdf = stream_parquet(spark, src, schema=ev.schema, max_files_per_trigger=1)
+    aggs = [
+        ("moving_avg", "avg"),
+        ("moving_min", "min"),
+        ("buffer_n", "count"),
+        ("prev_value", "lag"),
+        ("first_in_buffer", "first"),
+        ("row_num", "row_number"),
+    ]
+    got = run_available_now(
+        rows_window_stream(sdf, ["user_id"], "event_id", "value", 5, aggs),
+        "append",
+        "rw_multibatch",
+    ).toPandas()
+    want = rows_window_batch(
+        _events(spark), ["user_id"], "event_id", "value", 5, aggs
+    ).toPandas()
+    got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("moving_avg", "moving_min", "prev_value", "first_in_buffer"):
+        assert got[col].round(9).equals(want[col].round(9)), col
+    assert got["buffer_n"].equals(want["buffer_n"].astype("int64"))
+    assert got["row_num"].equals(want["row_num"])
+
+
+def test_rows_window_buffer_full_emission(spark, tmp_path):
+    """EmitMode::BufferFull: rows emitted only once the per-key buffer holds
+    buffer_size rows (reference ast.rs:567-575)."""
+    ev = _events(spark).select("user_id", "event_id", "value")
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 2, "event_id")
+    sdf = stream_parquet(spark, src, schema=ev.schema, max_files_per_trigger=1)
+    got = run_available_now(
+        rows_window_stream(
+            sdf, ["user_id"], "event_id", "value", 5,
+            [("buffer_n", "count")], emit="buffer_full",
+        ),
+        "append",
+        "rw_bufferfull",
+    ).toPandas()
+    assert (got["buffer_n"] == 5).all()
+    per_user = _events(spark).groupBy("user_id").count().toPandas()
+    expected_rows = int((per_user["count"] - 4).clip(lower=0).sum())
+    assert len(got) == expected_rows
+
+
+def test_emit_changes_changelog_converges(spark, tmp_path):
+    """EMIT CHANGES over micro-batches: each batch emits updated groups; the
+    last emission per group equals the batch aggregate (reference
+    handle_group_by_record select.rs:1534 per-record update stream)."""
+    ev = _events(spark).select("user_id", "value")
+    src = _write_chunks(spark, _events(spark), str(tmp_path / "chunks"), 3, "event_id")
+    sdf = stream_parquet(spark, src, schema=_events(spark).schema, max_files_per_trigger=1)
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    emissions: list[tuple[int, dict]] = []
+
+    def collect(batch_df, batch_id):
+        for row in batch_df.collect():
+            emissions.append((batch_id, row.asDict()))
+
+    run_foreach_batch(agg, collect, output_mode="update", query_name="changes_log")
+    assert len({b for b, _ in emissions}) >= 2, "expected multiple micro-batches"
+    last: dict[int, dict] = {}
+    for b, row in sorted(emissions, key=lambda x: x[0]):
+        last[row["user_id"]] = row
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .toPandas()
+        .to_dict("records")
+    }
+    assert set(last) == set(want)
+    for uid, row in want.items():
+        assert last[uid]["n"] == row["n"], uid
+        assert abs(last[uid]["total"] - row["total"]) < 1e-6, uid
+
+
+def test_streaming_csv_source(spark, tmp_path):
+    """CSV file-stream source (reference FileFormat::Csv) round-trips."""
+    pdf = _events(spark).select("event_id", "event_type", "value").toPandas()
+    d = tmp_path / "csv"
+    d.mkdir()
+    pdf.to_csv(d / "part1.csv", index=False)
+    schema = _events(spark).select("event_id", "event_type", "value").schema
+    sdf = stream_csv(spark, str(d), schema, header=True)
+    got = run_available_now(sdf, "append", "csv_stream").toPandas()
+    assert len(got) == len(pdf)
+    assert abs(got["value"].sum() - pdf["value"].sum()) < 1e-6
+
+
+# -- job manager -------------------------------------------------------------
+
+
+def test_job_manager_lifecycle_and_resume(spark, tmp_path):
+    """Deploy → availableNow drains current files → pause → new file arrives
+    → resume picks up ONLY the new file from the checkpoint (exactly-once
+    recovery; reference PAUSE/RESUME JOB ast.rs:302-365)."""
+    ev = _events(spark).select("user_id", "event_id", "value")
+    src = str(tmp_path / "src")
+    _write_chunks(spark, ev.where(F.col("event_id") < 500), src, 1, "event_id")
+    mgr = StreamJobManager(spark, checkpoint_root=str(tmp_path / "ckpt"))
+    sink = str(tmp_path / "out")
+
+    def build():
+        sdf = stream_parquet(spark, src, schema=ev.schema)
+        return sdf.select("user_id", "event_id", "value")
+
+    mgr.deploy(
+        "job1", build, sink_format="parquet",
+        sink_options={"path": sink}, output_mode="append",
+    )
+    mgr.wait("job1")
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == ev.where(F.col("event_id") < 500).count()
+
+    mgr.pause("job1")
+    assert mgr.describe("job1")["state"] == "paused"
+    jobs = {j["name"]: j for j in mgr.show_jobs()}
+    assert jobs["job1"]["active"] is False
+
+    late = ev.where(F.col("event_id") >= 500).toPandas()
+    late.to_parquet(os.path.join(src, "chunk_zz_late.parquet"), index=False)
+    mgr.resume("job1")
+    mgr.wait("job1")
+    n2 = spark.read.parquet(sink).count()
+    assert n2 == ev.count(), "resume must process exactly the new file"
+
+
+# -- late data ---------------------------------------------------------------
+
+
+def test_dead_letter_splitter_routes_late_rows(spark, tmp_path):
+    """DLQ strategy: rows arriving behind the tracked watermark go to the
+    dead-letter path (reference LateDataStrategy::DeadLetterQueue,
+    watermarks.rs:113-130)."""
+    ev = _events(spark).select("event_id", "ts", "value").orderBy("ts")
+    pdf = ev.toPandas()
+    # pandas writes TIMESTAMP(NANOS) by default, which the session reads
+    # back as long (nanosAsLong) — write micros so the schema round-trips.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: the NEWEST half first; batch 1: the oldest half → all of
+    # batch 1 is far behind the watermark set by batch 0.
+    newer, older = pdf.iloc[n // 2 :], pdf.iloc[: n // 2]
+    newer.to_parquet(os.path.join(src, "b0.parquet"), index=False)
+    t = time.time()
+    os.utime(os.path.join(src, "b0.parquet"), (t - 60, t - 60))
+    older.to_parquet(os.path.join(src, "b1.parquet"), index=False)
+    schema = ev.schema
+    sdf = stream_parquet(spark, src, schema=schema, max_files_per_trigger=1)
+    splitter = DeadLetterSplitter(
+        ts_col="ts",
+        delay_seconds=60.0,
+        main_path=str(tmp_path / "main"),
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    run_foreach_batch(sdf, splitter, output_mode="append", query_name="dlq")
+    main_n = spark.read.parquet(str(tmp_path / "main")).count()
+    dlq_n = spark.read.parquet(str(tmp_path / "dlq")).count()
+    assert main_n + dlq_n == n
+    assert dlq_n > 0, "late chunk must be dead-lettered"
+    # every DLQ row is older than every main-batch-0 row minus delay
+    max_main = spark.read.parquet(str(tmp_path / "main")).agg(F.max("ts")).collect()[0][0]
+    max_dlq = spark.read.parquet(str(tmp_path / "dlq")).agg(F.max("ts")).collect()[0][0]
+    assert max_dlq < max_main

@@ -1,0 +1,204 @@
+"""Streaming-execution catalog entries: the reference's continuous-query
+semantics (SURVEY.md §2.6, §3) run through REAL Structured Streaming plans
+(readStream file source → stateful ops → availableNow run-to-completion),
+not batch stand-ins. The batch twins in queries/time_windows.py pin down
+window-assignment semantics; these pin down *streaming* semantics —
+watermark-gated emission, update-mode changelogs, streaming dedup state,
+stream-stream join state, and the custom ROWS WINDOW stateful op.
+
+Determinism for the oracle: the driver's tables are single parquet files,
+so an availableNow run is one micro-batch; the final watermark lands at
+max(event time) − delay and every window ending at or before it emits
+(runner.run_available_now). The oracles encode exactly that cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.registry import query, tables
+from velostream_spark.streaming.emit import EmitMode, output_mode_for
+from velostream_spark.streaming.rows_window import rows_window_stream
+from velostream_spark.streaming.runner import run_available_now
+from velostream_spark.streaming.source import stream_table
+
+
+@query(
+    "streaming_tumbling_final",
+    oracle="""
+    WITH agg AS (
+      SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP       AS window_start,
+             to_timestamp(floor(epoch(ts) / 300) * 300 + 300)::TIMESTAMP AS window_end,
+             event_type,
+             COUNT(*)             AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT max(ts) FROM events)
+    """,
+    tags=("streaming", "time-window", "tumbling", "emit-final", "watermark"),
+)
+def streaming_tumbling_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMIT FINAL tumbling window as a real streaming query: watermark-gated
+    append mode emits each window exactly once, on close (reference
+    emit_final.rs; select.rs:490-501 windowed default). The final watermark
+    of the bounded run is max(ts) − 0s, so the trailing open window is NOT
+    emitted — the oracle applies the same cutoff."""
+    sdf = stream_table(spark, sf_dir, "events")
+    mode = output_mode_for(EmitMode.FINAL, has_window=True, has_aggregation=True)
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            F.col("w").end.alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, mode, "tumbling_final")
+
+
+@query(
+    "streaming_group_by_changes",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "aggregation", "emit-changes"),
+)
+def streaming_group_by_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMIT CHANGES continuous GROUP BY (reference select.rs:1534
+    handle_group_by_record): update output mode emits each group's new value
+    per micro-batch. Over the bounded single-batch input the changelog's
+    converged state equals the batch aggregate, which is what the oracle
+    checks; multi-batch changelog semantics are covered in pytest."""
+    sdf = stream_table(spark, sf_dir, "events")
+    mode = output_mode_for(EmitMode.CHANGES, has_window=False, has_aggregation=True)
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_available_now(agg, mode, "group_by_changes")
+
+
+@query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "distinct"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SELECT DISTINCT (reference DistinctState,
+    processors/context.rs:144-155): dropDuplicates keeps per-key state and
+    emits first-arrival only. The reference bounds state with FIFO eviction;
+    Spark's equivalent bound is dropDuplicatesWithinWatermark (state evicted
+    by event time) — unbounded here because the source is bounded."""
+    sdf = stream_table(spark, sf_dir, "events")
+    dd = sdf.select("user_id", "event_type").dropDuplicates()
+    return run_available_now(dd, "append", "streaming_dedup")
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS follow_id,
+           a.user_id  AS user_id,
+           CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS lag_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "join", "interval", "stream-stream"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (reference interval_join.rs:39,
+    coordinator.rs:88-91): both sides watermarked, join condition carries the
+    time bound so Spark's symmetric-hash join state evicts by watermark —
+    the same dual-state-store + expiry design as the reference's
+    JoinStateStore (state_store.rs:1-45), but distributed."""
+    a = (
+        stream_table(spark, sf_dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        stream_table(spark, sf_dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "follow_id",
+        "user_id",
+        F.floor(
+            (F.unix_micros("b_ts") - F.unix_micros("a_ts")) / F.lit(1_000_000.0)
+        ).alias("lag_seconds"),
+    )
+    return run_available_now(joined, "append", "interval_join_stream")
+
+
+@query(
+    "streaming_rows_window",
+    oracle="""
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           ROUND(AVG(value) OVER w, 6)  AS moving_avg,
+           MIN(value) OVER w            AS moving_min,
+           MAX(value) OVER w            AS moving_max,
+           COUNT(value) OVER w          AS buffer_n,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+               AS row_num
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "rows-window", "velostream-specific", "stateful"),
+)
+def streaming_rows_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS WINDOW BUFFER 10 ROWS PARTITION BY user_id (reference
+    WindowSpec::Rows ast.rs:617-652, rows.rs:30-45) — the per-record
+    streaming analytic window as an applyInPandasWithState stateful op.
+    Emits one row per input record with moving aggregates over the
+    last-10-rows buffer; EmitMode::EveryRecord."""
+    sdf = stream_table(spark, sf_dir, "events")
+    out = rows_window_stream(
+        sdf,
+        partition_by=["user_id"],
+        order_by="event_id",
+        value_col="value",
+        buffer_size=10,
+        aggs=[
+            ("moving_avg", "avg"),
+            ("moving_min", "min"),
+            ("moving_max", "max"),
+            ("buffer_n", "count"),
+            ("prev_value", "lag"),
+            ("row_num", "row_number"),
+        ],
+    ).withColumn("moving_avg", F.round("moving_avg", 6))
+    return run_available_now(out, "append", "rows_window")

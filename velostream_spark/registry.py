@@ -96,6 +96,7 @@ def _load_catalog() -> None:
     import velostream_spark.queries.window_functions  # noqa: F401
     import velostream_spark.queries.time_windows  # noqa: F401
     import velostream_spark.queries.pipeline  # noqa: F401
+    import velostream_spark.queries.streaming_queries  # noqa: F401
 
     _LOADED = True
 

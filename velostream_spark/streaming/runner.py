@@ -1,0 +1,80 @@
+"""Run-to-completion helpers: execute a streaming plan over the (bounded)
+test data with the ``availableNow`` trigger and hand back the sink contents
+as a DataFrame.
+
+This is the Spark analog of the reference's bounded-source execution path
+(velo-sql-batch / engine.rs:1242 ``flush_windows`` on source end): process
+everything currently available as a sequence of micro-batches, advance the
+watermark, flush what closes, stop.
+
+The memory sink collects results on the driver — fine for test scale; the
+production path writes parquet/Kafka through the same writer settings.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_COUNTER = itertools.count()
+
+
+def _unique(prefix: str) -> str:
+    return f"{prefix}_{next(_COUNTER)}"
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink; return
+    the sink table. Unique sink name + throwaway checkpoint per call, so
+    repeated invocations (driver retries, bench steady-state) are
+    independent."""
+    name = _unique(query_name or "vs_stream")
+    ckpt = tempfile.mkdtemp(prefix=f"vs-ckpt-{name}-")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    func,
+    output_mode: str = "update",
+    query_name: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Run a streaming DataFrame to completion through ``foreachBatch`` —
+    the reference's DataWriter.write_batch loop (datasource/traits.rs:154);
+    ``func(batch_df, batch_id)`` is invoked once per micro-batch."""
+    name = _unique(query_name or "vs_feb")
+    ckpt = tempfile.mkdtemp(prefix=f"vs-ckpt-{name}-")
+    q = (
+        sdf.writeStream.foreachBatch(func)
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def max_event_time(spark: SparkSession, batch_df: DataFrame, ts_col: str):
+    """Max event time of a bounded input — the final watermark position of
+    an availableNow run with 0s delay (windows ending ≤ this emitted)."""
+    import pyspark.sql.functions as F
+
+    return batch_df.agg(F.max(ts_col)).collect()[0][0]
