@@ -1,0 +1,281 @@
+"""Dialect + engine tests: velostream SQL text (reference grammar,
+docs/sql/PARSER_GRAMMAR.md; demo apps demo/quickstart, demo/1brc) executed
+on Spark, checked against directly-built DataFrames or DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from velostream_spark.session import load_tables
+from velostream_spark.sql.dialect import (
+    parse_duration,
+    parse_statement,
+    split_statements,
+    translate_select,
+)
+from velostream_spark.sql.engine import SqlEngine
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = SqlEngine(spark, time_col="ts")
+    for name, df in load_tables(spark, SF_SMOKE, register_views=False).items():
+        eng.register_stream(name, df)
+    return eng
+
+
+# -- parsing units -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("INTERVAL '5' MINUTE", "5 minutes"),
+        ("INTERVAL '30' SECOND", "30 seconds"),
+        ("5 MINUTE", "5 minutes"),
+        ("100ms", "100 milliseconds"),
+        ("2h", "2 hours"),
+        ("1 DAY", "1 days"),
+    ],
+)
+def test_parse_duration(text, expected):
+    assert parse_duration(text) == expected
+
+
+def test_translate_rows_window_over():
+    sql, _, _, _ = translate_select(
+        "SELECT symbol, AVG(price) OVER (ROWS WINDOW BUFFER 100 ROWS "
+        "PARTITION BY symbol ORDER BY ts) AS ma FROM trades"
+    )
+    assert "ROWS WINDOW" not in sql.upper()
+    assert "ROWS BETWEEN 99 PRECEDING AND CURRENT ROW" in sql
+
+
+def test_translate_function_renames():
+    sql, _, _, _ = translate_select(
+        "SELECT JSON_EXTRACT(props, '$.a') AS a, COUNT_DISTINCT(u) AS d, "
+        "EXTRACT('EPOCH', ts) AS e, NOW() AS n FROM t"
+    )
+    assert "get_json_object(props, '$.a')" in sql
+    assert "count(DISTINCT u)" in sql
+    assert "unix_timestamp(ts)" in sql
+    assert "current_timestamp()" in sql
+
+
+def test_primary_key_annotation():
+    st = parse_statement(
+        "SELECT region PRIMARY KEY, product AS p PRIMARY KEY, SUM(q) AS s "
+        "FROM orders GROUP BY region, product"
+    )
+    assert st.key_fields == ["region", "p"]
+    assert "PRIMARY KEY" not in st.select_sql.upper()
+
+
+def test_parse_csas_with_emit_and_props():
+    st = parse_statement(
+        """
+        -- @job_mode: adaptive
+        CREATE STREAM results AS
+        SELECT station, MIN(t) AS mn FROM measurements GROUP BY station
+        EMIT FINAL
+        WITH ('measurements.type' = 'file_source',
+              'measurements.path' = './m.csv',
+              'results.type' = 'file_sink', 'results.path' = './out.csv');
+        """
+    )
+    assert st.kind == "create_stream" and st.name == "results"
+    assert st.emit == "final"
+    assert st.with_props["measurements.type"] == "file_source"
+    assert st.annotations["job_mode"] == "adaptive"
+    assert "EMIT" not in st.select_sql.upper()
+
+
+def test_split_statements_app_file():
+    stmts = split_statements(
+        """
+        -- comment with ; inside
+        CREATE TABLE t1 AS SELECT 1 AS a;
+        SELECT * FROM t1 WHERE a = ';' OR a = 1;
+        """
+    )
+    assert len(stmts) == 2
+
+
+# -- execution ---------------------------------------------------------------
+
+
+def test_1brc_style_csas_file_roundtrip(spark, tmp_path):
+    """The 1BRC pipeline (demo/1brc/1brc.sql shape): CSV file source →
+    GROUP BY MIN/AVG/MAX → CSV file sink, run from pure SQL text."""
+    src = tmp_path / "measurements.csv"
+    src.write_text(
+        "station;temperature\n"
+        "oslo;10.5\noslo;-3.0\nparis;21.0\nparis;15.0\nparis;18.0\n"
+    )
+    out = str(tmp_path / "out_csv")
+    eng = SqlEngine(spark)
+    df = eng.execute(
+        f"""
+        -- @job_mode: adaptive
+        CREATE STREAM results AS
+        SELECT station,
+               MIN(temperature) AS min_temp,
+               ROUND(AVG(temperature), 4) AS avg_temp,
+               MAX(temperature) AS max_temp
+        FROM measurements
+        GROUP BY station
+        EMIT FINAL
+        WITH (
+            'measurements.type' = 'file_source_mmap',
+            'measurements.path' = '{src}',
+            'measurements.format' = 'csv',
+            'measurements.delimiter' = ';',
+            'results.type' = 'file_sink',
+            'results.path' = '{out}',
+            'results.format' = 'csv'
+        );
+        """
+    )
+    got = {r["station"]: r for r in df.collect()}
+    assert got["oslo"]["min_temp"] == -3.0 and got["oslo"]["max_temp"] == 10.5
+    assert abs(got["paris"]["avg_temp"] - 18.0) < 1e-9
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+    assert eng.last_annotations["job_mode"] == "adaptive"
+
+
+def test_window_tumbling_dialect_matches_spark(spark, engine):
+    """WINDOW TUMBLING(INTERVAL '5' MINUTE) == F.window(ts, '5 minutes')."""
+    got = engine.execute(
+        """
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+        FROM events
+        GROUP BY event_type
+        WINDOW TUMBLING(INTERVAL '5' MINUTE)
+        """
+    )
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+    want = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select("event_type", "n", "total")
+    )
+    assert sorted(map(tuple, got.select("event_type", "n", "total").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_window_session_dialect(spark, engine):
+    got = engine.execute(
+        """
+        SELECT user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id
+        WINDOW SESSION(INTERVAL '30' MINUTE)
+        """
+    )
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+    )
+    assert sorted(map(tuple, got.select("user_id", "n").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_rows_window_over_execution(spark, engine):
+    got = engine.execute(
+        """
+        SELECT user_id, event_id,
+               AVG(value) OVER (ROWS WINDOW BUFFER 5 ROWS
+                                PARTITION BY user_id ORDER BY event_id) AS ma
+        FROM events
+        """
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT user_id, event_id,
+               AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+        FROM events
+        """
+    ).df()
+    got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["ma"] - want["ma"]).abs().max() < 1e-9
+
+
+def test_ctas_and_point_lookup(spark, engine):
+    engine.execute(
+        "CREATE TABLE user_totals AS "
+        "SELECT user_id PRIMARY KEY, COUNT(*) AS n, ROUND(SUM(value),4) AS total "
+        "FROM events GROUP BY user_id"
+    )
+    mt = engine.tables["user_totals"]
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+    uid = ev.select("user_id").first()[0]
+    want = ev.where(F.col("user_id") == uid).count()
+    assert mt.get_record(uid)["n"] == want
+    assert mt.contains_key(uid)
+    assert mt.sql_filter(f"user_id = {uid}").count() == 1
+    # registered as a view → usable from later SQL (stream-table join path)
+    j = engine.execute(
+        "SELECT e.event_id, t.n FROM events e JOIN user_totals t USING (user_id)"
+    )
+    assert j.count() == ev.count()
+
+
+def test_insert_update_delete(spark, engine):
+    engine.execute("CREATE TABLE kv AS SELECT 1 AS k, 'a' AS v")
+    assert engine.execute("INSERT INTO kv (k, v) VALUES (2, 'b'), (3, 'c')") == 2
+    assert engine.tables["kv"].count() == 3
+    assert engine.execute("UPDATE kv SET v = 'z' WHERE k >= 2") == 2
+    vals = {r["k"]: r["v"] for r in engine.tables["kv"].df.collect()}
+    assert vals == {1: "a", 2: "z", 3: "z"}
+    assert engine.execute("DELETE FROM kv WHERE k = 1") == 1
+    assert engine.tables["kv"].count() == 2
+
+
+def test_show_statements(engine):
+    engine.execute("CREATE TABLE st1 AS SELECT 1 AS a")
+    streams = engine.execute("SHOW STREAMS")
+    assert {"stream_name": "events"} in streams
+    tables = engine.execute("SHOW TABLES")
+    assert any(t["table_name"] == "st1" for t in tables)
+    cols = engine.execute("DESCRIBE st1")
+    assert cols == [{"column_name": "a", "data_type": "int"}]
+
+
+def test_header_functions(spark):
+    from velostream_spark.functions import headers as H
+
+    df = spark.createDataFrame(
+        [([("k1", bytearray(b"v1")), ("k2", bytearray(b"v2"))],)],
+        "headers: array<struct<key: string, value: binary>>",
+    )
+    row = df.select(
+        H.header(F.col("headers"), "k1").alias("h"),
+        H.has_header(F.col("headers"), "kx").alias("hx"),
+        H.header_keys(F.col("headers")).alias("ks"),
+        H.header(H.set_header(F.col("headers"), "k3", "v3"), "k3").alias("s"),
+        H.header_keys(H.remove_header(F.col("headers"), "k1")).alias("r"),
+    ).first()
+    assert row["h"] == "v1"
+    assert row["hx"] is False
+    assert row["ks"] == ["k1", "k2"]
+    assert row["s"] == "v3"
+    assert row["r"] == ["k2"]

@@ -1,0 +1,136 @@
+"""Dialect-path catalog entries: velostream SQL **text** (the reference's
+own grammar — WINDOW clauses, EMIT modes, ROWS WINDOW OVER-specs, dialect
+function names) executed through sql.SqlEngine, checked against DuckDB.
+These prove a reference user can paste their queries in unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from velostream_spark.registry import query, tables
+from velostream_spark.sql.engine import SqlEngine
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> SqlEngine:
+    eng = SqlEngine(spark, time_col="ts")
+    for name, df in tables(spark, sf_dir).items():
+        eng.register_stream(name, df)
+    return eng
+
+
+@query(
+    "dialect_tumbling_select",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("dialect", "time-window", "tumbling"),
+)
+def dialect_tumbling_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-grammar windowed aggregation: `WINDOW TUMBLING(INTERVAL '5'
+    MINUTE)` + `TUMBLE_START()` (functions.rs:3569) + `EMIT FINAL`, executed
+    from SQL text via the dialect shim."""
+    return _engine(spark, sf_dir).execute(
+        """
+        SELECT TUMBLE_START() AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY event_type
+        WINDOW TUMBLING(INTERVAL '5' MINUTE)
+        EMIT FINAL
+        """
+    )
+
+
+@query(
+    "dialect_rows_window_over",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_max
+    FROM events
+    """,
+    tags=("dialect", "rows-window", "velostream-specific"),
+)
+def dialect_rows_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-grammar `ROWS WINDOW BUFFER 10 ROWS PARTITION BY ... ORDER
+    BY ...` OVER-spec (PARSER_GRAMMAR.md:100-226), rewritten to a bounded
+    frame and executed on Catalyst's WindowExec."""
+    return _engine(spark, sf_dir).execute(
+        """
+        SELECT user_id, event_id,
+               ROUND(AVG(value) OVER (ROWS WINDOW BUFFER 10 ROWS
+                                PARTITION BY user_id ORDER BY event_id), 6) AS moving_avg,
+               MAX(value) OVER (ROWS WINDOW BUFFER 10 ROWS
+                                PARTITION BY user_id ORDER BY event_id) AS moving_max
+        FROM events
+        """
+    )
+
+
+@query(
+    "dialect_functions_select",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.source')                    AS source,
+           CAST(floor(epoch(ts)) AS BIGINT)                          AS epoch_s,
+           CAST(length(event_type) AS INT)                           AS type_len
+    FROM events
+    WHERE json_extract_string(props, '$.source') IS NOT NULL
+    """,
+    tags=("dialect", "functions", "json"),
+)
+def dialect_functions_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect function names (JSON_EXTRACT, JSON_EXISTS, EXTRACT('EPOCH'),
+    LEN — functions.rs:3640+, 3542, 3421) rewritten to Spark built-ins."""
+    return _engine(spark, sf_dir).execute(
+        """
+        SELECT event_id,
+               JSON_EXTRACT(props, '$.source') AS source,
+               EXTRACT('EPOCH', ts) AS epoch_s,
+               CAST(LEN(event_type) AS INT) AS type_len
+        FROM events
+        WHERE JSON_EXISTS(props, '$.source')
+        """
+    )
+
+
+@query(
+    "dialect_ctas_stream_table_join",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, t.n_events, t.total_value
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.event_type = 'click'
+    """,
+    tags=("dialect", "ctas", "stream-table-join"),
+)
+def dialect_ctas_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS (table/ctas.rs) then stream-table join against the materialized
+    table (stream_table_join.rs) — a two-statement SQL app through the
+    engine; the small CTAS table broadcasts in the join."""
+    eng = _engine(spark, sf_dir)
+    return eng.execute_app(
+        """
+        CREATE TABLE user_totals AS
+        SELECT user_id PRIMARY KEY, COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id;
+
+        SELECT e.event_id, e.user_id, t.n_events, t.total_value
+        FROM events e JOIN user_totals t USING (user_id)
+        WHERE e.event_type = 'click';
+        """
+    )[-1]

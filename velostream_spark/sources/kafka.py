@@ -1,0 +1,129 @@
+"""Kafka source/sink builders — reference kafka/data_source.rs (consumer →
+StreamRecord batches, event-time extraction, headers) and data_sink.rs
+(producer, message key from PRIMARY KEY fields).
+
+Spark's Kafka connector already provides the reference's surface:
+`timestamp`, `offset`, `partition`, `topic`, `key`, `headers` arrive as
+real columns — the reference's system columns (_timestamp/_offset/...,
+docs/sql/system-columns.md) are a rename away (`with_system_columns`).
+Exactly-once via checkpoints exceeds the reference's at-least-once
+transactions (kafka/writer.rs).
+
+The Kafka connector jar may be absent in test environments; builders
+construct plans/options without contacting a broker, and `read_*`/`write_*`
+raise a clear error if the connector is missing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def source_options(cfg: dict[str, str]) -> dict[str, str]:
+    """WITH-clause Kafka config → Spark reader options.
+
+    Accepts the reference's keys (bootstrap.servers, topic, group.id,
+    auto.offset.reset — kafka/kafka_config.rs) and passes through any
+    `kafka.`-prefixed extras.
+    """
+    opts = {
+        "kafka.bootstrap.servers": cfg.get(
+            "bootstrap.servers", cfg.get("brokers", "localhost:9092")
+        ),
+        "subscribe": cfg["topic"],
+        "includeHeaders": "true",
+    }
+    offset = cfg.get("auto.offset.reset", "earliest")
+    opts["startingOffsets"] = {"smallest": "earliest", "largest": "latest"}.get(
+        offset, offset
+    )
+    if "group.id" in cfg:
+        opts["kafka.group.id"] = cfg["group.id"]
+    for k, v in cfg.items():
+        if k.startswith("kafka."):
+            opts[k] = v
+    return opts
+
+
+def with_system_columns(df: DataFrame) -> DataFrame:
+    """Expose the reference's system columns (_timestamp, _offset,
+    _partition, _topic, _key — types.rs:1625-1627, system-columns.md) from
+    the connector's native columns, value still serialized."""
+    return df.select(
+        "value",
+        "headers",
+        F.col("timestamp").alias("_timestamp"),
+        F.col("offset").alias("_offset"),
+        F.col("partition").alias("_partition"),
+        F.col("topic").alias("_topic"),
+        F.col("key").cast("string").alias("_key"),
+    )
+
+
+def decode_json_value(df: DataFrame, schema) -> DataFrame:
+    """JSON codec (serialization/json_codec.rs): value bytes → columns,
+    keeping system columns alongside."""
+    other = [c for c in df.columns if c != "value"]
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_v"), *other
+    ).select("_v.*", *other)
+
+
+def read_stream(spark: SparkSession, cfg: dict[str, str]) -> DataFrame:
+    reader = spark.readStream.format("kafka")
+    for k, v in source_options(cfg).items():
+        reader = reader.option(k, v)
+    return _load(reader, "Kafka streaming source")
+
+
+def read_batch(spark: SparkSession, cfg: dict[str, str]) -> DataFrame:
+    reader = spark.read.format("kafka")
+    for k, v in source_options(cfg).items():
+        reader = reader.option(k, v)
+    return _load(reader, "Kafka batch source")
+
+
+def _load(reader, what: str) -> DataFrame:
+    try:
+        return reader.load()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            f"{what} requires the spark-sql-kafka connector on the classpath "
+            f"(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>): {e}"
+        ) from e
+
+
+def message_key(df: DataFrame, key_fields: list[str]) -> DataFrame:
+    """PRIMARY KEY fields → Kafka message key (FR-089, PARSER_GRAMMAR.md:
+    600-610): single field = raw value; compound = pipe-delimited."""
+    if not key_fields:
+        return df.withColumn("key", F.lit(None).cast("string"))
+    if len(key_fields) == 1:
+        key = F.col(key_fields[0]).cast("string")
+    else:
+        key = F.concat_ws("|", *[F.col(k).cast("string") for k in key_fields])
+    return df.withColumn("key", key)
+
+
+def write_batch(df: DataFrame, cfg: dict[str, str], key_fields: list[str] | None = None) -> None:
+    """Batch write to Kafka: rows JSON-encoded into `value`, key from
+    PRIMARY KEY fields (data_sink.rs key extraction)."""
+    data_cols = [c for c in df.columns if c not in ("key", "value", "headers")]
+    out = message_key(df, key_fields or []).select(
+        "key", F.to_json(F.struct(*data_cols)).alias("value")
+    )
+    writer = (
+        out.write.format("kafka")
+        .option(
+            "kafka.bootstrap.servers",
+            cfg.get("bootstrap.servers", cfg.get("brokers", "localhost:9092")),
+        )
+        .option("topic", cfg["topic"])
+    )
+    try:
+        writer.save()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            f"Kafka sink requires the spark-sql-kafka connector: {e}"
+        ) from e

@@ -1,0 +1,527 @@
+"""Velostream SQL dialect → Spark SQL translation.
+
+The reference parses its dialect with a hand-written recursive-descent
+parser (src/velostream/sql/parser/{tokenizer,select,expressions,clauses}.rs)
+into a `StreamingQuery` AST that is interpreted per record. Here the heavy
+lifting — expression parsing, name resolution, optimization — belongs to
+Spark's own SQL parser + Catalyst, so this layer only handles what the
+velostream dialect adds ON TOP of ANSI SQL:
+
+- statement wrappers: CREATE STREAM/TABLE ... AS SELECT (ast.rs:260-290),
+  `WITH ('k'='v', ...)` source/sink config (with_clause_parser.rs),
+  `EMIT CHANGES|FINAL` (ast.rs:152-163), `-- @key: value` annotations
+  (parser/annotations.rs), SQL-application files (app_parser.rs).
+- the `WINDOW TUMBLING/SLIDING/SESSION(...)` clause (ast.rs:596-611) →
+  an injected `window(<time_col>, ...)` grouping key.
+- the `ROWS WINDOW BUFFER n ROWS ...` OVER-spec (ast.rs:617-652) → a
+  standard `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW` frame.
+- `PRIMARY KEY` select-item annotations (FR-089) → extracted key fields.
+- function-name deltas between the reference catalog (functions.rs:3040+)
+  and Spark built-ins (JSON_EXTRACT → get_json_object, COUNT_DISTINCT →
+  COUNT(DISTINCT ...), EXTRACT('EPOCH', x) → unix_timestamp, ...).
+
+Everything else (expressions, CASE, BETWEEN, IN, subqueries, joins,
+aggregates, window functions) is already valid Spark SQL and passes through
+untouched — by design, not omission.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# tokens & helpers
+# ---------------------------------------------------------------------------
+
+_UNIT_TO_SPARK = {
+    "MS": "milliseconds",
+    "MILLISECOND": "milliseconds",
+    "MILLISECONDS": "milliseconds",
+    "SECOND": "seconds",
+    "SECONDS": "seconds",
+    "MINUTE": "minutes",
+    "MINUTES": "minutes",
+    "HOUR": "hours",
+    "HOURS": "hours",
+    "DAY": "days",
+    "DAYS": "days",
+}
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren/quote depth 0."""
+    out, depth, cur, i = [], 0, [], 0
+    in_str: str | None = None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def strip_comments(sql: str) -> tuple[str, dict[str, str]]:
+    """Remove `--` comments (string-literal aware); collect `-- @k: v`
+    annotations (reference parser/annotations.rs: @job_mode, @batch_size,
+    @num_partitions, @partitioning_strategy, @metric...)."""
+    annotations: dict[str, str] = {}
+    out_lines = []
+    for line in sql.splitlines():
+        buf, in_str, i = [], None, 0
+        while i < len(line):
+            ch = line[i]
+            if in_str:
+                buf.append(ch)
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+                buf.append(ch)
+            elif ch == "-" and i + 1 < len(line) and line[i + 1] == "-":
+                comment = line[i + 2 :].strip()
+                m = re.match(r"@([\w.]+)\s*:\s*(.+)$", comment)
+                if m:
+                    annotations[m.group(1)] = m.group(2).strip()
+                break
+            else:
+                buf.append(ch)
+            i += 1
+        out_lines.append("".join(buf))
+    return "\n".join(out_lines), annotations
+
+
+def parse_duration(text: str) -> str:
+    """Duration syntax → Spark interval string: `INTERVAL '5' MINUTE`,
+    `5 MINUTE`, `100ms`, `30s`/`5m`/`1h`/`1d` → '5 minutes' etc."""
+    t = text.strip()
+    m = re.match(r"(?i)^INTERVAL\s+'(\d+)'\s+(\w+)$", t)
+    if not m:
+        m = re.match(r"(?i)^(\d+)\s+(\w+)$", t)
+    if m:
+        unit = _UNIT_TO_SPARK.get(m.group(2).upper())
+        if not unit:
+            raise ValueError(f"unknown time unit in duration: {text!r}")
+        return f"{m.group(1)} {unit}"
+    m = re.match(r"(?i)^(\d+)\s*(ms|s|m|h|d)$", t)
+    if m:
+        unit = {"ms": "milliseconds", "s": "seconds", "m": "minutes",
+                "h": "hours", "d": "days"}[m.group(2).lower()]
+        return f"{m.group(1)} {unit}"
+    raise ValueError(f"cannot parse duration: {text!r}")
+
+
+# ---------------------------------------------------------------------------
+# statement model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WindowClause:
+    kind: str                     # tumbling | sliding | session
+    size: str                     # Spark interval string ("5 minutes")
+    advance: str | None = None    # sliding only
+    time_column: str | None = None
+
+
+@dataclass
+class Statement:
+    """One parsed velostream statement."""
+
+    kind: str                     # select | create_stream | create_table |
+                                  # insert | update | delete | show | job
+    name: str | None = None       # created stream/table name
+    select_sql: str | None = None # translated Spark SQL for the SELECT body
+    emit: str | None = None       # "changes" | "final" | None
+    window: WindowClause | None = None
+    key_fields: list[str] = field(default_factory=list)
+    with_props: dict[str, str] = field(default_factory=dict)
+    annotations: dict[str, str] = field(default_factory=dict)
+    raw: str = ""
+    # insert/update/delete/show/job specifics
+    target: str | None = None
+    set_clause: dict[str, str] | None = None
+    where_sql: str | None = None
+    show_what: str | None = None
+    job_action: str | None = None
+    insert_select: str | None = None
+    insert_columns: list[str] | None = None
+    insert_values: list[list[str]] | None = None
+
+
+# ---------------------------------------------------------------------------
+# WITH clause (reference config/with_clause_parser.rs)
+# ---------------------------------------------------------------------------
+
+
+def _extract_with_props(sql: str) -> tuple[str, dict[str, str]]:
+    """Pop a trailing `WITH ('k' = 'v', ...)` off the statement."""
+    m = re.search(r"(?is)\bWITH\s*\(\s*('.*)\)\s*;?\s*$", sql)
+    if not m:
+        return sql, {}
+    props: dict[str, str] = {}
+    for item in _split_top_level(m.group(1)):
+        item = item.strip()
+        if not item:
+            continue
+        pm = re.match(r"(?s)^'([^']+)'\s*=\s*'((?:[^']|'')*)'$", item)
+        if not pm:
+            raise ValueError(f"bad WITH property: {item!r}")
+        props[pm.group(1)] = pm.group(2).replace("''", "'")
+    return sql[: m.start()].rstrip(), props
+
+
+# ---------------------------------------------------------------------------
+# EMIT clause (ast.rs:152-163)
+# ---------------------------------------------------------------------------
+
+
+def _extract_emit(sql: str) -> tuple[str, str | None]:
+    m = re.search(r"(?is)\bEMIT\s+(CHANGES|FINAL)\s*;?\s*$", sql)
+    if not m:
+        return sql, None
+    return sql[: m.start()].rstrip(), m.group(1).lower()
+
+
+# ---------------------------------------------------------------------------
+# WINDOW clause (time windows, ast.rs:596-611)
+# ---------------------------------------------------------------------------
+
+_WINDOW_RE = re.compile(
+    r"(?is)\bWINDOW\s+(TUMBLING|SLIDING|SESSION)\s*\((.*?)\)"
+    r"(?=\s*(?:ORDER\s+BY|LIMIT|EMIT|WITH\s*\(|HAVING|$))"
+)
+
+
+def _extract_window(sql: str) -> tuple[str, WindowClause | None]:
+    m = _WINDOW_RE.search(sql)
+    if not m:
+        return sql, None
+    kind = m.group(1).lower()
+    args = [a.strip() for a in _split_top_level(m.group(2))]
+    time_column: str | None = None
+    # optional leading time-column arg: WINDOW TUMBLING(ts_col, INTERVAL..)
+    if args and re.match(r"(?i)^[\w.]+$", args[0]) and not re.match(r"^\d", args[0]):
+        time_column = args.pop(0)
+    # optional trailing time-column arg
+    if len(args) > (2 if kind == "sliding" else 1) and re.match(
+        r"(?i)^[\w.]+$", args[-1]
+    ) and not re.match(r"^\d", args[-1]):
+        time_column = args.pop()
+    if kind == "sliding":
+        if len(args) != 2:
+            raise ValueError(f"SLIDING needs (size, advance): {m.group(0)!r}")
+        wc = WindowClause(kind, parse_duration(args[0]), parse_duration(args[1]),
+                          time_column)
+    else:
+        if len(args) != 1:
+            raise ValueError(f"{kind.upper()} needs (duration): {m.group(0)!r}")
+        wc = WindowClause(kind, parse_duration(args[0]), None, time_column)
+    return (sql[: m.start()] + sql[m.end():]).strip(), wc
+
+
+# ---------------------------------------------------------------------------
+# ROWS WINDOW OVER-spec (ast.rs:617-652) → standard frame
+# ---------------------------------------------------------------------------
+
+_ROWS_WINDOW_RE = re.compile(
+    r"(?is)ROWS\s+WINDOW\s+BUFFER\s+(\d+)\s+ROWS\s*(.*)$"
+)
+
+
+def _rewrite_rows_window_spec(spec: str) -> str:
+    """`ROWS WINDOW BUFFER n ROWS [PARTITION BY ..] [ORDER BY ..] [frame]
+    [EMIT ..]` → `[PARTITION BY ..] [ORDER BY ..] ROWS BETWEEN n-1 PRECEDING
+    AND CURRENT ROW`. In batch execution the bounded buffer IS the frame;
+    the per-record streaming form is streaming.rows_window."""
+    m = _ROWS_WINDOW_RE.match(spec.strip())
+    if not m:
+        return spec
+    n = int(m.group(1))
+    rest = m.group(2) or ""
+    rest = re.sub(r"(?is)\bEMIT\s+(CHANGES|FINAL)\b", "", rest)
+    fm = re.search(r"(?is)\b(ROWS|RANGE)\s+BETWEEN\s+.*", rest)
+    if fm:
+        # explicit inner frame wins (bounded by the buffer in the reference;
+        # equivalent when frame ⊆ buffer, the only supported layout)
+        frame = fm.group(0).strip()
+        rest = rest[: fm.start()]
+    else:
+        frame = f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+    rest = rest.strip()
+    has_order = re.search(r"(?is)\bORDER\s+BY\b", rest)
+    if not has_order:
+        # Spark requires ORDER BY for a ROWS frame; arrival order in the
+        # reference ≈ any deterministic order here — callers should give one.
+        frame = ""
+    return f"{rest} {frame}".strip()
+
+
+def _rewrite_over_clauses(sql: str) -> str:
+    """Find every OVER (...) and rewrite ROWS WINDOW specs inside."""
+    out, i = [], 0
+    pat = re.compile(r"(?is)\bOVER\s*\(")
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.end()])
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = sql[m.end() : j - 1]
+        out.append(_rewrite_rows_window_spec(inner))
+        out.append(")")
+        i = j
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# PRIMARY KEY select-item annotations (FR-089)
+# ---------------------------------------------------------------------------
+
+
+def _extract_primary_keys(sql: str) -> tuple[str, list[str]]:
+    m = re.search(r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+FROM\s", sql)
+    if not m:
+        return sql, []
+    select_list = m.group(2)
+    items = _split_top_level(select_list)
+    keys, new_items, changed = [], [], False
+    for item in items:
+        im = re.search(r"(?is)\s+PRIMARY\s+KEY\s*$", item)
+        if im:
+            body = item[: im.start()]
+            am = re.search(r"(?is)\s+AS\s+(\w+)\s*$", body)
+            if am:
+                keys.append(am.group(1))
+            else:
+                keys.append(body.strip().split(".")[-1])
+            new_items.append(body)
+            changed = True
+        else:
+            new_items.append(item)
+    if not changed:
+        return sql, []
+    rebuilt = sql[: m.start(2)] + ",".join(new_items) + sql[m.end(2):]
+    return rebuilt, keys
+
+
+# ---------------------------------------------------------------------------
+# function-name rewrites (reference functions.rs:3040-3791 → Spark builtins)
+# ---------------------------------------------------------------------------
+
+_SIMPLE_FN_RENAMES = {
+    "JSON_EXTRACT": "get_json_object",
+    "JSON_VALUE": "get_json_object",
+    "JSON_QUERY": "get_json_object",
+    "GROUP_CONCAT": "listagg",
+    "STRING_AGG": "listagg",
+    "LISTAGG": "listagg",
+    "LEN": "length",
+}
+
+
+def _rewrite_call(name: str, args: list[str]) -> str | None:
+    """Call-shape rewrites (argument-aware). Return None to keep as-is."""
+    u = name.upper()
+    if u in _SIMPLE_FN_RENAMES:
+        return f"{_SIMPLE_FN_RENAMES[u]}({', '.join(args)})"
+    if u == "COUNT_DISTINCT":
+        return f"count(DISTINCT {', '.join(args)})"
+    if u == "JSON_EXISTS":
+        return f"(get_json_object({', '.join(args)}) IS NOT NULL)"
+    if u == "NOW":
+        return "current_timestamp()"
+    if u == "EXTRACT" and len(args) == 2:
+        # EXTRACT('EPOCH', x) string-part variant (parser/expressions.rs:577-598)
+        part = args[0].strip().strip("'\"").upper()
+        if part == "EPOCH":
+            return f"unix_timestamp({args[1]})"
+        return f"extract({part} FROM {args[1]})"
+    if u == "EXTRACT" and len(args) == 1:
+        fm = re.match(r"(?is)^\s*EPOCH\s+FROM\s+(.*)$", args[0])
+        if fm:
+            return f"unix_timestamp({fm.group(1)})"
+        return None
+    if u == "DELTA" and len(args) == 1:
+        # velostream-specific (functions.rs:3148): diff vs previous row —
+        # only rewritable inside an OVER context; handled by engine-level
+        # rewrite_delta(). Leave marker untouched here.
+        return None
+    if u == "HEADER" and len(args) == 1:
+        return f"try_element_at(map_from_entries(headers), {args[0]})"
+    if u == "HAS_HEADER" and len(args) == 1:
+        return f"(try_element_at(map_from_entries(headers), {args[0]}) IS NOT NULL)"
+    if u == "HEADER_KEYS" and len(args) == 0:
+        return "transform(headers, h -> h.key)"
+    if u == "TUMBLE_START" and len(args) == 0:
+        return "window.start"
+    if u == "TUMBLE_END" and len(args) == 0:
+        return "window.end"
+    return None
+
+
+_FN_CALL_RE = re.compile(
+    r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
+    r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|HEADER_KEYS|HAS_HEADER|"
+    r"HEADER|TUMBLE_START|TUMBLE_END)\s*\("
+)
+
+
+def _rewrite_functions(sql: str) -> str:
+    while True:
+        m = _FN_CALL_RE.search(sql)
+        if not m:
+            return sql
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = sql[m.end() : j - 1]
+        args = [a.strip() for a in _split_top_level(inner)] if inner.strip() else []
+        # recurse into args first (nested rewritable calls)
+        args = [_rewrite_functions(a) for a in args]
+        repl = _rewrite_call(m.group(1), args)
+        if repl is None:
+            repl = f"{m.group(1)}({', '.join(args)})"
+        sql = sql[: m.start()] + repl + sql[j:]
+
+
+# ---------------------------------------------------------------------------
+# WINDOW clause injection into GROUP BY
+# ---------------------------------------------------------------------------
+
+
+def _inject_time_window(sql: str, wc: WindowClause, time_col: str) -> str:
+    """Add the `window(...)`/`session_window(...)` grouping key for an
+    extracted WINDOW clause, creating the GROUP BY if absent (reference:
+    windowed SELECT without GROUP BY = one group per window)."""
+    if wc.kind == "tumbling":
+        key = f"window({time_col}, '{wc.size}')"
+    elif wc.kind == "sliding":
+        key = f"window({time_col}, '{wc.size}', '{wc.advance}')"
+    else:
+        key = f"session_window({time_col}, '{wc.size}')"
+    gm = re.search(r"(?is)\bGROUP\s+BY\s+", sql)
+    if gm:
+        return sql[: gm.end()] + key + ", " + sql[gm.end():]
+    hm = re.search(r"(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b", sql)
+    pos = hm.start() if hm else len(sql)
+    return f"{sql[:pos].rstrip()} GROUP BY {key} {sql[pos:]}".rstrip()
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def translate_select(
+    select_sql: str, time_col: str = "_event_time"
+) -> tuple[str, WindowClause | None, str | None, list[str]]:
+    """Translate a velostream SELECT body → (spark_sql, window, emit, keys)."""
+    sql, emit = _extract_emit(select_sql.strip().rstrip(";"))
+    sql, wc = _extract_window(sql)
+    sql, keys = _extract_primary_keys(sql)
+    sql = _rewrite_over_clauses(sql)
+    sql = _rewrite_functions(sql)
+    if wc is not None:
+        sql = _inject_time_window(sql, wc, wc.time_column or time_col)
+    return sql.strip(), wc, emit, keys
+
+
+def split_statements(sql_app: str) -> list[str]:
+    """Split a SQL application file (app_parser.rs) on top-level `;`."""
+    no_comments, _ = strip_comments(sql_app)
+    return [s.strip() for s in _split_top_level(no_comments, ";") if s.strip()]
+
+
+def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
+    """Parse one velostream statement into a Statement."""
+    cleaned, annotations = strip_comments(sql)
+    body, props = _extract_with_props(cleaned.strip())
+    body = body.strip().rstrip(";").strip()
+
+    m = re.match(r"(?is)^CREATE\s+(STREAM|TABLE)\s+(\w+)\s+AS\s+(.*)$", body)
+    if m:
+        kind = "create_stream" if m.group(1).upper() == "STREAM" else "create_table"
+        sel, wc, emit, keys = translate_select(m.group(3), time_col)
+        return Statement(
+            kind=kind, name=m.group(2), select_sql=sel, emit=emit, window=wc,
+            key_fields=keys, with_props=props, annotations=annotations, raw=sql,
+        )
+
+    m = re.match(
+        r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s.*)$",
+        body,
+    )
+    if m:
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        if m.group(3).upper().startswith("VALUES"):
+            rows = []
+            for grp in re.finditer(r"\(((?:[^()']|'[^']*'|\([^)]*\))*)\)", m.group(4)):
+                rows.append([v.strip() for v in _split_top_level(grp.group(1))])
+            return Statement(kind="insert", target=m.group(1), insert_columns=cols,
+                             insert_values=rows, annotations=annotations, raw=sql)
+        sel, _, _, _ = translate_select(m.group(3), time_col)
+        return Statement(kind="insert", target=m.group(1), insert_columns=cols,
+                         insert_select=sel, annotations=annotations, raw=sql)
+
+    m = re.match(r"(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", body)
+    if m:
+        sets = {}
+        for item in _split_top_level(m.group(2)):
+            k, _, v = item.partition("=")
+            sets[k.strip()] = _rewrite_functions(v.strip())
+        where = _rewrite_functions(m.group(3).strip()) if m.group(3) else None
+        return Statement(kind="update", target=m.group(1), set_clause=sets,
+                         where_sql=where, annotations=annotations, raw=sql)
+
+    m = re.match(r"(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$", body)
+    if m:
+        where = _rewrite_functions(m.group(2).strip()) if m.group(2) else None
+        return Statement(kind="delete", target=m.group(1), where_sql=where,
+                         annotations=annotations, raw=sql)
+
+    m = re.match(r"(?is)^(SHOW|DESCRIBE)\s+(.*)$", body)
+    if m:
+        return Statement(kind="show", show_what=f"{m.group(1)} {m.group(2)}".upper()
+                         if m.group(1).upper() == "DESCRIBE" else m.group(2).upper(),
+                         annotations=annotations, raw=sql)
+
+    m = re.match(r"(?is)^(START|STOP|PAUSE|RESUME|DEPLOY|ROLLBACK)\s+JOB\s+(\w+)", body)
+    if m:
+        return Statement(kind="job", job_action=m.group(1).lower(), target=m.group(2),
+                         annotations=annotations, raw=sql)
+
+    # plain SELECT
+    sel, wc, emit, keys = translate_select(body, time_col)
+    return Statement(kind="select", select_sql=sel, emit=emit, window=wc,
+                     key_fields=keys, with_props=props, annotations=annotations,
+                     raw=sql)

@@ -1,0 +1,298 @@
+"""SqlEngine — execute velostream-dialect SQL on Spark.
+
+The Spark analog of the reference's execution surface:
+
+- `StreamExecutionEngine.execute_with_record` (engine.rs:667) +
+  `StreamJobServer.deploy_job` (stream_job_server.rs): here one `execute()`
+  call parses the statement (sql.dialect), wires WITH-clause sources/sinks
+  (with_clause_parser.rs → reader/writer options), runs the SELECT through
+  Spark SQL (Catalyst replaces the reference's per-record interpreter), and
+  writes/registers results.
+- CTAS materialized tables (table/ctas.rs) → cached DataFrames in a table
+  registry, queryable by later statements and point-lookup via
+  `MaterializedTable` (the UnifiedTable surface, unified_table.rs:240-330).
+- INSERT/UPDATE/DELETE (processors/{insert,update,delete}.rs) → registry
+  mutations expressed as unions / conditional projections / anti-filters.
+- SHOW STREAMS/TABLES/FUNCTIONS (processors/show.rs).
+
+File sources accept the reference's formats (file/config.rs:8-18): csv,
+csv_no_header, jsonl, json (single array).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.sql.dialect import Statement, parse_statement, split_statements
+
+
+class MaterializedTable:
+    """UnifiedTable surface (reference unified_table.rs:240-330) over a
+    cached DataFrame: O(1)-ish key lookups served from a driver-side dict
+    built lazily on first `get_record` (the reference builds the same index
+    eagerly during CTAS ingestion); predicate scans stay distributed."""
+
+    def __init__(self, name: str, df: DataFrame, key_field: str | None = None):
+        self.name = name
+        self.df = df
+        self.key_field = key_field
+        self._index: dict[Any, dict] | None = None
+
+    def _ensure_index(self) -> dict[Any, dict]:
+        if self._index is None:
+            if self.key_field is None:
+                raise ValueError(f"table {self.name!r} has no key field")
+            self._index = {
+                r[self.key_field]: r.asDict() for r in self.df.collect()
+            }
+        return self._index
+
+    def get_record(self, key: Any) -> dict | None:
+        """get_record(key) — unified_table.rs point lookup."""
+        return self._ensure_index().get(key)
+
+    def contains_key(self, key: Any) -> bool:
+        return key in self._ensure_index()
+
+    def sql_filter(self, predicate_sql: str) -> DataFrame:
+        """sql_filter — predicate scan, distributed."""
+        return self.df.where(predicate_sql)
+
+    def sql_exists(self, predicate_sql: str) -> bool:
+        return self.df.where(predicate_sql).limit(1).count() > 0
+
+    def sql_column_values(self, column: str, predicate_sql: str) -> list:
+        return [r[0] for r in self.df.where(predicate_sql).select(column).collect()]
+
+    def count(self) -> int:
+        return self.df.count()
+
+
+class SqlEngine:
+    """Multi-statement velostream-SQL engine over one SparkSession."""
+
+    def __init__(self, spark: SparkSession, time_col: str = "_event_time"):
+        self.spark = spark
+        self.time_col = time_col
+        self.streams: dict[str, DataFrame] = {}
+        self.tables: dict[str, MaterializedTable] = {}
+        self.last_annotations: dict[str, str] = {}
+
+    # -- registration ------------------------------------------------------
+
+    def register_stream(self, name: str, df: DataFrame) -> None:
+        self.streams[name] = df
+        df.createOrReplaceTempView(name)
+
+    def register_table(
+        self, name: str, df: DataFrame, key_field: str | None = None
+    ) -> MaterializedTable:
+        mt = MaterializedTable(name, df, key_field)
+        self.tables[name] = mt
+        df.createOrReplaceTempView(name)
+        return mt
+
+    # -- WITH-clause sources/sinks ----------------------------------------
+
+    def _source_names(self, props: dict[str, str]) -> dict[str, dict[str, str]]:
+        by_name: dict[str, dict[str, str]] = {}
+        for k, v in props.items():
+            if "." in k:
+                name, _, opt = k.partition(".")
+                by_name.setdefault(name, {})[opt] = v
+        return by_name
+
+    def _read_file_source(self, cfg: dict[str, str]) -> DataFrame:
+        fmt = cfg.get("format", "csv").lower()
+        path = cfg["path"]
+        if fmt in ("csv", "csv_no_header", "csvnoheader"):
+            header = fmt == "csv"
+            reader = (
+                self.spark.read.option("header", str(header).lower())
+                .option("inferSchema", "true")
+            )
+            if "delimiter" in cfg:
+                reader = reader.option("sep", cfg["delimiter"])
+            return reader.csv(path)
+        if fmt in ("jsonl", "jsonlines", "json_lines"):
+            return self.spark.read.json(path)
+        if fmt == "json":
+            return self.spark.read.option("multiLine", "true").json(path)
+        if fmt == "parquet":
+            return self.spark.read.parquet(path)
+        raise ValueError(f"unknown file format: {fmt!r}")
+
+    def _wire_sources(self, st: Statement) -> None:
+        for name, cfg in self._source_names(st.with_props).items():
+            typ = cfg.get("type", "")
+            if not typ.endswith("_source") and not typ.startswith("file_source"):
+                continue
+            if name in self.streams or name in self.tables:
+                continue
+            if typ in ("file_source", "file_source_mmap"):
+                # mmap is the reference's fast path (reader_mmap.rs); Spark's
+                # vectorized reader plays that role — same config accepted.
+                self.register_stream(name, self._read_file_source(cfg))
+            elif typ == "kafka_source":
+                from velostream_spark.sources.kafka import read_batch
+
+                self.register_stream(name, read_batch(self.spark, cfg))
+            else:
+                raise ValueError(f"unknown source type {typ!r} for {name!r}")
+
+    def _write_sink(self, st: Statement, df: DataFrame) -> None:
+        cfg = self._source_names(st.with_props).get(st.name or "", {})
+        typ = cfg.get("type", "")
+        if typ == "file_sink":
+            fmt = cfg.get("format", "csv").lower()
+            path = cfg["path"]
+            # single output file like the reference's writer; at scale drop
+            # the coalesce and write a directory of parts.
+            out = df.coalesce(1)
+            if fmt == "csv":
+                out.write.mode("overwrite").option("header", "true").csv(path)
+            elif fmt in ("json", "jsonl"):
+                out.write.mode("overwrite").json(path)
+            elif fmt == "parquet":
+                out.write.mode("overwrite").parquet(path)
+            else:
+                raise ValueError(f"unknown sink format: {fmt!r}")
+        elif typ == "kafka_sink":
+            from velostream_spark.sources.kafka import write_batch
+
+            write_batch(df, cfg, key_fields=st.key_fields)
+        elif typ == "stdout_sink":
+            df.show(truncate=False)
+
+    # -- execution ---------------------------------------------------------
+
+    def execute(self, sql: str):
+        """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
+        a list of dicts for SHOW, row count for DML."""
+        st = parse_statement(sql, self.time_col)
+        self.last_annotations = st.annotations
+        if st.kind == "select":
+            self._wire_sources(st)
+            return self.spark.sql(st.select_sql)
+        if st.kind == "create_stream":
+            self._wire_sources(st)
+            df = self.spark.sql(st.select_sql)
+            self.register_stream(st.name, df)
+            self._write_sink(st, df)
+            return df
+        if st.kind == "create_table":
+            self._wire_sources(st)
+            df = self.spark.sql(st.select_sql).cache()
+            df.count()  # materialize now, like the CTAS population job
+            key = st.key_fields[0] if st.key_fields else None
+            self.register_table(st.name, df, key)
+            self._write_sink(st, df)
+            return df
+        if st.kind == "insert":
+            return self._insert(st)
+        if st.kind == "update":
+            return self._update(st)
+        if st.kind == "delete":
+            return self._delete(st)
+        if st.kind == "show":
+            return self._show(st)
+        raise ValueError(f"unsupported statement kind: {st.kind}")
+
+    def execute_app(self, sql_app: str) -> list:
+        """Execute a multi-statement SQL application file (app_parser.rs)."""
+        return [self.execute(s) for s in split_statements(sql_app)]
+
+    # -- DML ---------------------------------------------------------------
+
+    def _target_df(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name].df
+        if name in self.streams:
+            return self.streams[name]
+        raise KeyError(f"unknown table/stream: {name!r}")
+
+    def _replace_target(self, name: str, df: DataFrame) -> None:
+        if name in self.tables:
+            key = self.tables[name].key_field
+            df = df.cache()
+            df.count()
+            self.register_table(name, df, key)
+        else:
+            self.register_stream(name, df)
+
+    def _insert(self, st: Statement) -> int:
+        base = self._target_df(st.target)
+        if st.insert_select:
+            new = self.spark.sql(st.insert_select)
+        else:
+            cols = st.insert_columns or base.columns
+            rows_sql = ", ".join(
+                "(" + ", ".join(vals) + ")" for vals in st.insert_values
+            )
+            col_list = ", ".join(cols)
+            new = self.spark.sql(
+                f"SELECT * FROM VALUES {rows_sql} AS t({col_list})"
+            )
+        aligned = new.select(
+            *[
+                F.col(c).cast(base.schema[c].dataType)
+                if c in new.columns
+                else F.lit(None).cast(base.schema[c].dataType).alias(c)
+                for c in base.columns
+            ]
+        )
+        n = aligned.count()
+        self._replace_target(st.target, base.unionByName(aligned))
+        return n
+
+    def _update(self, st: Statement) -> int:
+        base = self._target_df(st.target)
+        cond = F.expr(st.where_sql) if st.where_sql else F.lit(True)
+        n = base.where(cond).count()
+        updated = base.select(
+            *[
+                F.when(cond, F.expr(st.set_clause[c]).cast(base.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in st.set_clause
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        self._replace_target(st.target, updated)
+        return n
+
+    def _delete(self, st: Statement) -> int:
+        base = self._target_df(st.target)
+        cond = F.expr(st.where_sql) if st.where_sql else F.lit(True)
+        n = base.where(cond).count()
+        self._replace_target(st.target, base.where(~cond))
+        return n
+
+    # -- SHOW --------------------------------------------------------------
+
+    def _show(self, st: Statement) -> list[dict]:
+        what = (st.show_what or "").strip()
+        if what.startswith("STREAMS"):
+            return [{"stream_name": n} for n in sorted(self.streams)]
+        if what.startswith("TABLES"):
+            return [
+                {"table_name": n, "key_field": t.key_field}
+                for n, t in sorted(self.tables.items())
+            ]
+        if what.startswith("FUNCTIONS"):
+            rows = self.spark.sql("SHOW FUNCTIONS").collect()
+            return [{"function_name": r[0]} for r in rows]
+        if what.startswith("DESCRIBE"):
+            name = what.split()[-1].lower()
+            df = self._target_df(name)
+            return [
+                {"column_name": f.name, "data_type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ]
+        raise ValueError(f"unsupported SHOW: {what!r}")
