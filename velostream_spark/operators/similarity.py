@@ -165,6 +165,104 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: evenly-spaced corpus vectors by id rank
+    (no RNG, reproducible). At 100 TB you'd k-means a sample instead — the
+    centroid list stays driver-sized (K × dim floats) either way."""
+    n = corpus.count()
+    step = max(n // n_centroids, 1)
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_rk", F.row_number().over(W.orderBy("_id")))
+        .where(((F.col("_rk") - 1) % step == 0) & (F.col("_rk") <= step * n_centroids))
+        .orderBy("_rk")
+        .collect()
+    )
+    return [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)]
+
+
+def _centroid_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cos, cid>> of the vector's cosine to every centroid —
+    centroid values are plan literals (codegen'd, no UDF, no join)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (the IVF inverted
+    list id). array_max over (cos, cid) structs = argmax, ties → higher cid."""
+    scores = _centroid_scores(F.col(vec_col), cents)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.array_max(scores)["cid"].alias("_cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_centroids``
+    inverted lists; each query probes its ``nprobe`` nearest cells and
+    re-ranks exactly within them. Scoring work ≈ nprobe/n_centroids of
+    brute force; recall measured in tests. The probe join is an equi-join
+    on cell id — at scale the corpus side is hash-partitioned by cell, the
+    (broadcast) query side explodes to nprobe rows per query."""
+    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    c = ivf_assign(corpus, cents, vec_col, id_col)
+    q_scores = _centroid_scores(F.col(vec_col), cents)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(q_scores)), 1, nprobe)
+        ).alias("_probe"),
+    ).select("query_id", "_qv", F.col("_probe")["cid"].alias("_cell"))
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,103 @@
+"""Multimodal + IVF-ANN catalog entries (beyond-reference, 100-TB-pipeline
+components). Documents' text bytes stand in for media payloads — the
+deterministic fake codec (operators.multimodal) makes the full Spark-side
+plumbing oracle-checkable where the math is SQL-expressible, and rows-only
+where it isn't (numpy feature extraction, approximate ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.operators import multimodal, similarity
+from velostream_spark.registry import query, tables
+
+
+@query(
+    "multimodal_image_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)          AS size_bytes,
+           md5(text)                                                 AS payload_md5,
+           CAST(octet_length(CAST(text AS BLOB)) % 512 + 64 AS INT)  AS width,
+           CAST(octet_length(CAST(text AS BLOB)) % 256 + 64 AS INT)  AS height
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "mapInPandas"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow/mapInPandas
+    stage: the oracle checks the plumbing-visible outputs (size, digest,
+    metadata dims); the numpy byte-stats are pinned by pytest against a
+    pure-python reimplementation."""
+    t = tables(spark, sf_dir)
+    media = multimodal.attach_media(t["documents"], "text")
+    return multimodal.image_stats(media).select(
+        "doc_id", "size_bytes", "payload_md5", "width", "height"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(octet_length(CAST(text AS BLOB)) % 7 + 2 AS INT) AS nf
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, text, nf, CAST(trunc(length(text) / nf) AS INT) AS flen
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(t.i AS INT)                                           AS frame_idx,
+           md5(substring(text, CAST(t.i * flen + 1 AS BIGINT), flen)) AS frame_md5,
+           CAST(octet_length(CAST(substring(text, CAST(t.i * flen + 1 AS BIGINT), flen)
+                AS BLOB)) AS BIGINT)                                  AS frame_bytes
+    FROM sized CROSS JOIN UNNEST(range(sized.nf)) AS t(i)
+    WHERE flen > 0
+    """,
+    tags=("pipeline", "multimodal", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over fake video containers: payload split into
+    media.n_frames slices, exploded one row per frame — pure Catalyst
+    (sequence/explode/substring), no Python in the hot path."""
+    t = tables(spark, sf_dir)
+    media = multimodal.attach_media(t["documents"], "text")
+    return multimodal.sample_frames(media).select(
+        "doc_id", "frame_idx", "frame_md5", "frame_bytes"
+    )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=None,
+    tags=("pipeline", "multimodal", "audio"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk RMS energy over raw payload bytes (fake PCM codec) via
+    vectorized mapInPandas. Rows-only driver check; the numpy math is
+    pinned by pytest."""
+    t = tables(spark, sf_dir)
+    media = multimodal.attach_media(t["documents"], "text")
+    return multimodal.audio_chunk_energy(media)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,
+    tags=("pipeline", "similarity", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: 16 deterministic inverted lists,
+    4-probe search, exact re-rank within probed cells. Approximate by
+    design → rows-only driver check; recall vs brute force is asserted in
+    pytest (test_multimodal_ivf.py)."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(20)
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=4
+    )
