@@ -295,13 +295,27 @@ def percentile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` matches DuckDB's quantile_cont interpolation."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
-            "qty_p50_disc"
-        ),
+    # One percentile() call with an array of fractions buffers each group's
+    # values ONCE (vs once per quantile) — the dominant cost of exact
+    # percentiles at scale is that buffer, so fuse all three.
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("_pct"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "qty_p50_disc"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_pct")[1], 4).alias("med_price"),
+            F.round(F.col("_pct")[0], 4).alias("p25"),
+            F.round(F.col("_pct")[2], 4).alias("p95"),
+            "qty_p50_disc",
+        )
     )
 
 

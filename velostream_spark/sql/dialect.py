@@ -414,6 +414,46 @@ def _rewrite_functions(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[j:]
 
 
+_DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
+
+
+def _rewrite_delta(sql: str) -> str:
+    """DELTA(x) OVER (spec) → (x - lag(x, 1) OVER (spec)) — the reference's
+    consecutive-difference aggregate (functions.rs:3148-3160), which is a
+    window-function rewrite in Spark (SURVEY §4.3)."""
+    while True:
+        m = _DELTA_RE.search(sql)
+        if not m:
+            return sql
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        arg = sql[m.end() : j - 1].strip()
+        om = re.match(r"(?is)\s*OVER\s*\(", sql[j:])
+        if not om:
+            raise ValueError(
+                "DELTA(x) requires an OVER clause in the Spark dialect "
+                "(per-record diff needs an explicit order)"
+            )
+        depth, k = 1, j + om.end()
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        over = sql[j + om.end() : k - 1]
+        sql = (
+            sql[: m.start()]
+            + f"({arg} - lag({arg}, 1) OVER ({over}))"
+            + sql[k:]
+        )
+
+
 # ---------------------------------------------------------------------------
 # WINDOW clause injection into GROUP BY
 # ---------------------------------------------------------------------------
@@ -450,6 +490,7 @@ def translate_select(
     sql, wc = _extract_window(sql)
     sql, keys = _extract_primary_keys(sql)
     sql = _rewrite_over_clauses(sql)
+    sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
