@@ -1,0 +1,104 @@
+"""Physical-plan audits: the plans Catalyst picks must stay the plans we
+want at 100 TB — filters reaching the parquet scan, projections pruned,
+dimension joins broadcast, aggregations map-side-combined, top-k not a full
+sort. A regression here (e.g. a broadcast silently becoming a sort-merge
+join after a refactor) is a scale bug the row-level oracle can't see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from velostream_spark.registry import all_queries
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_select_where_pushes_filters_and_prunes(spark):
+    plan = plan_of(spark, "select_where")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan, plan
+    # projection pruning: the scan must not read every lineitem column
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in scan, f"unpruned scan: {scan}"
+
+
+def test_stream_table_join_broadcasts_dimension(spark):
+    plan = plan_of(spark, "stream_table_join")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_group_by_agg_has_partial_aggregation(spark):
+    plan = plan_of(spark, "group_by_agg")
+    # map-side combine: a partial HashAggregate before the exchange and a
+    # final one after — the pattern that keeps 100-TB groupBys shuffle-light
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_order_by_limit_is_topk_not_full_sort(spark):
+    plan = plan_of(spark, "order_by_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exists_subquery_is_semi_join(spark):
+    plan = plan_of(spark, "exists_subquery")
+    assert "LeftSemi" in plan, plan
+
+
+def test_not_in_handles_null_semantics_without_cartesian(spark):
+    plan = plan_of(spark, "not_in_subquery")
+    # NOT IN with nullable key requires null-aware anti join — fine if
+    # broadcast; a plain CartesianProduct would be a scale bug
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_band_join_is_key_join_without_arrays(spark):
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    # the candidate-generation join keys on the band hash only; shingle
+    # arrays rejoin after pair dedup, never riding the band join's
+    # build/stream sides (at tiny SF AQE broadcasts; at scale the same
+    # plan shape becomes an exchange on _band — either way no array
+    # payload in the join input)
+    assert "_band" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark):
+    # scalar-function batteries must stay entirely inside codegen: no
+    # BatchEvalPython / row-at-a-time UDF nodes in any catalog plan that
+    # doesn't explicitly opt into pandas (multimodal/audio only); codegen
+    # stars (*(n)) only show in simple explain mode
+    import contextlib
+    import io
+
+    for name in ("math_functions", "string_functions", "text_analysis",
+                 "date_functions", "decimal_arithmetic"):
+        df = all_queries()[name].fn(spark, SF_SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan, name
+        # codegen stars are elided until AQE finalizes a plan; either a
+        # codegen span or an (unexecuted) AdaptiveSparkPlan wrapper is fine
+        assert "*(" in plan or "AdaptiveSparkPlan" in plan, (
+            f"{name} has no whole-stage-codegen span: {plan}"
+        )
+
+
+def test_tumbling_window_partial_agg(spark):
+    plan = plan_of(spark, "tumbling_window")
+    assert plan.count("HashAggregate") >= 2, plan

@@ -396,3 +396,43 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
         )
     )
+
+
+@query(
+    "decimal_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))
+               * CAST(1 + l_tax AS DECIMAL(18,4)))      AS sum_charge,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("functions", "decimal", "scaled-integer"),
+)
+def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point arithmetic — the reference's flagship ScaledInteger
+    type ("42x faster than f64, exact", README.md:14; types.rs:69-70).
+    Spark's DecimalType IS the exact-arithmetic path: sums and products of
+    DECIMAL(18,4) values are exact with deterministic scale propagation in
+    whole-stage codegen (SURVEY §1.2 mapping). Aggregate sums of decimal
+    never lose cents — the property ScaledInteger exists for."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price"),
+        F.sum(price * one_minus_disc).alias("sum_disc_price"),
+        F.sum(price * one_minus_disc * one_plus_tax).alias("sum_charge"),
+        F.min(price).cast("decimal(18,4)").alias("min_price"),
+        F.max(price).cast("decimal(18,4)").alias("max_price"),
+    )
