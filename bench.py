@@ -48,6 +48,13 @@ HEADLINE = [
     "simhash",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "decimal_arithmetic",
+    "multimodal_image_stats",
+    "multimodal_frame_sample",
+    "dialect_tumbling_select",
+    "streaming_tumbling_final",
+    "streaming_rows_window",
 ]
 
 

@@ -436,3 +436,35 @@ def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).cast("decimal(18,4)").alias("min_price"),
         F.max(price).cast("decimal(18,4)").alias("max_price"),
     )
+
+
+@query(
+    "interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE            AS ts_plus_90m,
+           ts - INTERVAL 1 DAY                AS ts_minus_1d,
+           CAST(ts + INTERVAL 30 SECOND AS DATE) AS d_plus_30s,
+           (ts + INTERVAL 2 HOUR > TIMESTAMP '2024-01-15 00:00:00')
+               AS after_mid_jan
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+    tags=("functions", "interval", "datetime"),
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic (reference Interval FieldValue, ast.rs:790-803;
+    interval units Nanosecond..Year) — Spark day-time interval literals in
+    timestamp add/subtract/compare expressions."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_id") % 5 == 0)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_1d"),
+        (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).cast("date").alias("d_plus_30s"),
+        (
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+            > F.lit("2024-01-15 00:00:00").cast("timestamp")
+        ).alias("after_mid_jan"),
+    )

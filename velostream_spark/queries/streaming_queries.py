@@ -202,3 +202,90 @@ def streaming_rows_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).withColumn("moving_avg", F.round("moving_avg", 6))
     return run_available_now(out, "append", "rows_window")
+
+
+@query(
+    "streaming_tumbling_changes",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "time-window", "tumbling", "emit-changes"),
+)
+def streaming_tumbling_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMIT CHANGES windowed aggregation (reference emit_changes.rs): update
+    output mode re-emits every window a batch touches — no watermark gating,
+    so unlike EMIT FINAL the trailing open window IS visible. Over the
+    single-batch bounded input the changelog equals the full batch
+    aggregate; multi-batch re-emission is covered in pytest."""
+    sdf = stream_table(spark, sf_dir, "events")
+    mode = output_mode_for(EmitMode.CHANGES, has_window=True, has_aggregation=True)
+    agg = (
+        sdf.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, mode, "tumbling_changes")
+
+
+@query(
+    "streaming_session_final",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                      AS session_start,
+           COUNT(*)                     AS n_events,
+           ROUND(SUM(value), 4)         AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+    """,
+    tags=("streaming", "time-window", "session", "emit-final", "watermark"),
+)
+def streaming_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows with EMIT FINAL (reference session.rs merge
+    + emit-on-close): Spark's session-merge exec under watermarked append
+    mode. A session closes only when the watermark passes its end
+    (last event + 30min gap), so sessions still open at end-of-input are
+    withheld — the oracle's HAVING encodes exactly that closure rule."""
+    sdf = stream_table(spark, sf_dir, "events")
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w").start.alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "append", "session_final")
