@@ -279,3 +279,55 @@ def test_header_functions(spark):
     assert row["ks"] == ["k1", "k2"]
     assert row["s"] == "v3"
     assert row["r"] == ["k2"]
+
+
+def test_streaming_csas_windowed_to_parquet(spark, tmp_path):
+    """CREATE STREAM as a REAL streaming job (stream_job_server.rs deploy
+    path): CSV file-stream source → watermarked tumbling window EMIT FINAL →
+    parquet sink, then PAUSE/SHOW JOBS through SQL statements."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "m1.csv").write_text(
+        "sensor,ts,temp\n"
+        "a,2024-01-01 10:01:00,10.0\n"
+        "a,2024-01-01 10:02:00,20.0\n"
+        "b,2024-01-01 10:03:00,30.0\n"
+        "a,2024-01-01 10:07:00,40.0\n"
+        "a,2024-01-01 10:11:00,99.0\n"
+    )
+    out = str(tmp_path / "out")
+    eng = SqlEngine(spark, time_col="ts")
+    eng.execute_streaming(
+        f"""
+        -- @num_partitions: 2
+        CREATE STREAM agg_out AS
+        SELECT TUMBLE_START() AS window_start,
+               sensor,
+               COUNT(*) AS n,
+               ROUND(SUM(temp), 2) AS total
+        FROM readings
+        GROUP BY sensor
+        WINDOW TUMBLING(INTERVAL '5' MINUTE)
+        EMIT FINAL
+        WITH ('readings.type' = 'file_source',
+              'readings.path' = '{src_dir}',
+              'readings.format' = 'csv',
+              'agg_out.type' = 'file_sink',
+              'agg_out.path' = '{out}',
+              'agg_out.format' = 'parquet');
+        """
+    )
+    got = {
+        (str(r["window_start"]), r["sensor"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark = max ts (10:11) → the 10:00 and 10:05 windows closed;
+    # the 10:10 window (row at 10:11) stays open and is withheld
+    assert got[("2024-01-01 10:00:00", "a")] == (2, 30.0)
+    assert got[("2024-01-01 10:00:00", "b")] == (1, 30.0)
+    assert got[("2024-01-01 10:05:00", "a")] == (1, 40.0)
+    assert ("2024-01-01 10:10:00", "a") not in got
+    jobs = {j["name"]: j for j in eng.execute("SHOW JOBS")}
+    assert "agg_out" in jobs
+    eng.execute("PAUSE JOB agg_out")
+    assert eng.jobs.describe("agg_out")["state"] == "paused"

@@ -82,6 +82,15 @@ class SqlEngine:
         self.streams: dict[str, DataFrame] = {}
         self.tables: dict[str, MaterializedTable] = {}
         self.last_annotations: dict[str, str] = {}
+        self._jobs = None  # lazy StreamJobManager (streaming CSAS + JOB stmts)
+
+    @property
+    def jobs(self):
+        if self._jobs is None:
+            from velostream_spark.streaming.jobs import StreamJobManager
+
+            self._jobs = StreamJobManager(self.spark)
+        return self._jobs
 
     # -- registration ------------------------------------------------------
 
@@ -201,7 +210,121 @@ class SqlEngine:
             return self._delete(st)
         if st.kind == "show":
             return self._show(st)
+        if st.kind == "job":
+            return self._job(st)
         raise ValueError(f"unsupported statement kind: {st.kind}")
+
+    def execute_streaming(self, sql: str, wait: bool = True):
+        """Execute a CSAS as a REAL streaming job: WITH-clause sources wired
+        through ``spark.readStream``, the sink through the job manager (the
+        reference's deploy_job path, stream_job_server.rs). The created
+        stream's name becomes the job name; returns the StreamJob.
+
+        File sinks require append-compatible queries (stateless, or
+        windowed aggregation with watermark — Spark constraint); EMIT
+        CHANGES changelogs to files go through foreachBatch instead."""
+        st = parse_statement(sql, self.time_col)
+        if st.kind != "create_stream":
+            raise ValueError("execute_streaming expects CREATE STREAM ... AS SELECT")
+        self.last_annotations = st.annotations
+        cfgs = self._source_names(st.with_props)
+        sink_cfg = cfgs.get(st.name, {})
+
+        def build() -> DataFrame:
+            self._wire_sources_streaming(st)
+            df = self.spark.sql(st.select_sql)
+            if "num_partitions" in st.annotations:
+                df = df.repartition(int(st.annotations["num_partitions"]))
+            return df
+
+        typ = sink_cfg.get("type", "memory")
+        if typ == "file_sink":
+            fmt = sink_cfg.get("format", "parquet").lower()
+            fmt = {"jsonl": "json"}.get(fmt, fmt)
+            job = self.jobs.deploy(
+                st.name, build, sink_format=fmt,
+                sink_options={"path": sink_cfg["path"]}, output_mode="append",
+            )
+        elif typ == "kafka_sink":
+            opts = {
+                "kafka.bootstrap.servers": sink_cfg.get(
+                    "bootstrap.servers", "localhost:9092"
+                ),
+                "topic": sink_cfg["topic"],
+            }
+            job = self.jobs.deploy(
+                st.name, build, sink_format="kafka",
+                sink_options=opts, output_mode="append",
+            )
+        else:
+            job = self.jobs.deploy(st.name, build, sink_format="memory")
+        if wait:
+            self.jobs.wait(st.name)
+        return job
+
+    def _wire_sources_streaming(self, st: Statement) -> None:
+        from velostream_spark.streaming import source as ssource
+
+        batch_size = st.annotations.get("batch_size")
+        mft = None
+        if batch_size:
+            # @batch_size governs reader batching in the reference
+            # (annotations.rs); the file-stream analog is files/trigger.
+            mft = 1
+        for name, cfg in self._source_names(st.with_props).items():
+            typ = cfg.get("type", "")
+            if name in self.streams or name in self.tables:
+                continue
+            if typ in ("file_source", "file_source_mmap"):
+                fmt = cfg.get("format", "csv").lower()
+                path = cfg["path"]
+                # file-stream sources need an explicit schema: infer from a
+                # one-off batch read (the reference infers CSV headers the
+                # same way, file/config.rs)
+                batch = self._read_file_source(cfg)
+                if fmt in ("csv", "csv_no_header", "csvnoheader"):
+                    sdf = ssource.stream_csv(
+                        self.spark, path, batch.schema,
+                        header=fmt == "csv", max_files_per_trigger=mft,
+                        **({"sep": cfg["delimiter"]} if "delimiter" in cfg else {}),
+                    )
+                elif fmt in ("jsonl", "jsonlines", "json_lines", "json"):
+                    sdf = ssource.stream_jsonl(
+                        self.spark, path, batch.schema, max_files_per_trigger=mft
+                    )
+                else:
+                    sdf = ssource.stream_parquet(
+                        self.spark, path, batch.schema, max_files_per_trigger=mft
+                    )
+                sdf = self._with_watermark(sdf, st, cfg)
+                sdf.createOrReplaceTempView(name)
+            elif typ == "kafka_source":
+                from velostream_spark.sources.kafka import read_stream
+
+                sdf = self._with_watermark(read_stream(self.spark, cfg), st, cfg)
+                sdf.createOrReplaceTempView(name)
+
+    def _with_watermark(self, sdf: DataFrame, st: Statement, cfg: dict) -> DataFrame:
+        """Watermark a streaming source for windowed queries: the window
+        clause's time column (or the engine default), with the reference's
+        bounded-out-of-orderness delay (watermarks.rs:40-110) from
+        '<src>.watermark.delay' (default 0s = ascending-timestamps)."""
+        tcol = (st.window.time_column if st.window else None) or self.time_col
+        if st.window is not None and tcol in sdf.columns:
+            return sdf.withWatermark(tcol, cfg.get("watermark.delay", "0 seconds"))
+        return sdf
+
+    def _job(self, st: Statement):
+        action = st.job_action
+        if action in ("start", "deploy"):
+            return self.jobs.start(st.target)
+        if action == "stop":
+            return self.jobs.stop(st.target)
+        if action == "pause":
+            return self.jobs.pause(st.target)
+        if action in ("resume", "rollback"):
+            return self.jobs.resume(st.target)
+        raise ValueError(f"unknown job action: {action!r}")
 
     def execute_app(self, sql_app: str) -> list:
         """Execute a multi-statement SQL application file (app_parser.rs)."""
@@ -285,6 +408,8 @@ class SqlEngine:
                 {"table_name": n, "key_field": t.key_field}
                 for n, t in sorted(self.tables.items())
             ]
+        if what.startswith("JOBS"):
+            return self.jobs.show_jobs()
         if what.startswith("FUNCTIONS"):
             rows = self.spark.sql("SHOW FUNCTIONS").collect()
             return [{"function_name": r[0]} for r in rows]
