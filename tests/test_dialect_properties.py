@@ -1,0 +1,104 @@
+"""Property-based dialect tests (hypothesis) — the reference planned but
+never implemented property tests (tests/property/mod.rs:1-22); the parser
+shim gets them here: parsing invariants over generated durations,
+identifiers, WITH properties, and top-level splitting."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from velostream_spark.sql.dialect import (
+    _split_top_level,
+    parse_duration,
+    parse_statement,
+    split_statements,
+    strip_comments,
+)
+
+IDENT = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,20}", fullmatch=True).filter(
+    lambda s: s.upper()
+    not in {"SELECT", "FROM", "WHERE", "GROUP", "BY", "AS", "KEY", "PRIMARY",
+            "WITH", "EMIT", "WINDOW", "ORDER", "LIMIT", "HAVING", "JOIN", "ON"}
+)
+
+UNITS = {
+    "SECOND": "seconds", "MINUTE": "minutes", "HOUR": "hours", "DAY": "days",
+    "SECONDS": "seconds", "MINUTES": "minutes", "HOURS": "hours", "DAYS": "days",
+}
+
+
+@given(n=st.integers(1, 10**6), unit=st.sampled_from(sorted(UNITS)))
+def test_parse_duration_interval_form(n, unit):
+    assert parse_duration(f"INTERVAL '{n}' {unit}") == f"{n} {UNITS[unit]}"
+    assert parse_duration(f"{n} {unit.lower()}") == f"{n} {UNITS[unit]}"
+
+
+@given(
+    parts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters=",()'\"", min_codepoint=32,
+                                   max_codepoint=126),
+            min_size=1, max_size=15,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_split_top_level_roundtrip(parts):
+    joined = ",".join(parts)
+    assert _split_top_level(joined) == parts
+
+
+@given(inner=st.text(alphabet="ab,()", min_size=0, max_size=12))
+def test_split_never_splits_inside_parens(inner):
+    s = f"f({inner}"  # possibly unbalanced — splitter must not crash
+    out = _split_top_level(s + ")")
+    assert "".join(
+        x + ("," if i < len(out) - 1 else "") for i, x in enumerate(out)
+    ) == s + ")"
+
+
+@given(name=IDENT, col=IDENT, table=IDENT)
+@settings(max_examples=30)
+def test_csas_roundtrip(name, col, table):
+    st_ = parse_statement(
+        f"CREATE STREAM {name} AS SELECT {col} FROM {table} EMIT CHANGES "
+        f"WITH ('{table}.type' = 'file_source', '{table}.path' = '/x/y.csv');"
+    )
+    assert st_.kind == "create_stream"
+    assert st_.name == name
+    assert st_.emit == "changes"
+    assert st_.with_props[f"{table}.type"] == "file_source"
+    assert col in st_.select_sql and "EMIT" not in st_.select_sql.upper()
+
+
+@given(col=IDENT, alias=IDENT)
+@settings(max_examples=30)
+def test_primary_key_extraction_properties(col, alias):
+    st_ = parse_statement(
+        f"SELECT {col} AS {alias} PRIMARY KEY, 1 AS one FROM t"
+    )
+    assert st_.key_fields == [alias]
+    assert "PRIMARY" not in st_.select_sql.upper()
+    assert re.search(rf"\b{re.escape(alias)}\b", st_.select_sql)
+
+
+@given(comment=st.text(
+    alphabet=st.characters(blacklist_characters="\n'", min_codepoint=32,
+                           max_codepoint=126),
+    max_size=30,
+))
+def test_comments_stripped_strings_preserved(comment):
+    sql = f"SELECT 'lit--eral' AS s -- {comment}\nFROM t"
+    cleaned, _ = strip_comments(sql)
+    lines = cleaned.splitlines()
+    assert lines[0].rstrip() == "SELECT 'lit--eral' AS s"
+    assert lines[1] == "FROM t"
+
+
+@given(n=st.integers(1, 5))
+def test_split_statements_count(n):
+    app = ";\n".join(f"SELECT {i} AS c FROM t" for i in range(n)) + ";"
+    assert len(split_statements(app)) == n
