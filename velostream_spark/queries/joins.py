@@ -246,3 +246,87 @@ def windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "session_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    gaps AS (
+      SELECT *,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+      FROM gaps
+    ),
+    bounds AS (
+      SELECT *, MIN(ts) OVER (PARTITION BY user_id, sid) AS session_start
+      FROM sess
+    )
+    SELECT a.event_id AS click_id,
+           b.event_id AS view_id,
+           a.user_id  AS user_id,
+           a.session_start
+    FROM bounds a JOIN bounds b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+    tags=("join", "session", "stream-stream", "velostream-specific"),
+)
+def session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-windowed stream-stream join (reference JoinMode session
+    co-windowing, coordinator.rs:101-102): click and view events of one
+    user match iff they fall in the same 30-minute-gap session.
+
+    Spark-first composition (SURVEY §2 option (a)): sessionize the UNION of
+    both sides per key (gaps-and-islands — one window pass), then equi-join
+    on (user, session). The co-sessionization is exactly the reference's
+    merged-session semantics: a click and view extend each other's session.
+    One shuffle on user_id for the window pass, one on (user, sid) for the
+    join — both AQE-coalesced. The unbounded streaming form would be a
+    transformWithState op (deferred; this pins the join semantics)."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("event_type").isin("click", "view"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(new_session).over(w))
+    bounds = sess.withColumn(
+        "session_start", F.min("ts").over(Window.partitionBy("user_id", "sid"))
+    )
+    a = bounds.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "sid",
+        "session_start",
+    )
+    b = bounds.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("sid").alias("b_sid"),
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("b_user")) & (F.col("sid") == F.col("b_sid")),
+    ).select("click_id", "view_id", "user_id", "session_start")
