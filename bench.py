@@ -86,6 +86,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
         total += best
+        # Isolate queries: drop cached stages (minhash/simhash memos) so a
+        # query's residual executor memory doesn't tax the queries after it.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
