@@ -331,3 +331,54 @@ def test_streaming_csas_windowed_to_parquet(spark, tmp_path):
     assert "agg_out" in jobs
     eng.execute("PAUSE JOB agg_out")
     assert eng.jobs.describe("agg_out")["state"] == "paused"
+
+
+def test_datediff_three_arg_rewrite(spark, engine):
+    sql, _, _, _ = translate_select(
+        "SELECT DATEDIFF('MINUTE', ts, ts) AS zero_min, "
+        "DATEDIFF('HOUR', ts - INTERVAL 2 HOUR, ts) AS two_h FROM events"
+    )
+    assert "timestampdiff(MINUTE" in sql and "timestampdiff(HOUR" in sql
+    row = engine.execute(
+        "SELECT DATEDIFF('HOUR', ts - INTERVAL 2 HOUR, ts) AS two_h "
+        "FROM events LIMIT 1"
+    ).first()
+    assert row["two_h"] == 2
+
+
+def test_kafka_tombstones_shape(spark):
+    from velostream_spark.sources.kafka import message_key, tombstones
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, region string")
+    ts = tombstones(df, ["id", "region"]).collect()
+    assert [r["key"] for r in ts] == ["1|a", "2|b"]
+    assert all(r["value"] is None for r in ts)
+    single = message_key(df, ["id"]).select("key").collect()
+    assert [r["key"] for r in single] == ["1", "2"]
+
+
+def test_multi_source_sql_app(spark, tmp_path):
+    """Multi-source SQL application (reference job_multi_source_sink_test):
+    two CSV sources joined by a CSAS, then a CTAS over the result — one
+    app file, dependency order."""
+    (tmp_path / "orders.csv").write_text(
+        "order_id,cust_id,amount\n1,10,99.5\n2,20,15.0\n3,10,7.25\n"
+    )
+    (tmp_path / "custs.csv").write_text("cust_id,name\n10,acme\n20,globex\n")
+    eng = SqlEngine(spark)
+    results = eng.execute_app(
+        f"""
+        CREATE STREAM enriched AS
+        SELECT o.order_id, o.amount, c.name
+        FROM orders o JOIN custs c ON o.cust_id = c.cust_id
+        WITH ('orders.type' = 'file_source', 'orders.path' = '{tmp_path}/orders.csv',
+              'custs.type' = 'file_source', 'custs.path' = '{tmp_path}/custs.csv');
+
+        CREATE TABLE by_name AS
+        SELECT name PRIMARY KEY, ROUND(SUM(amount), 2) AS total
+        FROM enriched GROUP BY name;
+        """
+    )
+    assert results[0].count() == 3
+    assert eng.tables["by_name"].get_record("acme")["total"] == 106.75
+    assert eng.tables["by_name"].get_record("globex")["total"] == 15.0

@@ -106,6 +106,15 @@ def message_key(df: DataFrame, key_fields: list[str]) -> DataFrame:
     return df.withColumn("key", key)
 
 
+def tombstones(df: DataFrame, key_fields: list[str]) -> DataFrame:
+    """Streaming DELETE → Kafka tombstones (reference processors/delete.rs:
+    deletes emit null-value records keyed by PRIMARY KEY so compacted topics
+    drop the row): (key, NULL value) rows ready for the Kafka sink."""
+    return message_key(df, key_fields).select(
+        "key", F.lit(None).cast("string").alias("value")
+    )
+
+
 def write_batch(df: DataFrame, cfg: dict[str, str], key_fields: list[str] | None = None) -> None:
     """Batch write to Kafka: rows JSON-encoded into `value`, key from
     PRIMARY KEY fields (data_sink.rs key extraction)."""

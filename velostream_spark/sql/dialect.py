@@ -356,6 +356,12 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         return f"(get_json_object({', '.join(args)}) IS NOT NULL)"
     if u == "NOW":
         return "current_timestamp()"
+    if u == "DATEDIFF" and len(args) == 3:
+        # reference signature DATEDIFF('unit', start, end)
+        # (functions.rs:3560 datediff_function); Spark's 2-arg datediff is
+        # days-only → timestampdiff carries the unit
+        part = args[0].strip().strip("'\"").upper()
+        return f"timestampdiff({part}, {args[1]}, {args[2]})"
     if u == "EXTRACT" and len(args) == 2:
         # EXTRACT('EPOCH', x) string-part variant (parser/expressions.rs:577-598)
         part = args[0].strip().strip("'\"").upper()
@@ -387,8 +393,8 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
 
 _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
-    r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|HEADER_KEYS|HAS_HEADER|"
-    r"HEADER|TUMBLE_START|TUMBLE_END)\s*\("
+    r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
+    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END)\s*\("
 )
 
 
