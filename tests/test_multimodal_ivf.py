@@ -120,3 +120,16 @@ def test_ivf_recall_vs_brute_force(spark):
     ).toPandas()
     full_sets = {q: set(g["neighbor_id"]) for q, g in full.groupby("query_id")}
     assert all(full_sets[q] == exact_sets[q] for q in exact_sets)
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_count_distinct (HLL — better than the reference's
+    'approximate' fn that is secretly exact, accumulator.rs:212-220):
+    relative error within the configured rsd against the exact count."""
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"]
+    row = ev.select(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).first()
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err <= 0.06, (row["approx"], row["exact"])
