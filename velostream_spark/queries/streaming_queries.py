@@ -289,3 +289,46 @@ def streaming_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "append", "session_final")
+
+
+@query(
+    "streaming_sliding_final",
+    oracle="""
+    WITH buckets AS (
+      SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS ws, value
+      FROM events
+      UNION ALL
+      SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - 300)::TIMESTAMP AS ws, value
+      FROM events
+    ),
+    agg AS (
+      SELECT ws, ws + INTERVAL 10 MINUTE AS we,
+             COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+      FROM buckets GROUP BY ws
+    )
+    SELECT ws AS window_start, n_events, total_value
+    FROM agg WHERE we <= (SELECT max(ts) FROM events)
+    """,
+    tags=("streaming", "time-window", "sliding", "emit-final", "watermark"),
+)
+def streaming_sliding_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min advance) under EMIT FINAL streaming
+    semantics (reference sliding.rs:1-25 + emit_final.rs): each record lands
+    in two overlapping windows; append mode emits each window once its END
+    passes the watermark — so only fully-closed overlapping windows appear,
+    which the oracle mirrors with the same bucket arithmetic + cutoff."""
+    sdf = stream_table(spark, sf_dir, "events")
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "append", "sliding_final")
