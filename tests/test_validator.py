@@ -1,0 +1,91 @@
+"""SQL pre-flight validator tests (reference SqlValidator/QueryAnalyzer
+surface: configuration errors block, feature warnings don't)."""
+
+from __future__ import annotations
+
+from velostream_spark.sql.validator import validate_app, validate_statement
+
+
+def test_valid_csas_collects_requirements():
+    rep = validate_statement(
+        """
+        CREATE STREAM out AS
+        SELECT station, MIN(t) AS mn FROM measurements GROUP BY station
+        EMIT FINAL
+        WITH ('measurements.type' = 'file_source',
+              'measurements.path' = '/x/m.csv',
+              'measurements.format' = 'csv',
+              'out.type' = 'file_sink', 'out.path' = '/x/o.csv');
+        """
+    )
+    assert rep.ok and not rep.warnings
+    assert set(rep.sources) == {"measurements"} and set(rep.sinks) == {"out"}
+
+
+def test_missing_source_config_is_error():
+    rep = validate_statement("SELECT * FROM nowhere")
+    assert not rep.ok
+    assert "nowhere" in rep.errors[0]
+
+
+def test_registered_view_satisfies_requirement():
+    rep = validate_statement("SELECT * FROM events", registered={"events"})
+    assert rep.ok
+
+
+def test_file_source_without_path_is_error():
+    rep = validate_statement(
+        "SELECT * FROM m WITH ('m.type' = 'file_source', 'm.format' = 'csv')"
+    )
+    assert any("requires a 'path'" in e for e in rep.errors)
+
+
+def test_kafka_source_without_topic_is_error():
+    rep = validate_statement(
+        "SELECT * FROM k WITH ('k.type' = 'kafka_source')"
+    )
+    assert any("requires a 'topic'" in e for e in rep.errors)
+
+
+def test_unknown_format_and_option_flagged():
+    rep = validate_statement(
+        "SELECT * FROM m WITH ('m.type' = 'file_source', 'm.path' = '/x',"
+        " 'm.format' = 'xml', 'm.wibble' = '1')"
+    )
+    assert any("unknown file format 'xml'" in e for e in rep.errors)
+    assert any("unknown option 'wibble'" in w for w in rep.warnings)
+
+
+def test_emit_final_stateless_warns():
+    rep = validate_statement(
+        "SELECT a FROM t EMIT FINAL WITH ('t.type' = 'file_source', 't.path' = '/x')"
+    )
+    assert rep.ok
+    assert any("EMIT FINAL" in w for w in rep.warnings)
+
+
+def test_ctas_without_primary_key_warns():
+    rep = validate_statement(
+        "CREATE TABLE t2 AS SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+        registered={"events"},
+    )
+    assert rep.ok
+    assert any("PRIMARY KEY" in w for w in rep.warnings)
+
+
+def test_app_dependency_order():
+    rep = validate_app(
+        """
+        CREATE TABLE t1 AS SELECT user_id PRIMARY KEY, COUNT(*) AS n
+        FROM events GROUP BY user_id;
+        SELECT * FROM t1 WHERE n > 3;
+        """,
+        registered={"events"},
+    )
+    assert rep.ok, rep.errors
+
+
+def test_parse_error_lands_in_errors():
+    rep = validate_statement("SELECT DELTA(x) FROM t")
+    assert not rep.ok
+    assert "parse error" in rep.errors[0]

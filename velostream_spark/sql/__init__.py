@@ -10,5 +10,13 @@
 
 from velostream_spark.sql.dialect import Statement, parse_statement, translate_select
 from velostream_spark.sql.engine import SqlEngine
+from velostream_spark.sql.validator import validate_app, validate_statement
 
-__all__ = ["Statement", "parse_statement", "translate_select", "SqlEngine"]
+__all__ = [
+    "Statement",
+    "parse_statement",
+    "translate_select",
+    "SqlEngine",
+    "validate_statement",
+    "validate_app",
+]
