@@ -312,13 +312,19 @@ def simhash_signatures(
     bit j = (hex_nibble[j//4] >> (j%4)) & 1 of md5(word).
     """
     assert bits <= 64
-    w = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(textops.words(F.col(text_col))).alias("_w"),
-    ).select(
-        "_id",
-        F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long").alias("_h1"),
-        F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long").alias("_h2"),
+    w = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(textops.words(F.col(text_col))).alias("_w"),
+        )
+        # stage the md5 once per word — inlining it into both halves would
+        # hash every word twice
+        .select("_id", F.md5("_w").alias("_m"))
+        .select(
+            "_id",
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_h1"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_h2"),
+        )
     )
     votes = []
     for j in range(bits):

@@ -180,6 +180,15 @@ class SqlEngine:
 
     # -- execution ---------------------------------------------------------
 
+    def validate(self, sql: str):
+        """Pre-flight check against this engine's registered names
+        (reference SqlValidator, validator.rs:92) — returns a
+        ValidationReport; does not execute."""
+        from velostream_spark.sql.validator import validate_app
+
+        registered = {n.lower() for n in (*self.streams, *self.tables)}
+        return validate_app(sql, registered)
+
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
         a list of dicts for SHOW, row count for DML."""
