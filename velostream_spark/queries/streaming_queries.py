@@ -332,3 +332,29 @@ def streaming_sliding_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "append", "sliding_final")
+
+
+@query(
+    "streaming_group_by_final",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "aggregation", "emit-final", "complete-mode"),
+)
+def streaming_group_by_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-windowed EMIT FINAL (reference engine.rs:1316
+    flush_final_aggregations — accumulate until the bounded source is
+    exhausted, then flush): complete output mode re-materializes the whole
+    aggregate per batch; at end-of-input the sink holds exactly the final
+    flush, which equals the batch aggregate."""
+    sdf = stream_table(spark, sf_dir, "events")
+    mode = output_mode_for(EmitMode.FINAL, has_window=False, has_aggregation=True)
+    assert mode == "complete"
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_available_now(agg, mode, "group_by_final")
