@@ -468,3 +468,63 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit("2024-01-15 00:00:00").cast("timestamp")
         ).alias("after_mid_jan"),
     )
+
+
+@query(
+    "cast_semantics",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER)                    AS bad_int,
+           TRY_CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS roundtrip_price,
+           CAST(p_partkey AS DOUBLE)                      AS key_dbl,
+           CAST(CAST(p_partkey AS VARCHAR) AS BIGINT)     AS key_roundtrip,
+           TRY_CAST('true' AS BOOLEAN)                    AS t_bool,
+           TRY_CAST('nope' AS BOOLEAN)                    AS bad_bool
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+    tags=("functions", "cast", "permissive"),
+)
+def cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive CAST rules (reference types.rs:740+, dispatched
+    functions.rs:1269-1289): invalid casts yield NULL rather than erroring —
+    Spark with ansi.enabled=false behaves identically (DuckDB needs
+    TRY_CAST to match)."""
+    t = tables(spark, sf_dir)
+    p = t["part"].where(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.col("p_name").cast("int").alias("bad_int"),
+        F.col("p_retailprice").cast("string").cast("double").alias("roundtrip_price"),
+        F.col("p_partkey").cast("double").alias("key_dbl"),
+        F.col("p_partkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.lit("true").cast("boolean").alias("t_bool"),
+        F.lit("nope").cast("boolean").alias("bad_bool"),
+    )
+
+
+@query(
+    "unixtime_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT)                       AS epoch_s,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S')                          AS from_unix,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))::TIMESTAMP AS ts_roundtrip
+    FROM events
+    WHERE event_id % 9 = 0
+    """,
+    tags=("functions", "datetime", "unixtime"),
+)
+def unixtime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIX_TIMESTAMP / FROM_UNIXTIME round-trip (reference
+    functions.rs:3587-3596) — second-precision epoch in UTC session time."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_id") % 9 == 0)
+    epoch = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        epoch.alias("epoch_s"),
+        F.from_unixtime(epoch).alias("from_unix"),
+        F.timestamp_seconds(epoch).alias("ts_roundtrip"),
+    )
