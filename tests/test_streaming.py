@@ -261,3 +261,33 @@ def test_dead_letter_splitter_routes_late_rows(spark, tmp_path):
     max_main = spark.read.parquet(str(tmp_path / "main")).agg(F.max("ts")).collect()[0][0]
     max_dlq = spark.read.parquet(str(tmp_path / "dlq")).agg(F.max("ts")).collect()[0][0]
     assert max_dlq < max_main
+
+
+def test_rows_window_multi_column_aggs(spark, tmp_path):
+    """Multiple analytic fns over DIFFERENT columns of one buffer (one
+    reference OVER-clause list may mix columns): per-column state carried
+    across batches, checked against the batch twin."""
+    ev = _events(spark).select("user_id", "event_id", "value").withColumn(
+        "value2", F.col("value") * 2 + 1
+    )
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 3, "event_id")
+    sdf = stream_parquet(spark, src, schema=ev.schema, max_files_per_trigger=1)
+    aggs = [
+        ("avg_v", "avg", "value"),
+        ("max_v2", "max", "value2"),
+        ("lag_v2", "lag", "value2"),
+        ("n", "count", "value"),
+    ]
+    got = run_available_now(
+        rows_window_stream(sdf, ["user_id"], "event_id", "value", 5, aggs),
+        "append",
+        "rw_multicol",
+    ).toPandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want = rows_window_batch(
+        ev, ["user_id"], "event_id", "value", 5, aggs
+    ).toPandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert set(got.columns) == set(want.columns)
+    for col in ("avg_v", "max_v2", "lag_v2"):
+        assert got[col].round(9).equals(want[col].round(9)), col
+    assert got["n"].equals(want["n"].astype("int64"))
