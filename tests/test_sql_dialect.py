@@ -382,3 +382,57 @@ def test_multi_source_sql_app(spark, tmp_path):
     assert results[0].count() == 3
     assert eng.tables["by_name"].get_record("acme")["total"] == 106.75
     assert eng.tables["by_name"].get_record("globex")["total"] == 15.0
+
+
+def test_streaming_csas_rows_window(spark, tmp_path):
+    """SQL ROWS WINDOW through the STREAMING path: the dialect captures the
+    OVER-spec and the engine routes it to the applyInPandasWithState op
+    (batch execution of the same SQL uses the frame rewrite — both checked
+    against each other here)."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    rows = "\n".join(
+        f"{i % 3},{i},{round(0.5 * i + (i % 7), 2)}" for i in range(60)
+    )
+    (src_dir / "t.csv").write_text("sym,seq,price\n" + rows + "\n")
+    eng = SqlEngine(spark)
+    sql = f"""
+        CREATE STREAM ma AS
+        SELECT sym, seq,
+               AVG(price) OVER (ROWS WINDOW BUFFER 5 ROWS
+                                PARTITION BY sym ORDER BY seq) AS avg_p,
+               LAG(price) OVER (ROWS WINDOW BUFFER 5 ROWS
+                                PARTITION BY sym ORDER BY seq) AS prev_p
+        FROM ticks
+        WITH ('ticks.type' = 'file_source', 'ticks.path' = '{src_dir}',
+              'ticks.format' = 'csv');
+    """
+    eng.execute_streaming(sql)
+    got = (
+        spark.table("ma")
+        .toPandas()
+        .sort_values(["sym", "seq"])
+        .reset_index(drop=True)
+    )
+    # batch execution of the same statement (frame rewrite path)
+    batch = (
+        SqlEngine(spark)
+        .execute(sql.replace("CREATE STREAM ma AS", "").split("WITH (")[0]
+                 if False else
+                 f"""
+        SELECT sym, seq,
+               AVG(price) OVER (ROWS WINDOW BUFFER 5 ROWS
+                                PARTITION BY sym ORDER BY seq) AS avg_p,
+               LAG(price) OVER (ROWS WINDOW BUFFER 5 ROWS
+                                PARTITION BY sym ORDER BY seq) AS prev_p
+        FROM ticks
+        WITH ('ticks.type' = 'file_source', 'ticks.path' = '{src_dir}',
+              'ticks.format' = 'csv');
+        """)
+        .toPandas()
+        .sort_values(["sym", "seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 60 == len(batch)
+    assert got["avg_p"].round(9).equals(batch["avg_p"].round(9))
+    assert got["prev_p"].fillna(-1).round(9).equals(batch["prev_p"].fillna(-1).round(9))

@@ -143,6 +143,56 @@ class WindowClause:
 
 
 @dataclass
+class RowsWindowAgg:
+    """One `FN(col) OVER (ROWS WINDOW BUFFER n ROWS ...)` select item,
+    captured before the batch-frame rewrite so streaming execution can
+    route it to the stateful op (streaming.rows_window)."""
+
+    out: str           # output column name (alias or generated)
+    fn: str            # rows_window fn name (avg/sum/min/max/count/lag/...)
+    col: str | None    # argument column (None for ROW_NUMBER())
+    buffer: int
+    partition_by: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+
+
+_ROWS_FN_MAP = {
+    "AVG": "avg", "SUM": "sum", "MIN": "min", "MAX": "max", "COUNT": "count",
+    "LAG": "lag", "ROW_NUMBER": "row_number", "FIRST_VALUE": "first",
+    "LAST_VALUE": "last",
+}
+
+
+def extract_rows_window_aggs(select_sql: str) -> list[RowsWindowAgg]:
+    """Collect ROWS WINDOW OVER-specs from a (pre-rewrite) SELECT body."""
+    out: list[RowsWindowAgg] = []
+    pat = re.compile(
+        r"(?is)\b(\w+)\s*\(\s*([\w.]*)\s*\)\s*OVER\s*\(\s*ROWS\s+WINDOW\s+"
+        r"BUFFER\s+(\d+)\s+ROWS\s*(.*?)\)\s*(?:AS\s+(\w+))?"
+    )
+    for m in pat.finditer(select_sql):
+        fn = m.group(1).upper()
+        if fn not in _ROWS_FN_MAP:
+            continue
+        rest = m.group(4) or ""
+        pm = re.search(r"(?is)PARTITION\s+BY\s+(.*?)(?:ORDER\s+BY|ROWS\s+BETWEEN|EMIT|$)", rest)
+        om = re.search(r"(?is)ORDER\s+BY\s+(.*?)(?:ROWS\s+BETWEEN|EMIT|$)", rest)
+        out.append(
+            RowsWindowAgg(
+                out=m.group(5) or f"{fn.lower()}_{m.group(2) or 'row'}",
+                fn=_ROWS_FN_MAP[fn],
+                col=m.group(2) or None,
+                buffer=int(m.group(3)),
+                partition_by=[c.strip() for c in pm.group(1).split(",")] if pm else [],
+                order_by=[
+                    c.strip().split()[0] for c in om.group(1).split(",")
+                ] if om else [],
+            )
+        )
+    return out
+
+
+@dataclass
 class Statement:
     """One parsed velostream statement."""
 
@@ -152,6 +202,7 @@ class Statement:
     select_sql: str | None = None # translated Spark SQL for the SELECT body
     emit: str | None = None       # "changes" | "final" | None
     window: WindowClause | None = None
+    rows_window_aggs: list = field(default_factory=list)  # RowsWindowAgg
     key_fields: list[str] = field(default_factory=list)
     with_props: dict[str, str] = field(default_factory=dict)
     annotations: dict[str, str] = field(default_factory=dict)
@@ -247,11 +298,20 @@ _ROWS_WINDOW_RE = re.compile(
 )
 
 
-def _rewrite_rows_window_spec(spec: str) -> str:
+#: functions Spark forbids an explicit frame on (offset/ranking family)
+_NO_FRAME_FNS = {
+    "LAG", "LEAD", "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK",
+    "CUME_DIST", "NTILE",
+}
+
+
+def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
     """`ROWS WINDOW BUFFER n ROWS [PARTITION BY ..] [ORDER BY ..] [frame]
     [EMIT ..]` → `[PARTITION BY ..] [ORDER BY ..] ROWS BETWEEN n-1 PRECEDING
     AND CURRENT ROW`. In batch execution the bounded buffer IS the frame;
-    the per-record streaming form is streaming.rows_window."""
+    the per-record streaming form is streaming.rows_window. Offset/ranking
+    functions (``fn_name``) get no frame — Spark forbids one, and their
+    buffer semantics don't depend on it."""
     m = _ROWS_WINDOW_RE.match(spec.strip())
     if not m:
         return spec
@@ -268,9 +328,10 @@ def _rewrite_rows_window_spec(spec: str) -> str:
         frame = f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
     rest = rest.strip()
     has_order = re.search(r"(?is)\bORDER\s+BY\b", rest)
-    if not has_order:
-        # Spark requires ORDER BY for a ROWS frame; arrival order in the
-        # reference ≈ any deterministic order here — callers should give one.
+    if not has_order or (fn_name and fn_name.upper() in _NO_FRAME_FNS):
+        # Spark requires ORDER BY for a ROWS frame and forbids frames on
+        # offset/ranking functions; arrival order in the reference ≈ any
+        # deterministic order here — callers should give one.
         frame = ""
     return f"{rest} {frame}".strip()
 
@@ -284,6 +345,9 @@ def _rewrite_over_clauses(sql: str) -> str:
         if not m:
             out.append(sql[i:])
             break
+        # function name of the call preceding OVER (for frame legality)
+        fm = re.search(r"(?is)(\w+)\s*\([^()]*\)\s*$", sql[i : m.start()])
+        fn_name = fm.group(1) if fm else None
         out.append(sql[i : m.end()])
         depth, j = 1, m.end()
         while j < len(sql) and depth:
@@ -293,7 +357,7 @@ def _rewrite_over_clauses(sql: str) -> str:
                 depth -= 1
             j += 1
         inner = sql[m.end() : j - 1]
-        out.append(_rewrite_rows_window_spec(inner))
+        out.append(_rewrite_rows_window_spec(inner, fn_name))
         out.append(")")
         i = j
     return "".join(out)
@@ -492,15 +556,25 @@ def translate_select(
     select_sql: str, time_col: str = "_event_time"
 ) -> tuple[str, WindowClause | None, str | None, list[str]]:
     """Translate a velostream SELECT body → (spark_sql, window, emit, keys)."""
+    sql, wc, emit, keys, _ = translate_select_full(select_sql, time_col)
+    return sql, wc, emit, keys
+
+
+def translate_select_full(
+    select_sql: str, time_col: str = "_event_time"
+) -> tuple[str, WindowClause | None, str | None, list[str], list[RowsWindowAgg]]:
+    """translate_select + the captured ROWS WINDOW OVER-specs (for the
+    streaming execution path, which routes them to the stateful op)."""
     sql, emit = _extract_emit(select_sql.strip().rstrip(";"))
     sql, wc = _extract_window(sql)
     sql, keys = _extract_primary_keys(sql)
+    rw = extract_rows_window_aggs(sql)
     sql = _rewrite_over_clauses(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
-    return sql.strip(), wc, emit, keys
+    return sql.strip(), wc, emit, keys, rw
 
 
 def split_statements(sql_app: str) -> list[str]:
@@ -518,10 +592,11 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     m = re.match(r"(?is)^CREATE\s+(STREAM|TABLE)\s+(\w+)\s+AS\s+(.*)$", body)
     if m:
         kind = "create_stream" if m.group(1).upper() == "STREAM" else "create_table"
-        sel, wc, emit, keys = translate_select(m.group(3), time_col)
+        sel, wc, emit, keys, rw = translate_select_full(m.group(3), time_col)
         return Statement(
             kind=kind, name=m.group(2), select_sql=sel, emit=emit, window=wc,
-            key_fields=keys, with_props=props, annotations=annotations, raw=sql,
+            rows_window_aggs=rw, key_fields=keys, with_props=props,
+            annotations=annotations, raw=sql,
         )
 
     m = re.match(
@@ -568,7 +643,7 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
                          annotations=annotations, raw=sql)
 
     # plain SELECT
-    sel, wc, emit, keys = translate_select(body, time_col)
+    sel, wc, emit, keys, rw = translate_select_full(body, time_col)
     return Statement(kind="select", select_sql=sel, emit=emit, window=wc,
-                     key_fields=keys, with_props=props, annotations=annotations,
-                     raw=sql)
+                     rows_window_aggs=rw, key_fields=keys, with_props=props,
+                     annotations=annotations, raw=sql)

@@ -241,7 +241,13 @@ class SqlEngine:
 
         def build() -> DataFrame:
             self._wire_sources_streaming(st)
-            df = self.spark.sql(st.select_sql)
+            if st.rows_window_aggs:
+                # ROWS WINDOW is a per-record streaming analytic in the
+                # reference (rows.rs) — ordinary window functions are
+                # illegal on a streaming DF, so route to the stateful op.
+                df = self._build_rows_window_stream(st)
+            else:
+                df = self.spark.sql(st.select_sql)
             if "num_partitions" in st.annotations:
                 df = df.repartition(int(st.annotations["num_partitions"]))
             return df
@@ -322,6 +328,44 @@ class SqlEngine:
         if st.window is not None and tcol in sdf.columns:
             return sdf.withWatermark(tcol, cfg.get("watermark.delay", "0 seconds"))
         return sdf
+
+    def _build_rows_window_stream(self, st: Statement) -> DataFrame:
+        """SQL ROWS WINDOW specs → streaming.rows_window stateful op. All
+        specs in one statement must share buffer/partition/order (one
+        buffer per OVER spec family, as in the reference's per-clause
+        buffer)."""
+        from velostream_spark.streaming.rows_window import rows_window_stream
+
+        specs = st.rows_window_aggs
+        buffers = {s.buffer for s in specs}
+        parts = {tuple(s.partition_by) for s in specs}
+        orders = {tuple(s.order_by) for s in specs}
+        if len(buffers) > 1 or len(parts) > 1 or len(orders) > 1:
+            raise ValueError(
+                "streaming ROWS WINDOW: all OVER specs in one statement "
+                "must share BUFFER size, PARTITION BY and ORDER BY"
+            )
+        part_by = list(parts.pop())
+        order_by = list(orders.pop())
+        if not part_by or len(order_by) != 1:
+            raise ValueError(
+                "streaming ROWS WINDOW needs PARTITION BY and exactly one "
+                "ORDER BY column"
+            )
+        src_m = re.search(r"(?is)\bFROM\s+([a-zA-Z_]\w*)", st.select_sql)
+        if not src_m:
+            raise ValueError("cannot find source table for ROWS WINDOW stream")
+        sdf = self.spark.table(src_m.group(1))
+        aggs = [(s.out, s.fn, s.col) for s in specs if s.col] + [
+            (s.out, s.fn, None) for s in specs if not s.col
+        ]
+        value_col = next((s.col for s in specs if s.col), None)
+        if value_col is None:
+            raise ValueError("streaming ROWS WINDOW needs at least one fn(col)")
+        norm = [(out, fn, col or value_col) for out, fn, col in aggs]
+        return rows_window_stream(
+            sdf, part_by, order_by[0], value_col, buffers.pop(), norm
+        )
 
     def _job(self, st: Statement):
         action = st.job_action
