@@ -1,0 +1,135 @@
+"""Pure-Python pinning tests for the dedup operators: reimplement MinHash /
+SimHash / Jaccard from their definitions (seeded-md5 min over shingles;
+md5-nibble majority vote) and check the Catalyst expressions bit-for-bit.
+These cover what the DuckDB oracle can't reach (simhash_pairs is rows-only)
+and pin the exact hash definitions against accidental drift."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from velostream_spark.operators import dedup
+from velostream_spark.session import load_tables
+
+
+# -- pure-python reimplementations (from the operator docstrings) ------------
+
+
+def py_normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip().lower())
+
+
+def py_words(text: str) -> list[str]:
+    return py_normalize(text).split(" ")
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    w = py_words(text)
+    if len(w) >= n:
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    else:
+        grams = [" ".join(w)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def py_minhash(text: str, num_hashes: int = 8, shingle_n: int = 3) -> list[str]:
+    sh = py_shingles(text, shingle_n)
+    return [
+        min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in sh)
+        for k in range(num_hashes)
+    ]
+
+
+def py_simhash(text: str, bits: int = 64) -> str:
+    w = py_words(text)
+    votes = [0] * bits
+    for word in w:
+        h = hashlib.md5(word.encode()).hexdigest()
+        for j in range(bits):
+            nib = int(h[j // 4], 16)
+            votes[j] += (nib >> (j % 4)) & 1
+    return "".join("1" if v * 2 > len(w) else "0" for v in votes)
+
+
+def py_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = set(py_shingles(a, n)), set(py_shingles(b, n))
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+# -- pinning tests ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+        .select("doc_id", "text")
+        .limit(30)
+        .toPandas()
+    )
+
+
+def test_minhash_signature_matches_python(spark, docs):
+    df = spark.createDataFrame(docs)
+    got = (
+        df.select(
+            "doc_id", dedup.minhash_signature(F.col("text"), 8, 3).alias("sig")
+        )
+        .toPandas()
+        .set_index("doc_id")["sig"]
+    )
+    for _, row in docs.iterrows():
+        assert list(got.loc[row["doc_id"]]) == py_minhash(row["text"]), row["doc_id"]
+
+
+def test_simhash_signatures_match_python(spark, docs):
+    df = spark.createDataFrame(docs)
+    got = (
+        dedup.simhash_signatures(df, "text", "doc_id", 64)
+        .toPandas()
+        .set_index("doc_id")["simhash"]
+    )
+    for _, row in docs.iterrows():
+        assert got.loc[row["doc_id"]] == py_simhash(row["text"]), row["doc_id"]
+
+
+def test_jaccard_verification_matches_python(spark, docs):
+    df = spark.createDataFrame(docs)
+    pairs = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=8, num_bands=4, shingle_n=3, threshold=0.0
+    )
+    got = pairs.toPandas()
+    texts = docs.set_index("doc_id")["text"]
+    assert len(got) > 0, "no candidate pairs at threshold 0 on 30 docs"
+    for _, r in got.iterrows():
+        want = round(py_jaccard(texts.loc[r["id_a"]], texts.loc[r["id_b"]]), 6)
+        assert abs(r["jacc"] - want) < 1e-6, (r["id_a"], r["id_b"])
+
+
+def test_simhash_pairs_hamming_is_correct(spark, docs):
+    df = spark.createDataFrame(docs)
+    pairs = dedup.simhash_pairs(
+        df, "text", "doc_id", bits=64, num_bands=4, max_hamming=64
+    ).toPandas()
+    sigs = {r["doc_id"]: py_simhash(r["text"]) for _, r in docs.iterrows()}
+    assert len(pairs) > 0
+    for _, r in pairs.iterrows():
+        sa, sb = sigs[r["id_a"]], sigs[r["id_b"]]
+        ham = sum(x != y for x, y in zip(sa, sb))
+        assert r["hamming"] == ham, (r["id_a"], r["id_b"])
+        # candidates must share at least one exact 16-bit band
+        assert any(
+            sa[k * 16 : (k + 1) * 16] == sb[k * 16 : (k + 1) * 16]
+            for k in range(4)
+        )
