@@ -334,16 +334,77 @@ def test_streaming_csas_windowed_to_parquet(spark, tmp_path):
 
 
 def test_datediff_three_arg_rewrite(spark, engine):
-    sql, _, _, _ = translate_select(
-        "SELECT DATEDIFF('MINUTE', ts, ts) AS zero_min, "
-        "DATEDIFF('HOUR', ts - INTERVAL 2 HOUR, ts) AS two_h FROM events"
-    )
-    assert "timestampdiff(MINUTE" in sql and "timestampdiff(HOUR" in sql
+    """Reference DATEDIFF units are plural calendar-boundary diffs
+    (functions.rs:1977-2007): years = year(end)-year(start), days =
+    date-only diff, hours = truncated elapsed millis/3.6e6."""
+    import pytest as _pytest
+
     row = engine.execute(
-        "SELECT DATEDIFF('HOUR', ts - INTERVAL 2 HOUR, ts) AS two_h "
+        "SELECT DATEDIFF('hours', ts - INTERVAL 2 HOUR, ts) AS two_h, "
+        "DATEDIFF('days', ts - INTERVAL 36 HOUR, ts) AS cal_days, "
+        "DATEDIFF('years', ts - INTERVAL 400 DAY, ts) AS yr, "
+        "DATEDIFF('months', ts - INTERVAL 90 DAY, ts) AS mo "
         "FROM events LIMIT 1"
     ).first()
     assert row["two_h"] == 2
+    # calendar-day diff of a 36h gap is 1 or 2 depending on wall time, never 1.5
+    assert row["cal_days"] in (1, 2)
+    assert row["yr"] in (1, 2)
+    assert row["mo"] == 3
+    # singular accepted as courtesy; unsupported unit is a clear error
+    r2 = engine.execute(
+        "SELECT DATEDIFF('hour', ts - INTERVAL 2 HOUR, ts) AS h FROM events LIMIT 1"
+    ).first()
+    assert r2["h"] == 2
+    with _pytest.raises(ValueError, match="Unsupported DATEDIFF unit"):
+        engine.execute("SELECT DATEDIFF('minutes', ts, ts) AS m FROM events LIMIT 1")
+
+
+def test_datediff_calendar_boundary_semantics(spark, engine):
+    """Dec 31 23:00 → Jan 1 01:00 is years=1 by the reference's
+    year(end)-year(start) rule even though only 2h elapsed."""
+    df = spark.createDataFrame(
+        [("2023-12-31 23:00:00", "2024-01-01 01:00:00")], "s string, e string"
+    ).selectExpr("cast(s as timestamp) s", "cast(e as timestamp) e")
+    eng = SqlEngine(spark)
+    eng.register_stream("tt", df)
+    row = eng.execute(
+        "SELECT DATEDIFF('years', s, e) AS yr, DATEDIFF('days', s, e) AS d, "
+        "DATEDIFF('hours', s, e) AS h, DATEDIFF('quarters', s, e) AS q FROM tt"
+    ).first()
+    assert row["yr"] == 1 and row["d"] == 1 and row["h"] == 2 and row["q"] == 1
+
+
+def test_rewrite_functions_no_hang():
+    """Round-1 ADVICE: EXTRACT(YEAR FROM ts) and 2-arg DATEDIFF made
+    _rewrite_functions loop forever (no-op rewrite re-scanned from 0)."""
+    sql, _, _, _ = translate_select(
+        "SELECT EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS m, "
+        "DATEDIFF(d1, d2) AS dd, EXTRACT('EPOCH', ts) AS e FROM t"
+    )
+    assert "unix_timestamp(ts)" in sql  # EPOCH form still rewritten
+    assert "EXTRACT(YEAR FROM ts)" in sql  # native form passes through
+    assert "DATEDIFF(d1, d2)" in sql  # 2-arg passes through to Spark
+
+
+def test_extract_native_form_executes(spark, engine):
+    row = engine.execute(
+        "SELECT EXTRACT(YEAR FROM ts) AS y, EXTRACT(HOUR FROM ts) AS h "
+        "FROM events LIMIT 1"
+    ).first()
+    assert row["y"] >= 2020 and 0 <= row["h"] <= 23
+
+
+def test_over_fn_name_nested_parens(spark, engine):
+    """Round-1 ADVICE: nested parens before OVER broke the fn-name probe, so
+    LAG got an illegal explicit frame attached."""
+    df = engine.execute(
+        "SELECT event_id, LAG(CAST(value AS DOUBLE), 1) "
+        "OVER (ROWS WINDOW BUFFER 5 ROWS PARTITION BY event_type ORDER BY event_id) "
+        "AS prev FROM events LIMIT 5"
+    )
+    assert df.columns == ["event_id", "prev"]
+    df.collect()  # must execute: a frame on LAG would fail analysis
 
 
 def test_kafka_tombstones_shape(spark):

@@ -13,9 +13,15 @@ from velostream_spark.sql.engine import SqlEngine
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> SqlEngine:
+    import os
+
+    from velostream_spark.session import TABLE_NAMES
+
     eng = SqlEngine(spark, time_col="ts")
-    for name, df in tables(spark, sf_dir).items():
-        eng.register_stream(name, df)
+    t = tables(spark, sf_dir)  # lazy: reads each parquet on first access
+    for name in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            eng.register_stream(name, t[name])
     return eng
 
 

@@ -487,19 +487,20 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permissive CAST rules (reference types.rs:740+, dispatched
-    functions.rs:1269-1289): invalid casts yield NULL rather than erroring —
-    Spark with ansi.enabled=false behaves identically (DuckDB needs
-    TRY_CAST to match)."""
+    functions.rs:1269-1289): invalid casts yield NULL rather than erroring.
+    Expressed with try_cast so the permissive semantics are local to the
+    expression and hold regardless of the session's ANSI mode (the driver's
+    vanilla Spark 4 session has ansi.enabled=true)."""
     t = tables(spark, sf_dir)
     p = t["part"].where(F.col("p_partkey") % 7 == 0)
     return p.select(
         "p_partkey",
-        F.col("p_name").cast("int").alias("bad_int"),
+        F.expr("try_cast(p_name AS int)").alias("bad_int"),
         F.col("p_retailprice").cast("string").cast("double").alias("roundtrip_price"),
         F.col("p_partkey").cast("double").alias("key_dbl"),
         F.col("p_partkey").cast("string").cast("long").alias("key_roundtrip"),
-        F.lit("true").cast("boolean").alias("t_bool"),
-        F.lit("nope").cast("boolean").alias("bad_bool"),
+        F.expr("try_cast('true' AS boolean)").alias("t_bool"),
+        F.expr("try_cast('nope' AS boolean)").alias("bad_bool"),
     )
 
 

@@ -80,31 +80,116 @@ def get_session(app_name: str = "velostream-spark", **extra_conf: str) -> SparkS
     return spark
 
 
+#: Runtime session confs the whole catalog's semantics assume.  These are
+#: applied inside ``load_tables`` (all runtime-settable) so queries behave
+#: identically in ANY SparkSession — including a vanilla one the correctness
+#: harness builds itself — not just sessions from :func:`get_session`.
+RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS), which Spark refuses natively;
+    # read as long nanos and truncate to micros (matches DuckDB ns→us).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Reference dialect is permissive (NULL on bad cast —
+    # reference src/velostream/sql/execution/types.rs cast rules).
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply the catalog's required runtime confs to an arbitrary session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this Spark build — the
+            # session-factory default (get_session) is the fallback.
+            pass
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet → read as long nanos
+        # (nanosAsLong), truncate to micros like DuckDB does.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class LazyTables(dict):
+    """Dict of table-name → DataFrame that reads each parquet on first access.
+
+    Queries index only the tables they use, so a malformed or missing file in
+    ``sf_dir`` can never break an unrelated query (round-1 failure mode:
+    every query died on events.parquet at eager-load time).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(name)
+        df = _read_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+    def _load_existing(self) -> None:
+        for name in TABLE_NAMES:
+            if name not in self and os.path.exists(
+                os.path.join(self._sf_dir, f"{name}.parquet")
+            ):
+                self[name]  # noqa: B018 — triggers __missing__
+
+    # Iteration-style access implies "all tables" — load what exists first.
+    def keys(self):  # type: ignore[override]
+        self._load_existing()
+        return super().keys()
+
+    def items(self):  # type: ignore[override]
+        self._load_existing()
+        return super().items()
+
+    def values(self):  # type: ignore[override]
+        self._load_existing()
+        return super().values()
+
+    def __iter__(self):
+        self._load_existing()
+        return super().__iter__()
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
     register_views: bool = True,
 ) -> dict[str, DataFrame]:
-    """Load every test table from ``sf_dir`` as a DataFrame.
+    """Load test tables from ``sf_dir``.
+
+    With ``register_views=False`` (the catalog's DataFrame path) the result
+    is a :class:`LazyTables` that reads each parquet only on first access.
+    With ``register_views=True`` every existing table is read and registered
+    as a temp view (SQL-expressed queries may reference any of them).
 
     Parquet scans get predicate pushdown + column pruning from Catalyst for
     free; nothing is cached here — each query's plan prunes its own columns.
     """
+    apply_runtime_confs(spark)
+    if not register_views:
+        return LazyTables(spark, sf_dir)
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        if name == "events":
-            # ts is TIMESTAMP(NANOS) in parquet → read as long nanos
-            # (nanosAsLong), truncate to micros like DuckDB does.
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _read_table(spark, sf_dir, name)
         out[name] = df
-        if register_views:
-            df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(name)
     if not out:
         raise FileNotFoundError(
             f"no test tables (*.parquet) found in {sf_dir!r} — expected e.g. "

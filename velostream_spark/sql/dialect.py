@@ -336,6 +336,39 @@ def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
     return f"{rest} {frame}".strip()
 
 
+def _call_name_before(prefix: str) -> str | None:
+    """Name of the function call whose closing paren ends ``prefix``.
+
+    Walks backwards with paren-depth matching (nested-paren safe), then takes
+    the identifier immediately before the matched opening paren.
+    """
+    k = len(prefix) - 1
+    while k >= 0 and prefix[k].isspace():
+        k -= 1
+    if k < 0 or prefix[k] != ")":
+        return None
+    depth = 0
+    while k >= 0:
+        if prefix[k] == ")":
+            depth += 1
+        elif prefix[k] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        k -= 1
+    if k < 0:
+        return None
+    # allow whitespace between the identifier and its opening paren
+    end = k
+    while end > 0 and prefix[end - 1].isspace():
+        end -= 1
+    k = end
+    while k > 0 and (prefix[k - 1].isalnum() or prefix[k - 1] == "_"):
+        k -= 1
+    name = prefix[k:end]
+    return name or None
+
+
 def _rewrite_over_clauses(sql: str) -> str:
     """Find every OVER (...) and rewrite ROWS WINDOW specs inside."""
     out, i = [], 0
@@ -345,9 +378,10 @@ def _rewrite_over_clauses(sql: str) -> str:
         if not m:
             out.append(sql[i:])
             break
-        # function name of the call preceding OVER (for frame legality)
-        fm = re.search(r"(?is)(\w+)\s*\([^()]*\)\s*$", sql[i : m.start()])
-        fn_name = fm.group(1) if fm else None
+        # function name of the call preceding OVER (for frame legality):
+        # scan backwards with paren-depth matching so nested parens in the
+        # call's arguments (e.g. LAG(CAST(x AS DOUBLE))) are handled.
+        fn_name = _call_name_before(sql[: m.start()])
         out.append(sql[i : m.end()])
         depth, j = 1, m.end()
         while j < len(sql) and depth:
@@ -422,10 +456,35 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         return "current_timestamp()"
     if u == "DATEDIFF" and len(args) == 3:
         # reference signature DATEDIFF('unit', start, end)
-        # (functions.rs:3560 datediff_function); Spark's 2-arg datediff is
-        # days-only → timestampdiff carries the unit
-        part = args[0].strip().strip("'\"").upper()
-        return f"timestampdiff({part}, {args[1]}, {args[2]})"
+        # (functions.rs:1943-2027 datediff_function). Units are the
+        # reference's six (plural, case-insensitive; singular accepted as a
+        # courtesy) and the semantics are CALENDAR-BOUNDARY diffs, not
+        # elapsed intervals: years = year(end)-year(start), days = date-only
+        # diff, hours = truncated millis/3.6e6 — so timestampdiff() would be
+        # wrong. Each maps to codegen'd builtins below.
+        part = args[0].strip().strip("'\"").lower().rstrip("s")
+        s, e = args[1], args[2]
+        if part == "year":
+            return f"(year({e}) - year({s}))"
+        if part == "month":
+            return f"((year({e}) - year({s})) * 12 + (month({e}) - month({s})))"
+        if part == "quarter":
+            return f"((year({e}) - year({s})) * 4 + (quarter({e}) - quarter({s})))"
+        if part == "week":
+            # ISO week number + ISO week-year, matching chrono iso_week()
+            return (
+                f"((extract(YEAROFWEEK FROM {e}) - extract(YEAROFWEEK FROM {s})) * 52"
+                f" + (weekofyear({e}) - weekofyear({s})))"
+            )
+        if part == "day":
+            return f"datediff(to_date({e}), to_date({s}))"
+        if part == "hour":
+            # Rust i64 `/` truncates toward zero; Spark `div` matches.
+            return f"((unix_millis({e}) - unix_millis({s})) div 3600000)"
+        raise ValueError(
+            f"Unsupported DATEDIFF unit: {args[0]}. Supported units: "
+            "years, months, quarters, weeks, days, hours"
+        )
     if u == "EXTRACT" and len(args) == 2:
         # EXTRACT('EPOCH', x) string-part variant (parser/expressions.rs:577-598)
         part = args[0].strip().strip("'\"").upper()
@@ -463,8 +522,13 @@ _FN_CALL_RE = re.compile(
 
 
 def _rewrite_functions(sql: str) -> str:
+    # Track a search offset: when _rewrite_call declines a match (repl None,
+    # e.g. EXTRACT(YEAR FROM ts) passed through to Spark's native extract, or
+    # 2-arg DATEDIFF), advance past it — restarting from 0 on an unchanged
+    # string loops forever (round-1 ADVICE: hard hang on EXTRACT/DATEDIFF).
+    pos = 0
     while True:
-        m = _FN_CALL_RE.search(sql)
+        m = _FN_CALL_RE.search(sql, pos)
         if not m:
             return sql
         depth, j = 1, m.end()
@@ -481,7 +545,14 @@ def _rewrite_functions(sql: str) -> str:
         repl = _rewrite_call(m.group(1), args)
         if repl is None:
             repl = f"{m.group(1)}({', '.join(args)})"
-        sql = sql[: m.start()] + repl + sql[j:]
+            sql = sql[: m.start()] + repl + sql[j:]
+            pos = m.start() + len(repl)
+        else:
+            sql = sql[: m.start()] + repl + sql[j:]
+            # re-scan the replacement (it may itself contain a rewritable
+            # name, e.g. EXTRACT('YEAR', x) → extract(YEAR FROM x), which
+            # then passes through via the None branch above — terminating).
+            pos = m.start()
 
 
 _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
