@@ -87,25 +87,29 @@ def dialect_rows_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_functions_select",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.source')                    AS source,
+           json_extract_string(props, '$.k')                         AS k_val,
            CAST(floor(epoch(ts)) AS BIGINT)                          AS epoch_s,
            CAST(length(event_type) AS INT)                           AS type_len
     FROM events
-    WHERE json_extract_string(props, '$.source') IS NOT NULL
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
     """,
     tags=("dialect", "functions", "json"),
 )
 def dialect_functions_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dialect function names (JSON_EXTRACT, JSON_EXISTS, EXTRACT('EPOCH'),
-    LEN — functions.rs:3640+, 3542, 3421) rewritten to Spark built-ins."""
+    LEN — functions.rs:3640+, 3542, 3421) rewritten to Spark built-ins.
+    The test events' props JSON carries key 'k' (int) — filtering on it keeps
+    the result non-empty AND the predicate meaningful."""
     return _engine(spark, sf_dir).execute(
         """
         SELECT event_id,
-               JSON_EXTRACT(props, '$.source') AS source,
+               JSON_EXTRACT(props, '$.k') AS k_val,
                EXTRACT('EPOCH', ts) AS epoch_s,
                CAST(LEN(event_type) AS INT) AS type_len
         FROM events
-        WHERE JSON_EXISTS(props, '$.source')
+        WHERE JSON_EXISTS(props, '$.k')
+          AND CAST(JSON_EXTRACT(props, '$.k') AS INT) >= 50
         """
     )
 

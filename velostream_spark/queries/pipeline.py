@@ -365,13 +365,18 @@ def _near_dup_oracle(threshold: float = 0.9, n_planes: int = 8, dim: int = 64, s
 
 @query(
     "embedding_near_dup",
-    oracle=_near_dup_oracle(),
+    oracle=_near_dup_oracle(threshold=0.35, n_planes=4),
     tags=("pipeline", "dedup", "embedding"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets
-    (cos ≥ 0.9) — semantic dedup at sub-quadratic candidate cost."""
+    """Embedding-cosine near-duplicate pairs within LSH buckets —
+    semantic dedup at sub-quadratic candidate cost.
+
+    The synthetic test embeddings are near-orthogonal random vectors
+    (max pairwise cosine ≈ 0.51 at sf0.01), so the demo threshold is 0.35
+    with 4 hyperplanes to exercise a non-empty result; production use with
+    real embeddings would run τ ≈ 0.9 and more planes."""
     t = tables(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(
-        t["embeddings"], "embedding", "vec_id", threshold=0.9, n_planes=8, dim=64, seed=42
+        t["embeddings"], "embedding", "vec_id", threshold=0.35, n_planes=4, dim=64, seed=42
     )

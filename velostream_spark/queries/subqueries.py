@@ -144,18 +144,22 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_nationkey, n_name
     FROM nation
-    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)
     """,
     tags=("subquery", "not-in"),
 )
 def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN subquery (reference SubqueryType::NotIn) — null-aware anti join."""
+    """NOT IN subquery (reference SubqueryType::NotIn) — null-aware anti join.
+
+    Threshold -900 keeps the result non-trivial at sf0.01 (16 of 25 nations
+    survive; every nation has some customer below 0, which made the old
+    predicate return zero rows)."""
     views(spark, sf_dir)
     return spark.sql(
         """
         SELECT n_nationkey, n_name
         FROM nation
-        WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+        WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)
         """
     )
 
