@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from velostream_spark.registry import query, tables
 from velostream_spark.streaming.emit import EmitMode, output_mode_for
-from velostream_spark.streaming.rows_window import rows_window_stream
+from velostream_spark.streaming.rows_window import (
+    rows_window_stream,  # noqa: F401 — per-key form, used by SQL engine tests
+    rows_window_stream_bucketed,
+)
 from velostream_spark.streaming.runner import run_available_now
 from velostream_spark.streaming.source import stream_table
 
@@ -182,11 +185,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_rows_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS WINDOW BUFFER 10 ROWS PARTITION BY user_id (reference
     WindowSpec::Rows ast.rs:617-652, rows.rs:30-45) — the per-record
-    streaming analytic window as an applyInPandasWithState stateful op.
-    Emits one row per input record with moving aggregates over the
-    last-10-rows buffer; EmitMode::EveryRecord."""
+    streaming analytic window as an applyInPandasWithState stateful op,
+    in its bucketed-state form (state keyed by hash bucket, per-user ring
+    buffers inside — Python entered per bucket, not per user, so per-call
+    overhead doesn't scale with key cardinality). Emits one row per input
+    record with moving aggregates over the last-10-rows buffer;
+    EmitMode::EveryRecord."""
     sdf = stream_table(spark, sf_dir, "events")
-    out = rows_window_stream(
+    out = rows_window_stream_bucketed(
         sdf,
         partition_by=["user_id"],
         order_by="event_id",

@@ -105,17 +105,31 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             # Conf not settable at runtime in this Spark build — the
             # session-factory default (get_session) is the fallback.
             pass
+    try:
+        # Perf only (no semantics): a vanilla session's 200 shuffle
+        # partitions are oversized for local mode — right-size to cores,
+        # but never override a value the user chose deliberately.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_default_parallelism())
+            )
+    except Exception:
+        pass
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet → read as long nanos
-        # (nanosAsLong), truncate to micros like DuckDB does.
+        # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+        # nanosAsLong surfaces as long nanos → truncate to micros like
+        # DuckDB does. Only applies when ts actually read back as a long
+        # (an events table re-written by Spark is already micros).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -34,6 +34,11 @@ def stream_parquet(
     ``pathGlobFilter`` pinned to that file name.
     """
     if schema is None:
+        from velostream_spark.session import apply_runtime_confs
+
+        # Schema inference must survive a vanilla session (driver harness):
+        # nanosAsLong etc. are applied here just like session.load_tables.
+        apply_runtime_confs(spark)
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -53,9 +58,11 @@ def stream_table(
     """Streaming view of a driver test table, with the same column types as
     ``session.load_tables`` (events.ts: TIMESTAMP(NANOS) parquet → read as
     long nanos, truncated to micros)."""
+    from pyspark.sql.types import LongType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = stream_parquet(spark, path, max_files_per_trigger=max_files_per_trigger)
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
