@@ -402,15 +402,18 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_arithmetic",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(1 - l_discount AS DECIMAL(18,4))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * CAST(1 - l_discount AS DECIMAL(18,4))
-               * CAST(1 + l_tax AS DECIMAL(18,4)))      AS sum_charge,
-           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_charge,
+           ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS min_price,
-           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           ROUND(CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
                AS max_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -423,18 +426,27 @@ def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's DecimalType IS the exact-arithmetic path: sums and products of
     DECIMAL(18,4) values are exact with deterministic scale propagation in
     whole-stage codegen (SURVEY §1.2 mapping). Aggregate sums of decimal
-    never lose cents — the property ScaledInteger exists for."""
+    never lose cents — the property ScaledInteger exists for.
+
+    Arithmetic stays exact decimal end-to-end; only the OUTPUT is rounded
+    to DOUBLE on both engines so the comparison is representation-stable
+    (Spark emits Decimal objects, DuckDB's pandas bridge emits float64 —
+    identical values hashed differently otherwise)."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
     one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("sum_price"),
-        F.sum(price * one_minus_disc).alias("sum_disc_price"),
-        F.sum(price * one_minus_disc * one_plus_tax).alias("sum_charge"),
-        F.min(price).cast("decimal(18,4)").alias("min_price"),
-        F.max(price).cast("decimal(18,4)").alias("max_price"),
+        F.round(F.sum(price).cast("double"), 2).alias("sum_price"),
+        F.round(F.sum(price * one_minus_disc).cast("double"), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double"), 2
+        ).alias("sum_charge"),
+        F.round(F.min(price).cast("double"), 2).alias("min_price"),
+        F.round(F.max(price).cast("double"), 2).alias("max_price"),
     )
 
 
