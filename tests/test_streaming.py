@@ -26,6 +26,7 @@ from velostream_spark.streaming.late_data import DeadLetterSplitter
 from velostream_spark.streaming.rows_window import (
     rows_window_batch,
     rows_window_stream,
+    rows_window_stream_bucketed,
 )
 from velostream_spark.streaming.runner import run_available_now, run_foreach_batch
 from velostream_spark.streaming.source import stream_csv, stream_parquet
@@ -135,6 +136,120 @@ def test_rows_window_buffer_full_emission(spark, tmp_path):
     per_user = _events(spark).groupBy("user_id").count().toPandas()
     expected_rows = int((per_user["count"] - 4).clip(lower=0).sum())
     assert len(got) == expected_rows
+
+
+def test_rows_window_bucketed_parity_multibatch(spark, tmp_path):
+    """Bucketed-state form == per-key form == batch twin over 4 micro-batches
+    (the graded streaming_rows_window entry runs the bucketed form — this
+    pins it against both alternates, state carry-over included)."""
+    ev = _events(spark).select("user_id", "event_id", "value")
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 4, "event_id")
+    aggs = [
+        ("moving_avg", "avg"),
+        ("moving_sum", "sum"),
+        ("moving_min", "min"),
+        ("buffer_n", "count"),
+        ("prev_value", "lag"),
+        ("first_in_buffer", "first"),
+        ("row_num", "row_number"),
+    ]
+
+    def run(form, tag):
+        sdf = stream_parquet(spark, src, schema=ev.schema, max_files_per_trigger=1)
+        out = run_available_now(
+            form(sdf, ["user_id"], "event_id", "value", 5, aggs),
+            "append",
+            tag,
+        ).toPandas()
+        return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+    got_b = run(rows_window_stream_bucketed, "rw_bkt")
+    got_k = run(rows_window_stream, "rw_key")
+    want = (
+        rows_window_batch(_events(spark), ["user_id"], "event_id", "value", 5, aggs)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got_b) == len(got_k) == len(want) > 0
+    for col in ("moving_avg", "moving_sum", "moving_min", "prev_value",
+                "first_in_buffer"):
+        assert got_b[col].round(9).equals(want[col].round(9)), col
+        assert got_b[col].round(9).equals(got_k[col].round(9)), col
+    for col in ("buffer_n", "row_num"):
+        assert got_b[col].equals(want[col].astype("int64")), col
+        assert got_b[col].equals(got_k[col].astype("int64")), col
+
+
+def test_rows_window_bucketed_multicol_buffer_full(spark, tmp_path):
+    """Bucketed form with a multi-column partition key and
+    emit='buffer_full' matches the per-key form across micro-batches
+    (ADVICE r2: these paths were previously untested)."""
+    ev = _events(spark).select("user_id", "event_type", "event_id", "value")
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 3, "event_id")
+    aggs = [("moving_avg", "avg"), ("buffer_n", "count"), ("row_num", "row_number")]
+
+    def run(form, tag):
+        sdf = stream_parquet(spark, src, schema=ev.schema, max_files_per_trigger=1)
+        out = run_available_now(
+            form(
+                sdf, ["user_id", "event_type"], "event_id", "value", 4,
+                aggs, emit="buffer_full",
+            ),
+            "append",
+            tag,
+        ).toPandas()
+        return out.sort_values(["user_id", "event_type", "event_id"]).reset_index(
+            drop=True
+        )
+
+    got_b = run(rows_window_stream_bucketed, "rw_bkt_mc")
+    got_k = run(rows_window_stream, "rw_key_mc")
+    assert len(got_b) == len(got_k) > 0
+    assert (got_b["buffer_n"] == 4).all()
+    assert got_b["moving_avg"].round(9).equals(got_k["moving_avg"].round(9))
+    assert got_b["row_num"].equals(got_k["row_num"].astype("int64"))
+
+
+def test_rows_window_bucketed_null_keys(spark, tmp_path):
+    """Null partition keys form their own group (like Spark's groupBy and
+    the per-key form) instead of crashing the object-array sort or being
+    silently dropped by pandas groupby (ADVICE r2 bug)."""
+    rows = [
+        (None, 1, 1.0), (7, 2, 2.0), (None, 3, 3.0), (7, 4, 4.0),
+        (None, 5, 5.0), (8, 6, 6.0), (None, 7, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    src = str(tmp_path / "nulls")
+    df.coalesce(1).write.parquet(src)
+    sdf = stream_parquet(spark, src, schema=df.schema)
+    aggs = [("moving_avg", "avg"), ("buffer_n", "count"), ("row_num", "row_number")]
+    got = (
+        run_available_now(
+            rows_window_stream_bucketed(
+                sdf, ["user_id"], "event_id", "value", 3, aggs
+            ),
+            "append",
+            "rw_nulls",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        rows_window_batch(df, ["user_id"], "event_id", "value", 3, aggs)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows)
+    assert got["moving_avg"].round(9).equals(want["moving_avg"].round(9))
+    assert got["buffer_n"].equals(want["buffer_n"].astype("int64"))
+    assert got["row_num"].equals(want["row_num"].astype("int64"))
+    # the null-key group really accumulated: 4 rows, buffer of 3
+    nulls = got[got["user_id"].isna()].sort_values("event_id")
+    assert list(nulls["row_num"]) == [1, 2, 3, 4]
+    assert list(nulls["buffer_n"]) == [1, 2, 3, 3]
 
 
 def test_emit_changes_changelog_converges(spark, tmp_path):

@@ -128,6 +128,11 @@ def rows_window_stream(
         if c not in cols:
             cols.append(c)
 
+    # Project to the columns the op reads BEFORE the stateful exchange —
+    # the shuffle and the Arrow transfer to Python carry only key + order +
+    # referenced value columns, not the whole input row.
+    sdf = sdf.select(*dict.fromkeys([*partition_by, order_by, *cols]))
+
     in_schema = dict(zip(sdf.schema.names, sdf.schema.fields))
     out_fields = (
         [in_schema[c] for c in partition_by]
@@ -200,7 +205,7 @@ def rows_window_stream_bucketed(
     aggs: list,
     emit: str = "every_record",
     expire_after_ms: int | None = None,
-    buckets: int = 32,
+    buckets: int | None = None,
 ) -> DataFrame:
     """ROWS WINDOW with **bucketed** state — the high-key-cardinality path.
 
@@ -210,15 +215,24 @@ def rows_window_stream_bucketed(
     data each key carries. Here the physical state key is
     ``pmod(hash(partition cols), buckets)`` and each bucket keeps every
     resident key's ring buffer inside one pickled dict, so Python is entered
-    ``buckets`` times per batch and the per-key work is vectorized pandas
-    (stable-sort concat + groupby-rolling) across ALL keys in the bucket.
+    ``buckets`` times per batch and the per-key work is vectorized numpy
+    across ALL keys in the bucket: rows are sorted by (key, order), keys are
+    factorized to dense int codes (so null keys are just another code — no
+    object-dtype compares), and every rolling aggregate is computed over a
+    masked ``sliding_window_view`` / prefix arithmetic — no per-key loops,
+    no pandas groupby in the hot path.
 
-    Tradeoffs vs the per-key form (``rows_window_stream``):
-    - bucket state is one blob, rewritten per touched bucket per batch —
-      choose ``buckets`` so each bucket's resident-key population fits
-      executor memory (state per key is still O(buffer × n_cols));
-    - key expiry is handled inside the bucket (per-key last-seen pruning on
-      each invocation) rather than by the state-store timeout.
+    ``buckets`` defaults to 4× the session's shuffle partitions: enough
+    buckets that hash collisions over partitions stay balanced (~4 buckets
+    per task), few enough that per-bucket Python entry overhead stays
+    amortized. Set it explicitly to trade blob size vs call overhead — each
+    bucket's state is one pickled dict of per-key ring buffers, rewritten
+    per touched bucket per batch, so at very high key cardinality raise
+    ``buckets`` until a bucket's resident keys fit executor memory
+    comfortably (state per key is O(buffer × n_cols) doubles).
+
+    Key expiry is handled inside the bucket (per-key last-seen pruning per
+    invocation) rather than by the state-store timeout.
 
     Semantics are identical to ``rows_window_stream``; the parity tests pin
     both against the batch twin / DuckDB oracle.
@@ -234,6 +248,17 @@ def rows_window_stream_bucketed(
         if c not in cols:
             cols.append(c)
 
+    if buckets is None:
+        try:
+            buckets = 4 * int(
+                sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            buckets = 128
+
+    # Shuffle/Arrow carry only key + order + referenced value columns.
+    sdf = sdf.select(*dict.fromkeys([*partition_by, order_by, *cols]))
+
     in_schema = dict(zip(sdf.schema.names, sdf.schema.fields))
     out_fields = (
         [in_schema[c] for c in partition_by]
@@ -246,142 +271,191 @@ def rows_window_stream_bucketed(
     buffer = buffer_size
     emit_full = emit == "buffer_full"
     pcols = list(partition_by)
-    KEY = "__velo_key"
+    # Above this frame length the (n_rows × buffer) window view gets big;
+    # fall back to pandas rolling over int group codes.
+    VECTOR_BUFFER_MAX = 128
 
     def func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         # state: {key: (np.ndarray[n<=buffer, n_cols] buffer, cnt, last_seen)}
+        # null partition keys are normalized to None (hashable, stable
+        # across batches — float NaN is not).
         if state.hasTimedOut:  # pragma: no cover — buckets persist
             state.remove()
             return
         st: dict = pickle.loads(state.get[0]) if state.exists else {}
         now = _time.time() * 1000.0
+        n_cols = len(cols)
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values([*pcols, order_by], kind="mergesort")
-            pdf = pdf.reset_index(drop=True)
-            # one composite key column for grouping/state lookup
+            # Stable sort groups equal keys contiguously (nulls last) with
+            # batch arrival order preserved within (key, order) ties.
+            pdf = pdf.sort_values(
+                [*pcols, order_by], kind="mergesort"
+            ).reset_index(drop=True)
+            n = len(pdf)
             if len(pcols) == 1:
-                keys = pdf[pcols[0]]
-            else:
-                keys = pd.Series(
-                    list(zip(*[pdf[c] for c in pcols])), index=pdf.index, dtype=object
+                codes, uniques = pd.factorize(
+                    pdf[pcols[0]], use_na_sentinel=False
                 )
-            uniq = list(dict.fromkeys(keys))
-            # prefix block: stored ring buffers of keys present in this batch
-            # (one np.concatenate — no per-key DataFrame construction)
-            ents = [
-                (k, st[k][0]) for k in uniq if k in st and len(st[k][0])
-            ]
+                uniq_keys = [
+                    None if pd.isna(u) else u for u in uniques
+                ]
+            else:
+                key_series = pd.Series(
+                    list(
+                        zip(
+                            *[
+                                [None if pd.isna(x) else x for x in pdf[c]]
+                                for c in pcols
+                            ]
+                        )
+                    ),
+                    index=pdf.index,
+                    dtype=object,
+                )
+                codes, uniques = pd.factorize(key_series)
+                uniq_keys = list(uniques)
+            n_groups = len(uniq_keys)
+            # sorted input → contiguous groups → codes nondecreasing
+            counts = np.bincount(codes, minlength=n_groups)
+
+            ents = [st.get(k) for k in uniq_keys]
+            pre_lens = np.array(
+                [len(e[0]) if e is not None else 0 for e in ents], dtype=np.int64
+            )
+            base_cnt = np.array(
+                [e[1] - len(e[0]) if e is not None else 0 for e in ents],
+                dtype=np.int64,
+            )
+            total = counts + pre_lens
+            offsets = np.concatenate(([0], np.cumsum(total[:-1])))
+            n_all = int(total.sum())
+
             batch_vals = np.column_stack(
                 [pdf[c].to_numpy(dtype=float) for c in cols]
             )
-            if ents:
-                pre_vals = np.concatenate([buf for _, buf in ents])
-                pre_keys = np.array(
-                    [k for k, buf in ents for _ in range(len(buf))], dtype=object
-                )
-                n_pre = len(pre_vals)
-                all_vals = np.concatenate([pre_vals, batch_vals])
-                all_keys = np.concatenate(
-                    [pre_keys, keys.to_numpy(dtype=object)]
-                )
-                is_batch = np.concatenate(
-                    [np.zeros(n_pre, dtype=bool), np.ones(len(pdf), dtype=bool)]
-                )
-                combined = pd.DataFrame(all_vals, columns=cols)
-                combined[KEY] = all_keys
-                # stable sort: per key, prefix rows (first in concat order)
-                # stay before the batch's (already ordered) rows
-                order = np.argsort(all_keys, kind="stable")
-                combined = combined.iloc[order].reset_index(drop=True)
-                is_batch = is_batch[order]
-                # map each batch row of `combined` back to its pdf row
-                src = np.concatenate(
-                    [np.full(n_pre, -1), np.arange(len(pdf))]
-                )[order]
-            else:
-                n_pre = 0
-                combined = pd.DataFrame(batch_vals, columns=cols)
-                combined[KEY] = keys.to_numpy(dtype=object)
-                is_batch = np.ones(len(pdf), dtype=bool)
-                src = np.arange(len(pdf))
+            # global row index of each batch row in the combined layout
+            # (prefix rows occupy the head of each group's range)
+            batch_group_start = np.concatenate(([0], np.cumsum(counts[:-1])))
+            within = np.arange(n) - batch_group_start[codes]
+            bidx = (offsets + pre_lens)[codes] + within
+            all_vals = np.empty((n_all, n_cols), dtype=float)
+            all_vals[bidx] = batch_vals
+            for gi, e in enumerate(ents):
+                if e is not None and len(e[0]):
+                    all_vals[offsets[gi] : offsets[gi] + pre_lens[gi]] = e[0]
 
-            g = combined.groupby(KEY, sort=False)
-            pos = g.cumcount().to_numpy()  # 0-based position within key
-            key_start = np.arange(len(combined)) - pos
-            vals = {c: combined[c].to_numpy() for c in cols}
+            codes_all = np.repeat(np.arange(n_groups), total)
+            key_start = offsets[codes_all]
+            pos = np.arange(n_all) - key_start
+            lifetime = base_cnt[codes_all] + pos + 1
+            is_batch = pos >= pre_lens[codes_all]
+            src = np.empty(n_all, dtype=np.int64)
+            src[bidx] = np.arange(n)
 
-            # lifetime counter base per key: stored cnt minus resident
-            # prefix length, so row_number = base + pos + 1
-            base_map = {
-                k: (st[k][1] - len(st[k][0]) if k in st else 0) for k in uniq
-            }
-            lifetime = (
-                pd.Series(combined[KEY]).map(base_map).to_numpy(dtype=np.int64)
-                + pos
-                + 1
-            )
+            col_idx = {c: i for i, c in enumerate(cols)}
+            # masked sliding-window cache per referenced column
+            win_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            roll_cache: dict[str, object] = {}
+            grid_valid: np.ndarray | None = None
 
+            def window(c: str) -> tuple[np.ndarray, np.ndarray]:
+                """(window values (n_all, buffer), valid&non-nan mask)."""
+                nonlocal grid_valid
+                if c not in win_cache:
+                    if grid_valid is None:
+                        idx = (
+                            np.arange(buffer)
+                            + (np.arange(n_all) - buffer + 1)[:, None]
+                        )
+                        grid_valid = idx >= key_start[:, None]
+                    v = all_vals[:, col_idx[c]]
+                    padded = np.concatenate(
+                        (np.full(buffer - 1, np.nan), v)
+                    )
+                    w = np.lib.stride_tricks.sliding_window_view(padded, buffer)
+                    win_cache[c] = (w, grid_valid & ~np.isnan(w))
+                return win_cache[c]
+
+            def roll(c: str):
+                if c not in roll_cache:
+                    roll_cache[c] = (
+                        pd.Series(all_vals[:, col_idx[c]])
+                        .groupby(codes_all)
+                        .rolling(buffer, min_periods=1)
+                    )
+                return roll_cache[c]
+
+            vectorized = buffer <= VECTOR_BUFFER_MAX
             out_cols: dict[str, np.ndarray] = {}
-            rolls: dict[str, object] = {}
-
-            def roll(c):
-                if c not in rolls:
-                    rolls[c] = g[c].rolling(buffer, min_periods=1)
-                return rolls[c]
-
             for out_col, fn, c in specs:
-                if fn == "avg":
-                    r = roll(c).mean().to_numpy()
-                elif fn == "sum":
-                    r = roll(c).sum().to_numpy()
-                elif fn == "min":
-                    r = roll(c).min().to_numpy()
-                elif fn == "max":
-                    r = roll(c).max().to_numpy()
-                elif fn == "count":
-                    r = roll(c).count().to_numpy().astype("int64")
-                elif fn == "last":
-                    r = vals[c]
+                v = all_vals[:, col_idx[c]]
+                if fn == "last":
+                    r = v
                 elif fn == "lag":
-                    r = g[c].shift(1).to_numpy()
+                    shifted = np.concatenate(([np.nan], v[:-1]))
+                    r = np.where(pos > 0, shifted, np.nan)
                 elif fn == "first":
-                    tgt = key_start + np.maximum(pos - buffer + 1, 0)
-                    r = vals[c][tgt]
+                    tgt = np.maximum(np.arange(n_all) - buffer + 1, key_start)
+                    r = v[tgt]
                 elif fn == "row_number":
                     r = lifetime
-                else:  # pragma: no cover
-                    raise ValueError(f"unsupported rows-window fn: {fn}")
+                elif vectorized:
+                    w, m = window(c)
+                    cnt = m.sum(axis=1)
+                    if fn == "count":
+                        r = cnt.astype("int64")
+                    elif fn in ("sum", "avg"):
+                        s = np.where(m, w, 0.0).sum(axis=1)
+                        if fn == "avg":
+                            s = s / np.maximum(cnt, 1)
+                        r = np.where(cnt > 0, s, np.nan)
+                    elif fn == "min":
+                        r = np.where(m, w, np.inf).min(axis=1)
+                        r = np.where(cnt > 0, r, np.nan)
+                    elif fn == "max":
+                        r = np.where(m, w, -np.inf).max(axis=1)
+                        r = np.where(cnt > 0, r, np.nan)
+                    else:  # pragma: no cover
+                        raise ValueError(f"unsupported rows-window fn: {fn}")
+                else:
+                    agg = {
+                        "avg": "mean",
+                        "sum": "sum",
+                        "min": "min",
+                        "max": "max",
+                        "count": "count",
+                    }[fn]
+                    r = getattr(roll(c), agg)().to_numpy()
+                    if fn == "count":
+                        r = r.astype("int64")
                 out_cols[out_col] = r
 
-            mask = is_batch.copy()
+            mask = is_batch
             if emit_full:
-                mask &= lifetime >= buffer
+                mask = mask & (lifetime >= buffer)
             rows = src[mask]  # pdf row index per emitted row (dtypes intact)
             out = pd.DataFrame(
                 {
                     **{c: pdf[c].to_numpy()[rows] for c in pcols},
                     order_by: pdf[order_by].to_numpy()[rows],
-                    **{c: vals[c][mask] for c in cols},
-                    **{oc: v[mask] for oc, v in out_cols.items()},
+                    **{
+                        c: all_vals[:, col_idx[c]][mask] for c in cols
+                    },
+                    **{oc: r[mask] for oc, r in out_cols.items()},
                 }
             )
-            # state update: per-key tail of the combined frame, via np.split
-            # on group boundaries (no per-key pandas ops)
-            tail = g.tail(buffer)
-            tkeys = tail[KEY].to_numpy()
-            bounds = np.nonzero(tkeys[1:] != tkeys[:-1])[0] + 1
-            tvals = tail[cols].to_numpy(dtype=float)
-            chunks = np.split(tvals, bounds)
-            kheads = [tkeys[0], *tkeys[bounds]] if len(tkeys) else []
-            seen = pd.Series(combined[KEY]).value_counts()
-            for k, chunk in zip(kheads, chunks):
-                old = st.get(k)
-                pre_len = len(old[0]) if old is not None else 0
-                old_cnt = old[1] if old is not None else 0
-                n_batch = int(seen[k]) - pre_len
-                st[k] = (chunk, old_cnt + n_batch, now)
+            # state update: per-key tail (last ≤buffer rows) of the combined
+            # layout, one boolean mask + np.split — no per-key pandas ops
+            tail_mask = pos >= (total - buffer)[codes_all]
+            tail_vals = all_vals[tail_mask]
+            tail_counts = np.minimum(total, buffer)
+            splits = np.cumsum(tail_counts[:-1])
+            chunks = np.split(tail_vals, splits)
+            new_cnt = base_cnt + total
+            for gi, k in enumerate(uniq_keys):
+                st[k] = (chunks[gi], int(new_cnt[gi]), now)
             if not out.empty:
                 yield out
         if expire_after_ms is not None:
@@ -391,6 +465,7 @@ def rows_window_stream_bucketed(
         else:
             state.remove()
 
+    # hash(NULL) is a valid bucket too — null keys flow through like any key
     bucket_expr = F.pmod(
         F.hash(*[F.col(c) for c in pcols]), F.lit(buckets)
     ).alias("__velo_bucket")

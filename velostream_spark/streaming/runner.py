@@ -7,8 +7,11 @@ This is the Spark analog of the reference's bounded-source execution path
 everything currently available as a sequence of micro-batches, advance the
 watermark, flush what closes, stop.
 
-The memory sink collects results on the driver — fine for test scale; the
-production path writes parquet/Kafka through the same writer settings.
+Append-mode runs go through a parquet *file* sink (a distributed write —
+the production-faithful path; the driver never holds the result set) and
+the sink directory is handed back as a DataFrame. Update/complete modes
+(changelog semantics the file sink can't express) use the memory sink —
+their outputs are small aggregates by construction.
 """
 
 from __future__ import annotations
@@ -31,12 +34,29 @@ def run_available_now(
     query_name: str | None = None,
     timeout_s: int = 300,
 ) -> DataFrame:
-    """Run a streaming DataFrame to completion into a memory sink; return
-    the sink table. Unique sink name + throwaway checkpoint per call, so
-    repeated invocations (driver retries, bench steady-state) are
-    independent."""
+    """Run a streaming DataFrame to completion; return the sink contents.
+
+    Append mode writes a parquet file sink (distributed — executors write
+    their partitions directly, no driver collect) and returns a reader over
+    it; update/complete modes use the memory sink. Unique sink name +
+    throwaway checkpoint per call, so repeated invocations (driver retries,
+    bench steady-state) are independent."""
     name = _unique(query_name or "vs_stream")
     ckpt = tempfile.mkdtemp(prefix=f"vs-ckpt-{name}-")
+    if output_mode == "append":
+        out_dir = tempfile.mkdtemp(prefix=f"vs-out-{name}-")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        # Explicit schema: a zero-row run leaves no data files to infer from.
+        return sdf.sparkSession.read.schema(sdf.schema).parquet(out_dir)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
