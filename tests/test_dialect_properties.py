@@ -102,3 +102,39 @@ def test_comments_stripped_strings_preserved(comment):
 def test_split_statements_count(n):
     app = ";\n".join(f"SELECT {i} AS c FROM t" for i in range(n)) + ";"
     assert len(split_statements(app)) == n
+
+
+def test_paren_matching_skips_string_literals():
+    """A quoted unbalanced paren in a function argument must not corrupt
+    the depth match of the OVER-clause probe, the function rewriter, or
+    the DELTA rewrite (ADVICE r2)."""
+    from velostream_spark.sql.dialect import (
+        _call_name_before,
+        _match_paren,
+        _rewrite_functions,
+        _rewrite_over_clauses,
+    )
+
+    # _match_paren: close paren inside the string is skipped
+    s = "(regexp_extract(s, '([', 1))"
+    assert _match_paren(s, 1) == len(s)
+    # doubled-quote escape inside the literal
+    s2 = "(f('it''s )( fine'))"
+    assert _call_name_before(s2[1:-1] + " ") == "f"
+
+    # _call_name_before sees LAG, not a corrupted span
+    prefix = "SELECT LAG(regexp_extract(s, '([', 1)) "
+    assert _call_name_before(prefix) == "LAG"
+
+    # end-to-end: OVER rewrite leaves the quoted paren intact and still
+    # finds the window spec
+    sql = (
+        "SELECT LAG(regexp_extract(s, '([', 1)) "
+        "OVER (PARTITION BY k ORDER BY t) AS x FROM tbl"
+    )
+    out = _rewrite_over_clauses(sql)
+    assert "'(['" in out and "PARTITION BY k ORDER BY t" in out
+
+    # function rewriter: quoted parens in a rewritable call's args
+    out2 = _rewrite_functions("SELECT JSON_EXTRACT(payload, '$.a(') AS v FROM t")
+    assert out2 == "SELECT get_json_object(payload, '$.a(') AS v FROM t"

@@ -350,7 +350,9 @@ def test_datediff_three_arg_rewrite(spark, engine):
     # calendar-day diff of a 36h gap is 1 or 2 depending on wall time, never 1.5
     assert row["cal_days"] in (1, 2)
     assert row["yr"] in (1, 2)
-    assert row["mo"] == 3
+    # calendar-month diff of a 90-day span is 2 or 3 depending on where the
+    # end date falls in its month (data-dependent on the first events row)
+    assert row["mo"] in (2, 3)
     # singular accepted as courtesy; unsupported unit is a clear error
     r2 = engine.execute(
         "SELECT DATEDIFF('hour', ts - INTERVAL 2 HOUR, ts) AS h FROM events LIMIT 1"

@@ -49,6 +49,40 @@ _UNIT_TO_SPARK = {
 }
 
 
+def _skip_string(s: str, i: int) -> int:
+    """``i`` points at an opening quote; return the index just past the
+    closing quote (SQL ``''`` doubling treated as an escaped quote)."""
+    q = s[i]
+    i += 1
+    while i < len(s):
+        if s[i] == q:
+            if i + 1 < len(s) and s[i + 1] == q:
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return i
+
+
+def _match_paren(s: str, i: int) -> int:
+    """``i`` = index just past an opening paren; return the index just past
+    its matching close. String literals are skipped, so an unbalanced paren
+    inside a quoted argument (e.g. ``regexp_extract(x, '([', 1)``) can't
+    corrupt the depth match."""
+    depth = 1
+    while i < len(s) and depth:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on `sep` at paren/quote depth 0."""
     out, depth, cur, i = [], 0, [], 0
@@ -339,33 +373,43 @@ def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
 def _call_name_before(prefix: str) -> str | None:
     """Name of the function call whose closing paren ends ``prefix``.
 
-    Walks backwards with paren-depth matching (nested-paren safe), then takes
-    the identifier immediately before the matched opening paren.
+    A single forward scan pairs parens while skipping string literals
+    (a quoted ``(`` or ``)`` in an argument can't break the match — a
+    backwards walk can't know quote context), then the identifier
+    immediately before the opening paren of the final pair is taken.
     """
-    k = len(prefix) - 1
-    while k >= 0 and prefix[k].isspace():
-        k -= 1
-    if k < 0 or prefix[k] != ")":
+    end = len(prefix) - 1
+    while end >= 0 and prefix[end].isspace():
+        end -= 1
+    if end < 0 or prefix[end] != ")":
         return None
-    depth = 0
-    while k >= 0:
-        if prefix[k] == ")":
-            depth += 1
-        elif prefix[k] == "(":
-            depth -= 1
-            if depth == 0:
-                break
-        k -= 1
-    if k < 0:
+    stack: list[int] = []
+    open_idx: int | None = None
+    i = 0
+    while i <= end:
+        ch = prefix[i]
+        if ch in ("'", '"'):
+            i = _skip_string(prefix, i)
+            continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if not stack:
+                return None
+            o = stack.pop()
+            if i == end:
+                open_idx = o
+        i += 1
+    if open_idx is None:
         return None
     # allow whitespace between the identifier and its opening paren
-    end = k
-    while end > 0 and prefix[end - 1].isspace():
-        end -= 1
-    k = end
+    e = open_idx
+    while e > 0 and prefix[e - 1].isspace():
+        e -= 1
+    k = e
     while k > 0 and (prefix[k - 1].isalnum() or prefix[k - 1] == "_"):
         k -= 1
-    name = prefix[k:end]
+    name = prefix[k:e]
     return name or None
 
 
@@ -383,13 +427,7 @@ def _rewrite_over_clauses(sql: str) -> str:
         # call's arguments (e.g. LAG(CAST(x AS DOUBLE))) are handled.
         fn_name = _call_name_before(sql[: m.start()])
         out.append(sql[i : m.end()])
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
+        j = _match_paren(sql, m.end())
         inner = sql[m.end() : j - 1]
         out.append(_rewrite_rows_window_spec(inner, fn_name))
         out.append(")")
@@ -531,13 +569,7 @@ def _rewrite_functions(sql: str) -> str:
         m = _FN_CALL_RE.search(sql, pos)
         if not m:
             return sql
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
+        j = _match_paren(sql, m.end())
         inner = sql[m.end() : j - 1]
         args = [a.strip() for a in _split_top_level(inner)] if inner.strip() else []
         # recurse into args first (nested rewritable calls)
@@ -566,13 +598,7 @@ def _rewrite_delta(sql: str) -> str:
         m = _DELTA_RE.search(sql)
         if not m:
             return sql
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if sql[j] == "(":
-                depth += 1
-            elif sql[j] == ")":
-                depth -= 1
-            j += 1
+        j = _match_paren(sql, m.end())
         arg = sql[m.end() : j - 1].strip()
         om = re.match(r"(?is)\s*OVER\s*\(", sql[j:])
         if not om:
@@ -580,13 +606,7 @@ def _rewrite_delta(sql: str) -> str:
                 "DELTA(x) requires an OVER clause in the Spark dialect "
                 "(per-record diff needs an explicit order)"
             )
-        depth, k = 1, j + om.end()
-        while k < len(sql) and depth:
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-            k += 1
+        k = _match_paren(sql, j + om.end())
         over = sql[j + om.end() : k - 1]
         sql = (
             sql[: m.start()]
