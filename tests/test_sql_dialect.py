@@ -239,6 +239,34 @@ def test_ctas_and_point_lookup(spark, engine):
     assert j.count() == ev.count()
 
 
+def test_materialized_table_over_cap_uses_pushdown(spark):
+    """A table above index_max_rows must NOT be collected into a driver-side
+    dict: point lookups fall back to a pushed-down filter scan, the explicit
+    index build raises a clear error, and an oversized sql_column_values
+    result is refused rather than OOMing the driver."""
+    import pytest as _pytest
+
+    from velostream_spark.sql.engine import MaterializedTable
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    mt = MaterializedTable("big", df, key_field="k", index_max_rows=10)
+    assert mt.get_record(7) == {"k": 7, "v": 14}
+    assert mt.get_record(1000) is None
+    assert mt.contains_key(7) and not mt.contains_key(1000)
+    assert mt._index is None  # no driver dict was materialized
+    with _pytest.raises(ValueError, match="index_max_rows"):
+        mt._ensure_index()
+    # filtered scans stay available at any size; oversized collects refused
+    assert mt.sql_filter("k < 5").count() == 5
+    assert sorted(mt.sql_column_values("v", "k < 5")) == [0, 2, 4, 6, 8]
+    with _pytest.raises(ValueError, match="matched more than"):
+        mt.sql_column_values("v", "k >= 0")
+    # under the cap the dict index is built and serves O(1) lookups
+    small = MaterializedTable("small", df, key_field="k", index_max_rows=1000)
+    assert small.get_record(3) == {"k": 3, "v": 6}
+    assert small._index is not None
+
+
 def test_insert_update_delete(spark, engine):
     engine.execute("CREATE TABLE kv AS SELECT 1 AS k, 'a' AS v")
     assert engine.execute("INSERT INTO kv (k, v) VALUES (2, 'b'), (3, 'c')") == 2

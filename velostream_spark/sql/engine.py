@@ -31,32 +31,79 @@ from pyspark.sql import functions as F
 from velostream_spark.sql.dialect import Statement, parse_statement, split_statements
 
 
+#: Above this many rows a table's driver-side dict index is refused and
+#: point lookups fall back to pushed-down filters (still correct, fully
+#: distributed). The index exists to make SMALL dimension tables O(1) — at
+#: 100-TB scale a big CTAS table must never be collected to the driver.
+INDEX_MAX_ROWS = 1_000_000
+
+
 class MaterializedTable:
     """UnifiedTable surface (reference unified_table.rs:240-330) over a
     cached DataFrame: O(1)-ish key lookups served from a driver-side dict
     built lazily on first `get_record` (the reference builds the same index
-    eagerly during CTAS ingestion); predicate scans stay distributed."""
+    eagerly during CTAS ingestion — it is a single-node engine, so it can);
+    tables over ``index_max_rows`` serve point lookups through a
+    predicate-pushdown scan instead, and predicate scans stay distributed
+    at every size."""
 
-    def __init__(self, name: str, df: DataFrame, key_field: str | None = None):
+    def __init__(
+        self,
+        name: str,
+        df: DataFrame,
+        key_field: str | None = None,
+        index_max_rows: int = INDEX_MAX_ROWS,
+    ):
         self.name = name
         self.df = df
         self.key_field = key_field
+        self.index_max_rows = index_max_rows
         self._index: dict[Any, dict] | None = None
+        self._oversized: bool | None = None
+
+    def _indexable(self) -> bool:
+        if self._index is not None:
+            return True
+        if self._oversized is None:
+            self._oversized = self.df.count() > self.index_max_rows
+        return not self._oversized
 
     def _ensure_index(self) -> dict[Any, dict]:
+        if self.key_field is None:
+            raise ValueError(f"table {self.name!r} has no key field")
         if self._index is None:
-            if self.key_field is None:
-                raise ValueError(f"table {self.name!r} has no key field")
+            if not self._indexable():
+                raise ValueError(
+                    f"table {self.name!r} exceeds index_max_rows="
+                    f"{self.index_max_rows} — a driver-side index would "
+                    "risk OOM; point lookups are served via pushed-down "
+                    "filters instead"
+                )
             self._index = {
                 r[self.key_field]: r.asDict() for r in self.df.collect()
             }
         return self._index
 
+    def _lookup_scan(self, key: Any) -> dict | None:
+        """Point lookup as a distributed scan — the key equality predicate
+        pushes down to the table's source (parquet row-group skipping /
+        partition pruning when key-partitioned)."""
+        rows = self.df.where(F.col(self.key_field) == F.lit(key)).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
     def get_record(self, key: Any) -> dict | None:
         """get_record(key) — unified_table.rs point lookup."""
+        if self.key_field is None:
+            raise ValueError(f"table {self.name!r} has no key field")
+        if not self._indexable():
+            return self._lookup_scan(key)
         return self._ensure_index().get(key)
 
     def contains_key(self, key: Any) -> bool:
+        if self.key_field is None:
+            raise ValueError(f"table {self.name!r} has no key field")
+        if not self._indexable():
+            return self._lookup_scan(key) is not None
         return key in self._ensure_index()
 
     def sql_filter(self, predicate_sql: str) -> DataFrame:
@@ -67,7 +114,24 @@ class MaterializedTable:
         return self.df.where(predicate_sql).limit(1).count() > 0
 
     def sql_column_values(self, column: str, predicate_sql: str) -> list:
-        return [r[0] for r in self.df.where(predicate_sql).select(column).collect()]
+        """Filtered single-column collect. The filter runs distributed with
+        pushdown; the RESULT must still fit on the driver, so collection is
+        capped at ``index_max_rows`` with a clear error rather than an OOM."""
+        cap = self.index_max_rows
+        rows = [
+            r[0]
+            for r in self.df.where(predicate_sql)
+            .select(column)
+            .limit(cap + 1)
+            .collect()
+        ]
+        if len(rows) > cap:
+            raise ValueError(
+                f"sql_column_values on {self.name!r} matched more than "
+                f"{cap} rows — narrow the predicate or use sql_filter() "
+                "and keep the result distributed"
+            )
+        return rows
 
     def count(self) -> int:
         return self.df.count()
