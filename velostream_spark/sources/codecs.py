@@ -5,14 +5,21 @@ evolution, protobuf_codec.rs).
 Spark-native mapping:
 
 - JSON: `from_json`/`to_json` (used by sources.kafka.decode_json_value).
-- Avro: `from_avro`/`to_avro` from the spark-avro module. The connector jar
-  is not bundled with pyspark; `decode_avro`/`encode_avro` raise a clear
-  error when it's absent (add `--packages org.apache.spark:spark-avro_2.13`).
-  The schema-mapping half of the reference's codec — Avro JSON schema →
-  engine types, including `decimal` logical types → DecimalType (the
-  ScaledInteger-parity path, avro_codec.rs decimal handling) — is pure
-  Python here and fully tested without the jar.
-- Protobuf: `from_protobuf`/`to_protobuf` (spark-protobuf), same gating.
+- Avro: two runtime paths. With the spark-avro jar on the classpath,
+  `decode_avro`/`encode_avro` use the connector's `from_avro`/`to_avro`
+  (JVM-side, preferred on a real cluster). Without it — this environment
+  ships no connector jar and has no network — `avro_binary.df_decode_avro`
+  / `df_encode_avro` implement the public Avro binary spec in pure Python,
+  Arrow-batched through `mapInPandas`, including decimal logical types and
+  reader/writer schema resolution (the reference's schema-evolution
+  contract). The schema-mapping half (Avro JSON schema → Spark types,
+  `decimal` → DecimalType — the ScaledInteger-parity path) lives below.
+- Protobuf: same split — `from_protobuf`/`to_protobuf` when spark-protobuf
+  is present; `proto_binary.df_decode_protobuf` (pure-Python wire-format
+  codec + minimal .proto parser) otherwise.
+- Schema registry: `schema_registry.FileSchemaRegistry` resolves
+  subject/version pairs and feeds the Avro paths
+  (`schema_registry.decode_with_registry`).
 """
 
 from __future__ import annotations
@@ -165,7 +172,13 @@ def encode_protobuf(data: Column, message_name: str, desc_file_path: str) -> Col
 
 
 def _gate_msg(pkg: str) -> str:
+    fallback = (
+        "velostream_spark.sources.avro_binary.df_decode_avro"
+        if "avro" in pkg
+        else "velostream_spark.sources.proto_binary.df_decode_protobuf"
+    )
     return (
         f"{pkg} connector is not on the classpath; launch with "
-        f"--packages org.apache.spark:{pkg}_2.13:<spark-version>"
+        f"--packages org.apache.spark:{pkg}_2.13:<spark-version>, or use the "
+        f"pure-Python Arrow-batched fallback {fallback}"
     )
