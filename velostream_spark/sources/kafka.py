@@ -115,13 +115,29 @@ def tombstones(df: DataFrame, key_fields: list[str]) -> DataFrame:
     )
 
 
+def decode_avro_value(df: DataFrame, cfg: dict[str, str]) -> DataFrame:
+    """Avro codec path (serialization/avro_codec.rs): value bytes → columns
+    via the schema registry (WITH-clause `avro.schema.*` keys) and the
+    pure-Python binary codec — runs without the spark-avro jar."""
+    from .schema_registry import decode_with_registry
+
+    return decode_with_registry(df, cfg, value_col="value")
+
+
+def sink_frame(df: DataFrame, key_fields: list[str] | None = None) -> DataFrame:
+    """The sink-side transformation (data_sink.rs): rows JSON-encoded into
+    `value`, key from PRIMARY KEY fields. Split from `write_batch` so the
+    key/value shaping is testable without a broker."""
+    data_cols = [c for c in df.columns if c not in ("key", "value", "headers")]
+    return message_key(df, key_fields or []).select(
+        "key", F.to_json(F.struct(*data_cols)).alias("value")
+    )
+
+
 def write_batch(df: DataFrame, cfg: dict[str, str], key_fields: list[str] | None = None) -> None:
     """Batch write to Kafka: rows JSON-encoded into `value`, key from
     PRIMARY KEY fields (data_sink.rs key extraction)."""
-    data_cols = [c for c in df.columns if c not in ("key", "value", "headers")]
-    out = message_key(df, key_fields or []).select(
-        "key", F.to_json(F.struct(*data_cols)).alias("value")
-    )
+    out = sink_frame(df, key_fields)
     writer = (
         out.write.format("kafka")
         .option(
