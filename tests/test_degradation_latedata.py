@@ -101,3 +101,64 @@ def test_update_previous_window_refires(spark, tmp_path):
     assert any(t == 17.0 for _, _, t in w1), emissions
     # final state: last emission for the window carries the corrected value
     assert sorted(w1)[-1][2] == 17.0
+
+
+def test_wait_and_retry_late_dim_row_enriches(spark, tmp_path):
+    """WaitAndRetry (graceful_degradation.rs:16-30): a stream record whose
+    dimension lookup misses is HELD in join state; the dimension row
+    arriving in a later micro-batch within the grace window matches it
+    ("retry succeeds" — the record emits enriched, never null), while a
+    record whose dimension never arrives emits null-enriched exactly once
+    after the watermark passes its grace bound ("retries exhausted")."""
+    from velostream_spark.operators.degradation import wait_and_retry_join
+
+    s_dir, d_dir = str(tmp_path / "s"), str(tmp_path / "d")
+    os.makedirs(s_dir)
+    os.makedirs(d_dir)
+
+    def write(rows, schema, dirpath, name, mtime_off):
+        pdf = spark.createDataFrame(rows, schema).toPandas()
+        for c in pdf.columns:
+            if pdf[c].dtype.kind == "M":
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        p = os.path.join(dirpath, name)
+        pdf.to_parquet(p, index=False)
+        t = time.time() + mtime_off
+        os.utime(p, (t, t))
+
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    s_schema = "event_id long, cust long, ts timestamp"
+    d_schema = "cust long, tier string, dim_ts timestamp"
+    # batch 0: two stream events, no useful dim rows yet
+    write([(1, 10, T(10, 0)), (2, 20, T(10, 0))], s_schema, s_dir, "b0.parquet", -60)
+    write([(50, "old", T(9, 0))], d_schema, d_dir, "b0.parquet", -60)
+    # batch 1: cust=10's dim row arrives 5 min later (inside the 10-min
+    # grace). Matching far-future rows on BOTH sides push the global
+    # watermark (min across inputs) past 10:10 so cust=20's record
+    # exhausts its grace and emits null.
+    write([(3, 99, T(11, 0))], s_schema, s_dir, "b1.parquet", 0)
+    write([(10, "gold", T(10, 5)), (99, "noise", T(11, 0))],
+          d_schema, d_dir, "b1.parquet", 0)
+
+    sdf = stream_parquet(spark, s_dir, schema=spark.createDataFrame([], s_schema).schema,
+                         max_files_per_trigger=1)
+    ddf = stream_parquet(spark, d_dir, schema=spark.createDataFrame([], d_schema).schema,
+                         max_files_per_trigger=1)
+    joined = wait_and_retry_join(
+        sdf, ddf, key="cust", stream_time="ts", dim_time="dim_ts",
+        grace_minutes=10, retention_minutes=60,
+    )
+    rows = {}
+
+    def collect(bdf, bid):
+        for r in bdf.collect():
+            rows[r["event_id"]] = (r["tier"], r["dim_ts"])
+
+    run_foreach_batch(joined, collect, output_mode="append",
+                      query_name="wait_and_retry")
+    # retry succeeded: emitted enriched (once), not null
+    assert rows[1] == ("gold", T(10, 5))
+    # retries exhausted: emitted null-enriched after watermark passed 10:10
+    assert rows[2] == (None, None)

@@ -102,3 +102,24 @@ def test_whole_stage_codegen_everywhere_cheap(spark):
 def test_tumbling_window_partial_agg(spark):
     plan = plan_of(spark, "tumbling_window")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_in_subquery_is_broadcast_semi_join(spark):
+    # the bench's closest-to-the-bar query (VERDICT r2: exactly 0.50x):
+    # pin the broadcast semi-join shape so a silent fallback to
+    # shuffle/sort-merge can't push it under the bar unnoticed
+    plan = plan_of(spark, "in_subquery")
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exists_subquery_is_broadcast_semi_join(spark):
+    plan = plan_of(spark, "exists_subquery")
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_not_exists_subquery_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "not_exists_subquery")
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -51,7 +51,8 @@ def _write_chunks(spark, df, tmpdir: str, n: int, order_col: str) -> str:
             (F.col("_rk") > i * per) & (F.col("_rk") <= (i + 1) * per)
         ).drop("_rk")
         path = os.path.join(tmpdir, f"chunk_{i:03d}.parquet")
-        chunk.toPandas().to_parquet(path, index=False)
+        # pandas holds ns timestamps; Spark's reader expects micros
+        chunk.toPandas().to_parquet(path, index=False, coerce_timestamps="us")
         mtime = time.time() - (n - i) * 10
         os.utime(path, (mtime, mtime))
     return tmpdir
@@ -406,3 +407,52 @@ def test_rows_window_multi_column_aggs(spark, tmp_path):
     for col in ("avg_v", "max_v2", "lag_v2"):
         assert got[col].round(9).equals(want[col].round(9)), col
     assert got["n"].equals(want["n"].astype("int64"))
+
+
+def test_streaming_session_join_matches_batch_twin(spark, tmp_path):
+    """True streaming session join (applyInPandasWithState, eager pair
+    emission) == the batch co-sessionization composition, across 3
+    time-ordered micro-batches — open-session state survives batch
+    boundaries and pairs split across batches are still found exactly once
+    (reference coordinator.rs:101-102 session co-windowing)."""
+    from velostream_spark.queries.joins import session_join
+    from velostream_spark.streaming.session_join import session_pair_join_stream
+
+    ev = _events(spark).where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 3, "ts")
+    sdf = stream_parquet(
+        spark, src, schema=ev.schema, max_files_per_trigger=1
+    ).withWatermark("ts", "0 seconds")
+    got = (
+        run_available_now(
+            session_pair_join_stream(
+                sdf,
+                key_col="user_id",
+                time_col="ts",
+                id_col="event_id",
+                side_col="event_type",
+                left_side="click",
+                right_side="view",
+                gap_minutes=30,
+                left_out="click_id",
+                right_out="view_id",
+            ),
+            "append",
+            "session_join_multibatch",
+        )
+        .toPandas()
+        .sort_values(["click_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        session_join(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["click_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("click_id", "view_id", "user_id"):
+        assert got[col].equals(want[col]), col
+    assert got["session_start"].equals(want["session_start"])

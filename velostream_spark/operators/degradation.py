@@ -29,6 +29,7 @@ class DegradationMode(str, Enum):
     SKIP_RECORD = "skip_record"
     EMIT_NULLS = "emit_nulls"
     FAIL_FAST = "fail_fast"
+    WAIT_AND_RETRY = "wait_and_retry"
 
 
 def stream_table_join(
@@ -65,3 +66,53 @@ def stream_table_join(
         ).otherwise(F.col(probe))
         return joined.withColumn(probe, marker)
     raise ValueError(f"unknown mode: {mode}")
+
+
+def wait_and_retry_join(
+    stream: DataFrame,
+    dim_stream: DataFrame,
+    key: str,
+    stream_time: str = "ts",
+    dim_time: str = "dim_ts",
+    grace_minutes: int = 10,
+    retention_minutes: int = 60,
+) -> DataFrame:
+    """WaitAndRetry (reference graceful_degradation.rs:16-30 WaitAndRetry
+    {max_retries, initial_delay, backoff}) — the streaming form.
+
+    The reference buffers a stream record whose table lookup missed and
+    retries with backoff as the table ingests new rows. In a dataflow
+    engine the retry loop IS state retention: a watermarked LEFT OUTER
+    stream-stream join holds the record in the join state store, a late
+    dimension row arriving within ``grace_minutes`` matches it (the
+    "retry succeeds" path), and when the watermark passes the grace bound
+    the record emits null-enriched exactly once (the "retries exhausted"
+    fallback = EmitNulls). ``max_retries x delay`` maps to the grace
+    interval; exponential backoff has no analog because the state store
+    probes on every micro-batch for free.
+
+    ``retention_minutes`` bounds how far BACK a dimension row may have
+    arrived before the stream record and still match — the state-eviction
+    horizon for the dimension side (both bounds are required for Spark to
+    evict join state; unbounded retention would grow state forever at
+    100-TB scale).
+
+    Both inputs must be streaming and carry event-time columns; watermarks
+    are applied here.
+    """
+    s = stream.withWatermark(stream_time, "0 seconds")
+    d = dim_stream.withWatermark(dim_time, "0 seconds")
+    dim_key = f"_dim_{key}"
+    d2 = d.withColumnRenamed(key, dim_key)
+    cond = (
+        (F.col(key) == F.col(dim_key))
+        & (
+            F.col(dim_time)
+            >= F.col(stream_time) - F.expr(f"INTERVAL {retention_minutes} MINUTES")
+        )
+        & (
+            F.col(dim_time)
+            <= F.col(stream_time) + F.expr(f"INTERVAL {grace_minutes} MINUTES")
+        )
+    )
+    return s.join(d2, cond, "left_outer").drop(dim_key)

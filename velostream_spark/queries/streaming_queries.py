@@ -166,6 +166,74 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    gaps AS (
+      SELECT *,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+      FROM gaps
+    ),
+    bounds AS (
+      SELECT *, MIN(ts) OVER (PARTITION BY user_id, sid) AS session_start
+      FROM sess
+    )
+    SELECT a.event_id AS click_id,
+           b.event_id AS view_id,
+           a.user_id  AS user_id,
+           a.session_start
+    FROM bounds a JOIN bounds b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+    tags=("streaming", "join", "session", "stream-stream", "velostream-specific"),
+)
+def streaming_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-windowed stream-stream join, true streaming form (reference
+    coordinator.rs:101-102 session co-windowing) — the unbounded twin of
+    queries/joins.py::session_join, same oracle, identical output.
+
+    Custom stateful op (streaming/session_join.py): per-user open-session
+    state via applyInPandasWithState, pairs emitted eagerly as the later
+    element arrives, state GC'd by event-time timeout at last_ts + gap.
+    """
+    from velostream_spark.streaming.session_join import session_pair_join_stream
+
+    sdf = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", "0 seconds")
+    )
+    pairs = session_pair_join_stream(
+        sdf,
+        key_col="user_id",
+        time_col="ts",
+        id_col="event_id",
+        side_col="event_type",
+        left_side="click",
+        right_side="view",
+        gap_minutes=30,
+        left_out="click_id",
+        right_out="view_id",
+    )
+    return run_available_now(pairs, "append", "session_join_stream")
+
+
+@query(
     "streaming_rows_window",
     oracle="""
     SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
