@@ -61,29 +61,42 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "decimal_arithmetic",
+    "avro_roundtrip",
+    "protobuf_roundtrip",
     "multimodal_image_stats",
     "multimodal_frame_sample",
     "dialect_tumbling_select",
     "streaming_tumbling_final",
     "streaming_rows_window",
+    "streaming_session_join",
 ]
 
-#: query -> replication factor R. All five read ONLY the events table; they
-#: run against the R×-replicated events dir and report wall/R (see module
-#: docstring). Every other query is timed plainly at 1×.
+#: query -> (table, replication factor R). Each reads ONLY the named table;
+#: it runs against the R×-replicated copy of that table (keys shifted per
+#: replica) and reports wall/R (see module docstring). Every other query is
+#: timed plainly at 1×.
 AMORTIZED = {
-    "windowed_join": 16,
-    "lag_lead": 16,
-    "agg_over_rows_frame": 16,
-    "streaming_tumbling_final": 16,
-    "streaming_rows_window": 16,
+    "windowed_join": ("events", 16),
+    "lag_lead": ("events", 16),
+    "agg_over_rows_frame": ("events", 16),
+    "streaming_tumbling_final": ("events", 16),
+    "streaming_rows_window": ("events", 16),
+    "streaming_session_join": ("events", 16),
+    "ranking_functions": ("orders", 16),
+}
+
+#: per-table key columns shifted per replica so joins/window partitions stay
+#: within-replica (more keys, same per-key history — work scales linearly)
+_SHIFT_COLS = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
 }
 
 
-def build_replicated_events(spark, sf_dir: str, rep: int) -> str:
-    """Write an events table replicated ``rep``× with per-replica shifted
-    event_id/user_id (joins and window partitions stay within-replica, so
-    work scales linearly — the same method as PERF.md's scale-up table)."""
+def build_replicated_table(spark, sf_dir: str, table: str, rep: int) -> str:
+    """Write ``table`` replicated ``rep``× with per-replica shifted key
+    columns (joins and window partitions stay within-replica, so work
+    scales linearly — the same method as PERF.md's scale-up table)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -91,24 +104,25 @@ def build_replicated_events(spark, sf_dir: str, rep: int) -> str:
     from velostream_spark.session import load_tables
 
     dst = tempfile.mkdtemp(prefix="vs-bench-rep-")
-    ev = load_tables(spark, sf_dir, register_views=False)["events"]
-    mx = ev.agg(
-        F.max("event_id").alias("i"), F.max("user_id").alias("u")
+    df = load_tables(spark, sf_dir, register_views=False)[table]
+    shift_cols = _SHIFT_COLS[table]
+    mx = df.agg(
+        *[F.max(c).alias(c) for c in shift_cols]
     ).first()
-    id_off, user_off = mx["i"] + 1, mx["u"] + 1
+    offs = {c: mx[c] + 1 for c in shift_cols}
     reps = spark.range(rep).select(F.col("id").alias("rep"))
     (
-        ev.crossJoin(F.broadcast(reps))
+        df.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("event_id") + F.col("rep") * id_off).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("rep") * user_off).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
+            *[
+                (F.col(c) + F.col("rep") * offs[c]).alias(c)
+                if c in offs
+                else F.col(c)
+                for c in df.columns
+            ]
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(dst, "events.parquet"))
+        .parquet(os.path.join(dst, f"{table}.parquet"))
     )
     return dst
 
@@ -123,10 +137,10 @@ def main() -> None:
     # Warmup: JVM, codegen, parquet footer caches.
     catalog["group_by_agg"].fn(spark, SF_DIR).count()
 
-    amortized = {q: r for q, r in AMORTIZED.items() if q in HEADLINE}
-    rep_dirs: dict[int, str] = {}
-    for r in sorted(set(amortized.values())):
-        rep_dirs[r] = build_replicated_events(spark, SF_DIR, r)
+    amortized = {q: tr for q, tr in AMORTIZED.items() if q in HEADLINE}
+    rep_dirs: dict[tuple[str, int], str] = {}
+    for table, r in sorted(set(amortized.values())):
+        rep_dirs[(table, r)] = build_replicated_table(spark, SF_DIR, table, r)
 
     # Each query runs twice; we report the steady-state (min) — the first
     # run pays one-time whole-stage-codegen JIT compilation, which the
@@ -138,8 +152,8 @@ def main() -> None:
         entry = catalog.get(name)
         if entry is None:
             continue
-        rep = amortized.get(name, 1)
-        sf_dir = rep_dirs[rep] if rep > 1 else SF_DIR
+        table, rep = amortized.get(name, (None, 1))
+        sf_dir = rep_dirs[(table, rep)] if rep > 1 else SF_DIR
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -161,7 +175,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": times,
-                "amortized": amortized,
+                "amortized": {
+                    q: {"table": t, "rep": r} for q, (t, r) in amortized.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

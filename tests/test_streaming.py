@@ -456,3 +456,54 @@ def test_streaming_session_join_matches_batch_twin(spark, tmp_path):
     for col in ("click_id", "view_id", "user_id"):
         assert got[col].equals(want[col]), col
     assert got["session_start"].equals(want["session_start"])
+
+
+def test_streaming_session_join_bucketed_parity(spark, tmp_path):
+    """Bucketed-state session join == per-key form == batch twin over
+    multi-batch input, including a buckets=1 run (all keys share one blob —
+    maximum collision stress) and in-bucket key GC along the way."""
+    from velostream_spark.queries.joins import session_join
+    from velostream_spark.streaming.session_join import (
+        session_pair_join_stream_bucketed,
+    )
+
+    ev = _events(spark).where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    src = _write_chunks(spark, ev, str(tmp_path / "chunks"), 3, "ts")
+    want = (
+        session_join(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["click_id", "view_id"])
+        .reset_index(drop=True)
+    )
+    for buckets in (1, 8):
+        sdf = stream_parquet(
+            spark, src, schema=ev.schema, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        got = (
+            run_available_now(
+                session_pair_join_stream_bucketed(
+                    sdf,
+                    key_col="user_id",
+                    time_col="ts",
+                    id_col="event_id",
+                    side_col="event_type",
+                    left_side="click",
+                    right_side="view",
+                    gap_minutes=30,
+                    left_out="click_id",
+                    right_out="view_id",
+                    buckets=buckets,
+                ),
+                "append",
+                f"session_join_bucketed_{buckets}",
+            )
+            .toPandas()
+            .sort_values(["click_id", "view_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0, buckets
+        for col in ("click_id", "view_id", "user_id"):
+            assert got[col].equals(want[col]), (buckets, col)
+        assert got["session_start"].equals(want["session_start"]), buckets

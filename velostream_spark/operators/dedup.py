@@ -437,3 +437,90 @@ def simhash_pairs_from_signatures(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution — the stage AFTER pair generation: pairs form
+# an undirected graph; each connected component is one duplicate cluster;
+# dedup keeps one canonical member per cluster. (The reference stops at
+# exact-key dedup; every large-scale training-data pipeline needs this.)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs by hash-min label
+    propagation: every vertex starts labeled with its own id; each round
+    takes the min of its label and its neighbors' labels; converges in
+    O(graph diameter) rounds.  Returns (id, component) for every vertex
+    that appears in a pair — component = min doc id of its cluster.
+
+    Scale: each round is one shuffle join on vertex id plus a min-combine —
+    LSH near-dup graphs are unions of small-diameter cliques (clusters of
+    copies), so rounds ~2-4 in practice.  Lineage is truncated with an
+    eager localCheckpoint per round (iterative plans otherwise grow
+    exponentially); convergence is detected with a LIMIT-1 count of changed
+    labels — a driver-side scalar, not a data collect.  For graphs with
+    adversarially long chains use the large-star/small-star variant (same
+    join primitive, O(log n) rounds).
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster (the min doc id)
+    plus every unpaired document — the final filter of the fuzzy-dedup
+    pipeline. Survivor rule matches ``dedup_exact``'s deterministic
+    min-key choice."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.join(comp, docs[id_col] == comp["id"], "left")
+        .where(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        .drop("id", "comp")
+    )

@@ -1,0 +1,164 @@
+"""Serialization-codec catalog entries: the reference's Avro/Protobuf
+codecs (serialization/avro_codec.rs, protobuf_codec.rs) proven inside the
+correctness gate.
+
+Each entry encodes real table rows to wire bytes IN-PLAN (mapInPandas),
+decodes them back, and aggregates the decoded columns; the DuckDB oracle
+computes the same aggregate over the raw table. A codec bug anywhere —
+varint edges, zigzag signs, decimal scaling, union branches, field order —
+changes the decoded values and breaks the value hash. The encode→decode
+pair rides one pipeline (two mapInPandas stages, no shuffle between them):
+at 100 TB this is the exact shape of a Kafka-ingest decode stage, one
+Python/Arrow entry per partition batch.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velostream_spark.registry import query, tables
+
+_AVRO_CUSTOMER = json.dumps(
+    {
+        "type": "record",
+        "name": "Customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_mktsegment", "type": ["null", "string"], "default": None},
+            {
+                "name": "c_acctbal",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+)
+
+# reader evolution: drops c_name, adds a defaulted field — decode applies
+# schema resolution, not just pass-through
+_AVRO_CUSTOMER_READER = json.dumps(
+    {
+        "type": "record",
+        "name": "Customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_mktsegment", "type": ["null", "string"], "default": None},
+            {
+                "name": "c_acctbal",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            },
+            {"name": "region", "type": "string", "default": "unknown"},
+        ],
+    }
+)
+
+
+@query(
+    "avro_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                                        AS n,
+           ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2)        AS total_bal,
+           MIN(c_custkey)                                  AS min_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("codec", "avro", "serialization", "schema-evolution"),
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro binary encode→decode round trip inside the plan (reference
+    avro_codec.rs end-to-end behavior incl. decimal logical types and
+    reader-schema evolution), verified by aggregating the decoded columns
+    against the raw table."""
+    from velostream_spark.sources.avro_binary import df_decode_avro, df_encode_avro
+
+    cust = tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+    )
+    wire = df_encode_avro(cust, _AVRO_CUSTOMER)
+    decoded = df_decode_avro(wire, "value", _AVRO_CUSTOMER, _AVRO_CUSTOMER_READER)
+    return decoded.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal").cast("double"), 2).alias("total_bal"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+_PROTO_ORDERS = """
+syntax = "proto3";
+message Order {
+  int64 o_orderkey = 1;
+  sint64 o_custkey = 2;
+  string o_orderstatus = 3;
+  double o_totalprice = 4;
+  string o_orderpriority = 5;
+}
+"""
+
+
+@query(
+    "protobuf_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*)                                  AS n,
+           ROUND(SUM(o_totalprice), 2)               AS total_price,
+           MAX(o_orderkey)                           AS max_key,
+           MIN(o_custkey)                            AS min_cust
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("codec", "protobuf", "serialization"),
+)
+def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format encode→decode round trip inside the plan
+    (reference protobuf_codec.rs), verified by aggregating decoded columns
+    against the raw table."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from velostream_spark.sources.proto_binary import (
+        ProtobufCodec,
+        df_decode_protobuf,
+    )
+
+    orders = tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+    def encode(batches):
+        codec = ProtobufCodec(_PROTO_ORDERS, "Order")
+        for pdf in batches:
+            vals = [
+                codec.encode(dict(zip(pdf.columns, row)))
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({"value": vals})
+
+    wire = orders.mapInPandas(
+        encode, schema=StructType([StructField("value", BinaryType())])
+    )
+    decoded = df_decode_protobuf(wire, "value", _PROTO_ORDERS, "Order")
+    return decoded.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_custkey").alias("min_cust"),
+    )

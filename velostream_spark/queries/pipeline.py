@@ -380,3 +380,77 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         t["embeddings"], "embedding", "vec_id", threshold=0.35, n_planes=4, dim=64, seed=42
     )
+
+
+def _closure_oracle(select: str) -> str:
+    """Wrap the MinHash-pairs oracle in a recursive transitive closure:
+    pairs → undirected edges → per-doc min reachable id (= its near-dup
+    component; unpaired docs are their own component). The pairs oracle
+    (itself a WITH query) nests verbatim as the `pairs` CTE body."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_pairs_oracle(8, 4, 0.5)}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comps AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id)
+    {select}
+    """
+
+
+@query(
+    "neardup_components",
+    oracle=_closure_oracle("SELECT doc_id, component FROM comps"),
+    tags=("pipeline", "dedup", "clustering", "beyond-reference"),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash-LSH pairs → connected
+    components by iterative hash-min label propagation (the stage between
+    pair generation and canonical-survivor dedup; O(diameter) shuffle
+    rounds, lineage truncated per round)."""
+    t = tables(spark, sf_dir)
+    stage = _MINHASH_STAGE.get(sf_dir)
+    if stage is None:
+        stage = dedup.minhash_stage(
+            t["documents"], "text", "doc_id", num_hashes=8, num_bands=4, shingle_n=3
+        )
+        _MINHASH_STAGE[sf_dir] = stage
+    pairs = dedup.minhash_pairs_from_stage(stage, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    docs = t["documents"].select("doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component")
+    )
+
+
+@query(
+    "dedup_canonical",
+    oracle=_closure_oracle(
+        """SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN comps c ON d.doc_id = c.doc_id
+           WHERE c.component = d.doc_id"""
+    ),
+    tags=("pipeline", "dedup", "clustering", "beyond-reference"),
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup final filter: keep ONE canonical document per near-dup
+    cluster (the min doc id — the same deterministic survivor rule as
+    dedup_exact) plus every unpaired document."""
+    t = tables(spark, sf_dir)
+    stage = _MINHASH_STAGE.get(sf_dir)
+    if stage is None:
+        stage = dedup.minhash_stage(
+            t["documents"], "text", "doc_id", num_hashes=8, num_bands=4, shingle_n=3
+        )
+        _MINHASH_STAGE[sf_dir] = stage
+    pairs = dedup.minhash_pairs_from_stage(stage, threshold=0.5)
+    return dedup.dedup_canonical(
+        t["documents"].select("doc_id", "lang", "n_chars"), pairs
+    )

@@ -206,11 +206,15 @@ def streaming_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinator.rs:101-102 session co-windowing) — the unbounded twin of
     queries/joins.py::session_join, same oracle, identical output.
 
-    Custom stateful op (streaming/session_join.py): per-user open-session
-    state via applyInPandasWithState, pairs emitted eagerly as the later
-    element arrives, state GC'd by event-time timeout at last_ts + gap.
+    Custom stateful op (streaming/session_join.py): open-session state via
+    applyInPandasWithState, pairs emitted eagerly as the later element
+    arrives. Bucketed-state form: Python entered per hash bucket, not per
+    user (the high-key-cardinality path, like streaming_rows_window);
+    per-key twin + batch twin pinned by the parity test.
     """
-    from velostream_spark.streaming.session_join import session_pair_join_stream
+    from velostream_spark.streaming.session_join import (
+        session_pair_join_stream_bucketed,
+    )
 
     sdf = (
         stream_table(spark, sf_dir, "events")
@@ -218,7 +222,7 @@ def streaming_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type")
         .withWatermark("ts", "0 seconds")
     )
-    pairs = session_pair_join_stream(
+    pairs = session_pair_join_stream_bucketed(
         sdf,
         key_col="user_id",
         time_col="ts",

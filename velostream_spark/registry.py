@@ -99,6 +99,7 @@ def _load_catalog() -> None:
     import velostream_spark.queries.streaming_queries  # noqa: F401
     import velostream_spark.queries.dialect_queries  # noqa: F401
     import velostream_spark.queries.multimodal_queries  # noqa: F401
+    import velostream_spark.queries.codec_queries  # noqa: F401
 
     _LOADED = True
 

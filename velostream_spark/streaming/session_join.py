@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["session_pair_join_stream"]
+__all__ = ["session_pair_join_stream", "session_pair_join_stream_bucketed"]
 
 
 def session_pair_join_stream(
@@ -159,4 +159,146 @@ def session_pair_join_stream(
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         func, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+
+
+def session_pair_join_stream_bucketed(
+    sdf: DataFrame,
+    key_col: str,
+    time_col: str,
+    id_col: str,
+    side_col: str,
+    left_side: str,
+    right_side: str,
+    gap_minutes: int = 30,
+    left_out: str = "left_id",
+    right_out: str = "right_id",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Bucketed-state form of ``session_pair_join_stream`` — the
+    high-key-cardinality path (same design as
+    ``rows_window.rows_window_stream_bucketed``).
+
+    ``applyInPandasWithState`` enters Python once per state key per
+    micro-batch (~0.5 ms each: Arrow chunk + pandas assembly); with many
+    users that per-call overhead dominates the actual session walk. The
+    physical state key here is ``pmod(hash(key), buckets)``: Python is
+    entered ``buckets`` times per batch, each bucket holds every resident
+    key's open session in one pickled dict, and the per-key session walk
+    runs in-process over numpy-split per-key slices.
+
+    Key GC happens inside the bucket: a key whose open session ended more
+    than ``gap`` before the bucket's max seen event time is definitively
+    closed for in-order data (any later event would start a new session),
+    so its state is dropped — the in-bucket analog of the per-key form's
+    event-time timeout.
+
+    Semantics are identical to ``session_pair_join_stream``; the parity
+    test runs both forms plus the batch twin on one input.
+    """
+    import pickle
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    if buckets is None:
+        try:
+            buckets = 4 * int(
+                sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            buckets = 128
+
+    in_fields = {f.name: f.dataType for f in sdf.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(left_out, in_fields[id_col]),
+            StructField(right_out, in_fields[id_col]),
+            StructField(key_col, in_fields[key_col]),
+            StructField("session_start", TimestampType()),
+        ]
+    )
+    state_schema = "blob binary"
+
+    def func(bucket_key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover — buckets persist
+            state.remove()
+            return
+        st: dict = pickle.loads(state.get[0]) if state.exists else {}
+        out_l: list[int] = []
+        out_r: list[int] = []
+        out_k: list = []
+        out_s: list[int] = []
+        max_seen = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([key_col, time_col, id_col], kind="mergesort")
+            ts_us = (pdf[time_col].astype("int64") // 1_000).to_numpy()
+            ids = pdf[id_col].to_numpy()
+            is_left = (pdf[side_col] == left_side).to_numpy()
+            keys = pdf[key_col].to_numpy()
+            max_seen = max(max_seen, int(ts_us.max()))
+            # contiguous per-key slices (input sorted by key)
+            change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+            starts = np.concatenate(([0], change, [len(keys)]))
+            for a, b in zip(starts[:-1], starts[1:]):
+                k = keys[a]
+                k = None if (isinstance(k, float) and np.isnan(k)) else k
+                ent = st.get(k)
+                if ent is not None:
+                    start_us, last_us, lefts, rights = ent
+                else:
+                    start_us = last_us = None
+                    lefts, rights = [], []
+                for j in range(a, b):
+                    t = int(ts_us[j])
+                    if last_us is not None and t - last_us > gap_us:
+                        start_us, lefts, rights = None, [], []
+                    if start_us is None:
+                        start_us = t
+                    i = int(ids[j])
+                    if is_left[j]:
+                        for r in rights:
+                            out_l.append(i)
+                            out_r.append(r)
+                            out_k.append(k)
+                            out_s.append(start_us)
+                        lefts.append(i)
+                    else:
+                        for l in lefts:
+                            out_l.append(l)
+                            out_r.append(i)
+                            out_k.append(k)
+                            out_s.append(start_us)
+                        rights.append(i)
+                    last_us = t
+                st[k] = (start_us, last_us, lefts, rights)
+        # in-bucket GC: sessions closed w.r.t. the bucket's own event clock
+        if max_seen:
+            dead = [k for k, e in st.items() if e[1] + gap_us < max_seen]
+            for k in dead:
+                del st[k]
+        state.update((pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL),))
+        if out_l:
+            yield pd.DataFrame(
+                {
+                    left_out: pd.Series(out_l, dtype="int64"),
+                    right_out: pd.Series(out_r, dtype="int64"),
+                    key_col: out_k,
+                    "session_start": pd.to_datetime(
+                        pd.Series(out_s, dtype="int64"), unit="us"
+                    ),
+                }
+            )
+
+    bucket_expr = F.pmod(F.hash(F.col(key_col)), F.lit(buckets))
+    projected = sdf.select(
+        *dict.fromkeys([key_col, time_col, id_col, side_col])
+    ).withColumn("__velo_bucket", bucket_expr)
+    return (
+        projected.groupBy("__velo_bucket")
+        .applyInPandasWithState(func, out_schema, state_schema, "append", "NoTimeout")
     )
