@@ -123,3 +123,20 @@ def test_not_exists_subquery_is_broadcast_anti_join(spark):
     plan = plan_of(spark, "not_exists_subquery")
     assert "BroadcastHashJoin LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    # deterministic sampling must stay a pushed filter over the scan —
+    # a shuffle or UDF here would be a 100-TB bug in the cheapest stage
+    plan = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_sequence_packing_single_window_pass(spark):
+    # one shuffle (stratum key) feeding WindowExec, partial agg after;
+    # no sort-per-row, no extra exchanges
+    plan = plan_of(spark, "sequence_packing")
+    assert plan.count("Window") >= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan  # window + agg (+AQE reuse)

@@ -527,3 +527,71 @@ def test_streaming_csas_rows_window(spark, tmp_path):
     assert len(got) == 60 == len(batch)
     assert got["avg_p"].round(9).equals(batch["avg_p"].round(9))
     assert got["prev_p"].fillna(-1).round(9).equals(batch["prev_p"].fillna(-1).round(9))
+
+
+def test_avro_file_source_with_registry_sql(spark, tmp_path):
+    """Pure-SQL pipeline over an Avro-binary value file: the WITH clause
+    names the schema registry subject, the engine decodes through the
+    pure-Python codec (schema evolution included — reader is the latest
+    registered version), and the query aggregates decoded columns."""
+    import json as _json
+
+    from velostream_spark.sources.avro_binary import AvroBinaryCodec
+    from velostream_spark.sources.schema_registry import FileSchemaRegistry
+
+    v1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Reading",
+            "fields": [
+                {"name": "station", "type": "string"},
+                {"name": "temperature", "type": "double"},
+            ],
+        }
+    )
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Reading",
+            "fields": [
+                {"name": "station", "type": "string"},
+                {"name": "temperature", "type": "double"},
+                {"name": "unit", "type": "string", "default": "C"},
+            ],
+        }
+    )
+    reg_path = tmp_path / "registry"
+    reg = FileSchemaRegistry(reg_path)
+    reg.register("readings-value", v1)
+    reg.register("readings-value", v2)
+
+    codec = AvroBinaryCodec(v1)  # data written by the OLD producer
+    rows = [("oslo", 10.5), ("oslo", -3.0), ("paris", 21.0)]
+    import pandas as pd
+
+    src = tmp_path / "readings.parquet"
+    pd.DataFrame(
+        {"value": [codec.encode({"station": s, "temperature": t}) for s, t in rows]}
+    ).to_parquet(src, index=False)
+
+    eng = SqlEngine(spark)
+    df = eng.execute(
+        f"""
+        CREATE STREAM stats AS
+        SELECT station, unit, ROUND(AVG(temperature), 4) AS avg_temp
+        FROM readings
+        GROUP BY station, unit
+        WITH (
+            'readings.type' = 'file_source',
+            'readings.path' = '{src}',
+            'readings.format' = 'avro',
+            'readings.avro.schema.registry.path' = '{reg_path}',
+            'readings.avro.schema.subject' = 'readings-value',
+            'readings.avro.schema.version' = '1'
+        );
+        """
+    )
+    got = {r["station"]: r for r in df.collect()}
+    assert got["oslo"]["avg_temp"] == 3.75 and got["paris"]["avg_temp"] == 21.0
+    # evolution: the defaulted v2 field materialized through SQL
+    assert got["oslo"]["unit"] == "C"

@@ -1,0 +1,100 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+sampling and sequence packing.
+
+Beyond the reference's operator set (its pipelines stop at SQL analytics);
+these are the selection/batching stages a 100-TB pretraining corpus needs
+between dedup and tokenization. Both are pure Catalyst expressions — no
+UDFs, no shuffles beyond the declared window/group keys, and reproducible
+across engines (the sampling hash is plain modular arithmetic, not an
+engine-specific hash(), so a DuckDB oracle computes bit-identical
+decisions).
+
+- Deterministic sampling: keep a row iff
+  ``((id % P) * KNUTH) % 1000 < fraction*1000`` — P a prime below 2^30 and
+  KNUTH the multiplicative-hash constant 2654435761; the product stays
+  under 2^62 so int64 arithmetic never overflows on either engine. A
+  stable sample: re-running, or running on another engine, selects the
+  same rows (sampleBy/rand() cannot promise either).
+- Stratified sampling: per-stratum fractions (e.g. downsample English,
+  keep all low-resource languages) via one CASE over the same hash.
+- Sequence packing: greedy linear packing of documents into
+  fixed-token-budget bins per stratum — pack boundaries from a prefix sum
+  over a deterministic order, entirely inside WindowExec codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["sample_hash", "deterministic_sample", "stratified_sample", "pack_sequences"]
+
+_P = 999999937  # prime < 2^30
+_KNUTH = 2654435761  # 2^32 / golden ratio — Knuth multiplicative hashing
+
+
+def sample_hash(id_col: Column) -> Column:
+    """Deterministic per-row bucket in [0, 1000) from an integer id."""
+    return ((id_col % _P) * F.lit(_KNUTH)) % 1000
+
+
+def sample_hash_sql(id_expr: str) -> str:
+    """The identical bucket computation as ANSI SQL (for oracles/other
+    engines)."""
+    return f"(({id_expr} % {_P}) * {_KNUTH}) % 1000"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows, decided per-row from the
+    id alone (no RNG state, no engine dependence)."""
+    return df.where(sample_hash(F.col(id_col)) < int(fraction * 1000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum value
+    → keep-fraction; unlisted strata keep ``default_fraction``."""
+    threshold = F.lit(int(default_fraction * 1000))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * 1000))
+        ).otherwise(threshold)
+    return df.where(sample_hash(F.col(id_col)) < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Assign each document a ``pack_id`` such that consecutive documents
+    (in deterministic ``id_col`` order, per stratum) share a pack until the
+    token budget is exhausted — greedy linear packing, the standard
+    streaming construction for fixed-context-window batches.
+
+    ``pack_id = floor((prefix_tokens - tokens) / budget)``: a pack may
+    overflow by at most one document (documents longer than the budget get
+    their own pack). One WindowExec pass; the only shuffle is on the
+    stratum key (or a single partition without strata — callers at scale
+    should always pass a stratum/shard column).
+    """
+    keys = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(id_col)
+        if keys
+        else Window.orderBy(id_col)
+    )
+    prefix = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "pack_id", F.floor((prefix - F.col(token_col)) / F.lit(budget))
+    )

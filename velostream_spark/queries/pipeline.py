@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from velostream_spark.operators import dedup, similarity, textops
+from velostream_spark.operators import dedup, sampling, similarity, textops
 from velostream_spark.registry import query, tables
 
 # ---------------------------------------------------------------------------
@@ -453,4 +453,80 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_pairs_from_stage(stage, threshold=0.5)
     return dedup.dedup_canonical(
         t["documents"].select("doc_id", "lang", "n_chars"), pairs
+    )
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {sampling.sample_hash_sql("doc_id")} <
+      CASE WHEN lang = 'en' THEN 300
+           WHEN lang = 'de' THEN 700
+           ELSE 1000 END
+"""
+
+
+@query(
+    "stratified_sample",
+    oracle=_STRATIFIED_ORACLE,
+    tags=("pipeline", "sampling", "beyond-reference"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus rebalancing): downsample
+    over-represented languages with a reproducible arithmetic hash — the
+    same rows survive on every engine and every re-run (rand()/sampleBy
+    can promise neither)."""
+    t = tables(spark, sf_dir)
+    return sampling.stratified_sample(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "lang",
+        {"en": 0.3, "de": 0.7},
+        default_fraction=1.0,
+    )
+
+
+_PACKING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, tokens,
+         CAST(FLOOR((SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - tokens) / 256.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT lang, pack_id,
+       COUNT(*)    AS n_docs,
+       SUM(tokens) AS total_tokens
+FROM packed
+GROUP BY lang, pack_id
+"""
+
+
+@query(
+    "sequence_packing",
+    oracle=_PACKING_ORACLE,
+    tags=("pipeline", "packing", "beyond-reference"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy linear sequence packing: documents (deterministic order, per
+    language) packed into 256-token-budget bins — the batch construction
+    step before tokenization; one WindowExec pass, shuffle only on the
+    stratum key."""
+    t = tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias(
+            "tokens"
+        ),
+    )
+    packed = sampling.pack_sequences(toks, "doc_id", "tokens", 256, "lang")
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
     )

@@ -198,6 +198,17 @@ class SqlEngine:
             return self.spark.read.option("multiLine", "true").json(path)
         if fmt == "parquet":
             return self.spark.read.parquet(path)
+        if fmt == "avro":
+            # Avro-binary value files (one binary `value` column, e.g. a
+            # Kafka archive dump) decoded through the schema registry —
+            # WITH keys avro.schema.registry.path / .subject / .version
+            # (reference avro_codec.rs + schema_registry.rs surface).
+            from velostream_spark.sources.schema_registry import (
+                decode_with_registry,
+            )
+
+            raw = self.spark.read.parquet(path)
+            return decode_with_registry(raw, cfg)
         raise ValueError(f"unknown file format: {fmt!r}")
 
     def _wire_sources(self, st: Statement) -> None:
