@@ -595,3 +595,44 @@ def test_avro_file_source_with_registry_sql(spark, tmp_path):
     assert got["oslo"]["avg_temp"] == 3.75 and got["paris"]["avg_temp"] == 21.0
     # evolution: the defaulted v2 field materialized through SQL
     assert got["oslo"]["unit"] == "C"
+
+
+def test_protobuf_file_source_sql(spark, tmp_path):
+    """Pure-SQL pipeline over a Protobuf-binary value file: WITH clause
+    names the .proto file and root message; the engine decodes via the
+    wire-format codec and the query aggregates decoded columns."""
+    import pandas as pd
+
+    from velostream_spark.sources.proto_binary import ProtobufCodec
+
+    proto = """
+    syntax = "proto3";
+    message Reading { string station = 1; double temperature = 2; }
+    """
+    proto_path = tmp_path / "reading.proto"
+    proto_path.write_text(proto)
+    codec = ProtobufCodec(proto, "Reading")
+    rows = [("oslo", 10.5), ("oslo", -3.0), ("paris", 21.0)]
+    src = tmp_path / "readings.parquet"
+    pd.DataFrame(
+        {"value": [codec.encode({"station": s, "temperature": t}) for s, t in rows]}
+    ).to_parquet(src, index=False)
+
+    eng = SqlEngine(spark)
+    df = eng.execute(
+        f"""
+        CREATE STREAM stats AS
+        SELECT station, ROUND(AVG(temperature), 4) AS avg_temp
+        FROM readings
+        GROUP BY station
+        WITH (
+            'readings.type' = 'file_source',
+            'readings.path' = '{src}',
+            'readings.format' = 'protobuf',
+            'readings.proto.schema.path' = '{proto_path}',
+            'readings.proto.message' = 'Reading'
+        );
+        """
+    )
+    got = {r["station"]: r["avg_temp"] for r in df.collect()}
+    assert got == {"oslo": 3.75, "paris": 21.0}

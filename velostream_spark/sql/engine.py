@@ -209,6 +209,18 @@ class SqlEngine:
 
             raw = self.spark.read.parquet(path)
             return decode_with_registry(raw, cfg)
+        if fmt == "protobuf":
+            # Protobuf-binary value files decoded against a .proto file —
+            # WITH keys proto.schema.path (the .proto text, the reference's
+            # descriptor-registry analog) and proto.message (root message).
+            from velostream_spark.sources.proto_binary import df_decode_protobuf
+
+            with open(cfg["proto.schema.path"]) as fh:
+                proto_text = fh.read()
+            raw = self.spark.read.parquet(path)
+            return df_decode_protobuf(
+                raw, "value", proto_text, cfg.get("proto.message")
+            )
         raise ValueError(f"unknown file format: {fmt!r}")
 
     def _wire_sources(self, st: Statement) -> None:
