@@ -636,3 +636,65 @@ def test_protobuf_file_source_sql(spark, tmp_path):
     )
     got = {r["station"]: r["avg_temp"] for r in df.collect()}
     assert got == {"oslo": 3.75, "paris": 21.0}
+
+
+def test_streaming_csas_avro_source(spark, tmp_path):
+    """Streaming CSAS over an Avro-binary value stream: the engine streams
+    the raw binary files, decodes in-stream through the schema registry
+    (mapInPandas on a streaming plan), windows on a decoded timestamp
+    field, and writes the sink — the no-jar analog of Kafka + from_avro
+    end to end."""
+    import datetime as _dt
+    import json as _json
+
+    import pandas as pd
+
+    from velostream_spark.sources.avro_binary import AvroBinaryCodec
+    from velostream_spark.sources.schema_registry import FileSchemaRegistry
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Reading",
+            "fields": [
+                {"name": "sensor", "type": "string"},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+                {"name": "temp", "type": "double"},
+            ],
+        }
+    )
+    reg_path = tmp_path / "registry"
+    FileSchemaRegistry(reg_path).register("readings-value", schema)
+    codec = AvroBinaryCodec(schema)
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    T = lambda m: _dt.datetime(2024, 1, 1, 10, m)
+    rows = [("a", T(1), 10.0), ("a", T(2), 20.0), ("b", T(3), 30.0), ("a", T(11), 99.0)]
+    pd.DataFrame(
+        {"value": [codec.encode({"sensor": s, "ts": t, "temp": v}) for s, t, v in rows]}
+    ).to_parquet(src_dir / "chunk0.parquet", index=False)
+
+    out = str(tmp_path / "out")
+    eng = SqlEngine(spark, time_col="ts")
+    eng.execute_streaming(
+        f"""
+        CREATE STREAM sums AS
+        SELECT sensor, ROUND(SUM(temp), 2) AS total
+        FROM readings
+        GROUP BY sensor
+        WINDOW TUMBLING(INTERVAL '5' MINUTE)
+        EMIT FINAL
+        WITH ('readings.type' = 'file_source',
+              'readings.path' = '{src_dir}',
+              'readings.format' = 'avro',
+              'readings.avro.schema.registry.path' = '{reg_path}',
+              'readings.avro.schema.subject' = 'readings-value',
+              'sums.type' = 'file_sink',
+              'sums.path' = '{out}',
+              'sums.format' = 'parquet');
+        """
+    )
+    got = {r["sensor"]: r["total"] for r in spark.read.parquet(out).collect()}
+    # watermark = max decoded ts (10:11): the 10:00 window closed; the
+    # 10:10 window (the 99.0 row) stays open and is withheld
+    assert got == {"a": 30.0, "b": 30.0}

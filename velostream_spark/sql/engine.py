@@ -394,6 +394,38 @@ class SqlEngine:
                     sdf = ssource.stream_jsonl(
                         self.spark, path, batch.schema, max_files_per_trigger=mft
                     )
+                elif fmt in ("avro", "protobuf"):
+                    # stream the RAW binary-value parquet, decode in-stream
+                    # (mapInPandas works on streaming plans); batch.schema
+                    # here is the DECODED shape — the raw one is just value
+                    from pyspark.sql.types import (
+                        BinaryType,
+                        StructField,
+                        StructType,
+                    )
+
+                    raw = ssource.stream_parquet(
+                        self.spark,
+                        path,
+                        StructType([StructField("value", BinaryType())]),
+                        max_files_per_trigger=mft,
+                    )
+                    if fmt == "avro":
+                        from velostream_spark.sources.schema_registry import (
+                            decode_with_registry,
+                        )
+
+                        sdf = decode_with_registry(raw, cfg)
+                    else:
+                        from velostream_spark.sources.proto_binary import (
+                            df_decode_protobuf,
+                        )
+
+                        with open(cfg["proto.schema.path"]) as fh:
+                            proto_text = fh.read()
+                        sdf = df_decode_protobuf(
+                            raw, "value", proto_text, cfg.get("proto.message")
+                        )
                 else:
                     sdf = ssource.stream_parquet(
                         self.spark, path, batch.schema, max_files_per_trigger=mft
