@@ -133,3 +133,26 @@ def test_approx_count_distinct_error_bound(spark):
     ).first()
     rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel_err <= 0.06, (row["approx"], row["exact"])
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """K-means-trained IVF index (MLlib, seeded): same probe/re-rank path,
+    trained centroids; recall vs brute force must clear the same bar, and
+    training must be reproducible (same seed → same centroids)."""
+    emb = load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+    queries = emb.orderBy("vec_id").limit(15)
+    c1 = similarity.ivf_train_centroids(emb, n_centroids=8, seed=42)
+    c2 = similarity.ivf_train_centroids(emb, n_centroids=8, seed=42)
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))
+    exact = similarity.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=4, centroids=c1
+    ).toPandas()
+    exact_sets = {q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")}
+    approx_sets = {q: set(g["neighbor_id"]) for q, g in approx.groupby("query_id")}
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5

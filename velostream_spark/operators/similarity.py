@@ -187,6 +187,35 @@ def ivf_centroids(
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> "np.ndarray":
+    """Train IVF centroids with Spark MLlib k-means — the real index-build
+    step (ivf_centroids' even-spaced selection is the cheap stand-in).
+
+    Spark-first: MLlib's distributed Lloyd iterations run as DataFrame jobs
+    (assignment map-side, mean-update as an aggregation), so training scales
+    with the corpus; only the final K × dim centroid matrix reaches the
+    driver. Seeded → reproducible. At 100 TB train on a deterministic
+    sample (operators.sampling.deterministic_sample) — k-means quality
+    saturates long before full-corpus passes pay off."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    return np.array(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: "np.ndarray",
@@ -243,6 +272,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into ``n_centroids``
     inverted lists; each query probes its ``nprobe`` nearest cells and
@@ -250,10 +280,17 @@ def ivf_topk(
     brute force. Execution is fully vectorized: cell assignment is a
     per-batch matmul (ivf_assign), re-ranking is one numpy top-k per query
     group (applyInPandas). The probe join is an equi-join on cell id — at
-    scale the corpus side hash-partitions by cell; queries broadcast."""
+    scale the corpus side hash-partitions by cell; queries broadcast.
+
+    ``centroids`` overrides the default even-spaced selection (pass
+    ``ivf_train_centroids(...)`` for a k-means-trained index)."""
     import pandas as pd
 
-    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    )
     c = ivf_assign(corpus, cents, vec_col, id_col, 1, "neighbor_id", "_cv")
     q = ivf_assign(queries, cents, vec_col, id_col, nprobe, "query_id", "_qv")
     cand = c.join(F.broadcast(q), "_cell").where(

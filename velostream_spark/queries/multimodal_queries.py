@@ -101,3 +101,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=10, n_centroids=16, nprobe=4
     )
+
+
+@query(
+    "ann_ivf_trained_topk",
+    oracle=None,
+    tags=("pipeline", "similarity", "ann", "ivf", "kmeans"),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-TRAINED index (MLlib, seeded, distributed Lloyd
+    iterations — the real index-build step) over the same probe/re-rank
+    path as ann_ivf_topk. Approximate by design → rows-only driver check;
+    recall vs brute force asserted in pytest (test_multimodal_ivf.py)."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.orderBy("vec_id").limit(20)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=8, seed=42)
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=4, centroids=cents
+    )
