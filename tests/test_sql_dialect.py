@@ -698,3 +698,44 @@ def test_streaming_csas_avro_source(spark, tmp_path):
     # watermark = max decoded ts (10:11): the 10:00 window closed; the
     # 10:10 window (the 99.0 row) stays open and is withheld
     assert got == {"a": 30.0, "b": 30.0}
+
+
+def test_join_within_rewrite_and_execution(spark):
+    """JOIN ... ON cond WITHIN INTERVAL 'n' UNIT (parser/select.rs:1141,
+    ast.rs JoinWindow): rewritten to symmetric time bounds and executable;
+    GRACE PERIOD parses and does not alter the match predicate."""
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.session import load_tables
+    from velostream_spark.sql.dialect import translate_select
+
+    sql, _, _, _ = translate_select(
+        "SELECT a.event_id AS ida, b.event_id AS idb "
+        "FROM events a JOIN events b "
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        "WITHIN INTERVAL '10' MINUTE",
+        time_col="ts",
+    )
+    assert "WITHIN" not in sql.upper()
+    assert "b.ts >= a.ts - INTERVAL '10' MINUTE" in sql
+    assert "b.ts <= a.ts + INTERVAL '10' MINUTE" in sql
+
+    load_tables(spark, SF_SMOKE, register_views=True)
+    got = spark.sql(sql)
+    want = spark.sql(
+        "SELECT a.event_id AS ida, b.event_id AS idb "
+        "FROM events a JOIN events b "
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL '10' MINUTE "
+        "AND a.ts + INTERVAL '10' MINUTE"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # GRACE PERIOD variant parses to the same predicate
+    sql2, _, _, _ = translate_select(
+        "SELECT a.event_id FROM events a JOIN events b ON a.user_id = b.user_id "
+        "WITHIN INTERVAL '5' MINUTE GRACE PERIOD INTERVAL '1' MINUTE",
+        time_col="ts",
+    )
+    assert "GRACE" not in sql2.upper() and "WITHIN" not in sql2.upper()
+    assert "INTERVAL '5' MINUTE" in sql2

@@ -639,6 +639,55 @@ def _inject_time_window(sql: str, wc: WindowClause, time_col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# JOIN ... WITHIN (time-bounded stream-stream join, ast.rs:552-559 JoinWindow;
+# grammar parser/select.rs:1141: JOIN stream ON cond WITHIN duration
+# [GRACE PERIOD duration])
+# ---------------------------------------------------------------------------
+
+_JOIN_WITHIN_RE = re.compile(
+    r"(?is)\bJOIN\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.*?)"
+    r"\s+WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)"
+    r"(?:\s+GRACE\s+PERIOD\s+INTERVAL\s+'(\d+)'\s+(\w+))?"
+)
+
+_FROM_ALIAS_RE = re.compile(
+    r"(?is)\bFROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|WHERE\b|"
+    r"GROUP\b|ORDER\b|ON\b|WINDOW\b|HAVING\b|LIMIT\b|EMIT\b|WITH\b)(\w+))?"
+)
+
+
+def _rewrite_join_within(sql: str, time_col: str) -> str:
+    """`JOIN b ON cond WITHIN INTERVAL 'n' UNIT [GRACE PERIOD ...]` →
+    standard join with symmetric time bounds:
+    ``b.ts BETWEEN a.ts - n AND a.ts + n`` (JoinWindow.time_window —
+    records match iff their event times lie within the duration of each
+    other). GRACE PERIOD widens state retention for late rows, not the
+    match window; Spark's analog is the watermark delay, which the engine
+    configures — the predicate is unchanged."""
+    m = _JOIN_WITHIN_RE.search(sql)
+    if not m:
+        return sql
+    right = m.group(2) or m.group(1)
+    fm = _FROM_ALIAS_RE.search(sql[: m.start()])
+    if fm is None:
+        raise ValueError("JOIN ... WITHIN without a FROM clause")
+    left = fm.group(2) or fm.group(1)
+    n, unit = m.group(4), m.group(5)
+    bounds = (
+        f"{right}.{time_col} >= {left}.{time_col} - INTERVAL '{n}' {unit} "
+        f"AND {right}.{time_col} <= {left}.{time_col} + INTERVAL '{n}' {unit}"
+    )
+    alias = f" {m.group(2)}" if m.group(2) else ""
+    replaced = f"JOIN {m.group(1)}{alias} ON ({m.group(3)}) AND {bounds}"
+    return _rewrite_join_within(
+        sql[: m.start()] + replaced + sql[m.end():], time_col
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -660,6 +709,7 @@ def translate_select_full(
     sql, wc = _extract_window(sql)
     sql, keys = _extract_primary_keys(sql)
     rw = extract_rows_window_aggs(sql)
+    sql = _rewrite_join_within(sql, time_col)
     sql = _rewrite_over_clauses(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
