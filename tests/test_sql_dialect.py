@@ -739,3 +739,55 @@ def test_join_within_rewrite_and_execution(spark):
     )
     assert "GRACE" not in sql2.upper() and "WITHIN" not in sql2.upper()
     assert "INTERVAL '5' MINUTE" in sql2
+
+
+def test_deploy_job_versioned_and_rollback(spark, tmp_path):
+    """DEPLOY JOB name VERSION 'v' STRATEGY ... AS SELECT (ast.rs:340-365)
+    + ROLLBACK JOB ... TO VERSION: versioned deployments with per-version
+    checkpoints, blue-green switch order, SHOW VERSIONS history, rollback
+    reactivating the prior build."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "r.csv").write_text("station,temp\noslo,10.0\nparis,20.0\n")
+    src = src_dir
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    eng = SqlEngine(spark)
+
+    eng.execute_streaming(
+        f"""
+        DEPLOY JOB stats VERSION '1.0.0' AS
+        SELECT station, temp FROM readings
+        WITH ('readings.type' = 'file_source', 'readings.path' = '{src}',
+              'readings.format' = 'csv',
+              'stats.type' = 'file_sink', 'stats.path' = '{out1}',
+              'stats.format' = 'parquet');
+        """
+    )
+    assert spark.read.parquet(out1).count() == 2
+
+    eng.execute_streaming(
+        f"""
+        DEPLOY JOB stats VERSION '1.1.0' STRATEGY BLUE_GREEN AS
+        SELECT station, ROUND(temp * 2, 1) AS temp2 FROM readings
+        WITH ('readings.type' = 'file_source', 'readings.path' = '{src}',
+              'readings.format' = 'csv',
+              'stats.type' = 'file_sink', 'stats.path' = '{out2}',
+              'stats.format' = 'parquet');
+        """
+    )
+    got = {r["station"]: r["temp2"] for r in spark.read.parquet(out2).collect()}
+    assert got == {"oslo": 20.0, "paris": 40.0}
+
+    versions = eng.execute("SHOW VERSIONS stats")
+    assert [v["version"] for v in versions] == ["1.0.0", "1.1.0"]
+    assert [v["current"] for v in versions] == [False, True]
+    assert versions[1]["strategy"] == "blue_green"
+
+    job = eng.execute("ROLLBACK JOB stats TO VERSION '1.0.0'")
+    eng.jobs.wait("stats")
+    assert eng.jobs.current_version["stats"] == "1.0.0"
+    # the reactivated v1 build ran again from its own checkpoint (no new
+    # input -> no new rows, but the job is the v1 plan)
+    versions = eng.execute("SHOW VERSIONS stats")
+    assert [v["current"] for v in versions] == [True, False]
+    assert job.state in ("running", "stopped")

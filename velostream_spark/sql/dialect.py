@@ -250,6 +250,10 @@ class Statement:
     insert_select: str | None = None
     insert_columns: list[str] | None = None
     insert_values: list[list[str]] | None = None
+    # DEPLOY JOB / ROLLBACK JOB (ast.rs:340-365)
+    job_version: str | None = None
+    job_strategy: str | None = None
+    canary_pct: int | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -778,7 +782,36 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
                          if m.group(1).upper() == "DESCRIBE" else m.group(2).upper(),
                          annotations=annotations, raw=sql)
 
-    m = re.match(r"(?is)^(START|STOP|PAUSE|RESUME|DEPLOY|ROLLBACK)\s+JOB\s+(\w+)", body)
+    # DEPLOY JOB name VERSION 'v' [STRATEGY BLUE_GREEN|CANARY(p%)|ROLLING|
+    # REPLACE] AS <select> (ast.rs:344-352, display :2188)
+    m = re.match(
+        r"(?is)^DEPLOY\s+JOB\s+(\w+)\s+VERSION\s+'([^']+)'"
+        r"(?:\s+STRATEGY\s+(BLUE_GREEN|ROLLING|REPLACE|CANARY\s*\(\s*(\d+)\s*%?\s*\)))?"
+        r"\s+AS\s+(.*)$",
+        body,
+    )
+    if m:
+        strategy = (m.group(3) or "REPLACE").upper()
+        canary_pct = int(m.group(4)) if m.group(4) else None
+        if strategy.startswith("CANARY"):
+            strategy = "CANARY"
+        sel, wc, emit, keys, rw = translate_select_full(m.group(5), time_col)
+        return Statement(
+            kind="deploy_job", name=m.group(1), select_sql=sel, emit=emit,
+            window=wc, rows_window_aggs=rw, key_fields=keys, with_props=props,
+            job_version=m.group(2), job_strategy=strategy.lower(),
+            canary_pct=canary_pct, annotations=annotations, raw=sql,
+        )
+
+    # ROLLBACK JOB name [TO VERSION 'v'] (ast.rs:2193-2202)
+    m = re.match(
+        r"(?is)^ROLLBACK\s+JOB\s+(\w+)(?:\s+TO\s+VERSION\s+'([^']+)')?\s*$", body
+    )
+    if m:
+        return Statement(kind="job", job_action="rollback", target=m.group(1),
+                         job_version=m.group(2), annotations=annotations, raw=sql)
+
+    m = re.match(r"(?is)^(START|STOP|PAUSE|RESUME|DEPLOY)\s+JOB\s+(\w+)", body)
     if m:
         return Statement(kind="job", job_action=m.group(1).lower(), target=m.group(2),
                          annotations=annotations, raw=sql)

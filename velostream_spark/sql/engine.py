@@ -308,6 +308,8 @@ class SqlEngine:
             return self._show(st)
         if st.kind == "job":
             return self._job(st)
+        if st.kind == "deploy_job":
+            return self.execute_streaming(sql)
         raise ValueError(f"unsupported statement kind: {st.kind}")
 
     def execute_streaming(self, sql: str, wait: bool = True):
@@ -320,8 +322,11 @@ class SqlEngine:
         windowed aggregation with watermark — Spark constraint); EMIT
         CHANGES changelogs to files go through foreachBatch instead."""
         st = parse_statement(sql, self.time_col)
-        if st.kind != "create_stream":
-            raise ValueError("execute_streaming expects CREATE STREAM ... AS SELECT")
+        if st.kind not in ("create_stream", "deploy_job"):
+            raise ValueError(
+                "execute_streaming expects CREATE STREAM ... AS SELECT "
+                "or DEPLOY JOB ... AS SELECT"
+            )
         self.last_annotations = st.annotations
         cfgs = self._source_names(st.with_props)
         sink_cfg = cfgs.get(st.name, {})
@@ -343,23 +348,31 @@ class SqlEngine:
         if typ == "file_sink":
             fmt = sink_cfg.get("format", "parquet").lower()
             fmt = {"jsonl": "json"}.get(fmt, fmt)
-            job = self.jobs.deploy(
-                st.name, build, sink_format=fmt,
-                sink_options={"path": sink_cfg["path"]}, output_mode="append",
-            )
+            sink_format, sink_options = fmt, {"path": sink_cfg["path"]}
         elif typ == "kafka_sink":
-            opts = {
+            sink_format = "kafka"
+            sink_options = {
                 "kafka.bootstrap.servers": sink_cfg.get(
                     "bootstrap.servers", "localhost:9092"
                 ),
                 "topic": sink_cfg["topic"],
             }
-            job = self.jobs.deploy(
-                st.name, build, sink_format="kafka",
-                sink_options=opts, output_mode="append",
+        else:
+            sink_format, sink_options = "memory", {}
+
+        if st.kind == "deploy_job":
+            job = self.jobs.deploy_version(
+                st.name, st.job_version, build,
+                strategy=st.job_strategy or "replace",
+                canary_pct=st.canary_pct,
+                sink_format=sink_format, sink_options=sink_options,
+                output_mode="append",
             )
         else:
-            job = self.jobs.deploy(st.name, build, sink_format="memory")
+            job = self.jobs.deploy(
+                st.name, build, sink_format=sink_format,
+                sink_options=sink_options, output_mode="append",
+            )
         if wait:
             self.jobs.wait(st.name)
         return job
@@ -494,8 +507,10 @@ class SqlEngine:
             return self.jobs.stop(st.target)
         if action == "pause":
             return self.jobs.pause(st.target)
-        if action in ("resume", "rollback"):
+        if action == "resume":
             return self.jobs.resume(st.target)
+        if action == "rollback":
+            return self.jobs.rollback(st.target, st.job_version)
         raise ValueError(f"unknown job action: {action!r}")
 
     def execute_app(self, sql_app: str) -> list:
@@ -582,6 +597,9 @@ class SqlEngine:
             ]
         if what.startswith("JOBS"):
             return self.jobs.show_jobs()
+        if what.startswith("VERSIONS"):
+            parts = what.split()
+            return self.jobs.show_versions(parts[1].lower() if len(parts) > 1 else None)
         if what.startswith("FUNCTIONS"):
             rows = self.spark.sql("SHOW FUNCTIONS").collect()
             return [{"function_name": r[0]} for r in rows]

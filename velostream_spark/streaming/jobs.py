@@ -42,6 +42,23 @@ class StreamJob:
     deployed_at: float = field(default_factory=time.time)
 
 
+@dataclass
+class JobVersion:
+    """One deployed version of a job (ast.rs DeployJob: name, version,
+    strategy; versions keep their own checkpoints — different plan shapes
+    cannot share offset/state logs)."""
+
+    version: str
+    build: PlanBuilder
+    strategy: str  # blue_green | canary | rolling | replace
+    canary_pct: int | None
+    sink_format: str
+    sink_options: dict[str, str]
+    output_mode: str
+    trigger: dict[str, Any]
+    deployed_at: float = field(default_factory=time.time)
+
+
 class StreamJobManager:
     """Named streaming jobs with deploy/stop/pause/resume/show."""
 
@@ -49,6 +66,10 @@ class StreamJobManager:
         self.spark = spark
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="vs-jobs-")
         self.jobs: dict[str, StreamJob] = {}
+        #: job → ordered version history (ast.rs:344-352 DeployJob)
+        self.versions: dict[str, list[JobVersion]] = {}
+        #: job → currently-serving version id
+        self.current_version: dict[str, str] = {}
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -79,11 +100,11 @@ class StreamJobManager:
             self._start(job)
         return job
 
-    def _start(self, job: StreamJob) -> None:
+    def _start(self, job: StreamJob, query_name: str | None = None) -> None:
         writer = (
             job.build()
             .writeStream.format(job.sink_format)
-            .queryName(job.name)
+            .queryName(query_name or job.name)
             .outputMode(job.output_mode)
             .option("checkpointLocation", job.checkpoint)
         )
@@ -124,6 +145,131 @@ class StreamJobManager:
             return job
         self._start(job)
         return job
+
+    # -- versioned deployment (DEPLOY JOB / ROLLBACK JOB, ast.rs:340-365) --
+
+    def deploy_version(
+        self,
+        name: str,
+        version: str,
+        build: PlanBuilder,
+        strategy: str = "replace",
+        canary_pct: int | None = None,
+        sink_format: str = "memory",
+        sink_options: dict[str, str] | None = None,
+        output_mode: str = "append",
+        trigger: dict[str, Any] | None = None,
+    ) -> StreamJob:
+        """DEPLOY JOB name VERSION 'v' STRATEGY s AS <query>.
+
+        Strategy semantics mapped to single-engine Structured Streaming:
+
+        - ``replace`` / ``rolling``: stop the serving version, start the new
+          one (the reference's instance-by-instance rollout degenerates to
+          this with one engine instance).
+        - ``blue_green``: start the new version FIRST (own query name +
+          checkpoint), verify it is active, then stop the old — the
+          zero-downtime switch order.
+        - ``canary``: start the new version ALONGSIDE the old; both run
+          until a follow-up deploy/rollback resolves the canary. The
+          traffic percentage is recorded; actual traffic splitting is a
+          sink/consumer-group concern (reference: Kafka consumer groups),
+          not expressible inside one engine.
+        """
+        strategy = strategy.lower()
+        if strategy not in ("blue_green", "canary", "rolling", "replace"):
+            raise ValueError(f"unknown deployment strategy: {strategy!r}")
+        jv = JobVersion(
+            version=version,
+            build=build,
+            strategy=strategy,
+            canary_pct=canary_pct,
+            sink_format=sink_format,
+            sink_options=dict(sink_options or {}),
+            output_mode=output_mode,
+            trigger=dict(trigger or {"availableNow": True}),
+        )
+        self.versions.setdefault(name, []).append(jv)
+        return self._activate(name, jv)
+
+    def _activate(self, name: str, jv: JobVersion) -> StreamJob:
+        qname = f"{name}__{jv.version}"
+        old = self.jobs.get(name)
+        new_job = StreamJob(
+            name=name,
+            build=jv.build,
+            sink_format=jv.sink_format,
+            sink_options=jv.sink_options,
+            output_mode=jv.output_mode,
+            checkpoint=os.path.join(self.checkpoint_root, name, jv.version),
+            trigger=jv.trigger,
+        )
+        if jv.strategy in ("replace", "rolling"):
+            if old is not None and old.query is not None and old.query.isActive:
+                old.query.stop()
+        # blue_green & canary: old keeps running while the new one starts
+        self._start(new_job, query_name=qname)
+        if jv.strategy == "blue_green":
+            if old is not None and old.query is not None and old.query.isActive:
+                old.query.stop()
+        if jv.strategy == "canary" and old is not None:
+            # keep the old version reachable while the canary runs
+            self.jobs[f"{name}__prev"] = old
+        self.jobs[name] = new_job
+        self.current_version[name] = jv.version
+        return new_job
+
+    def rollback(self, name: str, target_version: str | None = None) -> StreamJob:
+        """ROLLBACK JOB name [TO VERSION 'v'] — stop the serving version and
+        reactivate the target (default: the previous version)."""
+        history = self.versions.get(name, [])
+        if not history:
+            raise KeyError(f"job {name!r} has no deployed versions")
+        current = self.current_version.get(name)
+        if target_version is None:
+            prior = [v for v in history if v.version != current]
+            if not prior:
+                raise ValueError(f"job {name!r} has no version to roll back to")
+            jv = prior[-1]
+        else:
+            matches = [v for v in history if v.version == target_version]
+            if not matches:
+                raise KeyError(f"job {name!r} has no version {target_version!r}")
+            jv = matches[-1]
+        # a rollback is always an immediate switch
+        stop_first = JobVersion(
+            version=jv.version,
+            build=jv.build,
+            strategy="replace",
+            canary_pct=None,
+            sink_format=jv.sink_format,
+            sink_options=jv.sink_options,
+            output_mode=jv.output_mode,
+            trigger=jv.trigger,
+        )
+        prev = self.jobs.pop(f"{name}__prev", None)
+        if prev is not None and prev.query is not None and prev.query.isActive:
+            prev.query.stop()
+        return self._activate(name, stop_first)
+
+    def show_versions(self, name: str | None = None) -> list[dict[str, Any]]:
+        """SHOW VERSIONS [job] — deployment history with the serving flag."""
+        out = []
+        for job_name, history in sorted(self.versions.items()):
+            if name is not None and job_name != name:
+                continue
+            for jv in history:
+                out.append(
+                    {
+                        "job": job_name,
+                        "version": jv.version,
+                        "strategy": jv.strategy
+                        + (f"({jv.canary_pct}%)" if jv.canary_pct else ""),
+                        "current": self.current_version.get(job_name) == jv.version,
+                        "deployed_at": jv.deployed_at,
+                    }
+                )
+        return out
 
     def wait(self, name: str, timeout_s: int = 300) -> None:
         job = self._get(name)
