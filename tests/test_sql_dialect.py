@@ -791,3 +791,37 @@ def test_deploy_job_versioned_and_rollback(spark, tmp_path):
     versions = eng.execute("SHOW VERSIONS stats")
     assert [v["current"] for v in versions] == [True, False]
     assert job.state in ("running", "stopped")
+
+
+def test_show_resource_surface(spark, tmp_path):
+    """The full SHOW resource surface (ast.rs:471-495 ShowResourceType):
+    SCHEMA, PARTITIONS, JOB STATUS, JOB METRICS, PROPERTIES, and the
+    broker-gated TOPICS error."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "r.csv").write_text("station,temp\noslo,10.0\n")
+    out = str(tmp_path / "o")
+    eng = SqlEngine(spark)
+    eng.execute_streaming(
+        f"""
+        CREATE STREAM s1 AS SELECT station, temp FROM readings
+        WITH ('readings.type' = 'file_source', 'readings.path' = '{src_dir}',
+              'readings.format' = 'csv',
+              's1.type' = 'file_sink', 's1.path' = '{out}',
+              's1.format' = 'parquet');
+        """
+    )
+    schema = eng.execute("SHOW SCHEMA s1")
+    assert {c["column_name"] for c in schema} == {"station", "temp"}
+    parts = eng.execute("SHOW PARTITIONS s1")
+    assert parts[0]["num_partitions"] >= 1
+    status = eng.execute("SHOW JOB STATUS s1")
+    assert status[0]["name"] == "s1" and "checkpoint" in status[0]
+    metrics = eng.execute("SHOW JOB METRICS s1")
+    assert metrics[0]["job"] == "s1" and metrics[0]["input_rows"] is not None
+    props = eng.execute("SHOW PROPERTIES JOB s1")
+    assert props[0]["sink"] == "parquet"
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="broker"):
+        eng.execute("SHOW TOPICS")

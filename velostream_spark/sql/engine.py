@@ -526,6 +526,16 @@ class SqlEngine:
             return self.streams[name]
         raise KeyError(f"unknown table/stream: {name!r}")
 
+    def _describe_df(self, name: str) -> DataFrame:
+        """Introspection lookup: registered stream/table, or a deployed
+        streaming job's plan (rebuilt lazily — schema only, no execution)."""
+        try:
+            return self._target_df(name)
+        except KeyError:
+            if name in self.jobs.jobs:
+                return self.jobs.jobs[name].build()
+            raise
+
     def _replace_target(self, name: str, df: DataFrame) -> None:
         if name in self.tables:
             key = self.tables[name].key_field
@@ -603,11 +613,76 @@ class SqlEngine:
         if what.startswith("FUNCTIONS"):
             rows = self.spark.sql("SHOW FUNCTIONS").collect()
             return [{"function_name": r[0]} for r in rows]
-        if what.startswith("DESCRIBE"):
+        if what.startswith(("DESCRIBE", "SCHEMA")):
+            # SHOW SCHEMA <name> == DESCRIBE <name> (ShowResourceType::Schema)
             name = what.split()[-1].lower()
-            df = self._target_df(name)
+            df = self._describe_df(name)
             return [
                 {"column_name": f.name, "data_type": f.dataType.simpleString()}
                 for f in df.schema.fields
             ]
+        if what.startswith("PARTITIONS"):
+            # ShowResourceType::Partitions — the engine-side analog of topic
+            # partitioning is the plan's shuffle-partition parallelism for a
+            # streaming job, or the physical partition count for a table
+            name = what.split()[-1].lower()
+            df = self._describe_df(name)
+            if df.isStreaming:
+                n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            else:
+                n = df.rdd.getNumPartitions()
+            return [{"target": name, "num_partitions": n}]
+        if what.startswith("JOB STATUS"):
+            parts = what.split()
+            names = [parts[2].lower()] if len(parts) > 2 else list(self.jobs.jobs)
+            return [self.jobs.describe(n) for n in names]
+        if what.startswith("JOB METRICS"):
+            parts = what.split()
+            names = [parts[2].lower()] if len(parts) > 2 else list(self.jobs.jobs)
+            out = []
+            for n in names:
+                job = self.jobs.jobs.get(n)
+                prog = (job.query.lastProgress or {}) if job and job.query else {}
+                out.append(
+                    {
+                        "job": n,
+                        "batch_id": prog.get("batchId"),
+                        "input_rows": prog.get("numInputRows"),
+                        "rows_per_sec": prog.get("processedRowsPerSecond"),
+                        "duration_ms": (prog.get("durationMs") or {}).get(
+                            "triggerExecution"
+                        ),
+                    }
+                )
+            return out
+        if what.startswith("PROPERTIES"):
+            parts = what.split()
+            name = parts[-1].lower()
+            if name in self.jobs.jobs:
+                job = self.jobs.jobs[name]
+                return [
+                    {
+                        "name": name,
+                        "sink": job.sink_format,
+                        "output_mode": job.output_mode,
+                        "trigger": str(job.trigger),
+                        "checkpoint": job.checkpoint,
+                    }
+                ]
+            df = self._describe_df(name)
+            return [
+                {
+                    "name": name,
+                    "kind": "table" if name in self.tables else "stream",
+                    "columns": len(df.schema.fields),
+                }
+            ]
+        if what.startswith("TOPICS"):
+            # ShowResourceType::Topics lists broker topics — broker I/O is
+            # environment-exempt here (README: Kafka runtime status)
+            raise RuntimeError(
+                "SHOW TOPICS requires a Kafka broker connection; this "
+                "environment has no broker or connector jar (see README "
+                "'Kafka runtime status')"
+            )
         raise ValueError(f"unsupported SHOW: {what!r}")
