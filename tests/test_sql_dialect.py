@@ -778,7 +778,7 @@ def test_deploy_job_versioned_and_rollback(spark, tmp_path):
     got = {r["station"]: r["temp2"] for r in spark.read.parquet(out2).collect()}
     assert got == {"oslo": 20.0, "paris": 40.0}
 
-    versions = eng.execute("SHOW VERSIONS stats")
+    versions = eng.execute("SHOW JOB VERSIONS stats")
     assert [v["version"] for v in versions] == ["1.0.0", "1.1.0"]
     assert [v["current"] for v in versions] == [False, True]
     assert versions[1]["strategy"] == "blue_green"
@@ -813,7 +813,7 @@ def test_show_resource_surface(spark, tmp_path):
     )
     schema = eng.execute("SHOW SCHEMA s1")
     assert {c["column_name"] for c in schema} == {"station", "temp"}
-    parts = eng.execute("SHOW PARTITIONS s1")
+    parts = eng.execute("SHOW PARTITIONS FOR s1")
     assert parts[0]["num_partitions"] >= 1
     status = eng.execute("SHOW JOB STATUS s1")
     assert status[0]["name"] == "s1" and "checkpoint" in status[0]

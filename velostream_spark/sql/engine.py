@@ -607,8 +607,9 @@ class SqlEngine:
             ]
         if what.startswith("JOBS"):
             return self.jobs.show_jobs()
-        if what.startswith("VERSIONS"):
-            parts = what.split()
+        if what.startswith(("VERSIONS", "JOB VERSIONS")):
+            # reference spelling: SHOW JOB VERSIONS <name> (ast.rs:1942)
+            parts = what.replace("JOB VERSIONS", "VERSIONS").split()
             return self.jobs.show_versions(parts[1].lower() if len(parts) > 1 else None)
         if what.startswith("FUNCTIONS"):
             rows = self.spark.sql("SHOW FUNCTIONS").collect()
@@ -622,9 +623,10 @@ class SqlEngine:
                 for f in df.schema.fields
             ]
         if what.startswith("PARTITIONS"):
-            # ShowResourceType::Partitions — the engine-side analog of topic
-            # partitioning is the plan's shuffle-partition parallelism for a
-            # streaming job, or the physical partition count for a table
+            # ShowResourceType::Partitions (spelling: SHOW PARTITIONS FOR x,
+            # ast.rs:1953) — the engine-side analog of topic partitioning is
+            # the plan's shuffle parallelism for a streaming job, or the
+            # physical partition count for a table; bare name accepted too
             name = what.split()[-1].lower()
             df = self._describe_df(name)
             if df.isStreaming:
