@@ -386,8 +386,15 @@ def test_datediff_three_arg_rewrite(spark, engine):
         "SELECT DATEDIFF('hour', ts - INTERVAL 2 HOUR, ts) AS h FROM events LIMIT 1"
     ).first()
     assert r2["h"] == 2
+    # sub-hour units: rejected by the reference engine but used by its own
+    # examples/iot_monitoring.sql — accepted here as an extension
+    r3 = engine.execute(
+        "SELECT DATEDIFF('minutes', ts - INTERVAL 90 SECOND, ts) AS m "
+        "FROM events LIMIT 1"
+    ).first()
+    assert r3["m"] == 1
     with _pytest.raises(ValueError, match="Unsupported DATEDIFF unit"):
-        engine.execute("SELECT DATEDIFF('minutes', ts, ts) AS m FROM events LIMIT 1")
+        engine.execute("SELECT DATEDIFF('fortnights', ts, ts) AS m FROM events LIMIT 1")
 
 
 def test_datediff_calendar_boundary_semantics(spark, engine):

@@ -174,6 +174,8 @@ class WindowClause:
     size: str                     # Spark interval string ("5 minutes")
     advance: str | None = None    # sliding only
     time_column: str | None = None
+    partition_by: list[str] = field(default_factory=list)  # session only
+                                  # (WindowSpec::Session, ast.rs:607-611)
 
 
 @dataclass
@@ -254,6 +256,9 @@ class Statement:
     job_version: str | None = None
     job_strategy: str | None = None
     canary_pct: int | None = None
+    # CREATE STREAM ... INTO sink (ast.rs:889 IntoClause): named sink whose
+    # WITH-props configure the output; defaults to the stream name.
+    into: str | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -261,13 +266,21 @@ class Statement:
 # ---------------------------------------------------------------------------
 
 
-def _extract_with_props(sql: str) -> tuple[str, dict[str, str]]:
-    """Pop a trailing `WITH ('k' = 'v', ...)` off the statement."""
-    m = re.search(r"(?is)\bWITH\s*\(\s*('.*)\)\s*;?\s*$", sql)
-    if not m:
+def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
+    """Pop the RIGHTMOST trailing `WITH ('k' = 'v', ...)` off the statement.
+    (A statement may carry several: `... WITH (src props) INTO sink WITH
+    (sink props)` — with_clause_parser.rs accepts one per clause position.)"""
+    last = None
+    for m in re.finditer(r"(?is)\bWITH\s*\(\s*'", sql):
+        last = m
+    if last is None:
         return sql, {}
+    open_paren = sql.index("(", last.start())
+    j = _match_paren(sql, open_paren + 1)
+    if sql[j:].strip().rstrip(";").strip():
+        return sql, {}  # not trailing — e.g. WITH inside a subquery/CTE
     props: dict[str, str] = {}
-    for item in _split_top_level(m.group(1)):
+    for item in _split_top_level(sql[open_paren + 1 : j - 1]):
         item = item.strip()
         if not item:
             continue
@@ -275,7 +288,28 @@ def _extract_with_props(sql: str) -> tuple[str, dict[str, str]]:
         if not pm:
             raise ValueError(f"bad WITH property: {item!r}")
         props[pm.group(1)] = pm.group(2).replace("''", "'")
-    return sql[: m.start()].rstrip(), props
+    return sql[: last.start()].rstrip(), props
+
+
+def _extract_with_props(sql: str) -> tuple[str, dict[str, str], str | None]:
+    """Pop trailing `[WITH (...)] [INTO sink] [WITH (...)]` clauses
+    (ast.rs:889 IntoClause; examples/test_simple_validation.sql uses
+    `FROM src WITH (src cfg) INTO sink WITH (sink cfg)`). Returns
+    (body, merged props, INTO sink name or None)."""
+    props: dict[str, str] = {}
+    into: str | None = None
+    while True:
+        sql2, p = _pop_trailing_with(sql)
+        if p:
+            props = {**p, **props}
+            sql = sql2
+        im = re.search(r"(?is)\bINTO\s+([\w.]+)\s*;?\s*$", sql)
+        if im:
+            into = im.group(1)
+            sql = sql[: im.start()].rstrip()
+            continue
+        if not p:
+            return sql, props, into
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +334,14 @@ _WINDOW_RE = re.compile(
 )
 
 
+def _is_duration(text: str) -> bool:
+    try:
+        parse_duration(text)
+        return True
+    except ValueError:
+        return False
+
+
 def _extract_window(sql: str) -> tuple[str, WindowClause | None]:
     m = _WINDOW_RE.search(sql)
     if not m:
@@ -307,6 +349,22 @@ def _extract_window(sql: str) -> tuple[str, WindowClause | None]:
     kind = m.group(1).lower()
     args = [a.strip() for a in _split_top_level(m.group(2))]
     time_column: str | None = None
+    if kind == "session":
+        # SESSION(gap) | SESSION(time_expr, gap[, partition_key...])
+        # (clauses.rs:141-198). Classify by position of the duration arg:
+        # everything before it is the time column (any expression — the
+        # reference only takes identifiers, clauses.rs:219-246, but its
+        # examples use GREATEST(...)), everything after is partition keys.
+        durs = [i for i, a in enumerate(args) if _is_duration(a)]
+        if not durs:
+            raise ValueError(f"SESSION needs a gap duration: {m.group(0)!r}")
+        gi = durs[0]
+        if gi > 1:
+            raise ValueError(f"SESSION takes one time column: {m.group(0)!r}")
+        time_column = args[0] if gi == 1 else None
+        wc = WindowClause(kind, parse_duration(args[gi]), None, time_column,
+                          partition_by=[a for a in args[gi + 1:]])
+        return (sql[: m.start()] + sql[m.end():]).strip(), wc
     # optional leading time-column arg: WINDOW TUMBLING(ts_col, INTERVAL..)
     if args and re.match(r"(?i)^[\w.]+$", args[0]) and not re.match(r"^\d", args[0]):
         time_column = args.pop(0)
@@ -523,9 +581,20 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         if part == "hour":
             # Rust i64 `/` truncates toward zero; Spark `div` matches.
             return f"((unix_millis({e}) - unix_millis({s})) div 3600000)"
+        # Extension: the reference ERRORS on sub-hour units
+        # (functions.rs:2008-2016) yet its own shipped example
+        # (examples/iot_monitoring.sql) calls DATEDIFF('minutes', ...) —
+        # accept them with the same elapsed-truncated semantics as 'hours'.
+        if part == "minute":
+            return f"((unix_millis({e}) - unix_millis({s})) div 60000)"
+        if part == "second":
+            return f"((unix_millis({e}) - unix_millis({s})) div 1000)"
+        if part == "millisecond":
+            return f"(unix_millis({e}) - unix_millis({s}))"
         raise ValueError(
             f"Unsupported DATEDIFF unit: {args[0]}. Supported units: "
-            "years, months, quarters, weeks, days, hours"
+            "years, months, quarters, weeks, days, hours, minutes, "
+            "seconds, milliseconds"
         )
     if u == "EXTRACT" and len(args) == 2:
         # EXTRACT('EPOCH', x) string-part variant (parser/expressions.rs:577-598)
@@ -553,13 +622,20 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         return "window.start"
     if u == "TUMBLE_END" and len(args) == 0:
         return "window.end"
+    if u == "SESSION_DURATION" and len(args) == 0:
+        # Extension: examples/iot_monitoring_phase4.sql uses it, but the
+        # reference registry has no such function (grep functions.rs) —
+        # under a SESSION window the Spark grouping key is the
+        # `session_window` struct, so duration = end - start (an interval,
+        # comparable to INTERVAL literals).
+        return "(session_window.end - session_window.start)"
     return None
 
 
 _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
-    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END)\s*\("
+    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION)\s*\("
 )
 
 
@@ -584,11 +660,18 @@ def _rewrite_functions(sql: str) -> str:
             sql = sql[: m.start()] + repl + sql[j:]
             pos = m.start() + len(repl)
         else:
-            sql = sql[: m.start()] + repl + sql[j:]
-            # re-scan the replacement (it may itself contain a rewritable
-            # name, e.g. EXTRACT('YEAR', x) → extract(YEAR FROM x), which
-            # then passes through via the None branch above — terminating).
-            pos = m.start()
+            new_sql = sql[: m.start()] + repl + sql[j:]
+            if new_sql == sql:
+                # Idempotent rewrite (e.g. listagg(...) → listagg(...) after
+                # LISTAGG was lowercased on the previous pass): re-scanning
+                # from m.start() would loop forever — advance past it.
+                pos = m.start() + len(repl)
+            else:
+                sql = new_sql
+                # re-scan the replacement (it may itself contain a rewritable
+                # name, e.g. EXTRACT('YEAR', x) → extract(YEAR FROM x), which
+                # then passes through via the None branch above — terminating).
+                pos = m.start()
 
 
 _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
@@ -634,6 +717,10 @@ def _inject_time_window(sql: str, wc: WindowClause, time_col: str) -> str:
         key = f"window({time_col}, '{wc.size}', '{wc.advance}')"
     else:
         key = f"session_window({time_col}, '{wc.size}')"
+        if wc.partition_by:
+            # SESSION(ts, gap, key): sessionize per partition key
+            # (WindowSpec::Session.partition_by, ast.rs:607-611)
+            key += ", " + ", ".join(wc.partition_by)
     gm = re.search(r"(?is)\bGROUP\s+BY\s+", sql)
     if gm:
         return sql[: gm.end()] + key + ", " + sql[gm.end():]
@@ -731,7 +818,7 @@ def split_statements(sql_app: str) -> list[str]:
 def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     """Parse one velostream statement into a Statement."""
     cleaned, annotations = strip_comments(sql)
-    body, props = _extract_with_props(cleaned.strip())
+    body, props, into = _extract_with_props(cleaned.strip())
     body = body.strip().rstrip(";").strip()
 
     m = re.match(r"(?is)^CREATE\s+(STREAM|TABLE)\s+(\w+)\s+AS\s+(.*)$", body)
@@ -741,7 +828,7 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
         return Statement(
             kind=kind, name=m.group(2), select_sql=sel, emit=emit, window=wc,
             rows_window_aggs=rw, key_fields=keys, with_props=props,
-            annotations=annotations, raw=sql,
+            annotations=annotations, raw=sql, into=into,
         )
 
     m = re.match(
@@ -800,7 +887,7 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
             kind="deploy_job", name=m.group(1), select_sql=sel, emit=emit,
             window=wc, rows_window_aggs=rw, key_fields=keys, with_props=props,
             job_version=m.group(2), job_strategy=strategy.lower(),
-            canary_pct=canary_pct, annotations=annotations, raw=sql,
+            canary_pct=canary_pct, annotations=annotations, raw=sql, into=into,
         )
 
     # ROLLBACK JOB name [TO VERSION 'v'] (ast.rs:2193-2202)
@@ -819,5 +906,5 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     # plain SELECT
     sel, wc, emit, keys, rw = translate_select_full(body, time_col)
     return Statement(kind="select", select_sql=sel, emit=emit, window=wc,
-                     rows_window_aggs=rw, key_fields=keys, with_props=props,
+                     rows_window_aggs=rw, key_fields=keys, with_props=props, into=into,
                      annotations=annotations, raw=sql)

@@ -242,7 +242,11 @@ class SqlEngine:
                 raise ValueError(f"unknown source type {typ!r} for {name!r}")
 
     def _write_sink(self, st: Statement, df: DataFrame) -> None:
-        cfg = self._source_names(st.with_props).get(st.name or "", {})
+        # sink props live under the INTO name when given (ast.rs:889),
+        # else under the created stream's own name
+        cfg = self._source_names(st.with_props).get(
+            st.into or st.name or "", {}
+        )
         typ = cfg.get("type", "")
         if typ == "file_sink":
             fmt = cfg.get("format", "csv").lower()
