@@ -432,6 +432,25 @@ def test_extract_native_form_executes(spark, engine):
     assert row["y"] >= 2020 and 0 <= row["h"] <= 23
 
 
+def test_extract_subsecond_parts(spark, engine):
+    """Reference functions.rs:1921-1923: MILLISECOND/MICROSECOND/NANOSECOND
+    are sub-second components (0..999 / 0..999999), absent from Spark's
+    native extract.  Both the FROM form and the string-part form rewrite."""
+    row = engine.execute(
+        "SELECT EXTRACT(MILLISECOND FROM TIMESTAMP '2024-03-05 01:02:03.456789') AS ms, "
+        "EXTRACT('MICROSECOND', TIMESTAMP '2024-03-05 01:02:03.456789') AS us, "
+        "EXTRACT(NANOSECOND FROM TIMESTAMP '2024-03-05 01:02:03.456789') AS ns"
+    ).first()
+    assert row["ms"] == 456
+    assert row["us"] == 456789
+    assert row["ns"] == 456789000
+    # sub-second component is never negative, pre-epoch included
+    row = engine.execute(
+        "SELECT EXTRACT(MILLISECOND FROM TIMESTAMP '1969-12-31 23:59:59.250') AS ms"
+    ).first()
+    assert row["ms"] == 250
+
+
 def test_over_fn_name_nested_parens(spark, engine):
     """Round-1 ADVICE: nested parens before OVER broke the fn-name probe, so
     LAG got an illegal explicit frame attached."""

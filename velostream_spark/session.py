@@ -71,6 +71,9 @@ def get_session(app_name: str = "velostream-spark", **extra_conf: str) -> SparkS
         # Spark refuses natively; read as long and convert in load_tables
         # (truncation to micros matches DuckDB's ns→us conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read isAdjustedToUTC=false parquet timestamps as LTZ (UTC session),
+        # not TIMESTAMP_NTZ — see RUNTIME_CONFS.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in extra_conf.items():
@@ -93,6 +96,12 @@ RUNTIME_CONFS = {
     "spark.sql.ansi.enabled": "false",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # pyarrow writes parquet timestamps with isAdjustedToUTC=false, which
+    # Spark ≥4 infers as TIMESTAMP_NTZ by default.  The catalog's timestamp
+    # arithmetic (unix_micros/unix_millis, window() bucketing) assumes LTZ
+    # with a UTC session zone — identical instants, and what the DuckDB
+    # oracle comparison was verified against — so pin inference off.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -543,6 +543,18 @@ _SIMPLE_FN_RENAMES = {
 }
 
 
+#: Sub-second EXTRACT parts (reference functions.rs:1921-1923:
+#: timestamp_subsec_{millis,micros,nanos} — the sub-second component, never
+#: negative).  Spark's native extract has no such fields; pmod keeps the
+#: 0..999[999] range for pre-epoch timestamps too.  NANOSECOND is micros*1000
+#: because Spark timestamps carry microsecond precision.
+_SUBSECOND_EXTRACT = {
+    "MILLISECOND": "pmod(unix_millis({x}), 1000)",
+    "MICROSECOND": "pmod(unix_micros({x}), 1000000)",
+    "NANOSECOND": "(pmod(unix_micros({x}), 1000000) * 1000)",
+}
+
+
 def _rewrite_call(name: str, args: list[str]) -> str | None:
     """Call-shape rewrites (argument-aware). Return None to keep as-is."""
     u = name.upper()
@@ -601,11 +613,19 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         part = args[0].strip().strip("'\"").upper()
         if part == "EPOCH":
             return f"unix_timestamp({args[1]})"
+        sub = _SUBSECOND_EXTRACT.get(part)
+        if sub is not None:
+            return sub.format(x=args[1])
         return f"extract({part} FROM {args[1]})"
     if u == "EXTRACT" and len(args) == 1:
-        fm = re.match(r"(?is)^\s*EPOCH\s+FROM\s+(.*)$", args[0])
+        fm = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", args[0])
         if fm:
-            return f"unix_timestamp({fm.group(1)})"
+            part, x = fm.group(1).upper(), fm.group(2)
+            if part == "EPOCH":
+                return f"unix_timestamp({x})"
+            sub = _SUBSECOND_EXTRACT.get(part)
+            if sub is not None:
+                return sub.format(x=x)
         return None
     if u == "DELTA" and len(args) == 1:
         # velostream-specific (functions.rs:3148): diff vs previous row —
