@@ -71,18 +71,27 @@ HEADLINE = [
     "streaming_session_join",
 ]
 
-#: query -> (table, replication factor R). Each reads ONLY the named table;
-#: it runs against the R×-replicated copy of that table (keys shifted per
-#: replica) and reports wall/R (see module docstring). Every other query is
-#: timed plainly at 1×.
+#: query -> (tables, replication factor R). Each reads ONLY the named tables;
+#: it runs against R×-replicated copies (keys shifted per replica, with
+#: PK/FK domains shifted by ONE shared offset so joins still line up inside
+#: each replica) and reports wall/R (see module docstring). Every other
+#: query is timed plainly at 1×.
 AMORTIZED = {
-    "windowed_join": ("events", 16),
-    "lag_lead": ("events", 16),
-    "agg_over_rows_frame": ("events", 16),
-    "streaming_tumbling_final": ("events", 16),
-    "streaming_rows_window": ("events", 16),
-    "streaming_session_join": ("events", 16),
-    "ranking_functions": ("orders", 16),
+    "windowed_join": (("events",), 16),
+    "lag_lead": (("events",), 16),
+    "agg_over_rows_frame": (("events",), 16),
+    "streaming_tumbling_final": (("events",), 16),
+    "streaming_rows_window": (("events",), 16),
+    "streaming_session_join": (("events",), 16),
+    "ranking_functions": (("orders",), 16),
+    # Subquery entries: ~1 s wall is the per-job floor at any SF (sf0.001 and
+    # sf0.1 time the same) — replicate every table the query touches so the
+    # semi/anti/scalar-subquery work itself scales 16× and wall/16 is the
+    # steady per-1×-input cost.
+    "exists_subquery": (("supplier", "lineitem"), 16),
+    "in_subquery": (("part", "lineitem"), 16),
+    "scalar_subquery": (("orders",), 16),
+    "any_all_subquery": (("supplier", "customer", "orders"), 16),
 }
 
 #: per-table key columns shifted per replica so joins/window partitions stay
@@ -90,13 +99,33 @@ AMORTIZED = {
 _SHIFT_COLS = {
     "events": ["event_id", "user_id"],
     "orders": ["o_orderkey", "o_custkey"],
+    "supplier": ["s_suppkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "customer": ["c_custkey"],
+}
+
+#: PK and FK columns over the same key domain must shift by the SAME offset,
+#: or cross-table joins (l_suppkey = s_suppkey, ...) break across replicas.
+_KEY_DOMAIN = {
+    "event_id": "event",
+    "user_id": "user",
+    "o_orderkey": "order",
+    "l_orderkey": "order",
+    "o_custkey": "cust",
+    "c_custkey": "cust",
+    "s_suppkey": "supp",
+    "l_suppkey": "supp",
+    "p_partkey": "part",
+    "l_partkey": "part",
 }
 
 
-def build_replicated_table(spark, sf_dir: str, table: str, rep: int) -> str:
-    """Write ``table`` replicated ``rep``× with per-replica shifted key
+def build_replicated_dir(spark, sf_dir: str, tables: tuple, rep: int) -> str:
+    """Write ``tables`` replicated ``rep``× with per-replica shifted key
     columns (joins and window partitions stay within-replica, so work
-    scales linearly — the same method as PERF.md's scale-up table)."""
+    scales linearly — the same method as PERF.md's scale-up table).
+    Shared key domains get one offset across all participating tables."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -104,26 +133,29 @@ def build_replicated_table(spark, sf_dir: str, table: str, rep: int) -> str:
     from velostream_spark.session import load_tables
 
     dst = tempfile.mkdtemp(prefix="vs-bench-rep-")
-    df = load_tables(spark, sf_dir, register_views=False)[table]
-    shift_cols = _SHIFT_COLS[table]
-    mx = df.agg(
-        *[F.max(c).alias(c) for c in shift_cols]
-    ).first()
-    offs = {c: mx[c] + 1 for c in shift_cols}
+    dfs = {t: load_tables(spark, sf_dir, register_views=False)[t] for t in tables}
+    dom_max: dict[str, int] = {}
+    for t, df in dfs.items():
+        mx = df.agg(*[F.max(c).alias(c) for c in _SHIFT_COLS[t]]).first()
+        for c in _SHIFT_COLS[t]:
+            dom = _KEY_DOMAIN[c]
+            dom_max[dom] = max(dom_max.get(dom, 0), mx[c])
     reps = spark.range(rep).select(F.col("id").alias("rep"))
-    (
-        df.crossJoin(F.broadcast(reps))
-        .select(
-            *[
-                (F.col(c) + F.col("rep") * offs[c]).alias(c)
-                if c in offs
-                else F.col(c)
-                for c in df.columns
-            ]
+    for t, df in dfs.items():
+        offs = {c: dom_max[_KEY_DOMAIN[c]] + 1 for c in _SHIFT_COLS[t]}
+        (
+            df.crossJoin(F.broadcast(reps))
+            .select(
+                *[
+                    (F.col(c) + F.col("rep") * offs[c]).alias(c)
+                    if c in offs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, f"{t}.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(dst, f"{table}.parquet"))
-    )
     return dst
 
 
@@ -138,9 +170,9 @@ def main() -> None:
     catalog["group_by_agg"].fn(spark, SF_DIR).count()
 
     amortized = {q: tr for q, tr in AMORTIZED.items() if q in HEADLINE}
-    rep_dirs: dict[tuple[str, int], str] = {}
-    for table, r in sorted(set(amortized.values())):
-        rep_dirs[(table, r)] = build_replicated_table(spark, SF_DIR, table, r)
+    rep_dirs: dict[tuple[tuple, int], str] = {}
+    for tables, r in sorted(set(amortized.values())):
+        rep_dirs[(tables, r)] = build_replicated_dir(spark, SF_DIR, tables, r)
 
     # Each query runs twice; we report the steady-state (min) — the first
     # run pays one-time whole-stage-codegen JIT compilation, which the
@@ -152,8 +184,8 @@ def main() -> None:
         entry = catalog.get(name)
         if entry is None:
             continue
-        table, rep = amortized.get(name, (None, 1))
-        sf_dir = rep_dirs[(table, rep)] if rep > 1 else SF_DIR
+        tables, rep = amortized.get(name, (None, 1))
+        sf_dir = rep_dirs[(tables, rep)] if rep > 1 else SF_DIR
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -176,7 +208,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "amortized": {
-                    q: {"table": t, "rep": r} for q, (t, r) in amortized.items()
+                    q: {"tables": list(t), "rep": r}
+                    for q, (t, r) in amortized.items()
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

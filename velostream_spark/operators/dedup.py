@@ -369,6 +369,26 @@ def simhash_bits_sql(expr: str, bits: int = 32) -> str:
     return " || ".join(parts)
 
 
+def simhash_bits_sql_staged(md5_list: str, bits: int = 32) -> str:
+    """Same bit definition as :func:`simhash_bits_sql`, but over a
+    pre-staged md5-list column (one md5 per word) — the md5 is computed
+    once per word instead of once per (word, bit)."""
+    parts = []
+    for j in range(bits):
+        nib_idx = j // 4 + 1
+        shift = j % 4
+        per_word = (
+            f"list_transform({md5_list}, x -> "
+            f"CASE WHEN (strpos('0123456789abcdef', substr(x, {nib_idx}, 1)) - 1) "
+            f"// {1 << shift} % 2 = 1 THEN 1 ELSE 0 END)"
+        )
+        parts.append(
+            f"CASE WHEN 2 * list_sum({per_word}) > len({md5_list}) "
+            f"THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
 def hamming_distance_bitstr(a: Column, b: Column, bits: int) -> Column:
     """Hamming distance between two equal-length '0'/'1' strings."""
     diff = F.lit(0)

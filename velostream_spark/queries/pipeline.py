@@ -219,12 +219,47 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_STAGE: dict[str, DataFrame] = {}
 
 
-@query("simhash_pairs", oracle=None, tags=("pipeline", "dedup", "simhash"))
+# DuckDB twin of the banded-pairs pipeline: same signatures (bit parity is
+# pinned by the `simhash` oracle), same 16-bit banding, Hamming via BIT
+# xor + bit_count.  md5s are staged once per word (simhash_bits_sql_staged);
+# the inline form recomputes md5 per (word, bit) — 64× the hashing.
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH ms AS (
+  SELECT doc_id, list_transform(({textops.words_sql("text")}), x -> md5(x)) AS m
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {dedup.simhash_bits_sql_staged("m", 64)} AS sh FROM ms
+),
+banded AS (
+  SELECT doc_id,
+         CAST(b AS VARCHAR) || ':' || substr(sh, CAST(b AS INTEGER) * 16 + 1, 16) AS band
+  FROM sig, range(4) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT pairs.id_a, pairs.id_b,
+       CAST(bit_count(xor(CAST(sa.sh AS BIT), CAST(sb.sh AS BIT))) AS INTEGER)
+           AS hamming
+FROM pairs
+JOIN sig sa ON sa.doc_id = pairs.id_a
+JOIN sig sb ON sb.doc_id = pairs.id_b
+WHERE bit_count(xor(CAST(sa.sh AS BIT), CAST(sb.sh AS BIT))) <= 3
+"""
+
+
+@query(
+    "simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("pipeline", "dedup", "simhash"),
+)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (16-bit banded candidates + Hamming ≤ 3
-    verify). Rows-only driver check; bit-level parity is covered by the
-    `simhash` oracle and pytest unit tests against a pure-Python
-    reimplementation."""
+    verify), value-checked against a full DuckDB reimplementation of the
+    banding + BIT-xor Hamming pipeline."""
     t = tables(spark, sf_dir)
     sig = _SIMHASH_STAGE.get(sf_dir)
     if sig is None:
