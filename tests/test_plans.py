@@ -140,3 +140,15 @@ def test_sequence_packing_single_window_pass(spark):
     assert plan.count("Window") >= 1, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange") <= 3, plan  # window + agg (+AQE reuse)
+
+
+def test_lm_quality_score_plan_shape(spark):
+    """Vocab build and doc scoring must both be map-side-combined aggs; the
+    corpus-total scalar joins as a 1-row broadcast, never a cartesian; the
+    documents scan reads only (doc_id, text)."""
+    plan = plan_of(spark, "lm_quality_score")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × vocab/doc
+    assert "partial_count" in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "lang" not in scan and "n_chars" not in scan, f"unpruned scan: {scan}"

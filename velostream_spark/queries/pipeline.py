@@ -565,3 +565,73 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistical quality scoring (unigram LM)
+
+_LM_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(({textops.words_sql("text")})) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM w GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+scored AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_tokens,
+         ROUND(-AVG(ln(CAST(vocab.c AS DOUBLE) / tot.n)), 6) AS avg_nll
+  FROM w JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens, avg_nll,
+       CASE WHEN avg_nll <= 8.0 THEN 'keep'
+            WHEN avg_nll <= 10.0 THEN 'review'
+            ELSE 'drop' END AS band
+FROM scored
+"""
+
+
+@query(
+    "lm_quality_score",
+    oracle=_LM_QUALITY_ORACLE,
+    tags=("pipeline", "quality", "lm", "beyond-reference"),
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score (the CCNet-style perplexity
+    filter, distributed): token frequencies are learned from the corpus
+    itself in one hash aggregation, then every document is scored by the
+    average negative log-likelihood of its tokens and banded keep/review/
+    drop.
+
+    Scale shape: two shuffles total — vocab build (groupBy token, map-side
+    combined) and the token→frequency equi-join (AQE handles the inherent
+    head-word skew) — then a per-document aggregation. The corpus total is
+    a broadcast scalar. No UDFs, no collect; vocab is never driver-resident.
+    """
+    t = tables(spark, sf_dir)
+    w = t["documents"].select(
+        "doc_id", F.explode(textops.words(F.col("text"))).alias("tok")
+    )
+    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        w.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= 8.0, F.lit("keep"))
+        .when(F.col("avg_nll") <= 10.0, F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("band"),
+    )
