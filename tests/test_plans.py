@@ -152,3 +152,11 @@ def test_lm_quality_score_plan_shape(spark):
     assert "partial_count" in plan, plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "lang" not in scan and "n_chars" not in scan, f"unpruned scan: {scan}"
+
+
+def test_decontaminate_is_broadcast_index_join(spark):
+    """The benchmark shingle set must broadcast (it is small by construction)
+    and no pairwise document comparison may appear anywhere in the plan."""
+    plan = plan_of(spark, "decontaminate")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

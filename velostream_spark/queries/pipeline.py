@@ -568,6 +568,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+
+_DECONTAMINATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(({textops.shingles_sql("text", 5)})) AS s FROM documents
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT corpus.doc_id, COUNT(*) AS n_hits
+  FROM corpus JOIN bench USING (s) GROUP BY corpus.doc_id
+)
+SELECT c.doc_id, c.n_shingles,
+       COALESCE(h.n_hits, 0)      AS n_hits,
+       COALESCE(h.n_hits, 0) >= 3 AS contaminated
+FROM counts c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+@query(
+    "decontaminate",
+    oracle=_DECONTAMINATE_ORACLE,
+    tags=("pipeline", "dedup", "decontamination", "beyond-reference"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥3 distinct
+    5-gram shingles with a held-out benchmark set (here: every 50th doc, a
+    deterministic stand-in for an eval suite) — the n-gram overlap check
+    LLM training pipelines run before training.
+
+    Scale shape: the inverted-index join — explode distinct shingles, build
+    the benchmark shingle set (aggregated, so the join side is deduped and
+    broadcast-able when the benchmark is small, the common case), equi-join
+    on the shingle, per-document count. No pairwise document comparison
+    anywhere; shuffle carries (shingle, doc_id) only.
+    """
+    t = tables(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", F.explode(textops.shingles(F.col("text"), 5)).alias("s")
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = sh.where(is_bench).select("s").distinct()
+    corpus = sh.where(~is_bench)
+    counts = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        counts.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-statistical quality scoring (unigram LM)
 
 _LM_QUALITY_ORACLE = f"""
