@@ -1,0 +1,68 @@
+"""The official correctness gate verifies the FIRST 50 registered catalog
+entries (driver behavior, registration order == queries() dict order).
+Pin that the first 50 slots cover every SURVEY §2 operator family plus the
+flagship pipeline operators, and that GATE_ORDER and the registry agree.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from velostream_spark.registry import GATE_ORDER, all_queries
+
+#: Flagship pipeline/codec/streaming entries that MUST hold official slots.
+FLAGSHIPS = {
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "text_analysis",
+    "lm_quality_score",
+    "decontaminate",
+    "sequence_packing",
+    "stratified_sample",
+    "avro_roundtrip",
+    "streaming_tumbling_final",
+}
+
+
+def test_gate_order_is_the_first_50():
+    names = list(all_queries())
+    assert len(GATE_ORDER) == 50
+    assert names[:50] == GATE_ORDER
+
+
+def test_flagship_pipeline_entries_hold_official_slots():
+    first50 = set(list(all_queries())[:50])
+    assert FLAGSHIPS <= first50
+
+
+def test_every_gate_entry_has_an_oracle():
+    catalog = all_queries()
+    missing = [n for n in GATE_ORDER if not catalog[n].oracle]
+    assert not missing, f"gate entries without DuckDB oracle: {missing}"
+
+
+def test_displaced_entries_still_registered():
+    # Consolidation must not drop operators from the catalog — the standalone
+    # halves of merged gate entries stay available for bench + parity.
+    names = set(all_queries())
+    for kept in (
+        "union_all",
+        "union_distinct",
+        "intersect_except",
+        "grouping_sets_rollup",
+        "exists_subquery",
+        "not_exists_subquery",
+        "in_subquery",
+        "not_in_subquery",
+        "value_functions",
+        "distribution_functions",
+        "range_frame",
+        "select_wildcard",
+        "unixtime_functions",
+        "approx_count_distinct",
+    ):
+        assert kept in names

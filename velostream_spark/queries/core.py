@@ -270,6 +270,37 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "union_all_distinct",
+    oracle="""
+    SELECT 'all' AS mode, rk FROM (
+        SELECT n_regionkey AS rk FROM nation
+        UNION ALL
+        SELECT r_regionkey AS rk FROM region
+    ) u
+    UNION ALL
+    SELECT 'distinct' AS mode, rk FROM (
+        SELECT n_regionkey AS rk FROM nation
+        UNION
+        SELECT r_regionkey AS rk FROM region
+    ) v
+    """,
+    tags=("set-ops",),
+)
+def union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION (distinct) in one gate entry (reference parses but
+    never executes UNION — ast.rs:404-412, processors/mod.rs:106-113 no-op;
+    both fully supported here). Combined so one official-gate slot verifies
+    both set-op forms; the standalone ``union_all`` / ``union_distinct``
+    entries remain for benching and parity."""
+    t = tables(spark, sf_dir)
+    na = t["nation"].select(F.col("n_regionkey").alias("rk"))
+    re = t["region"].select(F.col("r_regionkey").alias("rk"))
+    u_all = na.unionAll(re).select(F.lit("all").alias("mode"), "rk")
+    u_dst = na.union(re).distinct().select(F.lit("distinct").alias("mode"), "rk")
+    return u_all.unionAll(u_dst)
+
+
+@query(
     "intersect_except",
     oracle="""
     (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'

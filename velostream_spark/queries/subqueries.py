@@ -165,6 +165,74 @@ def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exists_not_exists_subquery",
+    oracle="""
+    SELECT 'exists' AS form, s_suppkey AS key, s_name AS name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+    UNION ALL
+    SELECT 'not_exists' AS form, c_custkey AS key, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("subquery", "exists", "not-exists"),
+)
+def exists_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one gate entry (reference SubqueryType::Exists /
+    ::NotExists) — Catalyst plans left-semi + left-anti joins. Combined so one
+    official slot verifies both forms; standalone entries remain for benching."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'exists' AS form, s_suppkey AS key, s_name AS name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        UNION ALL
+        SELECT 'not_exists' AS form, c_custkey AS key, c_name AS name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "in_not_in_subquery",
+    oracle="""
+    SELECT 'in' AS form, p_partkey AS key, p_name AS name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+      AND p_size NOT IN (1, 2, 3)
+    UNION ALL
+    SELECT 'not_in' AS form, n_nationkey AS key, n_name AS name
+    FROM nation
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)
+    """,
+    tags=("subquery", "in", "not-in"),
+)
+def in_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery + null-aware NOT-IN-subquery in one gate entry (reference
+    SubqueryType::In / ::NotIn, plus the literal NOT IN list operator).
+    Combined so one official slot verifies both forms."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'in' AS form, p_partkey AS key, p_name AS name
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+          AND p_size NOT IN (1, 2, 3)
+        UNION ALL
+        SELECT 'not_in' AS form, n_nationkey AS key, n_name AS name
+        FROM nation
+        WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)
+        """
+    )
+
+
+@query(
     "any_all_subquery",
     oracle="""
     SELECT s_suppkey, s_name, s_acctbal

@@ -137,6 +137,48 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_distribution_functions",
+    oracle="""
+    SELECT user_id, event_id, value,
+           FIRST_VALUE(value)  OVER wf AS first_val,
+           LAST_VALUE(value)   OVER wf AS last_val,
+           NTH_VALUE(value, 2) OVER wf AS second_val,
+           ROUND(PERCENT_RANK() OVER wo, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER wo, 6) AS cume
+    FROM events
+    WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wo AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tags=("window-fn", "value-fns", "distribution"),
+)
+def value_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE + PERCENT_RANK / CUME_DIST in one
+    gate entry (reference window_functions.rs:150-155). Combined so one
+    official slot verifies both window-function families; both windows
+    partition by user_id, so WindowExec reuses a single hash-partitioning
+    exchange — and unlike a global ORDER BY window, this shape stays
+    parallel at 100 TB. Standalone entries remain for parity."""
+    t = tables(spark, sf_dir)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wo = W.partitionBy("user_id").orderBy("value", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        F.first("value").over(wf).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cume"),
+    )
+
+
+@query(
     "agg_over_rows_frame",
     oracle="""
     SELECT user_id, event_id, ts, value,
