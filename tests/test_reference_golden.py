@@ -1,0 +1,247 @@
+"""Golden-file execution of the reference's SHIPPED demo apps.
+
+The reference's own acceptance harness is `velo-test`: YAML test specs with
+declarative assertions over the files each demo SQL writes
+(demo/quickstart/test_spec.yaml:26-70, demo/1brc/test_spec.yaml:3-8; harness
+semantics: file_exists / file_row_count / file_contains / file_matches with
+ignore_order + compare_fields). These tests run the SHIPPED `.sql` files
+VERBATIM through SqlEngine in the demo's working directory and apply the
+shipped specs' assertions — including the byte-for-byte expected output
+`demo/quickstart/hello_world_expected.csv`.
+
+1BRC has no shipped expected.csv: the reference generates the golden pair
+(`velo-1brc generate --seed 42` → measurements.txt + expected.csv, with
+expected tracked FROM the generated data — src/bin/velo-1brc.rs:521-600).
+We mirror that protocol: deterministically generate measurements with the
+same semantics (uniform station from the public-1BRC station list shipped in
+the reference binary, gaussian temp around the station mean, clamped to
+[-99.9, 99.9], rounded to 1 decimal), compute expected with DuckDB (an
+independent engine, stronger than the reference's in-process tracker), then
+assert the spec: 408 stations, station/min_temp/max_temp match, order
+ignored.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import re
+import shutil
+
+import pytest
+
+REF_QUICKSTART = "/root/reference/demo/quickstart"
+REF_1BRC = "/root/reference/demo/1brc"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_QUICKSTART), reason="reference demos not present"
+)
+
+
+# -- velo-test assertion semantics ------------------------------------------
+
+
+def _read_csv_records(path: str) -> list[dict]:
+    """Read CSV records from a plain file OR a Spark output directory
+    (the engine's file sink writes `<path>/part-*.csv`)."""
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*.csv")))
+        assert parts, f"no part files under {path}"
+        rows: list[dict] = []
+        for p in parts:
+            with open(p, newline="") as fh:
+                rows.extend(csv.DictReader(fh))
+        return rows
+    with open(path, newline="") as fh:
+        return list(csv.DictReader(fh))
+
+
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+
+
+def _norm(v: str | None):
+    """Normalize a CSV cell for engine-independent comparison: numbers
+    compare numerically, ISO timestamps ignore formatting differences
+    (trailing Z / fractional zeros), everything else compares as text —
+    the same row-wise field comparison velo-test's file_matches does."""
+    if v is None or v == "":
+        return None
+    if _TS_RE.match(v):
+        return v.rstrip("Z").rstrip(".000").replace(" ", "T")
+    try:
+        return round(float(v), 6)
+    except ValueError:
+        return v
+
+
+def _assert_matches(
+    actual: list[dict],
+    expected: list[dict],
+    ignore_order: bool,
+    compare_fields: list[str] | None = None,
+) -> None:
+    fields = compare_fields or sorted(expected[0].keys())
+    a = [tuple(_norm(r.get(f)) for f in fields) for r in actual]
+    e = [tuple(_norm(r.get(f)) for f in fields) for r in expected]
+    if ignore_order:
+        a, e = sorted(a, key=repr), sorted(e, key=repr)
+    assert a == e
+
+
+def _assert_contains(rows: list[dict], field: str, values: list[str]) -> None:
+    got = {r.get(field) for r in rows}
+    missing = [v for v in values if v not in got]
+    assert not missing, f"{field} missing {missing}; got {sorted(got, key=str)}"
+
+
+# -- quickstart --------------------------------------------------------------
+
+
+@pytest.fixture
+def quickstart(tmp_path, monkeypatch, spark):
+    """Fresh engine in a work dir holding the shipped quickstart inputs;
+    SQL files use ./ paths, so run from that directory like velo-test does."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    for f in os.listdir(REF_QUICKSTART):
+        if f.endswith((".csv", ".sql")):
+            shutil.copy(os.path.join(REF_QUICKSTART, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+    return SqlEngine(spark)
+
+
+def _run_demo(engine, sql_file: str):
+    with open(sql_file) as fh:
+        return engine.execute(fh.read())
+
+
+def test_hello_world_matches_shipped_expected(quickstart):
+    """hello_world.sql vs the SHIPPED hello_world_expected.csv
+    (test_spec.yaml: 5 rows, file_matches ignore_order=false)."""
+    _run_demo(quickstart, "hello_world.sql")
+    rows = _read_csv_records("output/hello_world_output.csv")
+    assert len(rows) == 5
+    expected = _read_csv_records(os.path.join(REF_QUICKSTART, "hello_world_expected.csv"))
+    _assert_matches(rows, expected, ignore_order=False)
+
+
+def test_01_filter(quickstart):
+    """01_filter.sql: 3 rows (Bob, Dave, Eve) — spec file_row_count +
+    file_contains mode=all."""
+    _run_demo(quickstart, "01_filter.sql")
+    rows = _read_csv_records("output/01_filter_output.csv")
+    assert len(rows) == 3
+    _assert_contains(rows, "name", ["Bob", "Dave", "Eve"])
+
+
+def test_02_transform(quickstart):
+    """02_transform.sql: 5 rows, name_upper = UPPER(name) for all five."""
+    _run_demo(quickstart, "02_transform.sql")
+    rows = _read_csv_records("output/02_transform_output.csv")
+    assert len(rows) == 5
+    _assert_contains(rows, "name_upper", ["ALICE", "BOB", "CAROL", "DAVE", "EVE"])
+    by_id = {r["id"]: r for r in rows}
+    assert _norm(by_id["2"]["doubled_value"]) == 400  # Bob 200*2
+
+
+def test_03_aggregate_emit_changes_cadence(quickstart):
+    """03_aggregate.sql (CREATE TABLE ... GROUP BY ... EMIT CHANGES): the
+    spec pins 8 output rows for 8 input records — the reference emits the
+    group's UPDATED aggregate per input record. Verifies the batch
+    changelog rewrite produces that cadence AND correct running values,
+    while the registered TABLE holds final state (3 categories)."""
+    eng = quickstart
+    _run_demo(eng, "03_aggregate.sql")
+    rows = _read_csv_records("output/03_aggregate_output.csv")
+    assert len(rows) == 8
+    _assert_contains(rows, "category", ["Electronics", "Books", "Clothing"])
+    # Last Electronics changelog row == final state: 3 tx, 1049.97 total
+    elec = [r for r in rows if r["category"] == "Electronics"]
+    assert _norm(elec[-1]["transaction_count"]) == 3
+    assert _norm(elec[-1]["total_amount"]) == round(299.99 + 149.99 + 599.99, 6)
+    # and the materialized table holds one row per key
+    assert eng.tables["category_stats"].count() == 3
+
+
+def test_04_window_lag(quickstart):
+    """04_window.sql: LAG over ROWS WINDOW BUFFER — 8 rows, both symbols,
+    first row per symbol has empty previous_price, change = cur - prev."""
+    _run_demo(quickstart, "04_window.sql")
+    rows = _read_csv_records("output/04_window_output.csv")
+    assert len(rows) == 8
+    _assert_contains(rows, "symbol", ["AAPL", "GOOGL"])
+    aapl = sorted(
+        (r for r in rows if r["symbol"] == "AAPL"), key=lambda r: r["timestamp"]
+    )
+    assert _norm(aapl[0]["previous_price"]) is None
+    assert _norm(aapl[1]["previous_price"]) == 150.0
+    assert _norm(aapl[1]["price_change"]) == round(151.5 - 150.0, 6)
+
+
+# -- 1BRC --------------------------------------------------------------------
+
+
+def _stations() -> list[tuple[str, float]]:
+    """The public-1BRC station list (name, mean °C) shipped in the
+    reference's generator (src/bin/velo-1brc.rs STATIONS — data from the
+    original public One Billion Row Challenge)."""
+    src = open(os.path.join("/root/reference/src/bin/velo-1brc.rs")).read()
+    body = src.split("STATIONS", 1)[1]
+    out = re.findall(r'\("([^"]+)",\s*(-?\d+(?:\.\d+)?)\)', body)
+    return [(name, float(mean)) for name, mean in out]
+
+
+def test_1brc_golden(tmp_path, monkeypatch, spark):
+    """demo/1brc/1brc.sql executed verbatim against generator-protocol data;
+    spec assertions (test_spec.yaml): output exists, one row per station
+    (408), station/min_temp/max_temp match expected with ignore_order
+    (avg excluded by the spec for f64 formatting reasons; we additionally
+    check it numerically to 1e-6 — stronger than the shipped spec)."""
+    import duckdb
+    import numpy as np
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    stations = _stations()
+    assert len(stations) == 408  # the spec's station count
+    rng = np.random.default_rng(42)
+    n = 200_000
+    idx = rng.integers(0, len(stations), n)
+    means = np.array([m for _, m in stations])[idx]
+    temps = np.clip(means + rng.normal(0.0, 10.0, n), -99.9, 99.9).round(1)
+    names = np.array([s for s, _ in stations])[idx]
+    meas = tmp_path / "measurements.txt"
+    with open(meas, "w") as fh:
+        fh.write("station;temperature\n")
+        fh.writelines(f"{s};{t:.1f}\n" for s, t in zip(names, temps))
+
+    # independent oracle for the expected golden file
+    expected = duckdb.sql(
+        f"""
+        SELECT station, MIN(temperature) AS min_temp,
+               AVG(temperature) AS avg_temp, MAX(temperature) AS max_temp
+        FROM read_csv('{meas}', delim=';', header=true)
+        GROUP BY station ORDER BY station
+        """
+    ).fetchall()
+
+    monkeypatch.chdir(tmp_path)
+    eng = SqlEngine(spark)
+    with open(os.path.join(REF_1BRC, "1brc.sql")) as fh:
+        eng.execute(fh.read())
+
+    assert os.path.exists("1brc_results.csv")
+    rows = _read_csv_records("1brc_results.csv")
+    assert len(rows) == 408
+    exp_rows = [
+        {"station": s, "min_temp": str(mn), "avg_temp": str(av), "max_temp": str(mx)}
+        for s, mn, av, mx in expected
+    ]
+    _assert_matches(
+        rows, exp_rows, ignore_order=True,
+        compare_fields=["station", "min_temp", "max_temp"],
+    )
+    # beyond the shipped spec: avg parity too
+    _assert_matches(rows, exp_rows, ignore_order=True,
+                    compare_fields=["station", "avg_temp"])

@@ -928,3 +928,107 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     return Statement(kind="select", select_sql=sel, emit=emit, window=wc,
                      rows_window_aggs=rw, key_fields=keys, with_props=props, into=into,
                      annotations=annotations, raw=sql)
+
+
+# -- EMIT CHANGES changelog (batch form) -------------------------------------
+
+_AGG_NAME_RE = re.compile(
+    r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|STDDEV|STDDEV_POP|STDDEV_SAMP|"
+    r"VARIANCE|VAR_POP|VAR_SAMP|FIRST|LAST)\s*\("
+)
+
+
+def _top_level_find(s: str, pattern: str, start: int = 0) -> int:
+    """Index of the first regex match at paren/quote depth 0, or -1."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    depth, i = 0, start
+    while i < len(s):
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _attach_over(item: str, window_name: str) -> tuple[str, int]:
+    """Append ``OVER window_name`` to every aggregate call in a select item;
+    returns (rewritten item, number of aggregates rewritten)."""
+    out, i, n = [], 0, 0
+    while i < len(item):
+        m = _AGG_NAME_RE.match(item, i)
+        if not m:
+            out.append(item[i])
+            i += 1
+            continue
+        close = _match_paren(item, m.end())
+        call = item[i:close]
+        if re.search(r"(?is)\bDISTINCT\b", call):
+            raise ValueError(
+                "EMIT CHANGES changelog: DISTINCT aggregates are not "
+                "window-expressible in batch form"
+            )
+        out.append(call + f" OVER {window_name}")
+        n += 1
+        i = close
+    return "".join(out), n
+
+
+def changelog_rewrite(spark_sql: str) -> str | None:
+    """EMIT CHANGES cadence for a bounded GROUP BY query (reference
+    select.rs:1534 ``handle_group_by_record`` + EmitMode::Changes,
+    emission strategy window_v2/emission/emit_changes.rs): the reference
+    emits the group's UPDATED aggregate row after every input record.
+
+    Batch form: each aggregate becomes a cumulative window function
+    partitioned by the group keys and ordered by arrival (input order via
+    monotonically_increasing_id — partition-major, so file order), so output
+    row i carries its group's state just after record i — exactly the
+    changelog the reference's per-record loop writes to the sink. One output
+    row per input row, no shuffle beyond the group-key hash partitioning
+    WindowExec needs anyway.
+
+    Returns None for queries without GROUP BY (stateless EMIT CHANGES is
+    already per-record). Raises for HAVING / DISTINCT-aggregate shapes that
+    have no faithful batch-window equivalent.
+    """
+    s = spark_sql.strip().rstrip(";")
+    if not re.match(r"(?is)^\s*SELECT\b", s):
+        return None
+    gi = _top_level_find(s, r"\bGROUP\s+BY\b")
+    if gi < 0:
+        return None
+    fi = _top_level_find(s, r"\bFROM\b")
+    if fi < 0 or fi > gi:
+        return None
+    select_list = re.sub(r"(?is)^\s*SELECT\s+", "", s[:fi]).strip()
+    src = s[fi + len("FROM") : gi].strip()
+    tail = re.sub(r"(?is)^GROUP\s+BY\s*", "", s[gi:]).strip()
+    hi = _top_level_find(tail, r"\bHAVING\b")
+    if hi >= 0:
+        raise ValueError(
+            "EMIT CHANGES changelog: HAVING over a running aggregate is not "
+            "supported in batch form (use EMIT FINAL or the streaming path)"
+        )
+    keys = tail
+    items, n_aggs = [], 0
+    for it in _split_top_level(select_list):
+        new, n = _attach_over(it.strip(), "__w")
+        items.append(new)
+        n_aggs += n
+    if n_aggs == 0:
+        return None
+    return (
+        f"SELECT {', '.join(items)} FROM "
+        f"(SELECT *, monotonically_increasing_id() AS __arrival FROM {src}) "
+        f"__vs_changelog WINDOW __w AS (PARTITION BY {keys} ORDER BY "
+        f"__arrival ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )

@@ -182,7 +182,10 @@ class SqlEngine:
 
     def _read_file_source(self, cfg: dict[str, str]) -> DataFrame:
         fmt = cfg.get("format", "csv").lower()
-        path = cfg["path"]
+        # WITH-clause paths resolve against the process CWD (like the
+        # reference's velo-test runner) — absolutize so the JVM, whose own
+        # working dir is fixed at session start, agrees.
+        path = os.path.abspath(cfg["path"])
         if fmt in ("csv", "csv_no_header", "csvnoheader"):
             header = fmt == "csv"
             reader = (
@@ -250,7 +253,7 @@ class SqlEngine:
         typ = cfg.get("type", "")
         if typ == "file_sink":
             fmt = cfg.get("format", "csv").lower()
-            path = cfg["path"]
+            path = os.path.abspath(cfg["path"])
             # single output file like the reference's writer; at scale drop
             # the coalesce and write a directory of parts.
             out = df.coalesce(1)
@@ -290,7 +293,7 @@ class SqlEngine:
             return self.spark.sql(st.select_sql)
         if st.kind == "create_stream":
             self._wire_sources(st)
-            df = self.spark.sql(st.select_sql)
+            df = self._select_df(st)
             self.register_stream(st.name, df)
             self._write_sink(st, df)
             return df
@@ -300,7 +303,11 @@ class SqlEngine:
             df.count()  # materialize now, like the CTAS population job
             key = st.key_fields[0] if st.key_fields else None
             self.register_table(st.name, df, key)
-            self._write_sink(st, df)
+            # The TABLE holds current state (one row per key); with EMIT
+            # CHANGES the SINK receives the per-record changelog, exactly
+            # the reference's split (table state vs emitted updates,
+            # select.rs:1534 + emit_changes.rs).
+            self._write_sink(st, self._select_df(st))
             return df
         if st.kind == "insert":
             return self._insert(st)
@@ -352,7 +359,7 @@ class SqlEngine:
         if typ == "file_sink":
             fmt = sink_cfg.get("format", "parquet").lower()
             fmt = {"jsonl": "json"}.get(fmt, fmt)
-            sink_format, sink_options = fmt, {"path": sink_cfg["path"]}
+            sink_format, sink_options = fmt, {"path": os.path.abspath(sink_cfg["path"])}
         elif typ == "kafka_sink":
             sink_format = "kafka"
             sink_options = {
@@ -396,7 +403,7 @@ class SqlEngine:
                 continue
             if typ in ("file_source", "file_source_mmap"):
                 fmt = cfg.get("format", "csv").lower()
-                path = cfg["path"]
+                path = os.path.abspath(cfg["path"])
                 # file-stream sources need an explicit schema: infer from a
                 # one-off batch read (the reference infers CSV headers the
                 # same way, file/config.rs)
@@ -502,6 +509,20 @@ class SqlEngine:
         return rows_window_stream(
             sdf, part_by, order_by[0], value_col, buffers.pop(), norm
         )
+
+    def _select_df(self, st: Statement) -> DataFrame:
+        """The statement's SELECT as a DataFrame, honoring EMIT CHANGES
+        cadence on bounded GROUP BY queries: the reference emits each
+        group's updated aggregate row per input record (select.rs:1534);
+        the batch form rewrites aggregates to cumulative window functions
+        (dialect.changelog_rewrite) — one output row per input row."""
+        from velostream_spark.sql.dialect import changelog_rewrite
+
+        if st.emit == "changes":
+            clog = changelog_rewrite(st.select_sql)
+            if clog is not None:
+                return self.spark.sql(clog)
+        return self.spark.sql(st.select_sql)
 
     def _job(self, st: Statement):
         action = st.job_action
