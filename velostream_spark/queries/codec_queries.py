@@ -82,8 +82,14 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro binary encode→decode round trip inside the plan (reference
     avro_codec.rs end-to-end behavior incl. decimal logical types and
     reader-schema evolution), verified by aggregating the decoded columns
-    against the raw table."""
-    from velostream_spark.sources.avro_binary import df_decode_avro, df_encode_avro
+    against the raw table.
+
+    Scale shape: one parquet file would mean ONE Python codec worker, so
+    the input is repartitioned first (at 100 TB the source arrives already
+    partitioned — this reproduces that shape); encode→wire→decode rides a
+    single fused Arrow stage (df_roundtrip_avro) so the per-stage
+    Python-worker overhead is paid once."""
+    from velostream_spark.sources.avro_binary import df_roundtrip_avro
 
     cust = tables(spark, sf_dir)["customer"].select(
         "c_custkey",
@@ -91,8 +97,8 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
     )
-    wire = df_encode_avro(cust, _AVRO_CUSTOMER)
-    decoded = df_decode_avro(wire, "value", _AVRO_CUSTOMER, _AVRO_CUSTOMER_READER)
+    cust = cust.repartition(min(8, spark.sparkContext.defaultParallelism))
+    decoded = df_roundtrip_avro(cust, _AVRO_CUSTOMER, _AVRO_CUSTOMER_READER)
     return decoded.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal").cast("double"), 2).alias("total_bal"),
@@ -129,33 +135,15 @@ message Order {
 def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protobuf wire-format encode→decode round trip inside the plan
     (reference protobuf_codec.rs), verified by aggregating decoded columns
-    against the raw table."""
-    import pandas as pd
-
-    from pyspark.sql.types import BinaryType, StructField, StructType
-
-    from velostream_spark.sources.proto_binary import (
-        ProtobufCodec,
-        df_decode_protobuf,
-    )
+    against the raw table. Scale shape as avro_roundtrip: repartition so
+    every core runs a codec worker, one fused Arrow stage for the pair."""
+    from velostream_spark.sources.proto_binary import df_roundtrip_protobuf
 
     orders = tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-
-    def encode(batches):
-        codec = ProtobufCodec(_PROTO_ORDERS, "Order")
-        for pdf in batches:
-            vals = [
-                codec.encode(dict(zip(pdf.columns, row)))
-                for row in pdf.itertuples(index=False, name=None)
-            ]
-            yield pd.DataFrame({"value": vals})
-
-    wire = orders.mapInPandas(
-        encode, schema=StructType([StructField("value", BinaryType())])
-    )
-    decoded = df_decode_protobuf(wire, "value", _PROTO_ORDERS, "Order")
+    orders = orders.repartition(min(8, spark.sparkContext.defaultParallelism))
+    decoded = df_roundtrip_protobuf(orders, _PROTO_ORDERS, "Order")
     return decoded.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),

@@ -510,3 +510,47 @@ def _py(v):
     except ImportError:  # pragma: no cover
         pass
     return v
+
+
+def df_roundtrip_avro(
+    df,
+    writer_schema_json: str,
+    reader_schema_json: str | None = None,
+):
+    """Encode every row to Avro-binary wire bytes and decode them straight
+    back (with reader-schema resolution) in ONE Arrow stage.
+
+    Same computation as ``df_encode_avro`` ∘ ``df_decode_avro`` but a single
+    ``mapInPandas`` pass, so the per-stage Arrow/Python-worker overhead is
+    paid once — the right shape when the wire bytes don't need to cross a
+    stage boundary (codec verification, re-serialization pipelines). The
+    two-stage forms remain the path when bytes genuinely leave the plan
+    (Kafka sink, binary files).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    from .codecs import avro_to_spark_type
+
+    reader = json.loads(reader_schema_json or writer_schema_json)
+    fields = [f["name"] for f in reader["fields"]]
+    schema = StructType(
+        [
+            StructField(f["name"], avro_to_spark_type(f["type"]), nullable=True)
+            for f in reader["fields"]
+        ]
+    )
+
+    def gen(batches) -> Iterator:
+        enc = AvroBinaryCodec(writer_schema_json)
+        dec = AvroBinaryCodec(writer_schema_json, reader_schema_json)
+        for pdf in batches:
+            wire = [
+                enc.encode({k: _py(v) for k, v in zip(pdf.columns, row)})
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            recs = [dec.decode(w) for w in wire]
+            yield pd.DataFrame({f: [r.get(f) for r in recs] for f in fields})
+
+    return df.mapInPandas(gen, schema=schema)
