@@ -78,6 +78,7 @@ HEADLINE = [
 #: query is timed plainly at 1×.
 AMORTIZED = {
     "windowed_join": (("events",), 16),
+    "interval_join": (("events",), 16),
     "lag_lead": (("events",), 16),
     "agg_over_rows_frame": (("events",), 16),
     "streaming_tumbling_final": (("events",), 16),
@@ -121,28 +122,58 @@ _KEY_DOMAIN = {
 }
 
 
-def build_replicated_dir(spark, sf_dir: str, tables: tuple, rep: int) -> str:
-    """Write ``tables`` replicated ``rep``× with per-replica shifted key
-    columns (joins and window partitions stay within-replica, so work
-    scales linearly — the same method as PERF.md's scale-up table).
-    Shared key domains get one offset across all participating tables."""
+def _global_domain_max(spark, sf_dir: str) -> dict[str, int]:
+    """Max key per domain over EVERY shift table in ``sf_dir`` — one global
+    offset per domain makes per-(table, rep) replicas combination-
+    independent (any subset of replicated tables still joins correctly)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.session import load_tables
+
+    dfs = load_tables(spark, sf_dir, register_views=False)
+    dom_max: dict[str, int] = {}
+    for t, cols in _SHIFT_COLS.items():
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            continue
+        mx = dfs[t].agg(*[F.max(c).alias(c) for c in cols]).first()
+        for c in cols:
+            dom = _KEY_DOMAIN[c]
+            dom_max[dom] = max(dom_max.get(dom, 0), mx[c])
+    return dom_max
+
+
+def build_replica_pool(
+    spark, sf_dir: str, needs: set[tuple[tuple, int]]
+) -> tuple[str, dict[tuple[tuple, int], str]]:
+    """Build every distinct (table, rep) replica ONCE into a pool, then
+    assemble each query's (tables, rep) directory from symlinks — no table
+    is ever written twice (lineitem×16 used to be materialized separately
+    for the exists- and in-subquery entries).
+
+    Replication shifts key columns per replica (joins and window partitions
+    stay within-replica, so work scales linearly — the same method as
+    PERF.md's scale-up table) with ONE global offset per key domain.
+    Returns (pool_root, {(tables, rep): dir}); rmtree(pool_root) cleans up
+    everything including the symlinked combo dirs.
+    """
     import tempfile
 
     from pyspark.sql import functions as F
 
     from velostream_spark.session import load_tables
 
-    dst = tempfile.mkdtemp(prefix="vs-bench-rep-")
-    dfs = {t: load_tables(spark, sf_dir, register_views=False)[t] for t in tables}
-    dom_max: dict[str, int] = {}
-    for t, df in dfs.items():
-        mx = df.agg(*[F.max(c).alias(c) for c in _SHIFT_COLS[t]]).first()
-        for c in _SHIFT_COLS[t]:
-            dom = _KEY_DOMAIN[c]
-            dom_max[dom] = max(dom_max.get(dom, 0), mx[c])
-    reps = spark.range(rep).select(F.col("id").alias("rep"))
-    for t, df in dfs.items():
+    root = tempfile.mkdtemp(prefix="vs-bench-pool-")
+    table_reps = {(t, rep) for tables, rep in needs for t in tables}
+    if not table_reps:
+        return root, {}
+    dom_max = _global_domain_max(spark, sf_dir)
+    dfs = load_tables(spark, sf_dir, register_views=False)
+    replica_path: dict[tuple[str, int], str] = {}
+    for t, rep in sorted(table_reps):
+        df = dfs[t]
+        reps = spark.range(rep).select(F.col("id").alias("rep"))
         offs = {c: dom_max[_KEY_DOMAIN[c]] + 1 for c in _SHIFT_COLS[t]}
+        dst = os.path.join(root, f"{t}_x{rep}.parquet")
         (
             df.crossJoin(F.broadcast(reps))
             .select(
@@ -154,9 +185,17 @@ def build_replicated_dir(spark, sf_dir: str, tables: tuple, rep: int) -> str:
                 ]
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(dst, f"{t}.parquet"))
+            .parquet(dst)
         )
-    return dst
+        replica_path[(t, rep)] = dst
+    combo_dirs: dict[tuple[tuple, int], str] = {}
+    for tables, rep in sorted(needs):
+        d = os.path.join(root, "combo_" + "_".join(tables) + f"_x{rep}")
+        os.makedirs(d)
+        for t in tables:
+            os.symlink(replica_path[(t, rep)], os.path.join(d, f"{t}.parquet"))
+        combo_dirs[(tables, rep)] = d
+    return root, combo_dirs
 
 
 def main() -> None:
@@ -170,9 +209,7 @@ def main() -> None:
     catalog["group_by_agg"].fn(spark, SF_DIR).count()
 
     amortized = {q: tr for q, tr in AMORTIZED.items() if q in HEADLINE}
-    rep_dirs: dict[tuple[tuple, int], str] = {}
-    for tables, r in sorted(set(amortized.values())):
-        rep_dirs[(tables, r)] = build_replicated_dir(spark, SF_DIR, tables, r)
+    pool_root, rep_dirs = build_replica_pool(spark, SF_DIR, set(amortized.values()))
 
     # Each query runs twice; we report the steady-state (min) — the first
     # run pays one-time whole-stage-codegen JIT compilation, which the
@@ -180,24 +217,29 @@ def main() -> None:
     # same compiled engine) also exclude by construction.
     times: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
-        entry = catalog.get(name)
-        if entry is None:
-            continue
-        tables, rep = amortized.get(name, (None, 1))
-        sf_dir = rep_dirs[(tables, rep)] if rep > 1 else SF_DIR
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            # write-to-noop materializes all rows without driver collect
-            entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        # amortized entries report per-1×-input wall (job ran rep× the rows)
-        times[name] = round(best / rep, 4)
-        total += best / rep
-        # Isolate queries: drop cached stages (minhash/simhash memos) so a
-        # query's residual executor memory doesn't tax the queries after it.
-        spark.catalog.clearCache()
+    try:
+        for name in HEADLINE:
+            entry = catalog.get(name)
+            if entry is None:
+                continue
+            tables, rep = amortized.get(name, (None, 1))
+            sf_dir = rep_dirs[(tables, rep)] if rep > 1 else SF_DIR
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                # write-to-noop materializes all rows without driver collect
+                entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            # amortized entries report per-1×-input wall (job ran rep× rows)
+            times[name] = round(best / rep, 4)
+            total += best / rep
+            # Isolate queries: drop cached stages (minhash/simhash memos) so
+            # a query's residual memory doesn't tax the queries after it.
+            spark.catalog.clearCache()
+    finally:
+        import shutil
+
+        shutil.rmtree(pool_root, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
