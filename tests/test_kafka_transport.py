@@ -154,3 +154,108 @@ def test_tombstones_null_value(spark):
     df = spark.createDataFrame([(7, "x")], "id int, name string")
     t = tombstones(df, ["id"]).collect()
     assert t[0].key == "7" and t[0].value is None
+
+
+def test_confluent_framing_roundtrip_with_evolution(spark, tmp_path):
+    """Confluent wire format end-to-end: magic 0x00 + big-endian global
+    schema id + Avro payload, encoded per-record through the registry,
+    decoded by resolving each record's WRITER schema from its frame id —
+    including a mixed-version topic where v1 and v2 records decode to the
+    v2 reader shape (schema evolution through the frame)."""
+    from velostream_spark.sources.kafka import sink_frame
+    from velostream_spark.sources.schema_registry import (
+        df_decode_confluent,
+        frame_value,
+        unframe_value,
+    )
+
+    v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "fields": [
+                {"name": "order_id", "type": "long"},
+                {"name": "symbol", "type": "string"},
+            ],
+        }
+    )
+    v2 = json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "fields": [
+                {"name": "order_id", "type": "long"},
+                {"name": "symbol", "type": "string"},
+                {"name": "region", "type": "string", "default": "emea"},
+            ],
+        }
+    )
+    root = str(tmp_path / "reg")
+    reg = FileSchemaRegistry(root)
+    assert reg.register("orders-value", v1) == 1
+    assert reg.register("orders-value", v2) == 2
+    id1 = reg.schema_id("orders-value", 1)
+    id2 = reg.schema_id("orders-value", 2)
+    assert id1 != id2
+    assert reg.get_by_id(id1)[:2] == ("orders-value", 1)
+
+    # raw frame layout (the public spec, byte for byte)
+    framed = frame_value(id1, b"\x02\x04")
+    assert framed[0] == 0x00
+    assert int.from_bytes(framed[1:5], "big") == id1
+    assert unframe_value(framed) == (id1, b"\x02\x04")
+
+    # sink path: value.format=avro_confluent frames every record with the
+    # pinned writer version's id, key from PRIMARY KEY
+    df = spark.createDataFrame(
+        [(1, "AAPL"), (2, "MSFT")], "order_id long, symbol string"
+    )
+    cfg = {
+        "value.format": "avro_confluent",
+        "avro.schema.registry.path": root,
+        "avro.schema.subject": "orders-value",
+        "avro.schema.version": "1",
+    }
+    out = sink_frame(df, ["order_id"], cfg).orderBy("key").collect()
+    assert [r.key for r in out] == ["1", "2"]
+    sid, payload = unframe_value(bytes(out[0].value))
+    assert sid == id1
+    assert AvroBinaryCodec(v1).decode(payload) == {"order_id": 1, "symbol": "AAPL"}
+
+    # mixed-version topic: v1-framed + v2-framed records in one stream,
+    # decoded to the latest reader shape via per-record writer resolution
+    c1, c2 = AvroBinaryCodec(v1), AvroBinaryCodec(v2)
+    values = [
+        frame_value(id1, c1.encode({"order_id": 10, "symbol": "A"})),
+        frame_value(id2, c2.encode({"order_id": 11, "symbol": "B", "region": "apac"})),
+    ]
+    raw = with_system_columns(_mock_topic(spark, values))
+    decoded = df_decode_confluent(raw, root, "orders-value").orderBy("order_id")
+    rows = decoded.collect()
+    assert [(r.order_id, r.symbol, r.region) for r in rows] == [
+        (10, "A", "emea"),   # v1 record: reader default fills region
+        (11, "B", "apac"),   # v2 record: real value
+    ]
+    assert rows[0]._offset == 0 and rows[1]._key == "k1"
+
+    # WITH-clause surface: avro.framing=confluent routes the same way
+    from velostream_spark.sources.schema_registry import decode_with_registry
+
+    cfg2 = {
+        "avro.schema.registry.path": root,
+        "avro.schema.subject": "orders-value",
+        "avro.framing": "confluent",
+    }
+    again = decode_with_registry(raw, cfg2).orderBy("order_id").collect()
+    assert [(r.order_id, r.region) for r in again] == [(10, "emea"), (11, "apac")]
+
+
+def test_confluent_bad_magic_rejected():
+    from velostream_spark.sources.schema_registry import unframe_value
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bad magic"):
+        unframe_value(b"\x01\x00\x00\x00\x01xx")
+    with pytest.raises(ValueError, match="too short"):
+        unframe_value(b"\x00\x00")

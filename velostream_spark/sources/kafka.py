@@ -124,20 +124,73 @@ def decode_avro_value(df: DataFrame, cfg: dict[str, str]) -> DataFrame:
     return decode_with_registry(df, cfg, value_col="value")
 
 
-def sink_frame(df: DataFrame, key_fields: list[str] | None = None) -> DataFrame:
-    """The sink-side transformation (data_sink.rs): rows JSON-encoded into
+def sink_frame(
+    df: DataFrame,
+    key_fields: list[str] | None = None,
+    cfg: dict[str, str] | None = None,
+) -> DataFrame:
+    """The sink-side transformation (data_sink.rs): rows serialized into
     `value`, key from PRIMARY KEY fields. Split from `write_batch` so the
-    key/value shaping is testable without a broker."""
+    key/value shaping is testable without a broker.
+
+    Default value codec is JSON; with ``value.format = avro_confluent`` the
+    value becomes a Confluent-framed Avro binary (magic + global schema id,
+    resolved through `avro.schema.registry.path`/`avro.schema.subject`) —
+    the wire layout a real migrating user's topics contain."""
+    cfg = cfg or {}
     data_cols = [c for c in df.columns if c not in ("key", "value", "headers")]
+    if cfg.get("value.format", "").lower() in ("avro_confluent", "avro-confluent"):
+        return _confluent_keyed(df, key_fields or [], data_cols, cfg)
     return message_key(df, key_fields or []).select(
         "key", F.to_json(F.struct(*data_cols)).alias("value")
     )
 
 
+def _confluent_keyed(
+    df: DataFrame, key_fields: list[str], data_cols: list[str], cfg: dict[str, str]
+) -> DataFrame:
+    """key + Confluent-framed value in ONE Arrow stage (mapInPandas can't
+    pass binary through two frames cheaply; encode sees the key column and
+    emits it untouched)."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from .avro_binary import AvroBinaryCodec, _py
+    from .schema_registry import CONFLUENT_MAGIC, _ID_STRUCT, FileSchemaRegistry
+
+    registry = FileSchemaRegistry(cfg["avro.schema.registry.path"])
+    version = cfg.get("avro.schema.version")
+    version = int(version) if version else None
+    subject = cfg["avro.schema.subject"]
+    writer_json = registry.get_schema(subject, version)
+    schema_id = registry.schema_id(subject, version)
+    keyed = message_key(df, key_fields).select("key", *data_cols)
+    # rendered driver-side: struct.Struct instances don't pickle
+    head = bytes((CONFLUENT_MAGIC,)) + _ID_STRUCT.pack(schema_id)
+
+    def gen(batches):
+        codec = AvroBinaryCodec(writer_json)
+        for pdf in batches:
+            vals = [
+                head + codec.encode({k: _py(v) for k, v in zip(data_cols, row)})
+                for row in pdf[data_cols].itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({"key": pdf["key"].values, "value": vals})
+
+    return keyed.mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("key", StringType()), StructField("value", BinaryType())]
+        ),
+    )
+
+
 def write_batch(df: DataFrame, cfg: dict[str, str], key_fields: list[str] | None = None) -> None:
-    """Batch write to Kafka: rows JSON-encoded into `value`, key from
-    PRIMARY KEY fields (data_sink.rs key extraction)."""
-    out = sink_frame(df, key_fields)
+    """Batch write to Kafka: rows serialized into `value` (JSON or
+    Confluent-framed Avro per cfg), key from PRIMARY KEY fields
+    (data_sink.rs key extraction)."""
+    out = sink_frame(df, key_fields, cfg)
     writer = (
         out.write.format("kafka")
         .option(
