@@ -507,3 +507,109 @@ def test_streaming_session_join_bucketed_parity(spark, tmp_path):
         for col in ("click_id", "view_id", "user_id"):
             assert got[col].equals(want[col]), (buckets, col)
         assert got["session_start"].equals(want["session_start"]), buckets
+
+
+def _ooo_session_rows():
+    """Out-of-order fixture (one user): batch1 opens session A (click 1 @
+    10:00, view 2 @ 10:05) and session B (click 5 @ 11:30, view 6 @ 11:35 —
+    gap 85min > 30min). Batch2 delivers LATE events within the watermark
+    delay: view 3 @ 10:20 (extends session A after newer events exist) and
+    click 4 @ 10:45 — which BRIDGES A (last 10:20 + 30m ≥ 10:45) toward
+    nothing yet... then view 7 @ 11:05 bridges A∪{4} (last 10:45) and B
+    (start 11:30 − 30m ≤ 11:05) into ONE session.
+
+    Expected pairs (batch co-sessionization of the full set — one merged
+    session {1..7}): clicks {1,4,5} × views {2,3,6,7} = 12 pairs.
+    """
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    batch1 = [
+        (1, 1, ts(0), "click"),
+        (1, 2, ts(5), "view"),
+        (1, 5, ts(90), "click"),
+        (1, 6, ts(95), "view"),
+    ]
+    batch2 = [
+        (1, 3, ts(20), "view"),   # late: extends session A
+        (1, 4, ts(45), "click"),  # late: extends A again (10:20+30 ≥ 10:45)
+        (1, 7, ts(65), "view"),   # late: bridges A(…10:45) and B(11:30…)
+    ]
+    return batch1, batch2
+
+
+def _run_ooo(spark, tmp_path, form, **kw):
+    import os
+
+    from velostream_spark.streaming.session_join import (
+        session_pair_join_stream,
+        session_pair_join_stream_bucketed,
+    )
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    batch1, batch2 = _ooo_session_rows()
+    d = str(tmp_path / f"ooo_{form}_{kw.get('buckets', 0)}")
+    os.makedirs(d)
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/c{i}"
+        )
+    merged = f"{d}/merged"
+    os.makedirs(merged)
+    n = 0
+    for i in range(2):
+        for f in sorted(os.listdir(f"{d}/c{i}")):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/c{i}/{f}", f"{merged}/{n:04d}.parquet")
+                n += 1
+    sdf = stream_parquet(
+        spark, merged, max_files_per_trigger=1
+    ).withWatermark("ts", "2 hours")
+    fn = (
+        session_pair_join_stream
+        if form == "per_key"
+        else session_pair_join_stream_bucketed
+    )
+    pairs = fn(
+        sdf,
+        key_col="user_id",
+        time_col="ts",
+        id_col="event_id",
+        side_col="event_type",
+        left_side="click",
+        right_side="view",
+        gap_minutes=30,
+        left_out="click_id",
+        right_out="view_id",
+        **kw,
+    )
+    out = run_available_now(pairs, "append", f"ooo_{form}_{kw.get('buckets', 0)}")
+    return sorted(
+        (int(r.click_id), int(r.view_id)) for r in out.collect()
+    )
+
+
+EXPECTED_OOO_PAIRS = sorted(
+    (c, v) for c in (1, 4, 5) for v in (2, 3, 6, 7)
+)
+
+
+def test_session_join_out_of_order_per_key(spark, tmp_path):
+    """A late event within the watermark delay arriving AFTER newer events
+    must extend its original session — and a late bridging event must MERGE
+    two open sessions, emitting the cross pairs. Per-key form."""
+    got = _run_ooo(spark, tmp_path, "per_key")
+    assert got == EXPECTED_OOO_PAIRS
+
+
+def test_session_join_out_of_order_bucketed(spark, tmp_path):
+    """Same contract for the bucketed form: late_slack must hold sessions
+    open for the watermark delay so late events can extend/bridge them."""
+    got = _run_ooo(
+        spark, tmp_path, "bucketed", buckets=4, late_slack_minutes=120
+    )
+    assert got == EXPECTED_OOO_PAIRS

@@ -11,47 +11,98 @@ Spark has no built-in session-windowed stream-stream join (session windows
 exist only for aggregations), so this is a custom stateful operator
 (SURVEY §2 option (b)): ``applyInPandasWithState`` keyed by the join key.
 
-State per key = the OPEN session only: ``(session_start, last_ts,
-left_ids, right_ids)``.  Pairs are emitted EAGERLY — when the later element
-of a pair arrives — rather than on session close:
+State per key = the list of OPEN sessions, each ``[start, last, lefts,
+rights]``.  Multiple sessions stay open simultaneously (like Spark's own
+session-window aggregation state) so an out-of-order event arriving WITHIN
+the watermark delay but AFTER a newer event still lands in the session it
+belongs to — extending it, or BRIDGING two open sessions into one (the
+merge emits the cross pairs between the two member sets).  A session is
+truly closed only when the event-time watermark passes ``last + gap``,
+never merely because a later event crossed the gap — the reference's
+session strategy has the same late-extension contract
+(window_v2/strategies/session.rs "merge + late extension").
 
-- every pair is emitted exactly once (new lefts × buffered rights +
-  buffered lefts × new rights + new lefts × new rights, as events walk the
-  session in time order);
+Pairs are emitted EAGERLY — when the later element of a pair arrives:
+
+- every pair is emitted exactly once (new element × opposite members of the
+  session it joins; merges emit the cross pairs between the merged
+  sessions' opposite sides);
 - a bounded availableNow run therefore emits the complete pair set and
   hash-matches the batch composition (no watermark-cutoff asymmetry);
-- a gap larger than ``gap`` closes the session: state resets, nothing to
-  flush (everything was already emitted).
+- ``session_start`` on an emitted pair is the session's start AS OF
+  emission (a later out-of-order event may retroactively extend the start
+  the batch twin reports — hindsight an online operator doesn't have).
 
-Scale: state is O(open-session events per key), not O(stream); expired
-keys are garbage-collected via event-time timeout at ``last_ts + gap``
-(fires on the first micro-batch whose watermark passes it, including the
-trailing no-data batch).  The pair generation is inherently |L|x|R| per
-session — the session cap is the data's own session size, the same bound
-the reference's in-memory session buffer carries.
-
-Ordering assumption (same as the reference's watermark contract): events
-within a key arrive session-ordered up to the watermark delay; an event
-older than the open session's start cannot resurrect an already-closed
-session (it starts a new one retroactively only within the open session).
+Scale: state is O(open-session events per key) with the number of open
+sessions bounded by (event-time horizon − watermark)/gap + 1; expired keys
+are garbage-collected via event-time timeout once the watermark passes the
+NEWEST session's ``last + gap`` (at which point every older session has
+also expired).  The pair generation is inherently |L|×|R| per session —
+the session cap is the data's own session size, the same bound the
+reference's in-memory session buffer carries.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import pickle
+from typing import Callable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
 __all__ = ["session_pair_join_stream", "session_pair_join_stream_bucketed"]
+
+
+def _walk_event(
+    sessions: list[list],
+    t: int,
+    ev_id: int,
+    is_left: bool,
+    gap_us: int,
+    emit: Callable[[int, int, int], None],
+) -> None:
+    """Route one event into the key's open sessions (mutating them), emitting
+    each new pair exactly once via ``emit(left_id, right_id, session_start)``.
+
+    An event extends every session whose span it falls within ``gap`` of;
+    two such sessions (one earlier, one later) are BRIDGED: their member
+    sets merge and the cross pairs between the two are emitted.
+    """
+    matched = [s for s in sessions if s[0] - gap_us <= t <= s[1] + gap_us]
+    if not matched:
+        cur = [t, t, [], []]
+        sessions.append(cur)
+    else:
+        cur = matched[0]
+        for other in matched[1:]:
+            merged_start = min(cur[0], other[0])
+            for left in cur[2]:
+                for right in other[3]:
+                    emit(left, right, merged_start)
+            for left in other[2]:
+                for right in cur[3]:
+                    emit(left, right, merged_start)
+            cur[0] = min(cur[0], other[0])
+            cur[1] = max(cur[1], other[1])
+            cur[2].extend(other[2])
+            cur[3].extend(other[3])
+            sessions.remove(other)
+        cur[0] = min(cur[0], t)
+        cur[1] = max(cur[1], t)
+    if is_left:
+        for right in cur[3]:
+            emit(ev_id, right, cur[0])
+        cur[2].append(ev_id)
+    else:
+        for left in cur[2]:
+            emit(left, ev_id, cur[0])
+        cur[3].append(ev_id)
 
 
 def session_pair_join_stream(
@@ -83,26 +134,16 @@ def session_pair_join_stream(
             StructField("session_start", TimestampType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("session_start", LongType()),  # unix micros
-            StructField("last_ts", LongType()),
-            StructField("left_ids", StringType()),  # comma-joined (Arrow-simple)
-            StructField("right_ids", StringType()),
-        ]
-    )
+    state_schema = "blob binary"  # pickled list of [start, last, lefts, rights]
 
     def func(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            state.remove()  # session expired past the watermark — GC only
+            # watermark passed the NEWEST session's expiry ⇒ all expired
+            state.remove()
             return
-        if state.exists:
-            start_us, last_us, l_csv, r_csv = state.get
-            lefts = [int(x) for x in l_csv.split(",") if x]
-            rights = [int(x) for x in r_csv.split(",") if x]
-        else:
-            start_us = last_us = None
-            lefts, rights = [], []
+        sessions: list[list] = (
+            pickle.loads(state.get[0]) if state.exists else []
+        )
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([time_col, id_col], kind="mergesort")
@@ -113,37 +154,22 @@ def session_pair_join_stream(
         out_l: list[int] = []
         out_r: list[int] = []
         out_s: list[int] = []
-        for t, i, side in zip(ts_us, ids, sides):
-            t = int(t)
-            if last_us is not None and t - last_us > gap_us:
-                # gap closes the open session; its pairs are already out
-                start_us, lefts, rights = None, [], []
-            if start_us is None:
-                start_us = t
-            if side == left_side:
-                for r in rights:
-                    out_l.append(int(i))
-                    out_r.append(r)
-                    out_s.append(start_us)
-                lefts.append(int(i))
-            else:
-                for l in lefts:
-                    out_l.append(l)
-                    out_r.append(int(i))
-                    out_s.append(start_us)
-                rights.append(int(i))
-            last_us = t
 
-        state.update(
-            (
-                start_us,
-                last_us,
-                ",".join(map(str, lefts)),
-                ",".join(map(str, rights)),
+        def emit(left: int, right: int, start: int) -> None:
+            out_l.append(left)
+            out_r.append(right)
+            out_s.append(start)
+
+        for t, i, side in zip(ts_us, ids, sides):
+            _walk_event(
+                sessions, int(t), int(i), side == left_side, gap_us, emit
             )
-        )
-        # event-time GC: key's state dies once the watermark passes the gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
+
+        state.update((pickle.dumps(sessions, protocol=pickle.HIGHEST_PROTOCOL),))
+        # event-time GC: when the watermark passes the newest session's
+        # expiry, every older session has expired too → drop the key
+        newest_last = max(s[1] for s in sessions)
+        state.setTimeoutTimestamp((newest_last + gap_us) // 1_000)
 
         if out_l:
             yield pd.DataFrame(
@@ -174,6 +200,7 @@ def session_pair_join_stream_bucketed(
     left_out: str = "left_id",
     right_out: str = "right_id",
     buckets: int | None = None,
+    late_slack_minutes: int = 0,
 ) -> DataFrame:
     """Bucketed-state form of ``session_pair_join_stream`` — the
     high-key-cardinality path (same design as
@@ -184,24 +211,23 @@ def session_pair_join_stream_bucketed(
     users that per-call overhead dominates the actual session walk. The
     physical state key here is ``pmod(hash(key), buckets)``: Python is
     entered ``buckets`` times per batch, each bucket holds every resident
-    key's open session in one pickled dict, and the per-key session walk
+    key's open sessions in one pickled dict, and the per-key session walk
     runs in-process over numpy-split per-key slices.
 
-    Key GC happens inside the bucket: a key whose open session ended more
-    than ``gap`` before the bucket's max seen event time is definitively
-    closed for in-order data (any later event would start a new session),
-    so its state is dropped — the in-bucket analog of the per-key form's
-    event-time timeout.
+    Key GC happens inside the bucket against the bucket's own event clock:
+    a session is retired once ``last + gap + late_slack`` falls behind the
+    bucket's max seen event time — set ``late_slack_minutes`` to the
+    source's watermark delay so out-of-order events within the delay can
+    still extend (or bridge) their session, exactly like the per-key form.
 
     Semantics are identical to ``session_pair_join_stream``; the parity
     test runs both forms plus the batch twin on one input.
     """
-    import pickle
-
     import numpy as np
     from pyspark.sql import functions as F
 
     gap_us = gap_minutes * 60 * 1_000_000
+    slack_us = late_slack_minutes * 60 * 1_000_000
 
     if buckets is None:
         try:
@@ -247,40 +273,34 @@ def session_pair_join_stream_bucketed(
             for a, b in zip(starts[:-1], starts[1:]):
                 k = keys[a]
                 k = None if (isinstance(k, float) and np.isnan(k)) else k
-                ent = st.get(k)
-                if ent is not None:
-                    start_us, last_us, lefts, rights = ent
-                else:
-                    start_us = last_us = None
-                    lefts, rights = [], []
+                sessions = st.get(k)
+                if sessions is None:
+                    sessions = []
+                    st[k] = sessions
+
+                def emit(left: int, right: int, start: int, _k=k) -> None:
+                    out_l.append(left)
+                    out_r.append(right)
+                    out_k.append(_k)
+                    out_s.append(start)
+
                 for j in range(a, b):
-                    t = int(ts_us[j])
-                    if last_us is not None and t - last_us > gap_us:
-                        start_us, lefts, rights = None, [], []
-                    if start_us is None:
-                        start_us = t
-                    i = int(ids[j])
-                    if is_left[j]:
-                        for r in rights:
-                            out_l.append(i)
-                            out_r.append(r)
-                            out_k.append(k)
-                            out_s.append(start_us)
-                        lefts.append(i)
-                    else:
-                        for l in lefts:
-                            out_l.append(l)
-                            out_r.append(i)
-                            out_k.append(k)
-                            out_s.append(start_us)
-                        rights.append(i)
-                    last_us = t
-                st[k] = (start_us, last_us, lefts, rights)
-        # in-bucket GC: sessions closed w.r.t. the bucket's own event clock
+                    _walk_event(
+                        sessions,
+                        int(ts_us[j]),
+                        int(ids[j]),
+                        bool(is_left[j]),
+                        gap_us,
+                        emit,
+                    )
+        # in-bucket GC: sessions definitively closed w.r.t. the bucket's own
+        # event clock minus the allowed lateness
         if max_seen:
-            dead = [k for k, e in st.items() if e[1] + gap_us < max_seen]
-            for k in dead:
-                del st[k]
+            horizon = max_seen - gap_us - slack_us
+            for k in list(st):
+                st[k] = [s for s in st[k] if s[1] >= horizon]
+                if not st[k]:
+                    del st[k]
         state.update((pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL),))
         if out_l:
             yield pd.DataFrame(
