@@ -604,6 +604,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able when the benchmark is small, the common case), equi-join
     on the shingle, per-document count. No pairwise document comparison
     anywhere; shuffle carries (shingle, doc_id) only.
+
+    The explicit broadcast hint on the benchmark side is LOAD-BEARING on
+    the 'held-out eval suites are small' assumption (true for every real
+    benchmark: thousands of documents, not millions). For an unusually
+    large held-out set, drop the hint and let AQE pick the join strategy
+    from the deduped side's actual runtime size.
     """
     t = tables(spark, sf_dir)
     sh = t["documents"].select(
@@ -670,6 +676,10 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined) and the token→frequency equi-join (AQE handles the inherent
     head-word skew) — then a per-document aggregation. The corpus total is
     a broadcast scalar. No UDFs, no collect; vocab is never driver-resident.
+
+    Banding convention: thresholds compare the ROUNDED (6-dp) avg_nll with
+    <=, identically in both engines, so a document landing exactly on a
+    band edge cannot band differently from float summation order.
     """
     t = tables(spark, sf_dir)
     w = t["documents"].select(
