@@ -245,3 +245,41 @@ def test_1brc_golden(tmp_path, monkeypatch, spark):
     # beyond the shipped spec: avg parity too
     _assert_matches(rows, exp_rows, ignore_order=True,
                     compare_fields=["station", "avg_temp"])
+
+
+def test_emit_changes_changelog_with_having(tmp_path, monkeypatch, spark):
+    """EMIT CHANGES + HAVING emits a group's UPDATED row only while the
+    RUNNING aggregate satisfies the predicate (reference select.rs:1782:
+    HAVING evaluated against the accumulator per emission)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    monkeypatch.chdir(tmp_path)
+    with open("tx.csv", "w") as fh:
+        fh.write("id,category,amount\n")
+        for i, (cat, amt) in enumerate(
+            [("a", 10), ("b", 5), ("a", 20), ("a", 30), ("b", 7)], start=1
+        ):
+            fh.write(f"{i},{cat},{amt}\n")
+    eng = SqlEngine(spark)
+    eng.execute(
+        """
+        CREATE STREAM running AS
+        SELECT category, COUNT(*) AS n, SUM(amount) AS total
+        FROM tx
+        GROUP BY category
+        HAVING SUM(amount) >= 30
+        EMIT CHANGES
+        WITH (
+          'tx.type' = 'file_source', 'tx.path' = './tx.csv', 'tx.format' = 'csv',
+          'running.type' = 'file_sink', 'running.path' = './out.csv',
+          'running.format' = 'csv'
+        )
+        """
+    )
+    rows = sorted(
+        ((r["category"], int(r["n"]), int(r["total"]))
+         for r in _read_csv_records("out.csv")),
+    )
+    # category a: running totals 10, 30, 60 → emitted at 30 and 60;
+    # category b: 5, 12 → never emitted
+    assert rows == [("a", 2, 30), ("a", 3, 60)]

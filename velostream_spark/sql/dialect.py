@@ -997,7 +997,11 @@ def changelog_rewrite(spark_sql: str) -> str | None:
     WindowExec needs anyway.
 
     Returns None for queries without GROUP BY (stateless EMIT CHANGES is
-    already per-record). Raises for HAVING / DISTINCT-aggregate shapes that
+    already per-record). HAVING follows the reference's per-emission
+    semantics (select.rs:1782-1795): the updated group row is emitted only
+    when the RUNNING aggregate satisfies the predicate — expressed by
+    rewriting the HAVING aggregates to the same cumulative window and
+    filtering emissions on it. Raises for DISTINCT-aggregate shapes, which
     have no faithful batch-window equivalent.
     """
     s = spark_sql.strip().rstrip(";")
@@ -1012,12 +1016,11 @@ def changelog_rewrite(spark_sql: str) -> str | None:
     select_list = re.sub(r"(?is)^\s*SELECT\s+", "", s[:fi]).strip()
     src = s[fi + len("FROM") : gi].strip()
     tail = re.sub(r"(?is)^GROUP\s+BY\s*", "", s[gi:]).strip()
+    having = None
     hi = _top_level_find(tail, r"\bHAVING\b")
     if hi >= 0:
-        raise ValueError(
-            "EMIT CHANGES changelog: HAVING over a running aggregate is not "
-            "supported in batch form (use EMIT FINAL or the streaming path)"
-        )
+        having = re.sub(r"(?is)^HAVING\s*", "", tail[hi:]).strip()
+        tail = tail[:hi].strip()
     keys = tail
     items, n_aggs = [], 0
     for it in _split_top_level(select_list):
@@ -1026,9 +1029,17 @@ def changelog_rewrite(spark_sql: str) -> str | None:
         n_aggs += n
     if n_aggs == 0:
         return None
-    return (
+    if having is not None:
+        having_over, _ = _attach_over(having, "__w")
+        items.append(f"({having_over}) AS __vs_having")
+    inner = (
         f"SELECT {', '.join(items)} FROM "
         f"(SELECT *, monotonically_increasing_id() AS __arrival FROM {src}) "
         f"__vs_changelog WINDOW __w AS (PARTITION BY {keys} ORDER BY "
         f"__arrival ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    if having is None:
+        return inner
+    return (
+        f"SELECT * EXCEPT (__vs_having) FROM ({inner}) WHERE __vs_having"
     )
