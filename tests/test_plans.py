@@ -160,3 +160,50 @@ def test_decontaminate_is_broadcast_index_join(spark):
     plan = plan_of(spark, "decontaminate")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Physical nodes of type ``op`` (formatted explain lists each node
+    twice — once in the tree, once as a "(n) Op" detail header)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_value_distribution_single_window_exchange(spark):
+    """Both window families in the merged gate entry share one user_id
+    hash-partitioning — WindowExec must reuse a single exchange, not add
+    one per OVER spec (the claim that keeps this shape parallel at 100 TB)."""
+    plan = plan_of(spark, "value_distribution_functions")
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "Window") == 2, plan
+    assert "SinglePartition" not in plan, plan  # no global-window serialization
+
+
+def test_merged_subquery_entries_keep_broadcast_shapes(spark):
+    """The combined gate entries must preserve the standalone entries'
+    broadcast semi/anti plans on each UNION branch."""
+    plan = plan_of(spark, "exists_not_exists_subquery")
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    plan = plan_of(spark, "in_not_in_subquery")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_codec_roundtrips_fused_single_python_stage(spark):
+    """Codec entries must run encode→decode in ONE Arrow stage (one
+    mapInPandas node), after one round-robin repartition — two Python
+    stages or a missing repartition re-opens the r3 bottleneck."""
+    for name in ("protobuf_roundtrip", "avro_roundtrip"):
+        plan = plan_of(spark, name)
+        assert _nodes(plan, "MapInPandas") == 1, (name, plan)
+        assert "RoundRobinPartitioning" in plan, (name, plan)
+
+
+def test_union_all_distinct_prunes_scans(spark):
+    plan = plan_of(spark, "union_all_distinct")
+    assert "Union" in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "n_name" not in scan and "n_comment" not in scan, scan
