@@ -123,11 +123,400 @@ _PROMOTIONS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# compiled codec — schema walked ONCE into per-field closures
+# ---------------------------------------------------------------------------
+
+_S_F4 = struct.Struct("<f")
+_S_D8 = struct.Struct("<d")
+
+
+def _append_zlong(buf: bytearray, n: int) -> None:
+    """Zigzag varint append (spec (n<<1)^(n>>63); Python ints are unbounded
+    so >>127 yields the same 0/-1 sign mask)."""
+    z = (n << 1) ^ (n >> 127)
+    while z > 0x7F:
+        buf.append((z & 0x7F) | 0x80)
+        z >>= 7
+    buf.append(z)
+
+
+def _zlong_bytes(n: int) -> bytes:
+    buf = bytearray()
+    _append_zlong(buf, n)
+    return bytes(buf)
+
+
+def _read_zlong_at(data: bytes, pos: int) -> tuple[int, int]:
+    b = data[pos]
+    if b < 0x80:
+        return (b >> 1) ^ -(b & 1), pos + 1
+    acc = b & 0x7F
+    shift = 7
+    pos += 1
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if b < 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _compile_write(schema: Any):
+    """Schema → ``write(buf: bytearray, value)`` closure. All type/logical
+    dispatch happens here, once; the closure does no schema inspection."""
+    t = _type_name(schema)
+    if t == "union":
+        null_idx = next(
+            (i for i, b in enumerate(schema) if _type_name(b) == "null"), None
+        )
+        branch = _non_null_branch(schema)
+        branch_head = _zlong_bytes(schema.index(branch))
+        null_head = _zlong_bytes(null_idx) if null_idx is not None else None
+        wb = _compile_write(branch)
+
+        def w(buf, v, nh=null_head, bh=branch_head, wb=wb):
+            if v is None:
+                if nh is None:
+                    raise ValueError("None for non-nullable union")
+                buf += nh
+            else:
+                buf += bh
+                wb(buf, v)
+        return w
+    if t == "null":
+        def w(buf, v):
+            if v is not None:
+                raise ValueError("non-null value for null schema")
+        return w
+    if t == "boolean":
+        def w(buf, v):
+            buf.append(1 if v else 0)
+        return w
+    if t in ("int", "long"):
+        logical = schema.get("logicalType") if isinstance(schema, dict) else None
+        if logical == "date":
+            def w(buf, v):
+                if isinstance(v, _dt.date):
+                    v = (v - _EPOCH_DATE).days
+                _append_zlong(buf, int(v))
+        elif logical == "timestamp-millis":
+            def w(buf, v):
+                if isinstance(v, _dt.datetime):
+                    v = int((v - _EPOCH).total_seconds() * 1_000)
+                _append_zlong(buf, int(v))
+        elif logical == "timestamp-micros":
+            def w(buf, v):
+                if isinstance(v, _dt.datetime):
+                    v = int((v - _EPOCH).total_seconds() * 1_000_000)
+                _append_zlong(buf, int(v))
+        else:
+            def w(buf, v):
+                _append_zlong(buf, int(v))
+        return w
+    if t == "float":
+        def w(buf, v, pk=_S_F4.pack):
+            buf += pk(float(v))
+        return w
+    if t == "double":
+        def w(buf, v, pk=_S_D8.pack):
+            buf += pk(float(v))
+        return w
+    if t == "bytes":
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            scale = schema.get("scale", 0)
+
+            def w(buf, v, scale=scale):
+                data = _decimal_to_bytes(v, scale)
+                _append_zlong(buf, len(data))
+                buf += data
+        else:
+            def w(buf, v):
+                data = bytes(v)
+                _append_zlong(buf, len(data))
+                buf += data
+        return w
+    if t == "string":
+        def w(buf, v):
+            data = str(v).encode("utf-8")
+            _append_zlong(buf, len(data))
+            buf += data
+        return w
+    if t == "record":
+        fields = [
+            (f["name"], "default" in f, f.get("default"), _compile_write(f["type"]))
+            for f in schema["fields"]
+        ]
+
+        def w(buf, v, fields=tuple(fields)):
+            for name, has_d, d, wf in fields:
+                if name in v:
+                    wf(buf, v[name])
+                elif has_d:
+                    wf(buf, d)
+                else:
+                    raise ValueError(f"missing field {name!r} with no default")
+        return w
+    if t == "enum":
+        heads = {sym: _zlong_bytes(i) for i, sym in enumerate(schema["symbols"])}
+
+        def w(buf, v, heads=heads):
+            h = heads.get(v)
+            if h is None:
+                raise ValueError(f"{v!r} is not in enum symbols")
+            buf += h
+        return w
+    if t == "array":
+        wi = _compile_write(schema["items"])
+
+        def w(buf, v, wi=wi):
+            items = list(v)
+            if items:
+                _append_zlong(buf, len(items))
+                for it in items:
+                    wi(buf, it)
+            buf.append(0)
+        return w
+    if t == "map":
+        wv = _compile_write(schema["values"])
+
+        def w(buf, v, wv=wv):
+            entries = dict(v)
+            if entries:
+                _append_zlong(buf, len(entries))
+                for k, mv in entries.items():
+                    data = str(k).encode("utf-8")
+                    _append_zlong(buf, len(data))
+                    buf += data
+                    wv(buf, mv)
+            buf.append(0)
+        return w
+    if t == "fixed":
+        size = schema["size"]
+        is_dec = isinstance(schema, dict) and schema.get("logicalType") == "decimal"
+
+        def w(buf, v, size=size, is_dec=is_dec, schema=schema):
+            data = _decimal_to_fixed(v, schema) if is_dec else bytes(v)
+            if len(data) != size:
+                raise ValueError("fixed size mismatch")
+            buf += data
+        return w
+    raise ValueError(f"unsupported avro type for encode: {schema!r}")
+
+
+def _match_branch(reader_union: list, writer_branch: Any) -> Any:
+    wname = _type_name(writer_branch)
+    for b in reader_union:
+        if _type_name(b) == wname:
+            return b
+    for b in reader_union:  # promotion match
+        if _type_name(b) in _PROMOTIONS.get(wname, ()):
+            return b
+    raise ValueError(f"no reader branch for writer type {wname!r}")
+
+
+def _error_reader(msg: str):
+    def rd(data, pos, msg=msg):
+        raise ValueError(msg)
+    return rd
+
+
+def _compile_read(writer: Any, reader: Any):
+    """(writer, reader) schemas → ``read(data, pos) -> (value, pos)``
+    closure implementing the spec's schema-resolution rules, decided at
+    compile time (a writer branch the reader can't resolve errors only if
+    that branch actually occurs in the data — per spec)."""
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "union":
+        branches = []
+        for wbranch in writer:
+            try:
+                rbranch = _match_branch(reader, wbranch) if rt == "union" else reader
+                branches.append(_compile_read(wbranch, rbranch))
+            except ValueError as e:
+                branches.append(_error_reader(str(e)))
+
+        def rd(data, pos, branches=tuple(branches)):
+            idx, pos = _read_zlong_at(data, pos)
+            return branches[idx](data, pos)
+        return rd
+    if rt == "union":
+        return _compile_read(writer, _match_branch(reader, writer))
+    if wt == "record":
+        if rt != "record":
+            raise ValueError(f"cannot resolve record into {rt}")
+        rfields = {f["name"]: f for f in reader["fields"]}
+        entries = []
+        seen: set = set()
+        for wf in writer["fields"]:
+            name = wf["name"]
+            if name in rfields:
+                entries.append((name, _compile_read(wf["type"], rfields[name]["type"])))
+                seen.add(name)
+            else:  # writer-only: decoded to advance the stream, discarded
+                entries.append((None, _compile_read(wf["type"], wf["type"])))
+        defaults = []
+        for rf in reader["fields"]:
+            if rf["name"] not in seen:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} missing from writer "
+                        "and has no default"
+                    )
+                defaults.append(
+                    (rf["name"], _coerce_default(rf["default"], rf["type"]))
+                )
+
+        def rd(data, pos, entries=tuple(entries), defaults=tuple(defaults)):
+            out = {}
+            for name, fr in entries:
+                v, pos = fr(data, pos)
+                if name is not None:
+                    out[name] = v
+            for name, dv in defaults:
+                out[name] = dv
+            return out, pos
+        return rd
+    # primitives / named types
+    if wt != rt and rt not in _PROMOTIONS.get(wt, ()):
+        raise ValueError(f"cannot promote {wt!r} to {rt!r}")
+    if wt == "null":
+        return lambda data, pos: (None, pos)
+    if wt == "boolean":
+        def rd(data, pos):
+            return data[pos] == 1, pos + 1
+        return rd
+    if wt in ("int", "long"):
+        if rt in ("float", "double"):
+            def rd(data, pos):
+                n, pos = _read_zlong_at(data, pos)
+                return float(n), pos
+            return rd
+        logical = reader.get("logicalType") if isinstance(reader, dict) else None
+        if logical == "date":
+            def rd(data, pos):
+                n, pos = _read_zlong_at(data, pos)
+                return _EPOCH_DATE + _dt.timedelta(days=n), pos
+        elif logical == "timestamp-millis":
+            def rd(data, pos):
+                n, pos = _read_zlong_at(data, pos)
+                return _EPOCH + _dt.timedelta(milliseconds=n), pos
+        elif logical == "timestamp-micros":
+            def rd(data, pos):
+                n, pos = _read_zlong_at(data, pos)
+                return _EPOCH + _dt.timedelta(microseconds=n), pos
+        else:
+            rd = _read_zlong_at
+        return rd
+    if wt == "float":
+        def rd(data, pos, up=_S_F4.unpack_from):
+            if pos + 4 > len(data):
+                raise EOFError("truncated float")
+            return up(data, pos)[0], pos + 4
+        return rd
+    if wt == "double":
+        def rd(data, pos, up=_S_D8.unpack_from):
+            if pos + 8 > len(data):
+                raise EOFError("truncated double")
+            return up(data, pos)[0], pos + 8
+        return rd
+    if wt in ("bytes", "string"):
+        dec_scale = (
+            reader.get("scale", 0)
+            if wt == "bytes"
+            and isinstance(reader, dict)
+            and reader.get("logicalType") == "decimal"
+            else None
+        )
+        to_str = (wt == "string" and rt != "bytes") or (
+            wt == "bytes" and rt == "string" and dec_scale is None
+        )
+
+        def rd(data, pos, scale=dec_scale, to_str=to_str):
+            n, pos = _read_zlong_at(data, pos)
+            end = pos + n
+            if end > len(data):
+                raise EOFError("truncated bytes")
+            raw = data[pos:end]
+            if scale is not None:
+                return _bytes_to_decimal(raw, scale), end
+            return (raw.decode("utf-8") if to_str else raw), end
+        return rd
+    if wt == "enum":
+        symbols = writer["symbols"]
+        allowed = set(reader["symbols"]) if rt == "enum" else None
+
+        def rd(data, pos, symbols=symbols, allowed=allowed):
+            idx, pos = _read_zlong_at(data, pos)
+            sym = symbols[idx]
+            if allowed is not None and sym not in allowed:
+                raise ValueError(f"enum symbol {sym!r} not in reader schema")
+            return sym, pos
+        return rd
+    if wt == "array":
+        ri = _compile_read(writer["items"], reader["items"])
+
+        def rd(data, pos, ri=ri):
+            out = []
+            while True:
+                count, pos = _read_zlong_at(data, pos)
+                if count == 0:
+                    return out, pos
+                if count < 0:  # block with byte-size prefix
+                    count = -count
+                    _, pos = _read_zlong_at(data, pos)
+                for _i in range(count):
+                    v, pos = ri(data, pos)
+                    out.append(v)
+        return rd
+    if wt == "map":
+        rv = _compile_read(writer["values"], reader["values"])
+
+        def rd(data, pos, rv=rv):
+            out = {}
+            while True:
+                count, pos = _read_zlong_at(data, pos)
+                if count == 0:
+                    return out, pos
+                if count < 0:
+                    count = -count
+                    _, pos = _read_zlong_at(data, pos)
+                for _i in range(count):
+                    n, pos = _read_zlong_at(data, pos)
+                    k = data[pos : pos + n].decode("utf-8")
+                    pos += n
+                    out[k], pos = rv(data, pos)
+        return rd
+    if wt == "fixed":
+        size = writer["size"]
+        dec_scale = (
+            reader.get("scale", 0)
+            if isinstance(reader, dict) and reader.get("logicalType") == "decimal"
+            else None
+        )
+
+        def rd(data, pos, size=size, scale=dec_scale):
+            end = pos + size
+            if end > len(data):
+                raise EOFError("truncated fixed")
+            raw = data[pos:end]
+            return (_bytes_to_decimal(raw, scale) if scale is not None else raw), end
+        return rd
+    raise ValueError(f"unsupported avro type for decode: {writer!r}")
+
+
 class AvroBinaryCodec:
     """Encode/decode dict records against an Avro record schema.
 
     ``reader_schema_json`` enables schema-resolution decoding (evolution):
     data written with ``writer`` is decoded into the shape of ``reader``.
+
+    The schema pair is COMPILED ONCE into per-field closures (type dispatch,
+    logical-type conversions, union branch tables, resolution matching all
+    decided at construction); the per-record encode/decode loop reads bytes
+    by index and appends to one bytearray — no BytesIO, no per-value schema
+    inspection.
     """
 
     def __init__(self, writer_schema_json: str, reader_schema_json: str | None = None):
@@ -137,228 +526,21 @@ class AvroBinaryCodec:
         )
         if _type_name(self.writer) != "record" or _type_name(self.reader) != "record":
             raise ValueError("top-level avro schema must be a record")
-
-    # -- encode ------------------------------------------------------------
+        self._write = _compile_write(self.writer)
+        self._read = _compile_read(self.writer, self.reader)
 
     def encode(self, record: dict) -> bytes:
-        buf = io.BytesIO()
-        self._encode_value(buf, self.writer, record)
-        return buf.getvalue()
-
-    def _encode_value(self, buf: io.BytesIO, schema: Any, value: Any) -> None:
-        t = _type_name(schema)
-        if t == "union":
-            # spec: long branch index, then value per branch schema
-            if value is None:
-                for i, b in enumerate(schema):
-                    if _type_name(b) == "null":
-                        _write_long(buf, i)
-                        return
-                raise ValueError("None for non-nullable union")
-            branch = _non_null_branch(schema)
-            _write_long(buf, schema.index(branch))
-            self._encode_value(buf, branch, value)
-            return
-        if t == "null":
-            return
-        if t == "boolean":
-            buf.write(b"\x01" if value else b"\x00")
-            return
-        if t in ("int", "long"):
-            logical = isinstance(schema, dict) and schema.get("logicalType")
-            if logical == "date" and isinstance(value, _dt.date):
-                value = (value - _EPOCH_DATE).days
-            elif logical == "timestamp-millis" and isinstance(value, _dt.datetime):
-                value = int((value - _EPOCH).total_seconds() * 1_000)
-            elif logical == "timestamp-micros" and isinstance(value, _dt.datetime):
-                value = int((value - _EPOCH).total_seconds() * 1_000_000)
-            _write_long(buf, int(value))
-            return
-        if t == "float":
-            buf.write(struct.pack("<f", float(value)))
-            return
-        if t == "double":
-            buf.write(struct.pack("<d", float(value)))
-            return
-        if t == "bytes":
-            if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
-                _write_bytes(buf, _decimal_to_bytes(value, schema.get("scale", 0)))
-                return
-            _write_bytes(buf, bytes(value))
-            return
-        if t == "string":
-            _write_bytes(buf, str(value).encode("utf-8"))
-            return
-        if t == "record":
-            for f in schema["fields"]:
-                if f["name"] in value:
-                    fv = value[f["name"]]
-                elif "default" in f:
-                    fv = f["default"]
-                else:
-                    raise ValueError(f"missing field {f['name']!r} with no default")
-                self._encode_value(buf, f["type"], fv)
-            return
-        if t == "enum":
-            _write_long(buf, schema["symbols"].index(value))
-            return
-        if t == "array":
-            items = list(value)
-            if items:
-                _write_long(buf, len(items))
-                for it in items:
-                    self._encode_value(buf, schema["items"], it)
-            _write_long(buf, 0)
-            return
-        if t == "map":
-            entries = dict(value)
-            if entries:
-                _write_long(buf, len(entries))
-                for k, v in entries.items():
-                    _write_bytes(buf, str(k).encode("utf-8"))
-                    self._encode_value(buf, schema["values"], v)
-            _write_long(buf, 0)
-            return
-        if t == "fixed":
-            data = _decimal_to_fixed(value, schema) if (
-                isinstance(schema, dict) and schema.get("logicalType") == "decimal"
-            ) else bytes(value)
-            if len(data) != schema["size"]:
-                raise ValueError("fixed size mismatch")
-            buf.write(data)
-            return
-        raise ValueError(f"unsupported avro type for encode: {schema!r}")
-
-    # -- decode (with resolution) ------------------------------------------
+        buf = bytearray()
+        self._write(buf, record)
+        return bytes(buf)
 
     def decode(self, data: bytes) -> dict:
-        buf = io.BytesIO(data)
-        return self._decode_resolved(buf, self.writer, self.reader)
+        try:
+            value, _pos = self._read(bytes(data), 0)
+        except IndexError:
+            raise EOFError("truncated avro datum") from None
+        return value
 
-    def _decode_resolved(self, buf: io.BytesIO, writer: Any, reader: Any) -> Any:
-        wt, rt = _type_name(writer), _type_name(reader)
-        if wt == "union":
-            idx = _read_long(buf)
-            wbranch = writer[idx]
-            if rt == "union":
-                rbranch = self._match_branch(reader, wbranch)
-            else:
-                rbranch = reader
-            return self._decode_resolved(buf, wbranch, rbranch)
-        if rt == "union":
-            return self._decode_resolved(buf, writer, self._match_branch(reader, writer))
-        if wt == "record":
-            if rt != "record":
-                raise ValueError(f"cannot resolve record into {rt}")
-            rfields = {f["name"]: f for f in reader["fields"]}
-            out: dict[str, Any] = {}
-            seen: set[str] = set()
-            for wf in writer["fields"]:
-                val = self._decode_resolved(
-                    buf,
-                    wf["type"],
-                    rfields[wf["name"]]["type"] if wf["name"] in rfields else wf["type"],
-                )
-                if wf["name"] in rfields:
-                    out[wf["name"]] = val
-                    seen.add(wf["name"])
-                # else: writer-only field — decoded to advance, discarded
-            for rf in reader["fields"]:
-                if rf["name"] not in seen:
-                    if "default" not in rf:
-                        raise ValueError(
-                            f"reader field {rf['name']!r} missing from writer and has no default"
-                        )
-                    out[rf["name"]] = _coerce_default(rf["default"], rf["type"])
-            return out
-        return self._decode_primitive(buf, writer, reader)
-
-    @staticmethod
-    def _match_branch(reader_union: list, writer_branch: Any) -> Any:
-        wname = _type_name(writer_branch)
-        for b in reader_union:
-            if _type_name(b) == wname:
-                return b
-        for b in reader_union:  # promotion match
-            if _type_name(b) in _PROMOTIONS.get(wname, ()):
-                return b
-        raise ValueError(f"no reader branch for writer type {wname!r}")
-
-    def _decode_primitive(self, buf: io.BytesIO, writer: Any, reader: Any) -> Any:
-        wt, rt = _type_name(writer), _type_name(reader)
-        if wt != rt and rt not in _PROMOTIONS.get(wt, ()):
-            raise ValueError(f"cannot promote {wt!r} to {rt!r}")
-        if wt == "null":
-            return None
-        if wt == "boolean":
-            byte = buf.read(1)
-            if not byte:
-                raise EOFError("truncated boolean")
-            return byte[0] == 1
-        if wt in ("int", "long"):
-            n = _read_long(buf)
-            if rt in ("float", "double"):
-                return float(n)
-            logical = isinstance(reader, dict) and reader.get("logicalType")
-            if logical == "date":
-                return _EPOCH_DATE + _dt.timedelta(days=n)
-            if logical == "timestamp-millis":
-                return _EPOCH + _dt.timedelta(milliseconds=n)
-            if logical == "timestamp-micros":
-                return _EPOCH + _dt.timedelta(microseconds=n)
-            return n
-        if wt == "float":
-            v = struct.unpack("<f", buf.read(4))[0]
-            return v
-        if wt == "double":
-            return struct.unpack("<d", buf.read(8))[0]
-        if wt == "bytes":
-            raw = _read_bytes(buf)
-            if isinstance(reader, dict) and reader.get("logicalType") == "decimal":
-                return _bytes_to_decimal(raw, reader.get("scale", 0))
-            return raw.decode("utf-8") if rt == "string" else raw
-        if wt == "string":
-            raw = _read_bytes(buf)
-            return raw if rt == "bytes" else raw.decode("utf-8")
-        if wt == "enum":
-            idx = _read_long(buf)
-            sym = writer["symbols"][idx]
-            if rt == "enum" and sym not in reader["symbols"]:
-                raise ValueError(f"enum symbol {sym!r} not in reader schema")
-            return sym
-        if wt == "array":
-            out = []
-            while True:
-                count = _read_long(buf)
-                if count == 0:
-                    return out
-                if count < 0:  # block with byte-size prefix
-                    count = -count
-                    _read_long(buf)  # block byte size — unused, we decode items
-                for _ in range(count):
-                    out.append(
-                        self._decode_resolved(buf, writer["items"], reader["items"])
-                    )
-        if wt == "map":
-            out_m: dict[str, Any] = {}
-            while True:
-                count = _read_long(buf)
-                if count == 0:
-                    return out_m
-                if count < 0:
-                    count = -count
-                    _read_long(buf)
-                for _ in range(count):
-                    k = _read_bytes(buf).decode("utf-8")
-                    out_m[k] = self._decode_resolved(
-                        buf, writer["values"], reader["values"]
-                    )
-        if wt == "fixed":
-            raw = buf.read(writer["size"])
-            if isinstance(reader, dict) and reader.get("logicalType") == "decimal":
-                return _bytes_to_decimal(raw, reader.get("scale", 0))
-            return raw
-        raise ValueError(f"unsupported avro type for decode: {writer!r}")
 
 
 def _coerce_default(default: Any, schema: Any) -> Any:
