@@ -826,6 +826,12 @@ def translate_select_full(
     sql = _rewrite_functions(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
+        # `_window_start` / `_window_end` system columns (reference
+        # docs/sql/system-columns.md:14-36, types.rs:1625-1627) → the
+        # grouping window struct's bounds
+        wkey = "session_window" if wc.kind == "session" else "window"
+        sql = re.sub(r"(?i)\b_window_start\b", f"{wkey}.start", sql)
+        sql = re.sub(r"(?i)\b_window_end\b", f"{wkey}.end", sql)
     return sql.strip(), wc, emit, keys, rw
 
 
