@@ -271,7 +271,9 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
     (A statement may carry several: `... WITH (src props) INTO sink WITH
     (sink props)` — with_clause_parser.rs accepts one per clause position.)"""
     last = None
-    for m in re.finditer(r"(?is)\bWITH\s*\(\s*'", sql):
+    # property keys may be single- OR double-quoted (the reference's demos
+    # use both spellings: 'key' = 'v' and "key" = "v")
+    for m in re.finditer(r"(?is)\bWITH\s*\(\s*['\"]", sql):
         last = m
     if last is None:
         return sql, {}
@@ -284,10 +286,19 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
         item = item.strip()
         if not item:
             continue
-        pm = re.match(r"(?s)^'([^']+)'\s*=\s*'((?:[^']|'')*)'$", item)
+        pm = re.match(
+            r"(?s)^(?:'([^']+)'|\"([^\"]+)\")\s*=\s*"
+            r"(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\")$",
+            item,
+        )
         if not pm:
             raise ValueError(f"bad WITH property: {item!r}")
-        props[pm.group(1)] = pm.group(2).replace("''", "'")
+        key = pm.group(1) if pm.group(1) is not None else pm.group(2)
+        if pm.group(3) is not None:
+            val = pm.group(3).replace("''", "'")
+        else:
+            val = pm.group(4).replace('""', '"')
+        props[key] = val
     return sql[: last.start()].rstrip(), props
 
 

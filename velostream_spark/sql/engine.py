@@ -188,10 +188,19 @@ class SqlEngine:
         path = os.path.abspath(cfg["path"])
         if fmt in ("csv", "csv_no_header", "csvnoheader"):
             header = fmt == "csv"
-            reader = (
-                self.spark.read.option("header", str(header).lower())
-                .option("inferSchema", "true")
-            )
+            reader = self.spark.read.option("header", str(header).lower())
+            if cfg.get("schema.fields"):
+                # explicit declared schema (config_file surface — reference
+                # file/config.rs declares schemas, never infers them)
+                from velostream_spark.sql.config_loader import schema_from_fields
+
+                reader = reader.schema(schema_from_fields(cfg["schema.fields"]))
+                if "timestampFormat" in cfg:
+                    reader = reader.option(
+                        "timestampFormat", cfg["timestampFormat"]
+                    )
+            else:
+                reader = reader.option("inferSchema", "true")
             if "delimiter" in cfg:
                 reader = reader.option("sep", cfg["delimiter"])
             return reader.csv(path)
@@ -226,8 +235,37 @@ class SqlEngine:
             )
         raise ValueError(f"unknown file format: {fmt!r}")
 
+    def _resolve_config_files(self, st: Statement) -> dict[str, dict]:
+        """Expand ``config_file`` WITH-properties (reference
+        with_clause_parser.rs + yaml_loader.rs): a name-scoped
+        ``<src>.config_file`` merges into that source's cfg; a bare
+        statement-level ``config_file`` binds to the statement's FROM
+        source (the reference's query analyzer resolves the statement's
+        single source requirement the same way). Explicit WITH keys win
+        over config-file values."""
+        from velostream_spark.sql.config_loader import load_config_file
+
+        by_name = self._source_names(st.with_props)
+        sink_names = {n for n in (st.name, st.into) if n}
+        for name, cfg in by_name.items():
+            if name in sink_names:
+                continue  # sink config — consumed by _write_sink, not wired
+            if "config_file" in cfg and not (
+                name in self.streams or name in self.tables
+            ):
+                loaded = load_config_file(os.path.abspath(cfg["config_file"]))
+                by_name[name] = {**loaded, **cfg}
+        if "config_file" in st.with_props:
+            m = re.search(r"(?is)\bFROM\s+([a-zA-Z_]\w*)", st.select_sql or "")
+            if m and not (m.group(1) in self.streams or m.group(1) in self.tables):
+                loaded = load_config_file(
+                    os.path.abspath(st.with_props["config_file"])
+                )
+                by_name[m.group(1)] = {**loaded, **by_name.get(m.group(1), {})}
+        return by_name
+
     def _wire_sources(self, st: Statement) -> None:
-        for name, cfg in self._source_names(st.with_props).items():
+        for name, cfg in self._resolve_config_files(st).items():
             typ = cfg.get("type", "")
             if not typ.endswith("_source") and not typ.startswith("file_source"):
                 continue
@@ -397,7 +435,7 @@ class SqlEngine:
             # @batch_size governs reader batching in the reference
             # (annotations.rs); the file-stream analog is files/trigger.
             mft = 1
-        for name, cfg in self._source_names(st.with_props).items():
+        for name, cfg in self._resolve_config_files(st).items():
             typ = cfg.get("type", "")
             if name in self.streams or name in self.tables:
                 continue
