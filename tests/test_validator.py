@@ -89,3 +89,37 @@ def test_parse_error_lands_in_errors():
     rep = validate_statement("SELECT DELTA(x) FROM t")
     assert not rep.ok
     assert "parse error" in rep.errors[0]
+
+
+def test_statement_level_config_file_satisfies_source():
+    """A bare config_file WITH property supplies the FROM source's config
+    (reference with_clause_parser.rs; demo/trading/sql/ctas_file_trading.sql
+    uses exactly this shape) — no 'unregistered table' error, no bare-key
+    warning for the reference's statement-level table props."""
+    from velostream_spark.sql.validator import validate_statement
+
+    rep = validate_statement(
+        """
+        CREATE TABLE t AS
+        SELECT a, COUNT(*) AS n FROM src GROUP BY a
+        WITH (
+          "config_file" = "configs/src.yaml",
+          "table_model" = "compact",
+          "retention" = "7 days"
+        )
+        """
+    )
+    assert rep.errors == []
+    assert not any("has no '<name>.' prefix" in w for w in rep.warnings)
+
+
+def test_scoped_config_file_without_type_accepted():
+    from velostream_spark.sql.validator import validate_statement
+
+    rep = validate_statement(
+        """
+        CREATE STREAM s AS SELECT x FROM src
+        WITH ('src.config_file' = 'configs/src.yaml')
+        """
+    )
+    assert rep.errors == []

@@ -69,13 +69,22 @@ def validate_statement(
 def _validate_parsed(
     st: Statement, rep: ValidationReport, registered: set[str]
 ) -> ValidationReport:
+    #: statement-level WITH properties the reference accepts without a
+    #: '<name>.' prefix (with_clause_parser.rs table/statement props)
+    _STMT_PROPS = {"config_file", "table_model", "retention", "compression"}
+
     cfgs: dict[str, dict[str, str]] = {}
     for k, v in st.with_props.items():
         if "." not in k:
-            rep.warnings.append(f"WITH property {k!r} has no '<name>.' prefix")
+            if k not in _STMT_PROPS:
+                rep.warnings.append(f"WITH property {k!r} has no '<name>.' prefix")
             continue
         name, _, opt = k.partition(".")
         cfgs.setdefault(name, {})[opt] = v
+
+    # a statement-level config_file supplies the FROM source's config
+    # (the engine binds it exactly that way — engine._resolve_config_files)
+    has_stmt_config = "config_file" in st.with_props
 
     # requirement analysis (query_analyzer.rs): every FROM/JOIN table needs
     # a registered view or a WITH source config
@@ -84,6 +93,10 @@ def _validate_parsed(
             if tbl in registered or tbl == st.name:
                 continue
             cfg = cfgs.get(tbl)
+            if cfg is None and has_stmt_config:
+                continue
+            if cfg is not None and "config_file" in cfg and "type" not in cfg:
+                continue  # type comes from the YAML at execution time
             if cfg is None:
                 rep.errors.append(
                     f"table {tbl!r} is not registered and has no WITH-clause "
