@@ -71,7 +71,10 @@ def _validate_parsed(
 ) -> ValidationReport:
     #: statement-level WITH properties the reference accepts without a
     #: '<name>.' prefix (with_clause_parser.rs table/statement props)
-    _STMT_PROPS = {"config_file", "table_model", "retention", "compression"}
+    _STMT_PROPS = {
+        "config_file", "table_model", "retention", "compression",
+        "refresh_interval",
+    }
 
     cfgs: dict[str, dict[str, str]] = {}
     for k, v in st.with_props.items():
@@ -125,6 +128,8 @@ def _validate_parsed(
                 rep.errors.append(f"{name!r}: unknown file format {fmt!r}")
         if typ.startswith("kafka_") and "topic" not in cfg:
             rep.errors.append(f"{name!r}: kafka {typ} requires a 'topic'")
+        if name == "kafka" and "type" not in cfg:
+            continue  # 'kafka.*' statement props = client passthrough
         for opt in cfg:
             if opt not in _KNOWN_OPTS and not opt.startswith("kafka."):
                 rep.warnings.append(f"{name!r}: unknown option {opt!r}")
