@@ -22,7 +22,7 @@ from velostream_spark.sql.dialect import Statement, parse_statement
 _KNOWN_OPTS = {
     "type", "path", "format", "delimiter", "has_headers", "topic",
     "bootstrap.servers", "brokers", "group.id", "auto.offset.reset",
-    "watermark.delay",
+    "watermark.delay", "config_file", "topic.name",
 }
 _SOURCE_TYPES = {"file_source", "file_source_mmap", "kafka_source"}
 _SINK_TYPES = {"file_sink", "kafka_sink", "stdout_sink", "memory"}
