@@ -151,3 +151,18 @@ def test_proto_packed_vs_unpacked_decode(xs):
     unpacked = buf.getvalue()
     assert codec.decode(packed)["xs"] == xs
     assert codec.decode(unpacked)["xs"] == xs
+
+
+def test_proto_encode_accepts_numpy_repeated():
+    """Arrow batches hand repeated fields to the codec as numpy arrays —
+    the emptiness test must not trip on ndarray truthiness (review
+    finding: compiled encoder raised 'truth value ... is ambiguous')."""
+    import numpy as np
+
+    codec = ProtobufCodec(PROTO, "M")
+    rec = {"i": 1, "z": -1, "s": "x", "d": 0.5, "flag": True,
+           "xs": np.array([1, -2, 3]), "b": b"", "u": 7, "f": -9}
+    out = codec.decode(codec.encode(rec))
+    assert out["xs"] == [1, -2, 3]
+    rec["xs"] = np.array([], dtype="int64")
+    assert codec.decode(codec.encode(rec))["xs"] == []

@@ -851,3 +851,44 @@ def test_show_resource_surface(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="broker"):
         eng.execute("SHOW TOPICS")
+
+
+def test_changelog_rewrite_peels_order_by_limit(spark):
+    """EMIT CHANGES GROUP BY with trailing ORDER BY/LIMIT: the sort/limit
+    applies to the emitted changelog, not the window partitioning (review
+    finding: they used to leak into the PARTITION BY list → ParseException)."""
+    from velostream_spark.sql.dialect import changelog_rewrite
+
+    sql = changelog_rewrite(
+        "SELECT k, COUNT(*) AS c FROM t GROUP BY k ORDER BY c DESC LIMIT 5"
+    )
+    assert "PARTITION BY k ORDER BY __arrival" in sql
+    assert sql.rstrip().endswith("ORDER BY c DESC LIMIT 5")
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "k string"
+    ).createOrReplaceTempView("t")
+    rows = spark.sql(sql).collect()  # must parse AND run
+    assert len(rows) == 3
+
+    # HAVING + ORDER BY together
+    sql2 = changelog_rewrite(
+        "SELECT k, SUM(v) AS s FROM t2 GROUP BY k HAVING SUM(v) > 1 ORDER BY s"
+    )
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "k string, v int"
+    ).createOrReplaceTempView("t2")
+    got = [tuple(r) for r in spark.sql(sql2).collect()]
+    assert got == [("a", 3)]
+
+
+def test_window_system_columns_not_rewritten_in_string_literals(spark):
+    """_window_start inside a quoted literal must survive the system-column
+    rewrite (review finding: blanket re.sub corrupted literals)."""
+    from velostream_spark.sql.dialect import parse_statement
+
+    st = parse_statement(
+        "CREATE STREAM s AS SELECT '_window_start' AS label, COUNT(*) AS n, "
+        "_window_start AS ws FROM ev GROUP BY 1 WINDOW TUMBLING(1m)"
+    )
+    assert "'_window_start'" in st.select_sql  # literal intact
+    assert "window.start AS ws" in st.select_sql  # identifier rewritten

@@ -123,3 +123,20 @@ def test_scoped_config_file_without_type_accepted():
         """
     )
     assert rep.errors == []
+
+
+def test_statement_config_file_covers_only_the_from_table():
+    """config_file binds ONLY the driving FROM table; a joined second
+    table still needs its own source (review finding: the waiver used to
+    silence every unregistered table)."""
+    from velostream_spark.sql.validator import validate_statement
+
+    rep = validate_statement(
+        """
+        CREATE STREAM s AS
+        SELECT a.x, b.y FROM a JOIN b ON a.k = b.k
+        WITH ("config_file" = "configs/a.yaml")
+        """
+    )
+    assert any("'b'" in e for e in rep.errors), rep.errors
+    assert not any("'a'" in e for e in rep.errors), rep.errors

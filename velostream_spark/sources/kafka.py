@@ -149,40 +149,18 @@ def sink_frame(
 def _confluent_keyed(
     df: DataFrame, key_fields: list[str], data_cols: list[str], cfg: dict[str, str]
 ) -> DataFrame:
-    """key + Confluent-framed value in ONE Arrow stage (mapInPandas can't
-    pass binary through two frames cheaply; encode sees the key column and
-    emits it untouched)."""
-    import pandas as pd
+    """key + Confluent-framed value in ONE Arrow stage: the shared
+    ``df_encode_confluent`` pipeline with the message key passed through."""
+    from .schema_registry import df_encode_confluent
 
-    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
-
-    from .avro_binary import AvroBinaryCodec, _py
-    from .schema_registry import CONFLUENT_MAGIC, _ID_STRUCT, FileSchemaRegistry
-
-    registry = FileSchemaRegistry(cfg["avro.schema.registry.path"])
     version = cfg.get("avro.schema.version")
-    version = int(version) if version else None
-    subject = cfg["avro.schema.subject"]
-    writer_json = registry.get_schema(subject, version)
-    schema_id = registry.schema_id(subject, version)
     keyed = message_key(df, key_fields).select("key", *data_cols)
-    # rendered driver-side: struct.Struct instances don't pickle
-    head = bytes((CONFLUENT_MAGIC,)) + _ID_STRUCT.pack(schema_id)
-
-    def gen(batches):
-        codec = AvroBinaryCodec(writer_json)
-        for pdf in batches:
-            vals = [
-                head + codec.encode({k: _py(v) for k, v in zip(data_cols, row)})
-                for row in pdf[data_cols].itertuples(index=False, name=None)
-            ]
-            yield pd.DataFrame({"key": pdf["key"].values, "value": vals})
-
-    return keyed.mapInPandas(
-        gen,
-        schema=StructType(
-            [StructField("key", StringType()), StructField("value", BinaryType())]
-        ),
+    return df_encode_confluent(
+        keyed,
+        cfg["avro.schema.registry.path"],
+        cfg["avro.schema.subject"],
+        int(version) if version else None,
+        passthrough_cols=["key"],
     )
 
 

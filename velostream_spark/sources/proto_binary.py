@@ -495,9 +495,15 @@ class ProtobufCodec:
             buf = bytearray()
             for fname, repeated, enc in compiled:
                 v = record.get(fname)
-                if v is None or (repeated and not v):
+                if v is None:
                     continue
-                enc(buf, list(v) if repeated else v)
+                if repeated:
+                    # listify BEFORE the emptiness test: numpy arrays (what
+                    # Arrow batches hand over) are ambiguous under `not v`
+                    v = list(v)
+                    if not v:
+                        continue
+                enc(buf, v)
             return bytes(buf)
 
         return encode_record

@@ -238,11 +238,15 @@ def df_encode_confluent(
     subject: str,
     version: int | None = None,
     out_col: str = "value",
+    passthrough_cols: list[str] | None = None,
 ):
     """Encode rows to Confluent-framed Avro values: each value carries the
     writer schema's GLOBAL id, so any registry-aware consumer can resolve
     it. One Arrow stage; the registry root must be shared storage so
-    executors can read it (local path here, HDFS/S3 mount at scale)."""
+    executors can read it (local path here, HDFS/S3 mount at scale).
+
+    ``passthrough_cols`` are excluded from the Avro record and emitted
+    unchanged alongside ``out_col`` (e.g. a Kafka message key)."""
     import pandas as pd
 
     from pyspark.sql.types import BinaryType, StructField, StructType
@@ -254,19 +258,26 @@ def df_encode_confluent(
     schema_id = registry.schema_id(subject, version)
     # rendered driver-side: struct.Struct instances don't pickle
     head = bytes((CONFLUENT_MAGIC,)) + _ID_STRUCT.pack(schema_id)
+    passthrough = list(passthrough_cols or [])
+    data_cols = [c for c in df.columns if c not in passthrough]
 
     def gen(batches):
         codec = AvroBinaryCodec(writer_json)
         for pdf in batches:
             vals = [
-                head + codec.encode({k: _py(v) for k, v in zip(pdf.columns, row)})
-                for row in pdf.itertuples(index=False, name=None)
+                head + codec.encode({k: _py(v) for k, v in zip(data_cols, row)})
+                for row in pdf[data_cols].itertuples(index=False, name=None)
             ]
-            yield pd.DataFrame({out_col: vals})
+            out = {c: pdf[c].values for c in passthrough}
+            out[out_col] = vals
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        gen, schema=StructType([StructField(out_col, BinaryType())])
-    )
+    out_fields = [
+        StructField(f.name, f.dataType)
+        for f in df.schema.fields
+        if f.name in passthrough
+    ] + [StructField(out_col, BinaryType())]
+    return df.mapInPandas(gen, schema=StructType(out_fields))
 
 
 def df_decode_confluent(

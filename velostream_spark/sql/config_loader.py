@@ -31,7 +31,11 @@ def _deep_merge(parent: dict, child: dict) -> dict:
     return out
 
 
-def _load_doc(path: str) -> dict:
+def _load_doc(path: str, _seen: frozenset[str] = frozenset()) -> dict:
+    real = os.path.realpath(path)
+    if real in _seen:
+        chain = " -> ".join(sorted(_seen)) + f" -> {real}"
+        raise ValueError(f"cyclic 'extends' chain in config files: {chain}")
     with open(path) as fh:
         doc = yaml.safe_load(fh) or {}
     ext = doc.pop("extends", None)
@@ -39,7 +43,7 @@ def _load_doc(path: str) -> dict:
         parent_path = ext if os.path.isabs(ext) else os.path.join(
             os.path.dirname(path), ext
         )
-        doc = _deep_merge(_load_doc(parent_path), doc)
+        doc = _deep_merge(_load_doc(parent_path, _seen | {real}), doc)
     return doc
 
 

@@ -839,11 +839,36 @@ def translate_select_full(
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
         # `_window_start` / `_window_end` system columns (reference
         # docs/sql/system-columns.md:14-36, types.rs:1625-1627) → the
-        # grouping window struct's bounds
+        # grouping window struct's bounds (identifier positions only —
+        # quoted string literals are left untouched)
         wkey = "session_window" if wc.kind == "session" else "window"
-        sql = re.sub(r"(?i)\b_window_start\b", f"{wkey}.start", sql)
-        sql = re.sub(r"(?i)\b_window_end\b", f"{wkey}.end", sql)
+        sql = _sub_outside_strings(
+            sql, r"(?i)\b_window_start\b", f"{wkey}.start"
+        )
+        sql = _sub_outside_strings(sql, r"(?i)\b_window_end\b", f"{wkey}.end")
     return sql.strip(), wc, emit, keys, rw
+
+
+def _sub_outside_strings(sql: str, pattern: str, repl: str) -> str:
+    """re.sub applied only OUTSIDE quoted string literals."""
+    rx = re.compile(pattern)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = rx.match(sql, i)
+        if m:
+            out.append(repl)
+            i = m.end()
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def split_statements(sql_app: str) -> list[str]:
@@ -1033,6 +1058,13 @@ def changelog_rewrite(spark_sql: str) -> str | None:
     select_list = re.sub(r"(?is)^\s*SELECT\s+", "", s[:fi]).strip()
     src = s[fi + len("FROM") : gi].strip()
     tail = re.sub(r"(?is)^GROUP\s+BY\s*", "", s[gi:]).strip()
+    # peel trailing ORDER BY / LIMIT off the group-key text — they apply to
+    # the emitted changelog, not the window partitioning
+    suffix = ""
+    oi = _top_level_find(tail, r"\b(ORDER\s+BY|LIMIT)\b")
+    if oi >= 0:
+        suffix = " " + tail[oi:].strip()
+        tail = tail[:oi].strip()
     having = None
     hi = _top_level_find(tail, r"\bHAVING\b")
     if hi >= 0:
@@ -1056,7 +1088,21 @@ def changelog_rewrite(spark_sql: str) -> str | None:
         f"__arrival ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     if having is None:
-        return inner
+        return inner + suffix
     return (
         f"SELECT * EXCEPT (__vs_having) FROM ({inner}) WHERE __vs_having"
+        + suffix
     )
+
+
+def first_from_table(select_sql: str) -> str | None:
+    """The statement's driving FROM table, found by a TOP-LEVEL scan — a
+    ``FROM`` inside parens (EXTRACT(MONTH FROM ts), SUBSTRING(x FROM 1),
+    subqueries) is never it. Used to bind a statement-level ``config_file``
+    to its source (engine) and to validate that binding (validator)."""
+    pat = r"\bFROM\s+([a-zA-Z_]\w*)"
+    i = _top_level_find(select_sql, pat)
+    if i < 0:
+        return None
+    m = re.compile(pat, re.IGNORECASE).match(select_sql, i)
+    return m.group(1) if m else None

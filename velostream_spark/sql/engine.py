@@ -256,12 +256,14 @@ class SqlEngine:
                 loaded = load_config_file(os.path.abspath(cfg["config_file"]))
                 by_name[name] = {**loaded, **cfg}
         if "config_file" in st.with_props:
-            m = re.search(r"(?is)\bFROM\s+([a-zA-Z_]\w*)", st.select_sql or "")
-            if m and not (m.group(1) in self.streams or m.group(1) in self.tables):
+            from velostream_spark.sql.dialect import first_from_table
+
+            tbl = first_from_table(st.select_sql or "")
+            if tbl and not (tbl in self.streams or tbl in self.tables):
                 loaded = load_config_file(
                     os.path.abspath(st.with_props["config_file"])
                 )
-                by_name[m.group(1)] = {**loaded, **by_name.get(m.group(1), {})}
+                by_name[tbl] = {**loaded, **by_name.get(tbl, {})}
         return by_name
 
     def _wire_sources(self, st: Statement) -> None:

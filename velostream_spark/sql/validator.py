@@ -85,9 +85,16 @@ def _validate_parsed(
         name, _, opt = k.partition(".")
         cfgs.setdefault(name, {})[opt] = v
 
-    # a statement-level config_file supplies the FROM source's config
-    # (the engine binds it exactly that way — engine._resolve_config_files)
-    has_stmt_config = "config_file" in st.with_props
+    # a statement-level config_file supplies ONLY the driving FROM
+    # source's config (the engine binds it exactly that way —
+    # engine._resolve_config_files); other unregistered tables still error
+    from velostream_spark.sql.dialect import first_from_table
+
+    stmt_config_tbl = (
+        (first_from_table(st.select_sql or "") or "").lower()
+        if "config_file" in st.with_props
+        else None
+    )
 
     # requirement analysis (query_analyzer.rs): every FROM/JOIN table needs
     # a registered view or a WITH source config
@@ -96,7 +103,7 @@ def _validate_parsed(
             if tbl in registered or tbl == st.name:
                 continue
             cfg = cfgs.get(tbl)
-            if cfg is None and has_stmt_config:
+            if cfg is None and tbl == stmt_config_tbl:
                 continue
             if cfg is not None and "config_file" in cfg and "type" not in cfg:
                 continue  # type comes from the YAML at execution time

@@ -165,11 +165,25 @@ def session_pair_join_stream(
                 sessions, int(t), int(i), side == left_side, gap_us, emit
             )
 
-        state.update((pickle.dumps(sessions, protocol=pickle.HIGHEST_PROTOCOL),))
-        # event-time GC: when the watermark passes the newest session's
-        # expiry, every older session has expired too → drop the key
-        newest_last = max(s[1] for s in sessions)
-        state.setTimeoutTimestamp((newest_last + gap_us) // 1_000)
+        # event-time GC, two levels: sessions the watermark has passed are
+        # closed NOW (no in-delay event can still reach them — this is what
+        # keeps a hot key's state bounded by the watermark horizon, not by
+        # its lifetime), and the whole key dies via timeout once the
+        # watermark passes the newest session's expiry.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms:
+            sessions = [s for s in sessions if (s[1] + gap_us) // 1_000 >= wm_ms]
+        if sessions:
+            state.update(
+                (pickle.dumps(sessions, protocol=pickle.HIGHEST_PROTOCOL),)
+            )
+            newest_last = max(s[1] for s in sessions)
+            # Spark requires the timeout strictly above the watermark
+            state.setTimeoutTimestamp(
+                max((newest_last + gap_us) // 1_000, wm_ms + 1)
+            )
+        else:
+            state.remove()
 
         if out_l:
             yield pd.DataFrame(
@@ -220,8 +234,13 @@ def session_pair_join_stream_bucketed(
     source's watermark delay so out-of-order events within the delay can
     still extend (or bridge) their session, exactly like the per-key form.
 
-    Semantics are identical to ``session_pair_join_stream``; the parity
-    test runs both forms plus the batch twin on one input.
+    Semantics match ``session_pair_join_stream`` WHEN ``late_slack_minutes``
+    equals the source's watermark delay (the per-key form prunes against
+    the real watermark; this form only has the bucket's own event clock).
+    With the default slack of 0 the two agree for in-order streams — an
+    out-of-order extension arriving a batch late would find its session
+    already retired here. The parity test runs both forms plus the batch
+    twin on one input.
     """
     import numpy as np
     from pyspark.sql import functions as F

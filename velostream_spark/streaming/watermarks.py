@@ -106,9 +106,12 @@ def clocked_tumbling_final(
     """
     win_us = window_minutes * 60 * 1_000_000
 
+    # the op emits the STRINGIFIED group (it rides the state key); the
+    # declared schema says so, and the cast back to the source dtype
+    # happens in the plan after the stateful stage
     out_schema = StructType(
         [
-            StructField(group_col, sdf.schema[group_col].dataType),
+            StructField(group_col, StringType()),
             StructField("window_start", TimestampType()),
             StructField("window_end", TimestampType()),
             StructField("cnt", LongType()),
