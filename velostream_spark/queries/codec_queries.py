@@ -150,3 +150,84 @@ def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         F.min("o_custkey").alias("min_cust"),
     )
+
+
+_CONFLUENT_SUPPLIER_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "Supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": "string"},
+            {"name": "s_acctbal", "type": "double"},
+        ],
+    }
+)
+
+# evolved: adds a defaulted tier field — v1-framed records take the default
+_CONFLUENT_SUPPLIER_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "Supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": "string"},
+            {"name": "s_acctbal", "type": "double"},
+            {"name": "tier", "type": "string", "default": "std"},
+        ],
+    }
+)
+
+
+@query(
+    "confluent_roundtrip",
+    oracle="""
+    SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'gold' ELSE 'std' END AS tier,
+           COUNT(*)                        AS n,
+           ROUND(SUM(s_acctbal), 2)        AS total_bal,
+           MAX(s_suppkey)                  AS max_key
+    FROM supplier
+    GROUP BY CASE WHEN s_suppkey % 2 = 0 THEN 'gold' ELSE 'std' END
+    """,
+    tags=("codec", "avro", "confluent", "schema-registry", "schema-evolution"),
+)
+def confluent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format roundtrip through the schema registry: supplier
+    rows are split by key parity, half encoded under schema v1 (no tier
+    column) and half under v2 (tier='gold'), each value framed with ITS
+    writer's global id (magic 0x00 + big-endian id); the decode resolves
+    every record's writer schema from its own frame id and projects to the
+    v2 reader shape — v1 records take the reader default tier='std'.
+    The oracle reproduces the tier split arithmetically on the raw table,
+    so a framing, id-resolution, or evolution bug breaks the value hash.
+
+    Scale shape: registry reads are per-executor-batch and cached per
+    schema id; the registry root is a shared path (tempdir here, HDFS/S3
+    mount on a cluster)."""
+    import tempfile
+
+    from velostream_spark.sources.schema_registry import (
+        FileSchemaRegistry,
+        df_decode_confluent,
+        df_encode_confluent,
+    )
+
+    root = tempfile.mkdtemp(prefix="vs-confluent-reg-")
+    reg = FileSchemaRegistry(root)
+    reg.register("supplier-value", _CONFLUENT_SUPPLIER_V1)
+    reg.register("supplier-value", _CONFLUENT_SUPPLIER_V2)
+
+    sup = tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    odd = sup.where(F.col("s_suppkey") % 2 == 1)
+    gold = sup.where(F.col("s_suppkey") % 2 == 0).withColumn("tier", F.lit("gold"))
+    wire = df_encode_confluent(odd, root, "supplier-value", version=1).unionAll(
+        df_encode_confluent(gold, root, "supplier-value", version=2)
+    )
+    decoded = df_decode_confluent(wire, root, "supplier-value")
+    return decoded.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
