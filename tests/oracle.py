@@ -64,6 +64,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes stringified values, so an integer column on one
+        # side vs a float column on the other ("107" vs "107.0") is a real
+        # failure even when the numbers are equal — most commonly DuckDB's
+        # HUGEINT result of SUM(int) arriving as float64 while Spark returns
+        # int64. Flag the dtype-class divergence itself instead of coercing.
+        a_int, b_int = (pd.api.types.is_integer_dtype(x) for x in (av, bv))
+        a_flt, b_flt = (pd.api.types.is_float_dtype(x) for x in (av, bv))
+        if (a_int and b_flt) or (a_flt and b_int):
+            problems.append(
+                f"col {c}: dtype class mismatch (spark={av.dtype} vs "
+                f"oracle={bv.dtype}) — driver hashes '1' vs '1.0' differently; "
+                f"CAST the oracle (or Spark side) so both are the same class"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av_f = av.astype("float64").to_numpy()
             bv_f = bv.astype("float64").to_numpy()

@@ -536,7 +536,7 @@ packed AS (
 )
 SELECT lang, pack_id,
        COUNT(*)    AS n_docs,
-       SUM(tokens) AS total_tokens
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens
 FROM packed
 GROUP BY lang, pack_id
 """
