@@ -315,3 +315,29 @@ def test_decode_with_registry_end_to_end(spark, tmp_path):
     out = decode_with_registry(df, cfg).orderBy("order_id").toPandas()
     assert "venue" in out.columns and "tags" not in out.columns
     assert len(out) == 8
+
+
+def test_multi_branch_union_constructs_and_roundtrips():
+    """Regression (r4 advice): a schema whose union has 2+ non-null branches
+    must still CONSTRUCT a codec (decode-only paths — df_decode_avro,
+    decode_with_registry — broke when _compile_write ran eagerly), and the
+    encoder now dispatches such unions by the Python value's type."""
+    import json
+
+    from velostream_spark.sources.avro_binary import AvroBinaryCodec
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "a", "type": ["null", "string", "long"]},
+                {"name": "b", "type": ["int", "string"]},
+            ],
+        }
+    )
+    codec = AvroBinaryCodec(schema)  # must not raise at construction
+    for rec in [{"a": None, "b": 5}, {"a": "hi", "b": "x"}, {"a": 42, "b": 0}]:
+        assert codec.decode(codec.encode(rec)) == rec
+    with pytest.raises(ValueError, match="no branch"):
+        codec.encode({"a": 1.5, "b": 1})

@@ -892,3 +892,20 @@ def test_window_system_columns_not_rewritten_in_string_literals(spark):
     )
     assert "'_window_start'" in st.select_sql  # literal intact
     assert "window.start AS ws" in st.select_sql  # identifier rewritten
+
+
+def test_attach_over_skips_explicit_over_and_subqueries():
+    """Regression (r4 advice): _attach_over must not double-window an
+    aggregate that already has an OVER clause (invalid SQL) nor rewrite
+    aggregates inside scalar subqueries in the select list (silently wrong
+    semantics), and string literals stay opaque."""
+    from velostream_spark.sql.dialect import _attach_over
+
+    s, n = _attach_over("SUM(x) OVER (PARTITION BY k ORDER BY t) AS run", "__w")
+    assert s == "SUM(x) OVER (PARTITION BY k ORDER BY t) AS run" and n == 0
+
+    s, n = _attach_over("amount - (SELECT AVG(amount) FROM t) AS diff", "__w")
+    assert s == "amount - (SELECT AVG(amount) FROM t) AS diff" and n == 0
+
+    s, n = _attach_over("SUM(amount) AS total, 'SUM(x)' AS lit", "__w")
+    assert s == "SUM(amount) OVER __w AS total, 'SUM(x)' AS lit" and n == 1

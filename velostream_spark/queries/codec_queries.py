@@ -178,6 +178,23 @@ _CONFLUENT_SUPPLIER_V2 = json.dumps(
     }
 )
 
+_CONFLUENT_REG_ROOT: str | None = None
+
+
+def _confluent_registry_root() -> str:
+    """One registry tempdir per process, removed at exit — a fresh mkdtemp
+    per invocation leaked a directory (with schema files) every gate/bench
+    run. register() is idempotent for an identical schema, so reuse is safe."""
+    global _CONFLUENT_REG_ROOT
+    if _CONFLUENT_REG_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CONFLUENT_REG_ROOT = tempfile.mkdtemp(prefix="vs-confluent-reg-")
+        atexit.register(shutil.rmtree, _CONFLUENT_REG_ROOT, ignore_errors=True)
+    return _CONFLUENT_REG_ROOT
+
 
 @query(
     "confluent_roundtrip",
@@ -204,15 +221,13 @@ def confluent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: registry reads are per-executor-batch and cached per
     schema id; the registry root is a shared path (tempdir here, HDFS/S3
     mount on a cluster)."""
-    import tempfile
-
     from velostream_spark.sources.schema_registry import (
         FileSchemaRegistry,
         df_decode_confluent,
         df_encode_confluent,
     )
 
-    root = tempfile.mkdtemp(prefix="vs-confluent-reg-")
+    root = _confluent_registry_root()
     reg = FileSchemaRegistry(root)
     reg.register("supplier-value", _CONFLUENT_SUPPLIER_V1)
     reg.register("supplier-value", _CONFLUENT_SUPPLIER_V2)

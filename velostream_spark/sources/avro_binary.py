@@ -163,6 +163,37 @@ def _read_zlong_at(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _branch_accepts(schema: Any):
+    """Python-type predicate for selecting a union branch at encode time."""
+    t = _type_name(schema)
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if t == "boolean":
+        return lambda v: isinstance(v, bool)
+    if t in ("int", "long"):
+        if logical == "date":
+            return lambda v: isinstance(v, _dt.date) and not isinstance(
+                v, _dt.datetime
+            ) or (isinstance(v, int) and not isinstance(v, bool))
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            return lambda v: isinstance(v, _dt.datetime) or (
+                isinstance(v, int) and not isinstance(v, bool)
+            )
+        return lambda v: isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return lambda v: isinstance(v, float)
+    if t in ("string", "enum"):
+        return lambda v: isinstance(v, str)
+    if t in ("bytes", "fixed"):
+        if logical == "decimal":
+            return lambda v: isinstance(v, (_decimal.Decimal, bytes, bytearray))
+        return lambda v: isinstance(v, (bytes, bytearray))
+    if t in ("record", "map"):
+        return lambda v: isinstance(v, dict)
+    if t == "array":
+        return lambda v: isinstance(v, (list, tuple))
+    return lambda v: False
+
+
 def _compile_write(schema: Any):
     """Schema → ``write(buf: bytearray, value)`` closure. All type/logical
     dispatch happens here, once; the closure does no schema inspection."""
@@ -171,19 +202,44 @@ def _compile_write(schema: Any):
         null_idx = next(
             (i for i, b in enumerate(schema) if _type_name(b) == "null"), None
         )
-        branch = _non_null_branch(schema)
-        branch_head = _zlong_bytes(schema.index(branch))
         null_head = _zlong_bytes(null_idx) if null_idx is not None else None
-        wb = _compile_write(branch)
+        non_null = [(i, b) for i, b in enumerate(schema) if _type_name(b) != "null"]
+        if len(non_null) == 1:
+            idx, branch = non_null[0]
+            branch_head = _zlong_bytes(idx)
+            wb = _compile_write(branch)
 
-        def w(buf, v, nh=null_head, bh=branch_head, wb=wb):
+            def w(buf, v, nh=null_head, bh=branch_head, wb=wb):
+                if v is None:
+                    if nh is None:
+                        raise ValueError("None for non-nullable union")
+                    buf += nh
+                else:
+                    buf += bh
+                    wb(buf, v)
+            return w
+        # Multi-branch union: pick the branch by the Python value's type, in
+        # schema order (the spec leaves selection to the writer; first
+        # type-compatible branch mirrors fastavro's validate-in-order).
+        table = [
+            (_branch_accepts(b), _zlong_bytes(i), _compile_write(b))
+            for i, b in non_null
+        ]
+
+        def w(buf, v, nh=null_head, table=table, schema=schema):
             if v is None:
                 if nh is None:
                     raise ValueError("None for non-nullable union")
                 buf += nh
-            else:
-                buf += bh
-                wb(buf, v)
+                return
+            for accepts, head, wb in table:
+                if accepts(v):
+                    buf += head
+                    wb(buf, v)
+                    return
+            raise ValueError(
+                f"value {v!r} matches no branch of union {schema!r}"
+            )
         return w
     if t == "null":
         def w(buf, v):
@@ -526,10 +582,15 @@ class AvroBinaryCodec:
         )
         if _type_name(self.writer) != "record" or _type_name(self.reader) != "record":
             raise ValueError("top-level avro schema must be a record")
-        self._write = _compile_write(self.writer)
+        # Compile the write closure lazily: encode support rejects some
+        # schema shapes (unions with 2+ non-null branches) that the decoder
+        # handles fine, and decode-only codecs must still construct.
+        self._write = None
         self._read = _compile_read(self.writer, self.reader)
 
     def encode(self, record: dict) -> bytes:
+        if self._write is None:
+            self._write = _compile_write(self.writer)
         buf = bytearray()
         self._write(buf, record)
         return bytes(buf)

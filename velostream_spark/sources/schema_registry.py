@@ -112,9 +112,28 @@ class FileSchemaRegistry:
         for sid, ref in index.items():
             if ref == (subject, version):
                 return sid
+        # O_EXCL create loop: an id file can never be claimed twice, so two
+        # concurrent callers can't allocate the same global id (the loser of
+        # the race retries with the next id), and an existing .ref is never
+        # overwritten — a silent overwrite would make framed records decode
+        # against the wrong writer schema.
         sid = max(index, default=0) + 1
-        (self._ids_dir() / f"{sid}.ref").write_text(f"{subject} {version}")
-        return sid
+        while True:
+            path = self._ids_dir() / f"{sid}.ref"
+            try:
+                with open(path, "x") as fh:
+                    fh.write(f"{subject} {version}")
+                return sid
+            except FileExistsError:
+                # Another caller just claimed sid; if it was for the same
+                # (subject, version) reuse it, else try the next id.
+                try:
+                    ref = path.read_text().strip().partition(" ")
+                    if (ref[0], int(ref[2])) == (subject, version):
+                        return sid
+                except (ValueError, OSError):
+                    pass  # claimed but not yet readable — not ours
+                sid += 1
 
     def schema_id(self, subject: str, version: int | None = None) -> int:
         """Global id of (subject, version) — lazily assigned for schemas

@@ -1003,16 +1003,36 @@ def _top_level_find(s: str, pattern: str, start: int = 0) -> int:
 
 def _attach_over(item: str, window_name: str) -> tuple[str, int]:
     """Append ``OVER window_name`` to every aggregate call in a select item;
-    returns (rewritten item, number of aggregates rewritten)."""
+    returns (rewritten item, number of aggregates rewritten).
+
+    Skips string literals, scalar subqueries (``(SELECT ...)`` regions are
+    opaque — their aggregates keep subquery semantics), and aggregates that
+    already carry an explicit OVER clause (appending again would produce
+    invalid ``SUM(x) OVER __w OVER (...)``)."""
     out, i, n = [], 0, 0
     while i < len(item):
+        ch = item[i]
+        if ch in ("'", '"'):
+            j = _skip_string(item, i)
+            out.append(item[i:j])
+            i = j
+            continue
+        if ch == "(" and re.match(r"\(\s*SELECT\b", item[i:], re.IGNORECASE):
+            j = _match_paren(item, i + 1)
+            out.append(item[i:j])
+            i = j
+            continue
         m = _AGG_NAME_RE.match(item, i)
         if not m:
-            out.append(item[i])
+            out.append(ch)
             i += 1
             continue
         close = _match_paren(item, m.end())
         call = item[i:close]
+        if re.match(r"\s*OVER\b", item[close:], re.IGNORECASE):
+            out.append(call)  # already windowed — leave its OVER intact
+            i = close
+            continue
         if re.search(r"(?is)\bDISTINCT\b", call):
             raise ValueError(
                 "EMIT CHANGES changelog: DISTINCT aggregates are not "
