@@ -23,9 +23,32 @@ FLAGSHIPS = {
     "decontaminate",
     "sequence_packing",
     "stratified_sample",
-    "avro_roundtrip",
+    "neardup_components",
+    "ann_lsh_topk",
+    "protobuf_roundtrip",
+    "confluent_roundtrip",
     "streaming_tumbling_final",
+    "streaming_rows_window",
 }
+
+#: Round-5 rotation: first-time-official entries (never gated in r1-r4).
+ROTATED_IN = {
+    "grouping_sets_rollup",
+    "range_frame",
+    "window_with_having",
+    "neardup_components",
+    "ann_lsh_topk",
+    "protobuf_roundtrip",
+    "confluent_roundtrip",
+    "dialect_tumbling_select",
+    "streaming_group_by_changes",
+    "streaming_rows_window",
+}
+
+
+def test_rotated_entries_hold_official_slots():
+    first50 = set(list(all_queries())[:50])
+    assert ROTATED_IN <= first50
 
 
 def test_gate_order_is_the_first_50():
@@ -46,23 +69,32 @@ def test_every_gate_entry_has_an_oracle():
 
 
 def test_displaced_entries_still_registered():
-    # Consolidation must not drop operators from the catalog — the standalone
-    # halves of merged gate entries stay available for bench + parity.
+    # Rotation must not drop operators from the catalog — displaced entries
+    # stay available for bench + the 94-entry parity mirror.
     names = set(all_queries())
     for kept in (
         "union_all",
         "union_distinct",
         "intersect_except",
-        "grouping_sets_rollup",
         "exists_subquery",
         "not_exists_subquery",
         "in_subquery",
         "not_in_subquery",
         "value_functions",
         "distribution_functions",
-        "range_frame",
         "select_wildcard",
         "unixtime_functions",
         "approx_count_distinct",
+        # rotated out in round 5
+        "select_distinct",
+        "group_by_having",
+        "conditional_functions",
+        "interval_arithmetic",
+        "value_distribution_functions",
+        "delta_function",
+        "first_last_aggs",
+        "string_agg",
+        "avro_roundtrip",
+        "correlated_scalar_subquery",
     ):
         assert kept in names

@@ -86,35 +86,41 @@ _LOADED = False
 #: The driver's correctness gate verifies the FIRST 50 registered entries
 #: (registration order == dict order of ``queries()``). This list pins those
 #: 50 slots explicitly so the official gate covers every SURVEY §2 operator
-#: family (one row per family, redundant near-twins merged into combined
-#: entries) AND the flagship 100-TB pipeline operators. Everything not
-#: listed here stays in the catalog right after, in module registration
-#: order, and is verified by the repo's own gate mirror
-#: (tests/test_oracle_parity.py) at the driver's scale.
+#: family AND the flagship 100-TB pipeline operators. Everything not listed
+#: here stays in the catalog right after, in module registration order, and
+#: is verified by the repo's own gate mirror (tests/test_oracle_parity.py)
+#: at the driver's scale.
+#:
+#: ROTATION (round 5): proven-but-never-officially-gated entries earn
+#: official slots by displacing near-twins whose coverage another gated
+#: entry already carries. Displaced entries remain in the catalog and the
+#: 94-entry parity mirror. Rotated out → covered by: select_distinct →
+#: count_distinct/union_all_distinct; group_by_having → window_with_having;
+#: conditional_functions → select_where's CASE/BETWEEN/IN; interval_arithmetic
+#: → date_functions/cast_semantics; value_distribution_functions →
+#: ranking_functions; delta_function → lag_lead (it is a LAG rewrite);
+#: first_last_aggs/string_agg → agg family peers; avro_roundtrip →
+#: confluent_roundtrip (framed avro + registry + evolution);
+#: correlated_scalar_subquery → scalar_subquery + exists/in forms.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
     "group_by_agg",
-    "group_by_having",
-    "select_distinct",
     "count_distinct",
     "order_by_limit",
     "union_all_distinct",
+    "grouping_sets_rollup",
     # §2.9 scalar function catalog
     "math_functions",
     "string_functions",
     "date_functions",
-    "conditional_functions",
     "json_functions",
     "collection_functions",
     # §2.4 aggregate families
     "statistical_aggs",
     "percentile_aggs",
-    "first_last_aggs",
-    "string_agg",
     # §1.2 type semantics
     "decimal_arithmetic",
-    "interval_arithmetic",
     "cast_semantics",
     # §2.3 joins
     "stream_table_join",
@@ -126,21 +132,20 @@ GATE_ORDER = [
     "session_join",
     # §2.7 subqueries
     "scalar_subquery",
-    "correlated_scalar_subquery",
     "exists_not_exists_subquery",
     "in_not_in_subquery",
     "any_all_subquery",
     # §2.5 OVER-clause window functions
     "lag_lead",
     "ranking_functions",
-    "value_distribution_functions",
     "agg_over_rows_frame",
-    "delta_function",
+    "range_frame",
     # §2.6 time windows
     "tumbling_window",
     "sliding_window",
     "session_window",
-    # Phase-4 pipeline operators (LLM-scale curation) + codec + streaming
+    "window_with_having",
+    # Phase-4 pipeline operators (LLM-scale curation)
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -149,8 +154,15 @@ GATE_ORDER = [
     "decontaminate",
     "sequence_packing",
     "stratified_sample",
-    "avro_roundtrip",
+    "neardup_components",
+    "ann_lsh_topk",
+    # codecs / SQL dialect / streaming
+    "protobuf_roundtrip",
+    "confluent_roundtrip",
+    "dialect_tumbling_select",
     "streaming_tumbling_final",
+    "streaming_group_by_changes",
+    "streaming_rows_window",
 ]
 
 
