@@ -171,13 +171,38 @@ def ivf_centroids(
     id_col: str = "vec_id",
     n_centroids: int = 16,
 ) -> "np.ndarray":
-    """Deterministic IVF centroids: evenly-spaced corpus vectors by sorted
-    id (no RNG, reproducible). At 100 TB you'd k-means a sample instead —
-    either way the centroid matrix stays driver-sized (K × dim floats).
-    Two light jobs: an id-only scan, then a pushdown-filtered vector fetch."""
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(len(ids) // n_centroids, 1)
-    chosen = ids[::step][:n_centroids]
+    """Deterministic IVF centroids: corpus vectors evenly spaced across the
+    NUMERIC id range (no RNG, reproducible), selected fully distributed —
+    min/max id from one aggregate, then each of K evenly spaced target ids
+    snaps to the nearest actual id via a broadcast join + argmin groupBy.
+    Only K ids ever reach the driver (the previous implementation collected
+    ALL corpus ids — O(N) driver memory); the vectors are then fetched with
+    a pushdown ``isin`` filter. The real index-build step is
+    ivf_train_centroids (MLlib k-means); either way the centroid matrix
+    stays driver-sized (K × dim floats)."""
+    lo, hi = corpus.agg(F.min(id_col), F.max(id_col)).first()
+    span = hi - lo
+    targets = sorted({lo + span * i // n_centroids for i in range(n_centroids)})
+    tdf = F.broadcast(
+        corpus.sparkSession.createDataFrame([(t,) for t in targets], ["_target"])
+    )
+    picks = (
+        corpus.select(F.col(id_col).alias("_id"))
+        .join(tdf)
+        .groupBy("_target")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(F.col("_id") - F.col("_target")).alias("_d"),
+                    F.col("_id").alias("_id"),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p._id").alias("_id"))
+        .distinct()
+        .collect()
+    )
+    chosen = sorted(r[0] for r in picks)
     rows = (
         corpus.where(F.col(id_col).isin(chosen))
         .select(id_col, vec_col)
