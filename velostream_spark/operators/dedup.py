@@ -137,15 +137,19 @@ def minhash_lsh_pairs(
     num_bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hot_band_threshold: int | None = 1000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold.
     Shuffles: one on band hash (candidate generation), dedup of candidate
     pairs, and the verify join — all keyed on ids/band keys, never on text.
+    Hot bands (> hot_band_threshold members) are pair-generated salted —
+    see minhash_pairs_from_stage.
     """
     docs = minhash_stage(df, text_col, id_col, num_hashes, num_bands, shingle_n)
-    return minhash_pairs_from_stage(docs, threshold)
+    return minhash_pairs_from_stage(docs, threshold, hot_band_threshold, n_salts)
 
 
 def minhash_stage(
@@ -185,19 +189,66 @@ def minhash_stage(
     )
 
 
-def minhash_pairs_from_stage(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Candidate generation + exact-Jaccard verification over a stage."""
+def minhash_pairs_from_stage(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    hot_band_threshold: int | None = 1000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verification over a stage.
+
+    Skew guard: a band shared by m documents generates m² candidate pairs
+    in ONE reducer of the band self-join — the one real 100-TB risk in this
+    path (boilerplate headers/footers produce exactly such hot bands).
+    Bands with more than ``hot_band_threshold`` members are split off
+    (their keys are few by construction, so they broadcast) and their pair
+    generation runs salted: the left side hashes into ``n_salts`` buckets,
+    the right side replicates n_salts×, and the join key becomes
+    (band, salt) — each hot band's m²/n_salts work spreads over n_salts
+    reducers. Cold bands keep the plain join; a pair that occurs in both a
+    hot and a cold band is deduped by the existing dropDuplicates.
+    ``hot_band_threshold=None`` disables the split."""
     # Candidate generation joins on (band, id) ONLY — no arrays in the
     # shuffle; shingles rejoin after pair dedup (candidate count << rows).
     banded = docs.select("_id", F.explode("_bands").alias("_band"))
     a = banded.select(F.col("_id").alias("id_a"), "_band")
     b = banded.select(F.col("_id").alias("id_b"), "_band")
-    pairs = (
-        a.join(b, "_band")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if hot_band_threshold is None:
+        raw_pairs = a.join(b, "_band").where(F.col("id_a") < F.col("id_b"))
+    else:
+        hot_keys = (
+            banded.groupBy("_band")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > hot_band_threshold)
+            .select("_band")
+        )
+        flagged = banded.join(
+            F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), "_band", "left"
+        )
+        cold = flagged.where(F.col("_hot").isNull()).drop("_hot")
+        hot = flagged.where(F.col("_hot")).drop("_hot")
+        cold_pairs = (
+            cold.select(F.col("_id").alias("id_a"), "_band")
+            .join(cold.select(F.col("_id").alias("id_b"), "_band"), "_band")
+            .where(F.col("id_a") < F.col("id_b"))
+        )
+        hot_a = hot.select(
+            F.col("_id").alias("id_a"),
+            "_band",
+            F.pmod(F.hash("_id"), F.lit(n_salts)).alias("_salt"),
+        )
+        hot_b = hot.select(
+            F.col("_id").alias("id_b"),
+            "_band",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        )
+        hot_pairs = (
+            hot_a.join(hot_b, ["_band", "_salt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .drop("_salt")
+        )
+        raw_pairs = cold_pairs.unionByName(hot_pairs)
+    pairs = raw_pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     sh_a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     sh_b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
