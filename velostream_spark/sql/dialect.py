@@ -566,6 +566,33 @@ _SUBSECOND_EXTRACT = {
 }
 
 
+def _epoch_extract(x: str) -> str:
+    """EXTRACT(EPOCH FROM x) for both operand shapes.
+
+    ``x`` a timestamp → unix_timestamp. ``x`` a timestamp DIFFERENCE
+    (``a - b``, interval-typed — unix_timestamp can't accept it) →
+    ``(unix_millis(a) - unix_millis(b)) / 1000.0``, which is also
+    sub-second precise (epoch-of-interval is fractional seconds, and the
+    shipped financial app buckets latencies at 1 ms). The shape test is a
+    single TOP-LEVEL minus whose right side is not an INTERVAL literal
+    (``ts - INTERVAL '1' HOUR`` stays timestamp-typed)."""
+    inner = x.strip()
+    while inner.startswith("(") and _match_paren(inner, 1) == len(inner):
+        inner = inner[1:-1].strip()
+    i = _top_level_find(inner, r"-")
+    if 0 < i < len(inner) - 1:
+        left, right = inner[:i].strip(), inner[i + 1 :].strip()
+        if left and right and not re.match(r"(?i)^INTERVAL\b", right):
+            if _top_level_find(right, r"-") == -1:
+                # CAST keeps the quotient DOUBLE (a bare 1000.0 literal is
+                # DECIMAL in Spark, which would make the whole result decimal)
+                return (
+                    f"(CAST(unix_millis({left}) - unix_millis({right}) "
+                    f"AS DOUBLE) / 1000.0)"
+                )
+    return f"unix_timestamp({inner})"
+
+
 def _rewrite_call(name: str, args: list[str]) -> str | None:
     """Call-shape rewrites (argument-aware). Return None to keep as-is."""
     u = name.upper()
@@ -623,7 +650,7 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # EXTRACT('EPOCH', x) string-part variant (parser/expressions.rs:577-598)
         part = args[0].strip().strip("'\"").upper()
         if part == "EPOCH":
-            return f"unix_timestamp({args[1]})"
+            return _epoch_extract(args[1])
         sub = _SUBSECOND_EXTRACT.get(part)
         if sub is not None:
             return sub.format(x=args[1])
@@ -633,7 +660,7 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         if fm:
             part, x = fm.group(1).upper(), fm.group(2)
             if part == "EPOCH":
-                return f"unix_timestamp({x})"
+                return _epoch_extract(x)
             sub = _SUBSECOND_EXTRACT.get(part)
             if sub is not None:
                 return sub.format(x=x)
