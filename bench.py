@@ -85,6 +85,12 @@ AMORTIZED = {
     "streaming_rows_window": (("events",), 16),
     "streaming_session_join": (("events",), 16),
     "ranking_functions": (("orders",), 16),
+    "session_window": (("events",), 16),
+    # stream_table_join: replicate the fact (orders) and the first dim
+    # (customer — cust domain shared with o_custkey so the broadcast join
+    # stays hit-for-hit); nation/region are 25/5-row leaf dims read at 1×
+    # from the base dir via the combo's pass-through symlinks.
+    "stream_table_join": (("orders", "customer"), 16),
     # Subquery entries: ~1 s wall is the per-job floor at any SF (sf0.001 and
     # sf0.1 time the same) — replicate every table the query touches so the
     # semi/anti/scalar-subquery work itself scales 16× and wall/16 is the
@@ -188,12 +194,21 @@ def build_replica_pool(
             .parquet(dst)
         )
         replica_path[(t, rep)] = dst
+    from velostream_spark.session import TABLE_NAMES
+
     combo_dirs: dict[tuple[tuple, int], str] = {}
     for tables, rep in sorted(needs):
         d = os.path.join(root, "combo_" + "_".join(tables) + f"_x{rep}")
         os.makedirs(d)
         for t in tables:
             os.symlink(replica_path[(t, rep)], os.path.join(d, f"{t}.parquet"))
+        # Pass-through 1× symlinks for every other base table, so a query
+        # that also reads un-replicated leaf dims (nation/region in
+        # stream_table_join) resolves them from the combo dir.
+        for t in TABLE_NAMES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            if t not in tables and os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{t}.parquet"))
         combo_dirs[(tables, rep)] = d
     return root, combo_dirs
 

@@ -904,6 +904,49 @@ def split_statements(sql_app: str) -> list[str]:
     return [s.strip() for s in _split_top_level(no_comments, ";") if s.strip()]
 
 
+def split_statements_keep_comments(sql_app: str) -> list[str]:
+    """Split on top-level `;` but KEEP each statement's comments, so
+    per-statement `-- @metric:` blocks (annotations.rs) survive into
+    ``parse_statement`` / ``parse_metric_annotations``. String-literal
+    and comment aware: a `;` inside '…', "…", or a `--` comment does
+    not split. Chunks that are comments-only (a trailing doc block with
+    no statement) are dropped."""
+    chunks: list[str] = []
+    buf: list[str] = []
+    in_str: str | None = None
+    in_comment = False
+    i, n = 0, len(sql_app)
+    while i < n:
+        ch = sql_app[i]
+        if in_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_comment = False
+        elif in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+        elif ch == "-" and sql_app[i + 1 : i + 2] == "-":
+            in_comment = True
+            buf.append(ch)
+        elif ch == ";":
+            chunks.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    chunks.append("".join(buf))
+    out = []
+    for c in chunks:
+        stripped, _ = strip_comments(c)
+        if stripped.strip():
+            out.append(c.strip())
+    return out
+
+
 def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     """Parse one velostream statement into a Statement."""
     cleaned, annotations = strip_comments(sql)

@@ -146,6 +146,9 @@ class SqlEngine:
         self.streams: dict[str, DataFrame] = {}
         self.tables: dict[str, MaterializedTable] = {}
         self.last_annotations: dict[str, str] = {}
+        #: metric name → (source stream name, MetricAnnotation) — FR-073
+        #: `@metric` blocks bound at CREATE STREAM/TABLE time (annotations.rs)
+        self.metrics: dict[str, tuple[str, "object"]] = {}
         self._jobs = None  # lazy StreamJobManager (streaming CSAS + JOB stmts)
 
     @property
@@ -328,6 +331,8 @@ class SqlEngine:
         a list of dicts for SHOW, row count for DML."""
         st = parse_statement(sql, self.time_col)
         self.last_annotations = st.annotations
+        if st.kind in ("create_stream", "create_table"):
+            self._bind_metrics(st.name, sql)
         if st.kind == "select":
             self._wire_sources(st)
             return self.spark.sql(st.select_sql)
@@ -579,8 +584,42 @@ class SqlEngine:
         raise ValueError(f"unknown job action: {action!r}")
 
     def execute_app(self, sql_app: str) -> list:
-        """Execute a multi-statement SQL application file (app_parser.rs)."""
-        return [self.execute(s) for s in split_statements(sql_app)]
+        """Execute a multi-statement SQL application file (app_parser.rs).
+        Statements are split comment-preserving so each statement's
+        `-- @metric:` blocks (FR-073, annotations.rs) bind to the stream
+        it creates."""
+        from velostream_spark.sql.dialect import split_statements_keep_comments
+
+        return [self.execute(s) for s in split_statements_keep_comments(sql_app)]
+
+    # -- SQL-native metrics (FR-073) --------------------------------------
+
+    def _bind_metrics(self, stream: str, raw_sql: str) -> None:
+        from velostream_spark.sql.metrics import parse_metric_annotations
+
+        for ann in parse_metric_annotations(raw_sql):
+            self.metrics[ann.name] = (stream, ann)
+
+    def metric_values(self, name: str) -> DataFrame:
+        """Compute one declared metric over its stream's current contents
+        (the batch fold of metrics_helper.rs's per-record emission loop):
+        counter/gauge → (*labels, value), histogram → Prometheus series
+        (*labels, le, value)."""
+        from velostream_spark.sql.metrics import compute_metric
+
+        stream, ann = self.metrics[name]
+        return compute_metric(self._target_df(stream), ann, self.time_col)
+
+    def prometheus_text(self) -> str:
+        """Render every bound metric in the Prometheus text exposition
+        format (the expected-output shape documented in
+        examples/ecommerce_with_metrics.sql:284-301)."""
+        from velostream_spark.sql.metrics import prometheus_text
+
+        return prometheus_text(
+            [(ann, self._target_df(s)) for s, ann in self.metrics.values()],
+            self.time_col,
+        )
 
     # -- DML ---------------------------------------------------------------
 
