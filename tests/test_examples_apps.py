@@ -821,3 +821,560 @@ def test_financial_spread_and_imbalance(financial):
         """,
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# ecommerce_with_metrics.sql — FR-073 SQL-native observability app
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ecom_metrics(spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    rng = np.random.default_rng(23)
+    n = 300
+    base = _now() - dt.timedelta(minutes=10)
+    ts = [base + dt.timedelta(seconds=int(i)) for i in range(n)]
+
+    orders = pd.DataFrame(
+        {
+            "order_id": np.arange(1, n + 1),
+            "status": rng.choice(["completed", "failed", "pending"], n),
+            "payment_method": rng.choice(["credit_card", "paypal"], n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "order_total": np.round(rng.uniform(5, 900, n), 2),
+            "cart_time": ts,
+            "checkout_time": [
+                t + dt.timedelta(milliseconds=int(ms))
+                for t, ms in zip(ts, rng.integers(50, 40_000, n))
+            ],
+            "event_time": ts,
+        }
+    )
+    enriched_orders = pd.DataFrame(
+        {
+            "order_id": np.arange(1, n + 1),
+            "customer_id": rng.integers(1, 50, n),
+            "lifetime_value": np.round(rng.uniform(0, 20000, n), 2),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "payment_method": rng.choice(["credit_card", "paypal"], n),
+            "order_total": np.round(rng.uniform(5, 2000, n), 2),
+            "event_time": ts,
+        }
+    )
+    cart_events = pd.DataFrame(
+        {
+            "cart_id": np.arange(1, n + 1),
+            "checkout_started": rng.random(n) < 0.3,
+            "items_added": rng.integers(0, 6, n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "cart_total": np.round(rng.uniform(1, 400, n), 2),
+            "abandoned": rng.random(n) < 0.5,
+            "event_time": ts,
+        }
+    )
+    payment_transactions = pd.DataFrame(
+        {
+            "payment_id": np.arange(1, n + 1),
+            "order_id": rng.integers(1, n, n),
+            "payment_method": rng.choice(["credit_card", "paypal"], n),
+            "success": rng.random(n) < 0.8,
+            "retry_count": rng.integers(0, 3, n),
+            "failure_reason": [
+                None if ok else "declined" for ok in rng.random(n) < 0.7
+            ],
+            "started_time": ts,
+            "completed_time": [
+                t + dt.timedelta(milliseconds=int(ms))
+                for t, ms in zip(ts, rng.integers(20, 8_000, n))
+            ],
+            "event_time": ts,
+        }
+    )
+    inventory_snapshots = pd.DataFrame(
+        {
+            "product_id": np.arange(1, n + 1),
+            "product_category": rng.choice(["tech", "home"], n),
+            "warehouse": rng.choice(["w1", "w2"], n),
+            "inventory_level": rng.integers(0, 120, n),
+            "reorder_point": rng.integers(20, 80, n),
+            "event_time": ts,
+        }
+    )
+    page_load_events = pd.DataFrame(
+        {
+            "session_id": np.arange(1, n + 1),
+            "page_type": rng.choice(["home", "product", "cart"], n),
+            "device_type": rng.choice(["mobile", "desktop"], n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "load_time_seconds": np.round(rng.uniform(0.1, 6, n), 3),
+            "event_time": ts,
+        }
+    )
+    search_events = pd.DataFrame(
+        {
+            "search_id": np.arange(1, n + 1),
+            "query_text": [f"q{i % 17}" for i in range(n)],
+            "result_count": rng.integers(0, 600, n),
+            "device_type": rng.choice(["mobile", "desktop"], n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "event_time": ts,
+        }
+    )
+    return_requests = pd.DataFrame(
+        {
+            "return_id": np.arange(1, n + 1),
+            "order_id": rng.integers(1, n, n),
+            "product_category": rng.choice(["tech", "home"], n),
+            "return_reason": rng.choice(["damaged", "wrong_size"], n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "return_value": np.round(rng.uniform(5, 500, n), 2),
+            "event_time": ts,
+        }
+    )
+    shipment_tracking = pd.DataFrame(
+        {
+            "shipment_id": np.arange(1, n + 1),
+            "order_id": rng.integers(1, n, n),
+            "shipping_method": rng.choice(["ground", "air"], n),
+            "region": rng.choice(["us-east", "eu-west"], n),
+            "carrier": rng.choice(["ups", "fedex"], n),
+            "shipped_time": ts,
+            "delivered_time": [
+                t + dt.timedelta(seconds=int(sec))
+                for t, sec in zip(ts, rng.integers(6 * 3600, 300 * 3600, n))
+            ],
+            "promised_hours": rng.integers(24, 168, n).astype("float"),
+            "event_time": ts,
+        }
+    )
+
+    frames = {
+        "orders": orders,
+        "enriched_orders": enriched_orders,
+        "cart_events": cart_events,
+        "payment_transactions": payment_transactions,
+        "inventory_snapshots": inventory_snapshots,
+        "page_load_events": page_load_events,
+        "search_events": search_events,
+        "return_requests": return_requests,
+        "shipment_tracking": shipment_tracking,
+    }
+    eng = SqlEngine(spark)
+    for name, pdf in frames.items():
+        eng.register_stream(name, _with_event_time(spark, pdf, "event_time"))
+    eng.execute_app(_read_app("ecommerce_with_metrics"))
+    return eng, _oracle_con(frames)
+
+
+def test_ecom_metrics_all_streams_and_bindings(ecom_metrics):
+    eng, _ = ecom_metrics
+    assert set(eng.streams) >= {
+        "order_metrics",
+        "high_value_orders",
+        "cart_abandonment",
+        "payment_processing",
+        "inventory_alerts",
+        "page_performance",
+        "product_search",
+        "returns_and_refunds",
+        "shipping_performance",
+    }
+    # all 16 declared metrics bound to their streams
+    assert len(eng.metrics) == 16
+    assert eng.metrics["velo_orders_total"][0] == "order_metrics"
+    assert eng.metrics["velo_shipping_latency_hours"][0] == "shipping_performance"
+
+
+def test_ecom_metrics_order_stream_oracle(ecom_metrics):
+    eng, con = ecom_metrics
+    got = _rows(eng.streams["order_metrics"], drop=("event_time",))
+    want = _oracle_rows(
+        con,
+        """
+        SELECT order_id, status, payment_method, region, order_total,
+               EPOCH(checkout_time - cart_time) AS processing_time_seconds
+        FROM orders WHERE checkout_time IS NOT NULL AND cart_time IS NOT NULL
+        """,
+    )
+    assert got == want and len(got) == 300
+
+
+def test_ecom_metrics_shipping_lateral_alias(ecom_metrics):
+    """shipping_performance references its own alias shipping_hours in the
+    same SELECT (lateral column alias) and in the late-delivery CASE."""
+    eng, con = ecom_metrics
+    got = _rows(eng.streams["shipping_performance"], drop=("event_time",))
+    want = _oracle_rows(
+        con,
+        """
+        SELECT shipment_id, order_id, shipping_method, region, carrier,
+               EPOCH(delivered_time - shipped_time) / 3600 AS shipping_hours,
+               promised_hours,
+               CASE WHEN (EPOCH(delivered_time - shipped_time) / 3600 - promised_hours) > 48 THEN 'severe'
+                    WHEN (EPOCH(delivered_time - shipped_time) / 3600 - promised_hours) > 24 THEN 'moderate'
+                    ELSE 'minor' END AS delay_severity
+        FROM shipment_tracking
+        WHERE delivered_time IS NOT NULL AND shipped_time IS NOT NULL
+        """,
+    )
+    assert got == want
+
+
+def test_ecom_metrics_conditional_counter(ecom_metrics):
+    """velo_high_value_orders_total: counter with @metric_condition over
+    the derived customer_tier column."""
+    eng, con = ecom_metrics
+    got = sorted(
+        (r["region"], r["payment_method"], r["customer_tier"], r["value"])
+        for r in eng.metric_values("velo_high_value_orders_total").collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT region, payment_method,
+                   CASE WHEN lifetime_value > 10000 THEN 'vip'
+                        WHEN lifetime_value > 1000 THEN 'gold'
+                        WHEN lifetime_value > 100 THEN 'silver'
+                        ELSE 'bronze' END AS customer_tier,
+                   CAST(COUNT(*) AS DOUBLE)
+            FROM enriched_orders WHERE order_total > 500
+            GROUP BY 1, 2, 3
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ecom_metrics_histogram_oracle(ecom_metrics):
+    """velo_search_results_count: cumulative bucket counts per label set."""
+    eng, con = ecom_metrics
+    rows = eng.metric_values("velo_search_results_count").collect()
+    got = sorted(
+        (r["result_status"], r["device_type"], r["le"], round(r["value"], 6))
+        for r in rows
+    )
+    want = []
+    for le in ("1", "5", "10", "25", "50", "100", "250", "500"):
+        want += con.execute(
+            f"""
+            SELECT CASE WHEN result_count = 0 THEN 'no_results'
+                        WHEN result_count < 10 THEN 'low_results'
+                        ELSE 'good_results' END AS s, device_type, '{le}',
+                   CAST(SUM(CASE WHEN result_count <= {le} THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM search_events GROUP BY 1, 2
+            """
+        ).fetchall()
+    for le_expr, le_name in (("COUNT(*)", "+Inf"), ("SUM(result_count)", "_sum"), ("COUNT(*)", "_count")):
+        want += con.execute(
+            f"""
+            SELECT CASE WHEN result_count = 0 THEN 'no_results'
+                        WHEN result_count < 10 THEN 'low_results'
+                        ELSE 'good_results' END AS s, device_type, '{le_name}',
+                   CAST({le_expr} AS DOUBLE)
+            FROM search_events GROUP BY 1, 2
+            """
+        ).fetchall()
+    want = sorted((s, d, le, round(float(v), 6)) for s, d, le, v in want)
+    assert got == want
+
+
+def test_ecom_metrics_gauge_last_value(ecom_metrics):
+    """velo_page_load_seconds: gauge = last value per label set by event
+    time (metrics_helper.rs gauge.set fold)."""
+    eng, con = ecom_metrics
+    got = sorted(
+        (r["page_type"], r["device_type"], r["region"], round(r["value"], 6))
+        for r in eng.metric_values("velo_page_load_seconds").collect()
+    )
+    want = sorted(
+        (p, d, reg, round(float(v), 6))
+        for p, d, reg, v in con.execute(
+            """
+            SELECT page_type, device_type, region, load_time_seconds
+            FROM page_load_events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY page_type, device_type, region
+              ORDER BY event_time DESC) = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ecom_metrics_prometheus_exposition(ecom_metrics):
+    eng, con = ecom_metrics
+    text = eng.prometheus_text()
+    assert "# TYPE velo_orders_total counter" in text
+    assert "# TYPE velo_page_load_seconds gauge" in text
+    assert "# TYPE velo_shipping_latency_hours histogram" in text
+    (n_slow,) = con.execute(
+        "SELECT COUNT(*) FROM page_load_events WHERE load_time_seconds > 2.0"
+    ).fetchone()
+    total = sum(
+        int(line.rsplit(" ", 1)[1])
+        for line in text.splitlines()
+        if line.startswith("velo_slow_page_loads_total{")
+    )
+    assert total == n_slow
+
+
+# ---------------------------------------------------------------------------
+# iot_monitoring_with_metrics.sql — nested-metadata metric labels
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iot_metrics(spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    rng = np.random.default_rng(29)
+    n = 300
+    base = _now() - dt.timedelta(minutes=10)
+    ts = [base + dt.timedelta(seconds=int(i)) for i in range(n)]
+    regions = [str(x) for x in rng.choice(["us-east", "eu-west"], n)]
+    dcs = [str(x) for x in rng.choice(["dc1", "dc2"], n)]
+    zones = [str(x) for x in rng.choice(["zone-a", "zone-b"], n)]
+
+    def meta_maps():
+        return [
+            {
+                "region": r,
+                "datacenter": d,
+                "zone": z,
+                "facility": f"f{i % 3}",
+                "facility_id": f"fid{i % 3}",
+                "network_type": ["wifi", "lte"][i % 2],
+            }
+            for i, (r, d, z) in enumerate(zip(regions, dcs, zones))
+        ]
+
+    device_telemetry = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "temperature": np.round(rng.uniform(-30, 130, n), 2),
+            "pressure": np.round(rng.uniform(5, 210, n), 2),
+            "battery_percent": np.round(rng.uniform(0, 100, n), 1),
+            "power_mode": rng.choice(["normal", "saver"], n),
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+    device_network_events = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "connection_state": rng.choice(["connected", "dropped"], n),
+            "signal_strength": np.round(rng.uniform(-110, -40, n), 1),
+            "latency_ms": np.round(rng.uniform(0.5, 4800, n), 2),
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+    device_logs = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "error_type": rng.choice(["io", "net", "fw"], n),
+            "error_code": rng.integers(100, 600, n),
+            "severity": rng.choice(
+                ["info", "warning", "error", "critical", "fatal"], n
+            ),
+            "error_message": [f"msg{i}" for i in range(n)],
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+    sensor_readings = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "sensor_type": rng.choice(["temp", "flow"], n),
+            "reading_value": np.round(rng.uniform(50, 150, n), 3),
+            "expected_value": np.round(rng.uniform(80, 120, n), 3),
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+    device_lifecycle_events = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "restart_reason": rng.choice(["crash", "update"], n),
+            "current_time": ts,
+            "last_restart_time": [
+                t - dt.timedelta(seconds=int(sec))
+                for t, sec in zip(ts, rng.integers(3600, 400 * 3600, n))
+            ],
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+    # facility_sensors: metadata is a NESTED STRUCT (location/facility
+    # objects) — exercises multi-level dotted label paths
+    facility_rows = [
+        (
+            f"fac{i % 5}",
+            float(np.round(rng.uniform(15, 35), 2)),
+            float(np.round(rng.uniform(20, 80), 1)),
+            {
+                "location": {
+                    "country": ["us", "de"][i % 2],
+                    "region": ["east", "west"][i % 2],
+                    "city": ["nyc", "ber"][i % 2],
+                },
+                "facility": {"name": f"plant{i % 3}", "zone": ["a", "b"][i % 2]},
+            },
+            ts[i],
+        )
+        for i in range(n)
+    ]
+    facility_sensors_df = spark.createDataFrame(
+        facility_rows,
+        "facility_id string, ambient_temperature double, humidity_percent double, "
+        "metadata struct<location: struct<country: string, region: string, city: string>, "
+        "facility: struct<name: string, zone: string>>, event_time timestamp",
+    )
+    sensor_data_quality = pd.DataFrame(
+        {
+            "device_id": [f"dev{i % 40}" for i in range(n)],
+            "device_type": rng.choice(["temp_sensor", "pump"], n),
+            "sensor_type": rng.choice(["temp", "flow"], n),
+            "expected_reading_count": rng.integers(1, 100, n),
+            "actual_reading_count": rng.integers(0, 100, n),
+            "metadata": meta_maps(),
+            "event_time": ts,
+        }
+    )
+
+    eng = SqlEngine(spark)
+    frames = {}
+    for name, pdf in {
+        "device_telemetry": device_telemetry,
+        "device_network_events": device_network_events,
+        "device_logs": device_logs,
+        "sensor_readings": sensor_readings,
+        "device_lifecycle_events": device_lifecycle_events,
+        "sensor_data_quality": sensor_data_quality,
+    }.items():
+        flat = pdf.drop(columns=["metadata"]).assign(
+            meta_region=[m["region"] for m in pdf["metadata"]],
+            meta_datacenter=[m["datacenter"] for m in pdf["metadata"]],
+            meta_network_type=[m["network_type"] for m in pdf["metadata"]],
+            meta_facility_id=[m["facility_id"] for m in pdf["metadata"]],
+        )
+        frames[name] = flat
+        sdf = spark.createDataFrame(pdf).withColumn(
+            "_event_time", F.col("event_time")
+        )
+        eng.register_stream(name, sdf)
+    eng.register_stream(
+        "facility_sensors",
+        facility_sensors_df.withColumn("_event_time", F.col("event_time")),
+    )
+    eng.execute_app(_read_app("iot_monitoring_with_metrics"))
+    return eng, _oracle_con(frames)
+
+
+def test_iot_metrics_all_streams_and_bindings(iot_metrics):
+    eng, _ = iot_metrics
+    assert set(eng.streams) >= {
+        "temperature_monitoring",
+        "pressure_monitoring",
+        "battery_monitoring",
+        "connectivity_monitoring",
+        "device_errors",
+        "sensor_quality",
+        "uptime_tracking",
+        "facility_environment",
+        "data_quality",
+    }
+    assert len(eng.metrics) == 18
+
+
+def test_iot_metrics_sensor_quality_stream(iot_metrics):
+    eng, con = iot_metrics
+    got = _rows(
+        eng.streams["sensor_quality"], drop=("event_time", "metadata")
+    )
+    want = _oracle_rows(
+        con,
+        """
+        SELECT device_id, device_type, sensor_type, reading_value, expected_value,
+               ABS((reading_value - expected_value) / expected_value * 100) AS deviation_percent,
+               CASE WHEN ABS(reading_value - expected_value) > expected_value * 0.2 THEN 'severe'
+                    WHEN ABS(reading_value - expected_value) > expected_value * 0.1 THEN 'moderate'
+                    WHEN ABS(reading_value - expected_value) > expected_value * 0.05 THEN 'minor'
+                    ELSE 'normal' END AS anomaly_type,
+               (ABS(reading_value - expected_value) > expected_value * 0.05) AS is_anomalous,
+               meta_region, meta_datacenter, meta_network_type, meta_facility_id
+        FROM sensor_readings WHERE expected_value IS NOT NULL AND expected_value != 0
+        """,
+    )
+    # oracle carries flattened meta; engine carries the map — compare the
+    # shared prefix columns only
+    got = [t[:8] for t in got]
+    want = [t[:8] for t in want]
+    assert sorted(got, key=repr) == sorted(want, key=repr) and len(got) == 300
+
+
+def test_iot_metrics_nested_label_counter(iot_metrics):
+    """velo_critical_device_errors_total: nested map labels + OR condition."""
+    eng, con = iot_metrics
+    got = sorted(
+        (
+            r["metadata_region"],
+            r["metadata_facility_id"],
+            r["error_type"],
+            r["device_type"],
+            r["value"],
+        )
+        for r in eng.metric_values("velo_critical_device_errors_total").collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT meta_region, meta_facility_id, error_type, device_type,
+                   CAST(COUNT(*) AS DOUBLE)
+            FROM device_logs
+            WHERE severity IN ('warning','error','critical','fatal')
+              AND (severity = 'critical' OR severity = 'fatal')
+            GROUP BY 1, 2, 3, 4
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_iot_metrics_two_level_nested_struct_gauge(iot_metrics):
+    """velo_facility_ambient_temperature_celsius: metadata.location.country
+    etc. — two-level struct paths (label_extraction.rs nested walk)."""
+    eng, _ = iot_metrics
+    rows = eng.metric_values(
+        "velo_facility_ambient_temperature_celsius"
+    ).collect()
+    # country/zone alternate with i%2, facility name with i%3 → 6 label sets
+    assert len(rows) == 6
+    cols = {
+        "metadata_location_country",
+        "metadata_location_region",
+        "metadata_location_city",
+        "metadata_facility_name",
+        "metadata_facility_zone",
+        "value",
+    }
+    assert cols <= set(rows[0].asDict())
+    text = eng.prometheus_text()
+    assert 'metadata.location.country="us"' in text
+
+
+def test_iot_metrics_connection_latency_histogram_count(iot_metrics):
+    eng, con = iot_metrics
+    rows = eng.metric_values("velo_connection_latency_ms").collect()
+    inf_total = sum(r["value"] for r in rows if r["le"] == "+Inf")
+    (want,) = con.execute("SELECT COUNT(*) FROM device_network_events").fetchone()
+    assert inf_total == want
