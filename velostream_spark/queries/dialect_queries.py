@@ -144,3 +144,74 @@ def dialect_ctas_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE e.event_type = 'click';
         """
     )[-1]
+
+
+@query(
+    "prometheus_metrics",
+    oracle="""
+    WITH e AS (SELECT event_type, value FROM events)
+    SELECT event_type, '10' AS le,
+           CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS value
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '50',
+           CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '100',
+           CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '500',
+           CAST(SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '+Inf', CAST(COUNT(*) AS DOUBLE) FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '_sum', ROUND(SUM(value), 4) FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '_count', CAST(COUNT(*) AS DOUBLE) FROM e GROUP BY event_type
+    UNION ALL
+    SELECT event_type, '_counter_gt50', CAST(COUNT(*) AS DOUBLE)
+    FROM e WHERE value > 50 GROUP BY event_type
+    """,
+    tags=("metrics", "fr-073", "dialect"),
+)
+def prometheus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FR-073 SQL-native observability (parser/annotations.rs:31-56,
+    metrics_helper.rs emission loop): `-- @metric:` blocks on a CREATE
+    STREAM bind Prometheus metrics to the created stream; the engine
+    computes them as lazy aggregations (sql/metrics.py). This entry
+    executes an annotated app verbatim and returns the histogram series
+    (cumulative buckets, _sum/_count) unioned with a conditional counter
+    — the exact series a Prometheus scrape would see, oracle-checked."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    eng.execute_app(
+        """
+        -- @metric: velo_event_value
+        -- @metric_type: histogram
+        -- @metric_help: "Event value distribution"
+        -- @metric_field: value
+        -- @metric_labels: event_type
+        -- @metric_buckets: 10, 50, 100, 500
+
+        -- @metric: velo_events_total
+        -- @metric_type: counter
+        -- @metric_labels: event_type
+        -- @metric_condition: value > 50
+        CREATE STREAM scored_events AS
+        SELECT event_id, event_type, value, ts FROM events;
+        """
+    )
+    hist = eng.metric_values("velo_event_value").withColumn(
+        "value",
+        F.when(F.col("le") == "_sum", F.round(F.col("value"), 4)).otherwise(
+            F.col("value")
+        ),
+    )
+    counter = eng.metric_values("velo_events_total").select(
+        "event_type", F.lit("_counter_gt50").alias("le"), "value"
+    )
+    return hist.unionByName(counter)

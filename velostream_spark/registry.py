@@ -108,7 +108,11 @@ GATE_ORDER = [
     "group_by_agg",
     "count_distinct",
     "order_by_limit",
-    "union_all_distinct",
+    # round 5: union_all_distinct → parity mirror (distinct/union semantics
+    # carried officially by count_distinct + grouping_sets_rollup; the
+    # mirror gates union_all/union_distinct/intersect_except at the same
+    # scale). Freed slot goes to the new FR-073 metrics surface.
+    "prometheus_metrics",
     "grouping_sets_rollup",
     # §2.9 scalar function catalog
     "math_functions",
