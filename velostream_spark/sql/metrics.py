@@ -194,7 +194,12 @@ def compute_metric(
     label key, no Python on the data path.
     """
     if ann.condition:
-        df = df.where(F.expr(ann.condition))
+        # conditions are written in the reference dialect (e.g.
+        # JSON_EXTRACT(...), LEN(...)) — route through the same
+        # function-name rewrite the SELECT path uses
+        from velostream_spark.sql.dialect import _rewrite_functions
+
+        df = df.where(F.expr(_rewrite_functions(ann.condition)))
     names = label_columns(ann)
     labels = [
         _label_expr(c).alias(a) for c, a in zip(ann.labels, names)
