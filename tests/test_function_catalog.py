@@ -1,0 +1,302 @@
+"""Exhaustive conformance test for the reference's scalar/aggregate
+function registry (SURVEY §2.9): every name registered via
+register_sql_function! in
+src/velostream/sql/execution/expression/functions.rs (plus its aliases)
+must evaluate through the dialect with the documented semantics.
+
+One test per function family keeps failures attributable; expressions
+run through SqlEngine.execute (the dialect path a reference user's SQL
+takes), not raw spark.sql.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    rows = [
+        (1, -3.7, "  Hello World  ", dt.datetime(2026, 3, 5, 12, 30, 45),
+         ["a", "b", "c"], {"k1": "v1", "k2": "v2"},
+         json.dumps({"a": {"b": 7}, "arr": [1, 2, 3]}), 10.0, 1.0),
+        (2, 2.5, "spark", dt.datetime(2026, 3, 6, 1, 2, 3),
+         ["x"], {"k": "v"}, json.dumps({"a": {"b": 8}, "arr": []}), 20.0, 2.0),
+        (3, 9.0, "velo,stream,sql", dt.datetime(2026, 3, 7, 23, 59, 59),
+         [], {}, "null", 30.0, 2.0),
+        (4, 16.0, "abcdef", dt.datetime(2026, 3, 8, 0, 0, 1),
+         ["p", "q"], {"a": "1"}, json.dumps({"a": {"b": None}}), 40.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i int, x double, s string, ts timestamp, arr array<string>, "
+        "m map<string,string>, js string, y double, g double",
+    )
+    eng.register_stream("t", df)
+    return eng
+
+
+def _one(eng, expr: str, where: str = "i = 1"):
+    df = eng.execute(f"SELECT {expr} AS r FROM t WHERE {where}")
+    return df.collect()[0]["r"]
+
+
+def _agg(eng, expr: str):
+    df = eng.execute(f"SELECT {expr} AS r FROM t")
+    return df.collect()[0]["r"]
+
+
+# ---------------------------------------------------------------------------
+# Math: ABS ROUND CEIL/CEILING FLOOR SQRT POWER/POW MOD LEAST GREATEST
+# ---------------------------------------------------------------------------
+
+
+def test_math_functions(eng):
+    assert _one(eng, "ABS(x)") == 3.7
+    assert _one(eng, "ROUND(x, 1)") == -3.7
+    assert _one(eng, "CEIL(x)") == -3.0
+    assert _one(eng, "CEILING(x)") == -3.0
+    assert _one(eng, "FLOOR(x)") == -4.0
+    assert _one(eng, "SQRT(16.0)") == 4.0
+    assert _one(eng, "POWER(2, 10)") == 1024.0
+    assert _one(eng, "POW(2, 3)") == 8.0
+    assert _one(eng, "MOD(10, 3)") == 1
+    assert _one(eng, "LEAST(3, 1, 2)") == 1
+    assert _one(eng, "GREATEST(3, 1, 2)") == 3
+
+
+# ---------------------------------------------------------------------------
+# String: UPPER LOWER SUBSTRING REPLACE TRIM LTRIM RTRIM LENGTH/LEN CONCAT
+#         SPLIT JOIN LEFT RIGHT POSITION REGEXP REGEXP_REPLACE SPLIT_PART
+# ---------------------------------------------------------------------------
+
+
+def test_string_functions(eng):
+    assert _one(eng, "UPPER(s)", "i = 2") == "SPARK"
+    assert _one(eng, "LOWER('ABC')") == "abc"
+    assert _one(eng, "SUBSTRING(s, 1, 3)", "i = 2") == "spa"
+    assert _one(eng, "REPLACE(s, 'spark', 'x')", "i = 2") == "x"
+    assert _one(eng, "TRIM(s)") == "Hello World"
+    assert _one(eng, "LTRIM(s)") == "Hello World  "
+    assert _one(eng, "RTRIM(s)") == "  Hello World"
+    assert _one(eng, "LENGTH(s)", "i = 2") == 5
+    assert _one(eng, "LEN(s)", "i = 2") == 5
+    assert _one(eng, "CONCAT(s, '!')", "i = 2") == "spark!"
+    assert _one(eng, "SPLIT(s, ',')", "i = 3") == ["velo", "stream", "sql"]
+    # JOIN(array, sep) — the reference's array-join (functions.rs:3448)
+    assert _one(eng, "JOIN(arr, '-')") == "a-b-c"
+    assert _one(eng, "LEFT(s, 2)", "i = 2") == "sp"
+    assert _one(eng, "RIGHT(s, 2)", "i = 2") == "rk"
+    assert _one(eng, "POSITION('ar' IN s)", "i = 2") == 3
+    assert _one(eng, "POSITION('ar', s)", "i = 2") == 3
+    # REGEXP(str, pattern) — boolean full/partial match (functions.rs:3484)
+    assert _one(eng, "REGEXP(s, '^sp.*k$')", "i = 2") is True
+    assert _one(eng, "REGEXP_REPLACE(s, '[aeiou]', '_')", "i = 2") == "sp_rk"
+    assert _one(eng, "SPLIT_PART(s, ',', 2)", "i = 3") == "stream"
+
+
+# ---------------------------------------------------------------------------
+# Date/time: NOW CURRENT_TIMESTAMP TIMESTAMP EXTRACT DATE_FORMAT DATEDIFF
+#            FROM_UNIXTIME UNIX_TIMESTAMP
+# ---------------------------------------------------------------------------
+
+
+def test_datetime_functions(eng):
+    assert _one(eng, "EXTRACT(YEAR FROM ts)") == 2026
+    assert _one(eng, "EXTRACT('MONTH', ts)") == 3
+    assert _one(eng, "EXTRACT(EPOCH FROM ts)") == dt.datetime(
+        2026, 3, 5, 12, 30, 45
+    ).replace(tzinfo=dt.timezone.utc).timestamp()
+    assert _one(eng, "DATE_FORMAT(ts, 'yyyy-MM-dd')") == "2026-03-05"
+    # reference 'days' unit compares calendar DATES ignoring time
+    # (functions.rs:1998-2003) -> 2026-03-10 minus 2026-03-05 = 5
+    assert _one(eng, "DATEDIFF('days', ts, TIMESTAMP '2026-03-10 00:00:00')") == 5
+    assert _one(eng, "FROM_UNIXTIME(0)").startswith("1970-01-01")
+    assert _one(eng, "UNIX_TIMESTAMP(ts)") == int(
+        dt.datetime(2026, 3, 5, 12, 30, 45).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    # NOW()/CURRENT_TIMESTAMP: nondeterministic — assert they evaluate
+    assert _one(eng, "NOW()") is not None
+    assert _one(eng, "CURRENT_TIMESTAMP") is not None
+
+
+# ---------------------------------------------------------------------------
+# Conditional / util: COALESCE NULLIF CAST
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_functions(eng):
+    assert _one(eng, "COALESCE(NULL, NULL, 'z')") == "z"
+    assert _one(eng, "NULLIF(1, 1)") is None
+    assert _one(eng, "NULLIF(2, 1)") == 2
+    assert _one(eng, "CAST(x AS STRING)", "i = 2") == "2.5"
+    assert _one(eng, "CAST('42' AS INTEGER)") == 42
+
+
+# ---------------------------------------------------------------------------
+# JSON: JSON_EXTRACT JSON_VALUE JSON_EXISTS JSON_QUERY
+# ---------------------------------------------------------------------------
+
+
+def test_json_functions(eng):
+    assert _one(eng, "JSON_VALUE(js, '$.a.b')") == "7"
+    assert _one(eng, "JSON_EXTRACT(js, '$.a.b')") == "7"
+    assert _one(eng, "JSON_EXISTS(js, '$.a.b')") is True
+    assert _one(eng, "JSON_EXISTS(js, '$.zzz')") is False
+    assert _one(eng, "JSON_QUERY(js, '$.arr')") == "[1,2,3]"
+
+
+# ---------------------------------------------------------------------------
+# Array/Map/Struct: ARRAY STRUCT MAP ARRAY_LENGTH ARRAY_CONTAINS MAP_KEYS
+#                   MAP_VALUES
+# ---------------------------------------------------------------------------
+
+
+def test_collection_functions(eng):
+    assert _one(eng, "ARRAY(1, 2, 3)") == [1, 2, 3]
+    assert _one(eng, "ARRAY_LENGTH(arr)") == 3
+    assert _one(eng, "ARRAY_CONTAINS(arr, 'b')") is True
+    assert sorted(_one(eng, "MAP_KEYS(m)")) == ["k1", "k2"]
+    assert sorted(_one(eng, "MAP_VALUES(m)")) == ["v1", "v2"]
+    st = _one(eng, "STRUCT(i, s)")
+    assert st["i"] == 1
+    m = _one(eng, "MAP('a', 1, 'b', 2)")
+    assert m == {"a": 1, "b": 2}
+
+
+# ---------------------------------------------------------------------------
+# Aggregates: COUNT SUM AVG MIN MAX COUNT_DISTINCT APPROX_COUNT_DISTINCT
+#   STDDEV/STDDEV_POP/STDDEV_SAMP VARIANCE/VAR_POP/VAR_SAMP CORR
+#   COVAR_POP COVAR_SAMP REGR_SLOPE REGR_INTERCEPT REGR_R2 MEDIAN
+#   PERCENTILE_CONT PERCENTILE_DISC FIRST_VALUE LAST_VALUE
+#   STRING_AGG/GROUP_CONCAT/LISTAGG DELTA
+# ---------------------------------------------------------------------------
+
+
+def test_basic_aggregates(eng):
+    assert _agg(eng, "COUNT(*)") == 4
+    assert _agg(eng, "SUM(i)") == 10
+    assert _agg(eng, "AVG(y)") == 25.0
+    assert _agg(eng, "MIN(i)") == 1
+    assert _agg(eng, "MAX(i)") == 4
+    assert _agg(eng, "COUNT_DISTINCT(g)") == 3
+    assert _agg(eng, "APPROX_COUNT_DISTINCT(g)") == 3
+
+
+def test_statistical_aggregates(eng):
+    import statistics
+
+    ys = [10.0, 20.0, 30.0, 40.0]
+    assert _agg(eng, "ROUND(STDDEV(y), 6)") == round(statistics.stdev(ys), 6)
+    assert _agg(eng, "ROUND(STDDEV_POP(y), 6)") == round(statistics.pstdev(ys), 6)
+    assert _agg(eng, "ROUND(STDDEV_SAMP(y), 6)") == round(statistics.stdev(ys), 6)
+    assert _agg(eng, "ROUND(VARIANCE(y), 6)") == round(statistics.variance(ys), 6)
+    assert _agg(eng, "ROUND(VAR_POP(y), 6)") == round(statistics.pvariance(ys), 6)
+    assert _agg(eng, "ROUND(CORR(y, CAST(i AS DOUBLE)), 6)") == 1.0
+    assert _agg(eng, "ROUND(COVAR_POP(y, y), 2)") == round(
+        statistics.pvariance(ys), 2
+    )
+    assert _agg(eng, "ROUND(COVAR_SAMP(y, y), 2)") == round(
+        statistics.variance(ys), 2
+    )
+    assert _agg(eng, "ROUND(REGR_SLOPE(y, CAST(i AS DOUBLE)), 6)") == 10.0
+    assert _agg(eng, "ROUND(REGR_INTERCEPT(y, CAST(i AS DOUBLE)), 6)") == 0.0
+    assert _agg(eng, "ROUND(REGR_R2(y, CAST(i AS DOUBLE)), 6)") == 1.0
+
+
+def test_percentile_aggregates(eng):
+    assert _agg(eng, "MEDIAN(y)") == 25.0
+    assert _agg(eng, "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY y)") == 25.0
+    assert _agg(eng, "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY y)") == 20.0
+
+
+def test_string_aggregates(eng):
+    assert _agg(eng, "STRING_AGG(CAST(i AS STRING), ',')") == "1,2,3,4"
+    assert _agg(eng, "GROUP_CONCAT(CAST(i AS STRING), ',')") == "1,2,3,4"
+    assert _agg(eng, "LISTAGG(CAST(i AS STRING), ',')") == "1,2,3,4"
+
+
+def test_window_value_functions(eng):
+    df = eng.execute(
+        "SELECT i, FIRST_VALUE(y) OVER (ORDER BY i) AS fv, "
+        "LAST_VALUE(y) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING) AS lv, "
+        "DELTA(y) OVER (ORDER BY i) AS d "
+        "FROM t"
+    )
+    rows = {r["i"]: r for r in df.collect()}
+    assert rows[3]["fv"] == 10.0
+    assert rows[3]["lv"] == 40.0
+    assert rows[1]["d"] is None
+    assert rows[3]["d"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# Kafka-header functions: HEADER HEADER_KEYS HAS_HEADER SET_HEADER
+#                         REMOVE_HEADER
+# ---------------------------------------------------------------------------
+
+
+def test_header_functions(eng, spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    e2 = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, [("src", bytearray(b"iot")), ("v", bytearray(b"2"))])],
+        "i int, headers array<struct<key string, value binary>>",
+    )
+    e2.register_stream("h", df)
+    assert (
+        e2.execute("SELECT HEADER('src') AS r FROM h").collect()[0]["r"] == "iot"
+    )
+    assert e2.execute("SELECT HAS_HEADER('src') AS r FROM h").collect()[0]["r"]
+    assert sorted(
+        e2.execute("SELECT HEADER_KEYS() AS r FROM h").collect()[0]["r"]
+    ) == ["src", "v"]
+    out = e2.execute(
+        "SELECT SET_HEADER('env', 'prod') AS r FROM h"
+    ).collect()[0]["r"]
+    assert ("env", bytearray(b"prod")) in [(x["key"], x["value"]) for x in out]
+    out = e2.execute("SELECT REMOVE_HEADER('v') AS r FROM h").collect()[0]["r"]
+    assert [x["key"] for x in out] == ["src"]
+
+
+# ---------------------------------------------------------------------------
+# Windowed-time helpers: TUMBLE_START TUMBLE_END (dialect WINDOW clause)
+# ---------------------------------------------------------------------------
+
+
+def test_tumble_bounds(eng, spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    e2 = SqlEngine(spark, time_col="ts")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 3, 5, 12, 2, 0)), (2, dt.datetime(2026, 3, 5, 12, 8, 0))],
+        "i int, ts timestamp",
+    )
+    e2.register_stream("w", df)
+    rows = e2.execute(
+        "SELECT TUMBLE_START() AS ws, TUMBLE_END() AS we, COUNT(*) AS n "
+        "FROM w WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL"
+    ).collect()
+    got = {(r["ws"].minute, r["we"].minute) for r in rows}
+    assert got == {(0, 5), (5, 10)}
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP() — the record's processing timestamp (functions.rs:3533)
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_function(eng):
+    # zero-arg TIMESTAMP() = record processing time; one-arg = parse
+    assert _one(eng, "TIMESTAMP('2026-03-05 12:30:45')") == dt.datetime(
+        2026, 3, 5, 12, 30, 45
+    )
+    assert _one(eng, "TIMESTAMP()") is not None

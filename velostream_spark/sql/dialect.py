@@ -671,11 +671,36 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # rewrite_delta(). Leave marker untouched here.
         return None
     if u == "HEADER" and len(args) == 1:
-        return f"try_element_at(map_from_entries(headers), {args[0]})"
+        # header values are bytes on the wire; HEADER() returns string
+        # (functions.rs:3747 → FieldValue::String)
+        return (
+            f"CAST(try_element_at(map_from_entries(headers), {args[0]}) AS STRING)"
+        )
     if u == "HAS_HEADER" and len(args) == 1:
         return f"(try_element_at(map_from_entries(headers), {args[0]}) IS NOT NULL)"
     if u == "HEADER_KEYS" and len(args) == 0:
         return "transform(headers, h -> h.key)"
+    if u == "SET_HEADER" and len(args) == 2:
+        # upsert: drop any existing entry for the key, append the new one
+        # (processor_types.rs header_mutations Set)
+        return (
+            f"concat(coalesce(filter(headers, h -> h.key != {args[0]}), "
+            f"array()), array(named_struct('key', {args[0]}, 'value', "
+            f"CAST({args[1]} AS BINARY))))"
+        )
+    if u == "REMOVE_HEADER" and len(args) == 1:
+        return f"filter(headers, h -> h.key != {args[0]})"
+    if u == "JOIN" and len(args) == 2:
+        # the reference's array-join (functions.rs:3448). Guarded in
+        # _rewrite_functions against JOIN-clause parentheses.
+        return f"array_join({args[0]}, {args[1]})"
+    if u == "ARRAY_LENGTH" and len(args) == 1:
+        return f"size({args[0]})"
+    if u == "TIMESTAMP" and len(args) == 0:
+        # zero-arg TIMESTAMP() = the record's processing timestamp
+        # (functions.rs:3533, StreamRecord.timestamp) — wall clock at
+        # processing time in the batch engine
+        return "current_timestamp()"
     if u == "TUMBLE_START" and len(args) == 0:
         return "window.start"
     if u == "TUMBLE_END" and len(args) == 0:
@@ -693,7 +718,8 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
 _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
-    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION)\s*\("
+    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP)\s*\("
 )
 
 
@@ -709,6 +735,13 @@ def _rewrite_functions(sql: str) -> str:
             return sql
         j = _match_paren(sql, m.end())
         inner = sql[m.end() : j - 1]
+        if m.group(1).upper() == "JOIN" and re.match(
+            r"(?is)^\s*(SELECT|WITH|VALUES)\b", inner
+        ):
+            # a JOIN *clause* followed by a parenthesized subquery, not the
+            # reference's JOIN(array, sep) function — leave untouched
+            pos = j
+            continue
         args = [a.strip() for a in _split_top_level(inner)] if inner.strip() else []
         # recurse into args first (nested rewritable calls)
         args = [_rewrite_functions(a) for a in args]
