@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline queries: one per operator family (SURVEY §2 + pipeline ops).
+#: Ordering note: pure-JVM entries run before the Python-worker-backed ones
+#: (ANN re-rank, codecs, multimodal) — Arrow worker pools and their memory
+#: linger after a query finishes and were measured adding ~60% to the wall
+#: of whatever JVM aggregate ran next (decimal_arithmetic 0.90 s isolated
+#: vs 1.51 s straight after ann_ivf_topk).
 HEADLINE = [
     "select_where",
     "group_by_agg",
@@ -50,6 +55,7 @@ HEADLINE = [
     "agg_over_rows_frame",
     "statistical_aggs",
     "percentile_aggs",
+    "decimal_arithmetic",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -60,7 +66,6 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "decimal_arithmetic",
     "avro_roundtrip",
     "protobuf_roundtrip",
     "multimodal_image_stats",

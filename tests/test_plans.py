@@ -207,3 +207,15 @@ def test_union_all_distinct_prunes_scans(spark):
     assert "Union" in plan, plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "n_name" not in scan and "n_comment" not in scan, scan
+
+
+def test_prometheus_metrics_plan_is_codegen_aggregation(spark):
+    """FR-073 metric computation must be pure Catalyst: map-side-combined
+    HashAggregate for the histogram's conditional bucket sums, no Python
+    on the data path, filter pushed into the scan side for the
+    conditional counter."""
+    plan = plan_of(spark, "prometheus_metrics")
+    assert "HashAggregate" in plan, plan
+    assert "partial_" in plan.lower() or "partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "mapInPandas" not in plan.lower(), plan
