@@ -286,3 +286,43 @@ def test_engine_binds_metrics_through_execute_app(spark):
     got = {(r["status"], r["value"]) for r in eng.metric_values("s_total").collect()}
     assert got == {("a", 2.0), ("b", 1.0)}
     assert 's_total{status="a"} 2' in eng.prometheus_text()
+
+
+def test_metrics_bind_on_streaming_deploy(spark, tmp_path):
+    """@metric on a streaming CSAS binds to the deployed job; values fold
+    over the job's emitted records (memory sink)."""
+    import pandas as pd
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "status": ["a", "a", "b", "a"],
+            "v": [1.0, 5.0, 3.0, 2.0],
+            "ts": pd.to_datetime(
+                ["2026-03-01 10:00:00"] * 4
+            ),
+        }
+    ).to_parquet(
+        src / "part.parquet", coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    eng = SqlEngine(spark, time_col="ts")
+    eng.execute_streaming(
+        f"""
+        -- @metric: stream_v_total
+        -- @metric_type: counter
+        -- @metric_labels: status
+        -- @metric_condition: v > 1.5
+        CREATE STREAM mstream AS SELECT status, v, ts FROM msrc
+        WITH ('msrc.type' = 'file_source', 'msrc.path' = '{src}',
+              'msrc.format' = 'parquet')
+        """
+    )
+    assert "stream_v_total" in eng.metrics
+    got = {
+        (r["status"], r["value"])
+        for r in eng.metric_values("stream_v_total").collect()
+    }
+    assert got == {("a", 2.0), ("b", 1.0)}

@@ -429,6 +429,11 @@ class SqlEngine:
                 st.name, build, sink_format=sink_format,
                 sink_options=sink_options, output_mode="append",
             )
+        # FR-073: @metric blocks on a deployed job bind to the job's output
+        # (the reference attaches metric emission to the running job's
+        # record flow, metrics_helper.rs); metric_values() folds over the
+        # sink's current contents via _target_df's memory-table fallback
+        self._bind_metrics(st.name, sql)
         if wait:
             self.jobs.wait(st.name)
         return job
@@ -628,6 +633,14 @@ class SqlEngine:
             return self.tables[name].df
         if name in self.streams:
             return self.streams[name]
+        if name in self.jobs.jobs:
+            # a deployed streaming job's memory sink registers a temp view
+            # under the job name — lets metric_values() fold over the
+            # job's emitted records so far
+            try:
+                return self.spark.table(name)
+            except Exception:
+                pass
         raise KeyError(f"unknown table/stream: {name!r}")
 
     def _describe_df(self, name: str) -> DataFrame:
