@@ -701,9 +701,13 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # (functions.rs:3533, StreamRecord.timestamp) — wall clock at
         # processing time in the batch engine
         return "current_timestamp()"
-    if u == "TUMBLE_START" and len(args) == 0:
+    if u == "TUMBLE_START" and len(args) <= 2:
+        # 0-arg inside a WINDOW TUMBLING query; the 2-arg spelling
+        # TUMBLE_START(time_col, INTERVAL ...) (demo/trading/apps/
+        # app_market_data.sql) names the same bounds the WINDOW clause
+        # already defines — both resolve to the grouping window struct
         return "window.start"
-    if u == "TUMBLE_END" and len(args) == 0:
+    if u == "TUMBLE_END" and len(args) <= 2:
         return "window.end"
     if u == "SESSION_DURATION" and len(args) == 0:
         # Extension: examples/iot_monitoring_phase4.sql uses it, but the
@@ -763,6 +767,35 @@ def _rewrite_functions(sql: str) -> str:
                 # name, e.g. EXTRACT('YEAR', x) → extract(YEAR FROM x), which
                 # then passes through via the None branch above — terminating).
                 pos = m.start()
+
+
+_NOW_DIFF_RE = re.compile(
+    r"(?is)\(\s*current_timestamp\(\)\s*-\s*(?!INTERVAL\b)([^()]+?)\s*\)"
+    r"(?=\s*[/*])"
+)
+_DIFF_NOW_RE = re.compile(
+    r"(?is)\(\s*((?:[^()](?!INTERVAL))+?)\s*-\s*current_timestamp\(\)\s*\)"
+    r"(?=\s*[/*])"
+)
+
+
+def _rewrite_now_diff(sql: str) -> str:
+    """Reference timestamps are i64 epoch millis, so `NOW() - ts` in a
+    NUMERIC context (divided/multiplied — the shipped apps compute
+    latency as `(NOW() - _event_time) / 1000.0`) is a millisecond
+    difference. Spark's timestamp minus yields an INTERVAL, which cannot
+    coalesce with numerics — rewrite the parenthesized difference to
+    `(unix_millis(a) - unix_millis(b))`. `NOW() - INTERVAL ...` window
+    predicates keep timestamp typing (guarded), as do bare differences
+    not followed by / or *."""
+    sql = _NOW_DIFF_RE.sub(
+        lambda m: f"(unix_millis(current_timestamp()) - unix_millis({m.group(1)}))",
+        sql,
+    )
+    return _DIFF_NOW_RE.sub(
+        lambda m: f"(unix_millis({m.group(1)}) - unix_millis(current_timestamp()))",
+        sql,
+    )
 
 
 _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
@@ -895,6 +928,7 @@ def translate_select_full(
     sql = _rewrite_over_clauses(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
+    sql = _rewrite_now_diff(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
         # `_window_start` / `_window_end` system columns (reference
@@ -1079,7 +1113,7 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
 
 _AGG_NAME_RE = re.compile(
     r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|STDDEV|STDDEV_POP|STDDEV_SAMP|"
-    r"VARIANCE|VAR_POP|VAR_SAMP|FIRST|LAST)\s*\("
+    r"VARIANCE|VAR_POP|VAR_SAMP|FIRST|LAST|FIRST_VALUE|LAST_VALUE)\s*\("
 )
 
 
@@ -1194,6 +1228,19 @@ def changelog_rewrite(spark_sql: str) -> str | None:
         having = re.sub(r"(?is)^HAVING\s*", "", tail[hi:]).strip()
         tail = tail[:hi].strip()
     keys = tail
+    # A grouping time-window key (WINDOW TUMBLING/SLIDING → `window(...)`
+    # in GROUP BY) has no `window` struct in the changelog form — the
+    # select list's TUMBLE_START/END rewrites (`window.start/end`) must
+    # re-derive the bucket per row from the SAME window expression.
+    wk = re.search(r"(?is)\bwindow\s*\(", keys)
+    if wk is not None:
+        wend = _match_paren(keys, wk.end())
+        wexpr = keys[wk.start() : wend]
+        select_list = re.sub(
+            r"(?i)\bwindow\.(start|end)\b",
+            lambda m: f"{wexpr}.{m.group(1).lower()}",
+            select_list,
+        )
     items, n_aggs = [], 0
     for it in _split_top_level(select_list):
         new, n = _attach_over(it.strip(), "__w")

@@ -339,6 +339,7 @@ class SqlEngine:
         if st.kind == "create_stream":
             self._wire_sources(st)
             df = self._select_df(st)
+            df = self._propagate_time_col(st, df)
             self.register_stream(st.name, df)
             self._write_sink(st, df)
             return df
@@ -573,6 +574,39 @@ class SqlEngine:
             if clog is not None:
                 return self.spark.sql(clog)
         return self.spark.sql(st.select_sql)
+
+    def _propagate_time_col(self, st: Statement, df: DataFrame) -> DataFrame:
+        """System-column flow: the reference's `_event_time` rides along
+        every per-record processor even when not selected
+        (types.rs:1625-1627 system columns; docs/sql/system-columns.md).
+        For a plain per-record CREATE STREAM (no window/aggregation/EMIT
+        rewrite) whose select list dropped the time column, re-attach it
+        so downstream windowed statements (demo/trading app chains) keep
+        their event-time key. Ambiguous or incompatible shapes (DISTINCT,
+        multi-source time columns) fall back to the select as written."""
+        if (
+            self.time_col in df.columns
+            or st.window is not None
+            or st.emit is not None
+            or st.rows_window_aggs
+        ):
+            return df
+        from velostream_spark.sql.dialect import _top_level_find
+
+        s = st.select_sql or ""
+        if not re.match(r"(?is)^\s*SELECT\s+(?!DISTINCT\b)", s):
+            return df
+        if _top_level_find(s, r"\bGROUP\s+BY\b") >= 0:
+            return df
+        fi = _top_level_find(s, r"\bFROM\b")
+        if fi < 0:
+            return df
+        # append (keeps the user's column order; system column rides last)
+        sql2 = s[:fi].rstrip() + f", {self.time_col} " + s[fi:]
+        try:
+            return self.spark.sql(sql2)
+        except Exception:
+            return df
 
     def _job(self, st: Statement):
         action = st.job_action
