@@ -1378,3 +1378,43 @@ def test_iot_metrics_connection_latency_histogram_count(iot_metrics):
     inf_total = sum(r["value"] for r in rows if r["le"] == "+Inf")
     (want,) = con.execute("SELECT COUNT(*) FROM device_network_events").fetchone()
     assert inf_total == want
+
+
+# ---------------------------------------------------------------------------
+# test_emit_changes.sql / test_simple_validation.sql — the two remaining
+# runnable examples files (test_parsing_error.sql is the reference's own
+# intentionally-failing file, exempted by its validation test)
+# ---------------------------------------------------------------------------
+
+
+def test_example_emit_changes_executes(spark):
+    """examples/test_emit_changes.sql verbatim: stateless EMIT CHANGES is
+    the per-record passthrough changelog."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "users",
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bo"), (3, "cy")], "id int, name string"
+        ),
+    )
+    eng.execute_app(_read_app("test_emit_changes"))
+    rows = sorted(
+        (r["id"], r["name"]) for r in eng.streams["test"].collect()
+    )
+    assert rows == [(1, "ann"), (2, "bo"), (3, "cy")]
+
+
+def test_example_simple_validation_flags_unconfigured_source(spark):
+    """examples/test_simple_validation.sql: the validator accepts the
+    configured statement (source WITH + INTO sink WITH double-config) and
+    flags the one reading from an unconfigured source — the file's
+    documented purpose."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    rep = eng.validate(_read_app("test_simple_validation"))
+    msgs = " ".join(rep.errors + rep.warnings).lower()
+    assert "unconfigured_source" in msgs
+    assert "test_source" not in msgs  # the configured statement is clean
