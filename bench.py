@@ -50,6 +50,8 @@ HEADLINE = [
     "in_subquery",
     "scalar_subquery",
     "any_all_subquery",
+    "correlated_scalar_subquery",
+    "scalar_exists_subquery",
     "lag_lead",
     "ranking_functions",
     "agg_over_rows_frame",
@@ -71,7 +73,9 @@ HEADLINE = [
     "multimodal_image_stats",
     "multimodal_frame_sample",
     "dialect_tumbling_select",
+    "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
+    "streaming_group_by_changes",
     "streaming_rows_window",
     "streaming_session_join",
 ]
@@ -104,6 +108,10 @@ AMORTIZED = {
     "in_subquery": (("part", "lineitem"), 16),
     "scalar_subquery": (("orders",), 16),
     "any_all_subquery": (("supplier", "customer", "orders"), 16),
+    "correlated_scalar_subquery": (("customer", "orders"), 16),
+    "scalar_exists_subquery": (("orders", "lineitem"), 16),
+    "dialect_ctas_stream_table_join": (("events",), 16),
+    "streaming_group_by_changes": (("events",), 16),
 }
 
 #: per-table key columns shifted per replica so joins/window partitions stay
@@ -257,9 +265,14 @@ def main() -> None:
             # re-deriving the plan per iteration would time OUR cold path
             # against THEIR warm one. Streaming entries run their job
             # inside fn(), so they are re-invoked per run as before.
-            prebuilt = None if name.startswith("streaming_") else entry.fn(
-                spark, sf_dir
+            # Entries with eager work inside fn() must re-run it per
+            # iteration: streaming entries run their job in fn(); the CTAS
+            # entry materializes its table in fn() (the CTAS is part of
+            # what the reference's 864K rec/s CTAS figure measures).
+            rerun_fn = name.startswith("streaming_") or name == (
+                "dialect_ctas_stream_table_join"
             )
+            prebuilt = None if rerun_fn else entry.fn(spark, sf_dir)
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = prebuilt if prebuilt is not None else entry.fn(spark, sf_dir)

@@ -260,3 +260,43 @@ def any_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s_acctbal < (SELECT MIN(o_totalprice) FROM orders WHERE o_totalprice > 100000)
         """
     )
+
+
+@query(
+    "scalar_exists_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           ROUND(CAST((SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                       FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE), 2)
+               AS total_line_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey
+                    AND l2.l_returnflag = 'R')
+    """,
+    tags=("subquery", "scalar", "exists"),
+)
+def scalar_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery combined with an EXISTS predicate in one query —
+    the reference benchmarks this shape separately ('Scalar subquery w/
+    EXISTS', docs/performance/benchmark-results-summary.md:32,61: its
+    slowest subquery form at 239K rec/s, vs 468K for plain scalar).
+    Catalyst decorrelates both: the scalar becomes an aggregate + left
+    join, the EXISTS a semi join — one plan, no per-row re-execution.
+    The scalar sums EXACT decimals so the oracle comparison is free of
+    float summation-order noise."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               ROUND(CAST((SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                           FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE), 2)
+                   AS total_line_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey
+                        AND l2.l_returnflag = 'R')
+        """
+    )
