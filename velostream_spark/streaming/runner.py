@@ -17,15 +17,46 @@ their outputs are small aggregates by construction.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 _COUNTER = itertools.count()
 
+#: Throwaway checkpoints/sinks (unique per call, never resumed) go to tmpfs
+#: when the host has one — state-store commits and sink files then cost
+#: memory bandwidth, not disk fsyncs. Production jobs configure their own
+#: durable checkpointLocation through the SQL engine; this helper is the
+#: run-to-completion path for tests/bench only.
+_SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
 
 def _unique(prefix: str) -> str:
     return f"{prefix}_{next(_COUNTER)}"
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+#: tmpfs holds RAM — sweep every scratch dir at interpreter exit (the old
+#: /tmp variant leaked them to disk, harmless; leaking RAM is not).
+_SCRATCH_DIRS: list[str] = []
+
+
+def _sweep_scratch() -> None:  # pragma: no cover — exit hook
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_sweep_scratch)
 
 
 def run_available_now(
@@ -42,9 +73,9 @@ def run_available_now(
     throwaway checkpoint per call, so repeated invocations (driver retries,
     bench steady-state) are independent."""
     name = _unique(query_name or "vs_stream")
-    ckpt = tempfile.mkdtemp(prefix=f"vs-ckpt-{name}-")
+    ckpt = _scratch_dir(f"vs-ckpt-{name}-")
     if output_mode == "append":
-        out_dir = tempfile.mkdtemp(prefix=f"vs-out-{name}-")
+        out_dir = _scratch_dir(f"vs-out-{name}-")
         q = (
             sdf.writeStream.format("parquet")
             .option("path", out_dir)
@@ -80,7 +111,7 @@ def run_foreach_batch(
     the reference's DataWriter.write_batch loop (datasource/traits.rs:154);
     ``func(batch_df, batch_id)`` is invoked once per micro-batch."""
     name = _unique(query_name or "vs_feb")
-    ckpt = tempfile.mkdtemp(prefix=f"vs-ckpt-{name}-")
+    ckpt = _scratch_dir(f"vs-ckpt-{name}-")
     q = (
         sdf.writeStream.foreachBatch(func)
         .queryName(name)
