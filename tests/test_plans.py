@@ -219,3 +219,18 @@ def test_prometheus_metrics_plan_is_codegen_aggregation(spark):
     assert "partial_" in plan.lower() or "partial" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "mapInPandas" not in plan.lower(), plan
+
+
+def test_scalar_exists_fused_single_lineitem_scan(spark):
+    """The scalar-SUM + EXISTS pair fuses into ONE lineitem aggregation
+    pass (Catalyst would otherwise scan lineitem twice: agg + semi join),
+    joined to orders with a shuffled hash join — not a broadcast (both
+    sides are ~|orders| rows; broadcasting collects millions of rows to
+    the driver at scale) and not a sort-merge (1:1 key join needs no
+    sort)."""
+    plan = plan_of(spark, "scalar_exists_subquery")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the long-cents SUM must be map-side combined
+    assert plan.count("HashAggregate") >= 2, plan
