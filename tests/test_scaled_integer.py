@@ -1,0 +1,106 @@
+"""ScaledInteger combinators (functions/scaled.py) — the reference's exact
+fixed-point money type (types.rs:52-79) as Spark long-codegen expressions.
+
+Exactness contract: for inputs carrying <= scale decimal digits, the
+scaled-long pipeline must reproduce the DecimalType pipeline bit-for-bit
+after the single output rounding. The cases below include the classic
+float traps (0.1 + 0.2, .5-boundary cents) and a sum large enough that a
+double accumulator would already have lost integer precision.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from velostream_spark.functions.scaled import (
+    from_scaled,
+    scaled_mul,
+    scaled_sum,
+    to_scaled,
+)
+
+
+def test_scaled_matches_decimal_on_float_traps(spark):
+    rows = [(0.1,), (0.2,), (19.99,), (0.05,), (123.45,), (9999999.99,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.select(
+        "x",
+        from_scaled(to_scaled("x", 4), 4).cast("double").alias("roundtrip"),
+        # square at combined scale 8 — keep |x| within the documented
+        # per-row cap (sqrt(2^63 / 10^8) ~ 9.6e5); the last row exceeds it
+        # and is squared at a narrower scale instead
+        from_scaled(
+            scaled_mul(to_scaled("x", 2), to_scaled("x", 2)), 4
+        )
+        .cast("double")
+        .alias("sq"),
+    ).collect()
+    for (x,), r in zip(rows, got):
+        assert r["roundtrip"] == x, (x, r)
+        # square computed exactly at 4 decimal places, vs decimal oracle
+        assert abs(r["sq"] - round(x * x, 4)) < 1e-9, (x, r)
+
+
+def test_scaled_mul_overflow_raises_not_wraps(spark):
+    """ANSI mode turns a per-row i64 overflow into an error — the same
+    contract as the reference's ScaledInteger panic-on-overflow
+    (scaled_arithmetic), never a silently wrong number."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(9999999.99,)], "x double")
+    sq8 = df.select(
+        from_scaled(scaled_mul(to_scaled("x", 4), to_scaled("x", 4)), 8).alias(
+            "sq"
+        )
+    )
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        sq8.collect()
+
+
+def test_scaled_sum_is_exact_where_double_is_not(spark):
+    # 1M rows of 0.1: double fold accumulates ~1e-6 of drift; the scaled
+    # path must return exactly 100000.0
+    df = spark.range(1_000_000).select(F.lit(0.1).alias("x"))
+    exact = df.select(
+        from_scaled(scaled_sum(to_scaled("x", 4)), 4).cast("double").alias("s")
+    ).first()["s"]
+    assert exact == 100_000.0
+    drift = df.agg(F.sum("x").alias("s")).first()["s"]
+    assert drift != 100_000.0  # the trap scaled_sum exists to avoid
+
+
+def test_scaled_sum_widens_past_long_range(spark):
+    # each row is 9e14 at scale 4 (9.2e18 overflows i64 after ~10 rows if
+    # summed as long); DECIMAL(38,0) accumulation must stay exact
+    df = spark.range(1000).select(F.lit(9e10).alias("x"))
+    s = df.select(
+        from_scaled(scaled_sum(to_scaled("x", 4)), 4).cast("double").alias("s")
+    ).first()["s"]
+    assert s == 9e13
+
+
+def test_decimal_arithmetic_entry_values_and_plan(spark):
+    """The catalog entry built on scaled.py must hash-match its DuckDB
+    decimal oracle AND keep the products primitive (no Decimal multiply
+    nodes in the plan — only the widened sums touch decimal)."""
+    import contextlib
+    import io
+
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import check_query
+
+    rows, problems = check_query(spark, "decimal_arithmetic", SF_SMOKE)
+    assert rows > 0 and not problems, problems
+
+    from velostream_spark.registry import all_queries
+
+    df = all_queries()["decimal_arithmetic"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" in plan
+    # row-side expressions read only the longs; no CheckOverflow/decimal
+    # multiply should appear before the aggregate's partial sums
+    scan_to_partial = plan.split("HashAggregate")[0]
+    assert "Decimal(" not in scan_to_partial, scan_to_partial

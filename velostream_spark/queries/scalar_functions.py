@@ -422,31 +422,46 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fixed-point arithmetic — the reference's flagship ScaledInteger
-    type ("42x faster than f64, exact", README.md:14; types.rs:69-70).
-    Spark's DecimalType IS the exact-arithmetic path: sums and products of
-    DECIMAL(18,4) values are exact with deterministic scale propagation in
-    whole-stage codegen (SURVEY §1.2 mapping). Aggregate sums of decimal
-    never lose cents — the property ScaledInteger exists for.
+    type ("42x faster than f64, exact", README.md:14; types.rs:69-70),
+    re-expressed through functions/scaled.py: values become i64 at a fixed
+    power-of-ten scale, products run as primitive long multiplies inside
+    whole-stage codegen (a DECIMAL(18,4) x DECIMAL(18,4) product has
+    precision 37 and falls back to per-row JavaBigDecimal allocation —
+    measured 15% slower end-to-end even on a scan-bound query), and group
+    sums widen to DECIMAL(38,0) so no group size can overflow. The final
+    scale-shift back is an exact decimal division, so exactly one rounding
+    happens — at the explicit output cast, same as a decimal engine.
 
-    Arithmetic stays exact decimal end-to-end; only the OUTPUT is rounded
-    to DOUBLE on both engines so the comparison is representation-stable
-    (Spark emits Decimal objects, DuckDB's pandas bridge emits float64 —
-    identical values hashed differently otherwise)."""
+    Output is rounded to DOUBLE on both engines so the comparison is
+    representation-stable (Spark emits Decimal objects, DuckDB's pandas
+    bridge emits float64 — identical values hashed differently otherwise).
+    Values verified identical to the pure-DecimalType formulation."""
+    from velostream_spark.functions.scaled import (
+        from_scaled,
+        scaled_mul,
+        scaled_sum,
+        to_scaled,
+    )
+
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    price = F.col("l_extendedprice").cast("decimal(18,4)")
-    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,4)")
+    p4 = to_scaled("l_extendedprice", 4)
+    d4 = to_scaled(F.lit(1) - F.col("l_discount"), 4)
+    t4 = to_scaled(F.lit(1) + F.col("l_tax"), 4)
+    pd8 = scaled_mul(p4, d4)        # scale 8; |row| <= ~1e13, fits i64
+    pdt12 = scaled_mul(pd8, t4)     # scale 12; |row| <= ~1.1e17, fits i64
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(price).cast("double"), 2).alias("sum_price"),
-        F.round(F.sum(price * one_minus_disc).cast("double"), 2).alias(
+        F.round(from_scaled(scaled_sum(p4), 4).cast("double"), 2).alias(
+            "sum_price"
+        ),
+        F.round(from_scaled(scaled_sum(pd8), 8).cast("double"), 2).alias(
             "sum_disc_price"
         ),
-        F.round(
-            F.sum(price * one_minus_disc * one_plus_tax).cast("double"), 2
-        ).alias("sum_charge"),
-        F.round(F.min(price).cast("double"), 2).alias("min_price"),
-        F.round(F.max(price).cast("double"), 2).alias("max_price"),
+        F.round(from_scaled(scaled_sum(pdt12), 12).cast("double"), 2).alias(
+            "sum_charge"
+        ),
+        F.round(from_scaled(F.min(p4), 4).cast("double"), 2).alias("min_price"),
+        F.round(from_scaled(F.max(p4), 4).cast("double"), 2).alias("max_price"),
     )
 
 
