@@ -41,20 +41,29 @@ def test_scaled_matches_decimal_on_float_traps(spark):
         assert abs(r["sq"] - round(x * x, 4)) < 1e-9, (x, r)
 
 
-def test_scaled_mul_overflow_raises_not_wraps(spark):
-    """ANSI mode turns a per-row i64 overflow into an error — the same
+def test_scaled_mul_overflow_raises_under_ansi(spark):
+    """Under ANSI mode a per-row i64 overflow is an error — the same
     contract as the reference's ScaledInteger panic-on-overflow
-    (scaled_arithmetic), never a silently wrong number."""
+    (scaled_arithmetic), never a silently wrong number. The engine's own
+    sessions run the permissive reference dialect (ansi off — NULL on bad
+    cast), where the protection is the documented per-row scale cap
+    instead; pin the ANSI behavior explicitly so the contract is
+    deployment-choosable, then restore the session conf."""
     import pytest as _pytest
 
-    df = spark.createDataFrame([(9999999.99,)], "x double")
-    sq8 = df.select(
-        from_scaled(scaled_mul(to_scaled("x", 4), to_scaled("x", 4)), 8).alias(
-            "sq"
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame([(9999999.99,)], "x double")
+        sq8 = df.select(
+            from_scaled(
+                scaled_mul(to_scaled("x", 4), to_scaled("x", 4)), 8
+            ).alias("sq")
         )
-    )
-    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
-        sq8.collect()
+        with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+            sq8.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_scaled_sum_is_exact_where_double_is_not(spark):

@@ -12,12 +12,16 @@ loop. Scaled longs keep the whole expression in primitive i64 codegen.
 
 Overflow discipline (the part the reference handles by panicking —
 scaled_arithmetic.rs): per-ROW products must fit i64, so combined scales
-are capped at 10^18/max|value|; per-GROUP sums are accumulated as
-DECIMAL(38,0) of the scaled longs — exact at any group size (a 100-TB
-group of 10^13 cent-rows sums to ~10^18x10^4, far under 10^38), while the
-row-side arithmetic stays primitive. ``from_scaled`` shifts back via exact
-decimal division by 10^scale, so no float rounding enters until the caller
-explicitly casts.
+are capped at 10^18/max|value| BY THE CALLER (each use site documents its
+bound); per-GROUP sums are accumulated as DECIMAL(38,0) of the scaled
+longs — exact at any group size (a 100-TB group of 10^13 cent-rows sums
+to ~10^18x10^4, far under 10^38), while the row-side arithmetic stays
+primitive. Under ANSI mode a row-side overflow raises (the reference's
+panic contract, pinned in tests); the engine's own sessions run the
+permissive reference dialect (ansi off), where the scale cap is the
+protection — same as the reference choosing scales for its i64.
+``from_scaled`` shifts back via exact decimal division by 10^scale, so no
+float rounding enters until the caller explicitly casts.
 """
 
 from __future__ import annotations
