@@ -32,9 +32,9 @@ FLAGSHIPS = {
 }
 
 #: Round-5 rotation: first-time-official entries (never gated in r1-r4).
+#: Batch 2 swapped grouping_sets_rollup/range_frame (both still mirror-
+#: gated) for four more never-official entries — see registry.GATE_ORDER.
 ROTATED_IN = {
-    "grouping_sets_rollup",
-    "range_frame",
     "window_with_having",
     "neardup_components",
     "ann_lsh_topk",
@@ -43,6 +43,11 @@ ROTATED_IN = {
     "dialect_tumbling_select",
     "streaming_group_by_changes",
     "streaming_rows_window",
+    # batch 2
+    "multimodal_image_stats",
+    "embedding_near_dup",
+    "dialect_ctas_stream_table_join",
+    "streaming_session_join",
 }
 
 
@@ -96,5 +101,10 @@ def test_displaced_entries_still_registered():
         "string_agg",
         "avro_roundtrip",
         "correlated_scalar_subquery",
+        # rotated out in round-5 batch 2
+        "grouping_sets_rollup",
+        "range_frame",
+        "semi_anti_join",
+        "session_join",
     ):
         assert kept in names

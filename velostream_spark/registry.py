@@ -127,6 +127,19 @@ _LOADED = False
 #: first_last_aggs/string_agg → agg family peers; avro_roundtrip →
 #: confluent_roundtrip (framed avro + registry + evolution);
 #: correlated_scalar_subquery → scalar_subquery + exists/in forms.
+#:
+#: ROTATION batch 2 (round 5): range_frame → agg_over_rows_frame (ROWS
+#: frames official; RANGE frames stay in the parity mirror);
+#: semi_anti_join → exists_not_exists_subquery + in_not_in_subquery (the
+#: reference has no explicit semi/anti joins — EXISTS/IN subqueries ARE
+#: its semantics for them, SURVEY §2.3); session_join →
+#: streaming_session_join (the stronger multi-open-session stateful form,
+#: rotated IN) + windowed_join; grouping_sets_rollup → absent from the
+#: reference entirely (SURVEY §2.4), beyond-reference coverage stays in
+#: the mirror. Rotated in: multimodal_image_stats (multimodal family's
+#: first official slot), embedding_near_dup (embedding-cosine near-dup),
+#: dialect_ctas_stream_table_join (CTAS §2.10 executed through the SQL
+#: dialect), streaming_session_join.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -138,7 +151,6 @@ GATE_ORDER = [
     # mirror gates union_all/union_distinct/intersect_except at the same
     # scale). Freed slot goes to the new FR-073 metrics surface.
     "prometheus_metrics",
-    "grouping_sets_rollup",
     # §2.9 scalar function catalog
     "math_functions",
     "string_functions",
@@ -155,10 +167,8 @@ GATE_ORDER = [
     "stream_table_join",
     "join_left_with_defaults",
     "full_outer_join",
-    "semi_anti_join",
     "interval_join",
     "windowed_join",
-    "session_join",
     # §2.7 subqueries
     "scalar_subquery",
     "exists_not_exists_subquery",
@@ -168,7 +178,6 @@ GATE_ORDER = [
     "lag_lead",
     "ranking_functions",
     "agg_over_rows_frame",
-    "range_frame",
     # §2.6 time windows
     "tumbling_window",
     "sliding_window",
@@ -185,13 +194,17 @@ GATE_ORDER = [
     "stratified_sample",
     "neardup_components",
     "ann_lsh_topk",
+    "embedding_near_dup",
+    "multimodal_image_stats",
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
     "dialect_tumbling_select",
+    "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
     "streaming_rows_window",
+    "streaming_session_join",
 ]
 
 
