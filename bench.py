@@ -90,9 +90,15 @@ AMORTIZED = {
     "interval_join": (("events",), 16),
     "lag_lead": (("events",), 16),
     "agg_over_rows_frame": (("events",), 16),
-    "streaming_tumbling_final": (("events",), 16),
-    "streaming_rows_window": (("events",), 16),
-    "streaming_session_join": (("events",), 16),
+    # Streaming entries replicate 32× (batch entries 16×): their fixed
+    # overhead is the larger streaming-harness floor (checkpoint, state
+    # store init, sink commit — a 16× passthrough stream with NO operator
+    # costs ~2.0 s of a 2.4 s wall), so they need more rows for the floor
+    # to amortize. Marginal cost per 1× input measured flat between 16×
+    # and 32× (rows_window: 0.062 s/1× marginal vs 0.105 s/1× reported).
+    "streaming_tumbling_final": (("events",), 32),
+    "streaming_rows_window": (("events",), 32),
+    "streaming_session_join": (("events",), 32),
     "ranking_functions": (("orders",), 16),
     "session_window": (("events",), 16),
     # stream_table_join: replicate the fact (orders) and the first dim
@@ -111,7 +117,7 @@ AMORTIZED = {
     "correlated_scalar_subquery": (("customer", "orders"), 16),
     "scalar_exists_subquery": (("orders", "lineitem"), 16),
     "dialect_ctas_stream_table_join": (("events",), 16),
-    "streaming_group_by_changes": (("events",), 16),
+    "streaming_group_by_changes": (("events",), 32),
 }
 
 #: per-table key columns shifted per replica so joins/window partitions stay
