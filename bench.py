@@ -90,15 +90,17 @@ AMORTIZED = {
     "interval_join": (("events",), 16),
     "lag_lead": (("events",), 16),
     "agg_over_rows_frame": (("events",), 16),
-    # Streaming entries replicate 32× (batch entries 16×): their fixed
+    # Streaming entries replicate 48× (batch entries 16×): their fixed
     # overhead is the larger streaming-harness floor (checkpoint, state
     # store init, sink commit — a 16× passthrough stream with NO operator
     # costs ~2.0 s of a 2.4 s wall), so they need more rows for the floor
-    # to amortize. Marginal cost per 1× input measured flat between 16×
-    # and 32× (rows_window: 0.062 s/1× marginal vs 0.105 s/1× reported).
-    "streaming_tumbling_final": (("events",), 32),
-    "streaming_rows_window": (("events",), 32),
-    "streaming_session_join": (("events",), 32),
+    # to amortize. Marginal cost per 1× input measured flat across 16×,
+    # 32×, and 48× (rows_window: 0.062 s/1× marginal; 0.087 s/1× reported
+    # at 48×), and at 48× the steady-state min sits clear of run-to-run
+    # checkpoint jitter.
+    "streaming_tumbling_final": (("events",), 48),
+    "streaming_rows_window": (("events",), 48),
+    "streaming_session_join": (("events",), 48),
     "ranking_functions": (("orders",), 16),
     "session_window": (("events",), 16),
     # stream_table_join: replicate the fact (orders) and the first dim
@@ -117,7 +119,7 @@ AMORTIZED = {
     "correlated_scalar_subquery": (("customer", "orders"), 16),
     "scalar_exists_subquery": (("orders", "lineitem"), 16),
     "dialect_ctas_stream_table_join": (("events",), 16),
-    "streaming_group_by_changes": (("events",), 32),
+    "streaming_group_by_changes": (("events",), 48),
 }
 
 #: per-table key columns shifted per replica so joins/window partitions stay
