@@ -326,3 +326,21 @@ def test_metrics_bind_on_streaming_deploy(spark, tmp_path):
         for r in eng.metric_values("stream_v_total").collect()
     }
     assert got == {("a", 2.0), ("b", 1.0)}
+
+
+def test_top_level_null_label_defaults_to_unknown_and_escaping(spark):
+    """r5 advice: a NULL top-level label column takes the same 'unknown'
+    default as missing nested paths (label_extraction.rs:26-32) — never the
+    Python string 'None' — and label values containing backslash / quote /
+    newline are escaped per the Prometheus text exposition format."""
+    df = spark.createDataFrame(
+        [('a"b\\c\nd',), (None,)], "status string"
+    )
+    (ann,) = parse_metric_annotations(
+        "-- @metric: n\n-- @metric_type: counter\n"
+        "-- @metric_labels: status\nSELECT 1;"
+    )
+    text = prometheus_text([(ann, df)])
+    assert 'n{status="unknown"} 1' in text
+    assert 'n{status="a\\"b\\\\c\\nd"} 1' in text
+    assert "None" not in text

@@ -58,7 +58,30 @@ def scaled_sum(col: Column) -> Column:
 
 def from_scaled(col: Column, scale: int) -> Column:
     """Scaled value (long or the DECIMAL(38,0) of ``scaled_sum``) back to
-    an exact decimal of the given scale: decimal division by 10^scale is
-    an exact scale shift, so casting the result to double afterwards
-    rounds once — the same single rounding a DECIMAL engine performs."""
-    return col.cast("decimal(38,0)") / F.lit(10 ** scale).cast("decimal(19,0)")
+    an EXACT decimal of at least the given scale, so casting the result to
+    double afterwards rounds once — the same single rounding a DECIMAL
+    engine performs.
+
+    A single decimal division can't do this: Spark's default
+    ``allowPrecisionLoss`` turns decimal(38,0)/decimal(p,0) into
+    decimal(38,6), pre-rounding at 6 fractional digits for scales > 6.
+    Instead the shift is a quotient/remainder split — both integer-exact:
+    ``q = floor(v / 10^s)`` (a ±1 error from the rounded division is
+    harmless, the remainder absorbs it exactly), ``r = v - q*10^s``
+    (pure integer ops), and ``q + r/10^s`` where the remainder division
+    IS exact because r's precision is small (|r| < 2*10^s, so the result
+    decimal((s+2)+fs, fs) fits under 38 without precision loss).
+    Domain: |scaled value| < 10^35 (quotient capped at decimal(38-fs-1, 0))
+    — far above any reachable ``scaled_sum`` (i64 rows × 10^13-row groups
+    ≈ 10^32). Exactness vs Python Decimal pinned in
+    tests/test_scaled_integer.py for scales 4/8/12.
+    """
+    if scale == 0:
+        return col.cast("decimal(38,0)")
+    d = col.cast("decimal(38,0)")
+    pow10 = F.lit(10 ** scale).cast(f"decimal({scale + 1},0)")
+    q = F.floor(d / pow10)
+    r = (d - q.cast("decimal(38,0)") * pow10).cast(f"decimal({scale + 2},0)")
+    fs = max(6, scale + 2)  # Spark's division result scale: max(6, s1+p2+1)
+    frac = r / pow10
+    return q.cast(f"decimal({38 - fs - 1},0)") + frac

@@ -90,10 +90,16 @@ def memo_plan(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -
     the resolved DataFrame: re-executing it re-runs the JOBS (execution
     is still measured) while analysis rules skip already-resolved nodes.
     Keyed by applicationId so a new SparkSession never sees another
-    session's plans."""
-    full_key = (spark.sparkContext.applicationId, *key)
+    session's plans; entries from OTHER applicationIds are evicted on
+    insert so stopped sessions' DataFrames (and their JVM-side plan
+    references) don't outlive the session in multi-session test runs."""
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
     df = _PLAN_MEMO.get(full_key)
     if df is None:
+        stale = [k for k in _PLAN_MEMO if k[0] != app_id]
+        for k in stale:
+            del _PLAN_MEMO[k]
         df = build()
         _PLAN_MEMO[full_key] = df
     return df
@@ -146,10 +152,11 @@ GATE_ORDER = [
     "group_by_agg",
     "count_distinct",
     "order_by_limit",
-    # round 5: union_all_distinct → parity mirror (distinct/union semantics
-    # carried officially by count_distinct + grouping_sets_rollup; the
-    # mirror gates union_all/union_distinct/intersect_except at the same
-    # scale). Freed slot goes to the new FR-073 metrics surface.
+    # round 5: union_all_distinct → parity mirror (distinct semantics
+    # carried officially by count_distinct; union/set-op coverage lives in
+    # the mirror's union_all/union_distinct — and round 6 rotates
+    # intersect_except into the official gate below). Freed slot went to
+    # the FR-073 metrics surface.
     "prometheus_metrics",
     # §2.9 scalar function catalog
     "math_functions",

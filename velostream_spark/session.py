@@ -126,7 +126,23 @@ def apply_runtime_confs(spark: SparkSession) -> None:
         pass
 
 
+#: (applicationId, realpath(sf_dir), table) → analyzed DataFrame. A fresh
+#: ``spark.read.parquet`` runs a file-listing + schema job per call; the
+#: catalog's SQL entries call views() per invocation, so without a memo
+#: every query derivation re-lists all ~10 tables (~0.5 s + 10 metadata
+#: jobs). A warm engine caches catalog metadata — the memoized DataFrame's
+#: InMemoryFileIndex is reused; execution plans still prune/push per query.
+#: Test data dirs are immutable (written once, read many); entries from
+#: other applicationIds are evicted on insert, mirroring registry._PLAN_MEMO.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.realpath(sf_dir), name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
@@ -139,6 +155,9 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for k in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        del _TABLE_MEMO[k]
+    _TABLE_MEMO[key] = df
     return df
 
 

@@ -64,10 +64,10 @@ def load_config_file(path: str) -> dict[str, Any]:
         # section (the reference's table configs split them — e.g.
         # configs/regulatory_watchlist_table.yaml keeps only format keys
         # under data_source and the path under `file:`)
-        path = ds.get("path") or (doc.get("file") or {}).get("path")
-        if not path:
+        data_path = ds.get("path") or (doc.get("file") or {}).get("path")
+        if not data_path:
             raise ValueError(f"file source config {path!r} missing a path")
-        flat["path"] = path
+        flat["path"] = data_path
         fmt = (ds.get("format") or "csv").lower()
         if fmt == "csv" and ds.get("has_headers") is False:
             fmt = "csv_no_header"

@@ -163,7 +163,10 @@ def _label_expr(path: str):
     the reference's default label value 'unknown'
     (label_extraction.rs:26-32)."""
     if "." not in path:
-        return F.col(path).cast("string")
+        # A NULL top-level label column takes the same 'unknown' default as
+        # a missing nested value (label_extraction.rs:26-32) — a null must
+        # never render as the Python string 'None' in the exposition.
+        return F.coalesce(F.col(path).cast("string"), F.lit("unknown"))
     parts = path.split(".")
     col = F.col(parts[0])
     for p in parts[1:]:
@@ -249,15 +252,22 @@ def _fmt_value(v: float) -> str:
     return repr(v)
 
 
+def _escape_label(v: str) -> str:
+    """Prometheus text-format label-value escaping: backslash, double
+    quote, and newline must be escaped inside the quoted value
+    (https://prometheus.io/docs/instrumenting/exposition_formats/)."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _label_str(
     row, ann: MetricAnnotation, extra: tuple[str, str] | None = None
 ) -> str:
     parts = [
-        f'{name}="{row[col]}"'
+        f'{name}="{_escape_label(str(row[col]))}"'
         for name, col in zip(ann.labels, label_columns(ann))
     ]
     if extra is not None:
-        parts.append(f'{extra[0]}="{extra[1]}"')
+        parts.append(f'{extra[0]}="{_escape_label(extra[1])}"')
     return "{" + ",".join(parts) + "}" if parts else ""
 
 

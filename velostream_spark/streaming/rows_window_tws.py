@@ -102,9 +102,16 @@ class _RowsWindowProcessor(StatefulProcessor):
             prev_mat = np.asarray(flat, dtype=float).reshape(-1, n_cols)
         else:
             cnt, prev_mat = 0, np.empty((0, n_cols))
-        for pdf in rows:
-            if pdf.empty:
-                continue
+        # Coalesce the whole micro-batch BEFORE the single sort: a key's
+        # batch can span multiple Arrow chunks, and sorting each chunk
+        # independently would interleave out-of-order rows into the ring
+        # buffer (diverging from the applyInPandasWithState form, which
+        # coalesces first — parity pinned in tests/test_streaming.py).
+        chunks = [pdf for pdf in rows if not pdf.empty]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values(self._order, kind="mergesort")
             n_prev = len(prev_mat)
             series = {
