@@ -13,17 +13,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from velostream_spark.registry import GATE_ORDER, all_queries
 
-#: Flagship pipeline/codec/streaming entries that MUST hold official slots.
+#: Flagship pipeline/codec/streaming entries that MUST hold official slots
+#: (updated per rotation batch — displaced near-twins move to the mirror,
+#: their coverage carried by the entries noted in registry.GATE_ORDER).
 FLAGSHIPS = {
     "dedup_exact",
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_canonical",
     "text_analysis",
-    "lm_quality_score",
-    "decontaminate",
     "sequence_packing",
     "stratified_sample",
-    "neardup_components",
     "ann_lsh_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
@@ -31,12 +31,12 @@ FLAGSHIPS = {
     "streaming_rows_window",
 }
 
-#: Round-5 rotation: first-time-official entries (never gated in r1-r4).
-#: Batch 2 swapped grouping_sets_rollup/range_frame (both still mirror-
-#: gated) for four more never-official entries — see registry.GATE_ORDER.
+#: Rotation batches: first-time-official entries per round — see
+#: registry.GATE_ORDER for the displaced-coverage map.
 ROTATED_IN = {
     "window_with_having",
-    "neardup_components",
+    # (neardup_components, batch-1 entrant, displaced again in batch 3 by
+    # dedup_canonical which is built on its output)
     "ann_lsh_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
@@ -48,6 +48,18 @@ ROTATED_IN = {
     "embedding_near_dup",
     "dialect_ctas_stream_table_join",
     "streaming_session_join",
+    # batch 3 (round 6) — 11 first-time-official entries
+    "scalar_exists_subquery",
+    "streaming_interval_join",
+    "streaming_dedup",
+    "streaming_group_by_final",
+    "dialect_rows_window_over",
+    "dialect_functions_select",
+    "ngram_jaccard_pairs",
+    "dedup_canonical",
+    "rolling_fingerprint",
+    "multimodal_frame_sample",
+    "ann_brute_force_topk",
 }
 
 
@@ -106,5 +118,17 @@ def test_displaced_entries_still_registered():
         "range_frame",
         "semi_anti_join",
         "session_join",
+        # rotated out in round-6 batch 3
+        "scalar_subquery",
+        "exists_not_exists_subquery",
+        "lm_quality_score",
+        "simhash_pairs",
+        "neardup_components",
+        "decontaminate",
+        "full_outer_join",
+        "windowed_join",
+        "sliding_window",
+        "math_functions",
+        "agg_over_rows_frame",
     ):
         assert kept in names

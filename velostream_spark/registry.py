@@ -146,6 +146,30 @@ _LOADED = False
 #: first official slot), embedding_near_dup (embedding-cosine near-dup),
 #: dialect_ctas_stream_table_join (CTAS §2.10 executed through the SQL
 #: dialect), streaming_session_join.
+#:
+#: ROTATION batch 3 (round 6): 11 first-time-official entries (never in any
+#: CORRECTNESS_r*.json). Rotated out → coverage carried by:
+#: scalar_subquery + exists_not_exists_subquery → scalar_exists_subquery
+#: (the fused single-pass form carries BOTH semantics; in/any-all stay);
+#: lm_quality_score → text_analysis (same pure-Catalyst text scoring);
+#: simhash_pairs → minhash_lsh_pairs + ngram_jaccard_pairs (hash/shingle
+#: near-dup pairs; simhash stays a bench headline + mirror entry);
+#: neardup_components → dedup_canonical (built ON the components output:
+#: label-propagation clusters + survivor rule, strictly stronger);
+#: decontaminate → ngram_jaccard_pairs (same inverted-index shingle-join
+#: shape); full_outer_join → join_left_with_defaults (outer null
+#: semantics); windowed_join → interval_join + streaming_interval_join;
+#: sliding_window → tumbling/session/window_with_having (family peers);
+#: math_functions → dialect_functions_select (functions exercised through
+#: the dialect path) + tests/test_function_catalog.py conformance sweep;
+#: agg_over_rows_frame → streaming_rows_window + dialect_rows_window_over
+#: (the reference's signature ROWS construct, now official in both its
+#: streaming and dialect-routed forms). Rotated in: scalar_exists_subquery,
+#: streaming_interval_join, streaming_dedup, streaming_group_by_final,
+#: dialect_rows_window_over, dialect_functions_select, ngram_jaccard_pairs,
+#: dedup_canonical, rolling_fingerprint, multimodal_frame_sample,
+#: ann_brute_force_topk. (streaming_rows_window_tws stays ungated: its
+#: state server needs google.protobuf, absent here — README exemptions.)
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -154,55 +178,53 @@ GATE_ORDER = [
     "order_by_limit",
     # round 5: union_all_distinct → parity mirror (distinct semantics
     # carried officially by count_distinct; union/set-op coverage lives in
-    # the mirror's union_all/union_distinct — and round 6 rotates
-    # intersect_except into the official gate below). Freed slot went to
-    # the FR-073 metrics surface.
+    # the mirror's union_all/union_distinct/intersect_except, all gated in
+    # earlier rounds). Freed slot went to the FR-073 metrics surface.
     "prometheus_metrics",
-    # §2.9 scalar function catalog
-    "math_functions",
+    # §2.9 scalar function catalog (math_functions → batch-3 rotation:
+    # dialect_functions_select + the function-catalog conformance sweep)
     "string_functions",
     "date_functions",
     "json_functions",
     "collection_functions",
+    "dialect_functions_select",
     # §2.4 aggregate families
     "statistical_aggs",
     "percentile_aggs",
     # §1.2 type semantics
     "decimal_arithmetic",
     "cast_semantics",
-    # §2.3 joins
+    # §2.3 joins (full_outer/windowed → batch-3 rotation)
     "stream_table_join",
     "join_left_with_defaults",
-    "full_outer_join",
     "interval_join",
-    "windowed_join",
-    # §2.7 subqueries
-    "scalar_subquery",
-    "exists_not_exists_subquery",
+    "streaming_interval_join",
+    # §2.7 subqueries (scalar/exists forms carried by the fused entry)
+    "scalar_exists_subquery",
     "in_not_in_subquery",
     "any_all_subquery",
     # §2.5 OVER-clause window functions
     "lag_lead",
     "ranking_functions",
-    "agg_over_rows_frame",
-    # §2.6 time windows
+    "dialect_rows_window_over",
+    # §2.6 time windows (sliding → batch-3 rotation)
     "tumbling_window",
-    "sliding_window",
     "session_window",
     "window_with_having",
     # Phase-4 pipeline operators (LLM-scale curation)
     "dedup_exact",
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "rolling_fingerprint",
+    "dedup_canonical",
     "text_analysis",
-    "lm_quality_score",
-    "decontaminate",
     "sequence_packing",
     "stratified_sample",
-    "neardup_components",
+    "ann_brute_force_topk",
     "ann_lsh_topk",
     "embedding_near_dup",
     "multimodal_image_stats",
+    "multimodal_frame_sample",
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
@@ -210,6 +232,8 @@ GATE_ORDER = [
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
+    "streaming_group_by_final",
+    "streaming_dedup",
     "streaming_rows_window",
     "streaming_session_join",
 ]
