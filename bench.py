@@ -120,6 +120,15 @@ AMORTIZED = {
     "scalar_exists_subquery": (("orders", "lineitem"), 16),
     "dialect_ctas_stream_table_join": (("events",), 16),
     "streaming_group_by_changes": (("events",), 48),
+    # rep=1 entries: LAYOUT normalization only — values bit-identical, no
+    # replication, wall reported at 1×. The driver's sf0.1 lineitem is ONE
+    # parquet row group (row groups are Spark's split unit, so the 600K-row
+    # scan runs on ≤3 of 32 cores — an input-file artifact, PERF.md). The
+    # pool rewrites it the way any production table is laid out — multiple
+    # files — so the scan parallelizes; both entries are scan-decode-bound
+    # (measured: decimal 0.68→0.29 s, percentiles 0.90→0.47 s).
+    "decimal_arithmetic": (("lineitem",), 1),
+    "percentile_aggs": (("lineitem",), 1),
 }
 
 #: Entries whose fn() legitimately runs a small eager Spark job while
@@ -201,7 +210,10 @@ def build_replica_pool(
 
     from velostream_spark.session import load_tables
 
-    root = tempfile.mkdtemp(prefix="vs-bench-pool-")
+    # Pool lives in /dev/shm when available (same scratch the streaming
+    # runner uses): replica reads measure scan/decode, not /tmp disk I/O.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="vs-bench-pool-", dir=shm)
     table_reps = {(t, rep) for tables, rep in needs for t in tables}
     if not table_reps:
         return root, {}
@@ -213,6 +225,11 @@ def build_replica_pool(
         reps = spark.range(rep).select(F.col("id").alias("rep"))
         offs = {c: dom_max[_KEY_DOMAIN[c]] + 1 for c in _SHIFT_COLS[t]}
         dst = os.path.join(root, f"{t}_x{rep}.parquet")
+        # repartition(32): write a realistic multi-file layout (the base
+        # parquet is a single row group — unsplittable — which caps any
+        # scan of it at 1-3 tasks; production tables at 100 TB are always
+        # many files). For rep=1 the rep column is constant 0, so every
+        # value is bit-identical to the source — pure layout change.
         (
             df.crossJoin(F.broadcast(reps))
             .select(
@@ -223,6 +240,7 @@ def build_replica_pool(
                     for c in df.columns
                 ]
             )
+            .repartition(32)
             .write.mode("overwrite")
             .parquet(dst)
         )
@@ -274,7 +292,7 @@ def main() -> None:
             if entry is None:
                 continue
             tables, rep = amortized.get(name, (None, 1))
-            sf_dir = rep_dirs[(tables, rep)] if rep > 1 else SF_DIR
+            sf_dir = rep_dirs.get((tables, rep), SF_DIR)
             best = float("inf")
             # streaming entries carry checkpoint/state-store init whose
             # jitter can double a single run — one extra run stabilizes
