@@ -73,28 +73,129 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_audio_energy",
-    oracle=None,
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+             octet_length(CAST(text AS BLOB)) // 256 AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, h, CAST(c.i AS INT) AS chunk_idx
+      FROM b CROSS JOIN UNNEST(range(b.n)) AS c(i)
+    ),
+    bytes AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substring(h, (chunk_idx * 256 + p.j) * 2 + 1, 2))::INTEGER
+                 AS v
+      FROM chunks CROSS JOIN (SELECT UNNEST(range(256)) AS j) p
+    )
+    SELECT doc_id, chunk_idx,
+           ROUND(sqrt(AVG(CAST(v AS DOUBLE) * v)), 6) AS energy
+    FROM bytes GROUP BY doc_id, chunk_idx
+    """,
     tags=("pipeline", "multimodal", "audio"),
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chunk RMS energy over raw payload bytes (fake PCM codec) via
-    vectorized mapInPandas. Rows-only driver check; the numpy math is
-    pinned by pytest."""
+    vectorized mapInPandas. The byte math is pure arithmetic, so it gets a
+    full DuckDB oracle (bytes recovered via hex(); energy rounded to 6 on
+    both sides — numpy's pairwise mean and SQL AVG agree to ~1e-11, far
+    inside the rounding); the numpy path is additionally pinned by pytest."""
     t = tables(spark, sf_dir)
     media = multimodal.attach_media(t["documents"], "text")
-    return multimodal.audio_chunk_energy(media)
+    return multimodal.audio_chunk_energy(media).withColumn(
+        "energy", F.round("energy", 6)
+    )
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+                    n_queries: int = 20) -> str:
+    """DuckDB oracle for the DETERMINISTIC-index IVF path. Every step of
+    similarity.ivf_topk with even-spaced centroids is pure, SQL-expressible
+    arithmetic: centroid ids snap each of K evenly spaced id targets to the
+    nearest actual id (tie → smaller id); centroid j = j-th smallest chosen
+    id; corpus vectors go to their argmax-cosine cell (tie → lower j, numpy
+    argmax); queries probe their top-nprobe cells (stable argsort → lower j
+    first); exact cosine re-rank within probed cells, ties by neighbor_id.
+    So "approximate" ANN here still has an exact oracle — the approximation
+    is in the INDEX DESIGN, not in any runtime nondeterminism."""
+    return f"""
+    WITH bounds AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+    targets AS (
+      SELECT DISTINCT lo + ((hi - lo) * g.i) // {n_centroids} AS t
+      FROM bounds, (SELECT UNNEST(range({n_centroids})) AS i) g
+    ),
+    snap AS (
+      SELECT t, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY t
+                                ORDER BY ABS(vec_id - t), vec_id) AS rn
+      FROM targets CROSS JOIN embeddings
+    ),
+    chosen AS (SELECT DISTINCT vec_id FROM snap WHERE rn = 1),
+    cents AS (
+      SELECT e.vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS INT) AS j,
+             e.embedding::DOUBLE[] AS cv,
+             GREATEST(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])), 1e-30)
+                 AS cnorm
+      FROM embeddings e JOIN chosen USING (vec_id)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus_cell AS (
+      SELECT vec_id, v, j AS cell FROM (
+        SELECT c.vec_id, c.v, ct.j,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_dot_product(c.v, ct.cv)
+                                           / ct.cnorm DESC, ct.j) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+    q_cells AS (
+      SELECT query_id, qv, j AS cell FROM (
+        SELECT q.query_id, q.qv, ct.j,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_dot_product(q.qv, ct.cv)
+                                           / ct.cnorm DESC, ct.j) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT qc.query_id, cc.vec_id AS neighbor_id,
+             CASE WHEN sqrt(list_dot_product(cc.v, cc.v))
+                       * sqrt(list_dot_product(qc.qv, qc.qv)) > 0
+                  THEN list_dot_product(cc.v, qc.qv)
+                       / GREATEST(sqrt(list_dot_product(cc.v, cc.v))
+                                  * sqrt(list_dot_product(qc.qv, qc.qv)), 1e-30)
+                  ELSE 0.0 END AS _cos
+      FROM corpus_cell cc JOIN q_cells qc ON cc.cell = qc.cell
+      WHERE cc.vec_id <> qc.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY _cos DESC, neighbor_id)
+                  AS INTEGER) AS rank,
+             ROUND(_cos, 6) AS cos_sim
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+    """
 
 
 @query(
     "ann_ivf_topk",
-    oracle=None,
+    oracle=_ann_ivf_oracle(),
     tags=("pipeline", "similarity", "ann", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: 16 deterministic inverted lists,
-    4-probe search, exact re-rank within probed cells. Approximate by
-    design → rows-only driver check; recall vs brute force is asserted in
-    pytest (test_multimodal_ivf.py)."""
+    4-probe search, exact re-rank within probed cells. The even-spaced
+    index is fully deterministic, so the whole probe/re-rank path has an
+    exact DuckDB oracle (_ann_ivf_oracle); recall vs brute force is
+    additionally asserted in pytest (test_multimodal_ivf.py)."""
     from velostream_spark.registry import memo_plan
 
     t = tables(spark, sf_dir)
