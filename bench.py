@@ -103,6 +103,12 @@ AMORTIZED = {
     "streaming_session_join": (("events",), 48),
     "ranking_functions": (("orders",), 16),
     "session_window": (("events",), 16),
+    # tumbling/sliding/having: same floor-dominated shape as session_window
+    # (wall ~0.13-0.20 s where the 100-150K-row agg itself is <0.05 s);
+    # aggregation is map-side combined so work stays linear in rows.
+    "tumbling_window": (("events",), 16),
+    "sliding_window": (("events",), 16),
+    "group_by_having": (("orders",), 16),
     # stream_table_join: replicate the fact (orders) and the first dim
     # (customer — cust domain shared with o_custkey so the broadcast join
     # stays hit-for-hit); nation/region are 25/5-row leaf dims read at 1×
