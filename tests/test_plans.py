@@ -234,3 +234,81 @@ def test_scalar_exists_fused_single_lineitem_scan(spark):
     assert "SortMergeJoin" not in plan, plan
     # the long-cents SUM must be map-side combined
     assert plan.count("HashAggregate") >= 2, plan
+
+
+# --------------------------------------------------------------------------
+# Round-6 rotation batch 3: every newly gated batch entry carries a plan pin
+# --------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_is_keyed_shingle_join(spark):
+    # inverted-index join on shingle: candidate generation must stay a
+    # keyed equi-join (explode → join on shingle), never an all-pairs plan
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # shingle explode
+    assert "BroadcastHashJoin" in plan or "hashpartitioning" in plan, plan
+
+
+def test_dedup_canonical_no_cartesian(spark):
+    # canonical filter = documents ⋈ components on doc_id. Both sides are
+    # corpus-sized at 100 TB, so a keyed shuffle join (SMJ/shuffled-hash)
+    # is the CORRECT scale plan here — forbid only all-pairs shapes.
+    plan = plan_of(spark, "dedup_canonical")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_rolling_fingerprint_pure_codegen(spark):
+    # rolling hash is Catalyst expression arithmetic — no Python stage,
+    # no shuffle (per-row computation over one scan)
+    df = all_queries()["rolling_fingerprint"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "*(" in plan or "AdaptiveSparkPlan" in plan, plan
+
+
+def test_multimodal_frame_sample_pure_catalyst(spark):
+    # frame sampling = sequence/explode/substring — no Python in the plan
+    plan = plan_of(spark, "multimodal_frame_sample")
+    assert "Generate" in plan, plan  # per-frame explode
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_dialect_functions_select_no_python_no_shuffle(spark):
+    # the dialect's function rewrite must land on built-in Catalyst
+    # expressions: a SELECT of scalar functions is one scan, zero
+    # exchanges, zero Python
+    df = all_queries()["dialect_functions_select"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_dialect_rows_window_over_routes_bounded_to_windowexec(spark):
+    # bounded ROWS WINDOW input routes to native WindowExec (one window
+    # exchange), not the stateful streaming op
+    plan = plan_of(spark, "dialect_rows_window_over")
+    assert "Window" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    for node in ("FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_ann_brute_force_is_broadcast_not_shuffled_cartesian(spark):
+    # the intentional exact all-pairs baseline: the tiny query side must
+    # BROADCAST into the corpus scan (BroadcastNestedLoopJoin), never a
+    # shuffled cartesian; top-k per query stays a bounded Window
+    plan = plan_of(spark, "ann_brute_force_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
