@@ -113,3 +113,37 @@ def test_decimal_arithmetic_entry_values_and_plan(spark):
     # multiply should appear before the aggregate's partial sums
     scan_to_partial = plan.split("HashAggregate")[0]
     assert "Decimal(" not in scan_to_partial, scan_to_partial
+
+
+def test_from_scaled_exact_at_all_scales_vs_decimal(spark):
+    """Round-6 advice regression: from_scaled must be an EXACT scale shift
+    at any supported scale (a single decimal division pre-rounds at 6
+    fractional digits for scale > 6 under Spark's allowPrecisionLoss —
+    the quotient/remainder split must not). Adversarial values: rounding
+    boundaries, ±10^k neighbors, i64 extremes, large DECIMAL(38,0) sums
+    within the documented |v| < 10^35 domain — all compared bit-for-bit
+    against Python Decimal."""
+    import decimal
+    from decimal import Decimal
+
+    decimal.getcontext().prec = 60  # don't let the ORACLE round at 28 digits
+    vals = sorted({
+        0, 1, -1, 5, -5, 49, 50, 51, 499, 500, 501,
+        10**6 - 1, 10**6, 10**6 + 1, 123450000005000, -123450000005000,
+        5 * 10**11, 5 * 10**11 + 1, 5 * 10**11 - 1,
+        9_223_372_036_854_775_807, -9_223_372_036_854_775_808,
+        10**22 + 7, -(10**22 + 7), 10**30 + 123456789, 10**34,
+    })
+    for scale in (0, 1, 4, 6, 7, 8, 12, 17):
+        bound = 10 ** (min(32 + scale, 35))  # documented domain
+        in_domain = [v for v in vals if abs(v) < bound]
+        df = spark.createDataFrame(
+            [(str(v),) for v in in_domain], "s string"
+        ).select(F.col("s").cast("decimal(38,0)").alias("v"))
+        got = df.select("v", from_scaled(F.col("v"), scale).alias("d")).collect()
+        for r in got:
+            v = int(r["v"])
+            want = Decimal(v) / Decimal(10**scale)
+            assert r["d"] is not None and Decimal(str(r["d"])) == want, (
+                scale, v, r["d"], want,
+            )

@@ -71,10 +71,14 @@ def from_scaled(col: Column, scale: int) -> Column:
     (pure integer ops), and ``q + r/10^s`` where the remainder division
     IS exact because r's precision is small (|r| < 2*10^s, so the result
     decimal((s+2)+fs, fs) fits under 38 without precision loss).
-    Domain: |scaled value| < 10^35 (quotient capped at decimal(38-fs-1, 0))
-    — far above any reachable ``scaled_sum`` (i64 rows × 10^13-row groups
-    ≈ 10^32). Exactness vs Python Decimal pinned in
-    tests/test_scaled_integer.py for scales 4/8/12.
+    Domain: |scaled value| < 10^(min(32+scale, 35)) — Spark's division
+    rule caps any decimal quotient at 32 integer digits, and the final
+    addition caps the unscaled result at 10^(35-scale) for scale > 3.
+    Both are far above any reachable ``scaled_sum`` (i64 per-row values ×
+    10^13-row groups ≈ 10^32 at scale 12). Out-of-domain values overflow
+    (raise under ANSI, NULL under the permissive reference dialect — the
+    same contract as scaled_mul). Exactness vs Python Decimal pinned in
+    tests/test_scaled_integer.py across scales 0-17.
     """
     if scale == 0:
         return col.cast("decimal(38,0)")
