@@ -298,7 +298,10 @@ def main() -> None:
             if entry is None:
                 continue
             tables, rep = amortized.get(name, (None, 1))
-            sf_dir = rep_dirs.get((tables, rep), SF_DIR)
+            # amortized entries MUST resolve their combo dir — a silent
+            # fallback to the 1× base dir while still dividing by rep
+            # would publish a rep×-flattering number
+            sf_dir = SF_DIR if tables is None else rep_dirs[(tables, rep)]
             best = float("inf")
             # streaming entries carry checkpoint/state-store init whose
             # jitter can double a single run — one extra run stabilizes

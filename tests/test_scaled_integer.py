@@ -126,24 +126,45 @@ def test_from_scaled_exact_at_all_scales_vs_decimal(spark):
     import decimal
     from decimal import Decimal
 
-    decimal.getcontext().prec = 60  # don't let the ORACLE round at 28 digits
-    vals = sorted({
+    base_vals = {
         0, 1, -1, 5, -5, 49, 50, 51, 499, 500, 501,
         10**6 - 1, 10**6, 10**6 + 1, 123450000005000, -123450000005000,
         5 * 10**11, 5 * 10**11 + 1, 5 * 10**11 - 1,
         9_223_372_036_854_775_807, -9_223_372_036_854_775_808,
         10**22 + 7, -(10**22 + 7), 10**30 + 123456789, 10**34,
-    })
-    for scale in (0, 1, 4, 6, 7, 8, 12, 17):
-        bound = 10 ** (min(32 + scale, 35))  # documented domain
-        in_domain = [v for v in vals if abs(v) < bound]
-        df = spark.createDataFrame(
-            [(str(v),) for v in in_domain], "s string"
-        ).select(F.col("s").cast("decimal(38,0)").alias("v"))
-        got = df.select("v", from_scaled(F.col("v"), scale).alias("d")).collect()
-        for r in got:
-            v = int(r["v"])
-            want = Decimal(v) / Decimal(10**scale)
-            assert r["d"] is not None and Decimal(str(r["d"])) == want, (
-                scale, v, r["d"], want,
-            )
+    }
+    # localcontext: 60-digit ORACLE precision without leaking a mutated
+    # global decimal context into later tests in this process
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for scale in (0, 1, 4, 6, 7, 8, 12, 17):
+            # documented domain: |v| < 10^(min(31+scale, 35)) - 10^scale;
+            # pin BOTH signed boundary values explicitly
+            bound = 10 ** (min(31 + scale, 35)) - 10**scale
+            vals = base_vals | {bound - 1, -(bound - 1)}
+            in_domain = sorted(v for v in vals if abs(v) < bound)
+            df = spark.createDataFrame(
+                [(str(v),) for v in in_domain], "s string"
+            ).select(F.col("s").cast("decimal(38,0)").alias("v"))
+            got = df.select(
+                "v", from_scaled(F.col("v"), scale).alias("d")
+            ).collect()
+            for r in got:
+                v = int(r["v"])
+                want = Decimal(v) / Decimal(10**scale)
+                assert r["d"] is not None and Decimal(str(r["d"])) == want, (
+                    scale, v, r["d"], want,
+                )
+
+
+def test_spark_decimal_negation_off_by_one_at_35_digits(spark):
+    """Documents the Spark quirk that forbids an abs()-based from_scaled:
+    decimal negation (UnaryMinus, and abs() which routes through it) is
+    off by ONE for negative inputs of >= 35 digits. If this test ever
+    FAILS, upstream fixed it and from_scaled may use abs() again."""
+    df = spark.createDataFrame([(str(-(10**35 - 1)),)], "s string").select(
+        F.col("s").cast("decimal(38,0)").alias("v")
+    )
+    r = df.select((-F.col("v")).alias("neg"), F.abs("v").alias("abs")).collect()[0]
+    assert int(r["neg"]) == 10**35, r  # wrong value, pinned on purpose
+    assert int(r["abs"]) == 10**35, r  # (exact would be 10**35 - 1)

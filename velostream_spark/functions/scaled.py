@@ -69,16 +69,25 @@ def from_scaled(col: Column, scale: int) -> Column:
     ``q = floor(v / 10^s)`` (a ±1 error from the rounded division is
     harmless, the remainder absorbs it exactly), ``r = v - q*10^s``
     (pure integer ops), and ``q + r/10^s`` where the remainder division
-    IS exact because r's precision is small (|r| < 2*10^s, so the result
-    decimal((s+2)+fs, fs) fits under 38 without precision loss).
-    Domain: |scaled value| < 10^(min(32+scale, 35)) — Spark's division
-    rule caps any decimal quotient at 32 integer digits, and the final
-    addition caps the unscaled result at 10^(35-scale) for scale > 3.
-    Both are far above any reachable ``scaled_sum`` (i64 per-row values ×
-    10^13-row groups ≈ 10^32 at scale 12). Out-of-domain values overflow
-    (raise under ANSI, NULL under the permissive reference dialect — the
-    same contract as scaled_mul). Exactness vs Python Decimal pinned in
-    tests/test_scaled_integer.py across scales 0-17.
+    IS exact because r's precision is small (0 <= r < 10^s plus the ±1
+    floor slack, so the result decimal((s+2)+fs, fs) fits under 38
+    without precision loss). The identity q + (v - q*10^s)/10^s == v/10^s
+    holds for ANY q, so floor's round-toward-negative-infinity on
+    negative values costs nothing — the remainder absorbs it exactly.
+    (Deliberately NOT computed via abs()/unary-minus: Spark's decimal
+    negation is off by one for negative values of 35+ digits —
+    UnaryMinus(-(10^35-1)) returns 10^35; pinned in
+    tests/test_scaled_integer.py so an eventual upstream fix is visible.)
+    Domain: |scaled value| < 10^(min(31+scale, 35)) - 10^scale — Spark's
+    division rule caps the quotient at 31 integer digits when the result
+    scale floors at 6 (scales <= 4), the exact final addition caps the
+    unscaled result at 10^(35-scale) above that, and the last 10^scale is
+    floor's ±1 headroom on negatives. All far above any reachable
+    ``scaled_sum`` (i64 per-row values × 10^13-row groups ≈ 10^32 at
+    scale 12). Out-of-domain values overflow (raise under ANSI, NULL
+    under the permissive reference dialect — the same contract as
+    scaled_mul). Exactness vs Python Decimal pinned across scales 0-17 at
+    both signed domain boundaries in tests/test_scaled_integer.py.
     """
     if scale == 0:
         return col.cast("decimal(38,0)")

@@ -268,7 +268,11 @@ def ivf_assign(
             if pdf.empty:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            s = v @ cnT  # (n, K)
+            # round scores to 6 before choosing cells: assignment at a
+            # ~1e-16 near-tie must not depend on summation order (BLAS
+            # pairwise here vs sequential in the DuckDB oracle); ties
+            # break on the lower cell index in both engines
+            s = np.round(v @ cnT, 6)  # (n, K)
             if nprobe == 1:
                 cells = np.argmax(s, axis=1)[:, None]
             else:
@@ -326,14 +330,20 @@ def ivf_topk(
         v = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
         qv = np.asarray(pdf["_qv"].iloc[0], dtype=np.float64)
         nv = np.linalg.norm(v, axis=1) * np.linalg.norm(qv)
-        cos = np.where(nv > 0, (v @ qv) / np.maximum(nv, 1e-30), 0.0)
+        # rank on the ROUNDED cosine (ties → lower neighbor_id): the
+        # emitted cos_sim is rounded anyway, and ranking pre-rounding
+        # would let a ~1e-16 summation-order difference flip ranks vs
+        # the oracle at a near-tie
+        cos = np.round(
+            np.where(nv > 0, (v @ qv) / np.maximum(nv, 1e-30), 0.0), 6
+        )
         order = np.lexsort((pdf["neighbor_id"].to_numpy(), -cos))[:k]
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].to_numpy()[order],
                 "neighbor_id": pdf["neighbor_id"].to_numpy()[order],
                 "rank": np.arange(1, len(order) + 1, dtype="int32"),
-                "cos_sim": np.round(cos[order], 6),
+                "cos_sim": cos[order],
             }
         )
 

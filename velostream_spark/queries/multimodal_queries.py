@@ -118,7 +118,11 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
     argmax); queries probe their top-nprobe cells (stable argsort → lower j
     first); exact cosine re-rank within probed cells, ties by neighbor_id.
     So "approximate" ANN here still has an exact oracle — the approximation
-    is in the INDEX DESIGN, not in any runtime nondeterminism."""
+    is in the INDEX DESIGN, not in any runtime nondeterminism. Both
+    engines round every score to 6 digits BEFORE ordering (ties → lower
+    cell index / neighbor id), so a ~1e-16 summation-order difference
+    between numpy's pairwise dot and DuckDB's sequential list_dot_product
+    can never flip a cell assignment or a rank at a near-tie."""
     return f"""
     WITH bounds AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
     targets AS (
@@ -146,8 +150,9 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
       SELECT vec_id, v, j AS cell FROM (
         SELECT c.vec_id, c.v, ct.j,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                                  ORDER BY list_dot_product(c.v, ct.cv)
-                                           / ct.cnorm DESC, ct.j) AS rn
+                                  ORDER BY ROUND(list_dot_product(c.v, ct.cv)
+                                                 / ct.cnorm, 6) DESC, ct.j)
+                   AS rn
         FROM corpus c CROSS JOIN cents ct
       ) WHERE rn = 1
     ),
@@ -157,19 +162,21 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
       SELECT query_id, qv, j AS cell FROM (
         SELECT q.query_id, q.qv, ct.j,
                ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                  ORDER BY list_dot_product(q.qv, ct.cv)
-                                           / ct.cnorm DESC, ct.j) AS rn
+                                  ORDER BY ROUND(list_dot_product(q.qv, ct.cv)
+                                                 / ct.cnorm, 6) DESC, ct.j)
+                   AS rn
         FROM q CROSS JOIN cents ct
       ) WHERE rn <= {nprobe}
     ),
     scored AS (
       SELECT qc.query_id, cc.vec_id AS neighbor_id,
-             CASE WHEN sqrt(list_dot_product(cc.v, cc.v))
-                       * sqrt(list_dot_product(qc.qv, qc.qv)) > 0
-                  THEN list_dot_product(cc.v, qc.qv)
-                       / GREATEST(sqrt(list_dot_product(cc.v, cc.v))
-                                  * sqrt(list_dot_product(qc.qv, qc.qv)), 1e-30)
-                  ELSE 0.0 END AS _cos
+             ROUND(CASE WHEN sqrt(list_dot_product(cc.v, cc.v))
+                             * sqrt(list_dot_product(qc.qv, qc.qv)) > 0
+                        THEN list_dot_product(cc.v, qc.qv)
+                             / GREATEST(sqrt(list_dot_product(cc.v, cc.v))
+                                        * sqrt(list_dot_product(qc.qv, qc.qv)),
+                                        1e-30)
+                        ELSE 0.0 END, 6) AS _cos
       FROM corpus_cell cc JOIN q_cells qc ON cc.cell = qc.cell
       WHERE cc.vec_id <> qc.query_id
     ),
@@ -178,7 +185,7 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY _cos DESC, neighbor_id)
                   AS INTEGER) AS rank,
-             ROUND(_cos, 6) AS cos_sim
+             _cos AS cos_sim
       FROM scored
     )
     SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}

@@ -139,11 +139,18 @@ _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.realpath(sf_dir), name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # mtime in the key: a table REWRITTEN in place within one application
+    # (tmp dirs in tests) must not be served from the stale file index —
+    # rewriting the file/dir updates its mtime and misses the memo.
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (app_id, os.path.realpath(sf_dir), name, mtime)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
-    path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
         # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
@@ -155,8 +162,18 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    for k in [k for k in _TABLE_MEMO if k[0] != app_id]:
+    # evict other sessions' entries, superseded versions of THIS table
+    # (same dir+name, older mtime), and — as a growth bound for long
+    # multi-dir pytest apps — everything beyond 256 entries (FIFO).
+    stale = [
+        k
+        for k in _TABLE_MEMO
+        if k[0] != app_id or (k[1], k[2]) == (key[1], key[2])
+    ]
+    for k in stale:
         del _TABLE_MEMO[k]
+    while len(_TABLE_MEMO) >= 256:
+        del _TABLE_MEMO[next(iter(_TABLE_MEMO))]
     _TABLE_MEMO[key] = df
     return df
 
