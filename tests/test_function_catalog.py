@@ -300,3 +300,13 @@ def test_timestamp_function(eng):
         2026, 3, 5, 12, 30, 45
     )
     assert _one(eng, "TIMESTAMP()") is not None
+
+
+def test_concat_ignores_nulls_like_reference(eng):
+    """functions.rs:1419-1437: CONCAT skips NULL arguments and stringifies
+    scalars — Spark's native concat() would return NULL for any NULL arg,
+    so the dialect rewrites CONCAT → concat_ws('')."""
+    assert _one(eng, "CONCAT('a', NULL, 'b')") == "ab"
+    assert _one(eng, "CONCAT(NULL, NULL)") == ""
+    assert _one(eng, "CONCAT('n=', i)") == "n=1"
+    assert _one(eng, "CONCAT('v', CONCAT(NULL, i))") == "v1"

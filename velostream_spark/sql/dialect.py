@@ -682,14 +682,27 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         return "transform(headers, h -> h.key)"
     if u == "SET_HEADER" and len(args) == 2:
         # upsert: drop any existing entry for the key, append the new one
-        # (processor_types.rs header_mutations Set)
+        # (processor_types.rs header_mutations Set). array_append, not
+        # concat: the rewrite loop re-scans replacements, and an emitted
+        # concat( would be re-rewritten by the CONCAT → concat_ws rule.
         return (
-            f"concat(coalesce(filter(headers, h -> h.key != {args[0]}), "
-            f"array()), array(named_struct('key', {args[0]}, 'value', "
-            f"CAST({args[1]} AS BINARY))))"
+            f"array_append(coalesce(filter(headers, h -> h.key != {args[0]}), "
+            f"array()), named_struct('key', {args[0]}, 'value', "
+            f"CAST({args[1]} AS BINARY)))"
         )
     if u == "REMOVE_HEADER" and len(args) == 1:
         return f"filter(headers, h -> h.key != {args[0]})"
+    if u == "CONCAT":
+        # The reference's CONCAT IGNORES NULL arguments and stringifies
+        # scalars (functions.rs:1419-1437: "NULL values are ignored in
+        # CONCAT") — Spark's concat() returns NULL if ANY argument is
+        # NULL. concat_ws('') reproduces the skip-NULLs fold; explicit
+        # CASTs admit non-string args. (DuckDB's CONCAT also skips NULLs,
+        # so oracles agree.) Zero args → '' (functions.rs:1421).
+        if not args:
+            return "''"
+        casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
+        return f"concat_ws('', {casted})"
     if u == "JOIN" and len(args) == 2:
         # the reference's array-join (functions.rs:3448). Guarded in
         # _rewrite_functions against JOIN-clause parentheses.
@@ -723,7 +736,7 @@ _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
-    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP)\s*\("
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT)\s*\("
 )
 
 
