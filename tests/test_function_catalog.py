@@ -310,3 +310,21 @@ def test_concat_ignores_nulls_like_reference(eng):
     assert _one(eng, "CONCAT(NULL, NULL)") == ""
     assert _one(eng, "CONCAT('n=', i)") == "n=1"
     assert _one(eng, "CONCAT('v', CONCAT(NULL, i))") == "v1"
+
+
+def test_date_format_accepts_strftime_patterns(eng):
+    """functions.rs:2377-2403 formats through chrono strftime, and the
+    reference's SQL corpus writes DATE_FORMAT(ts, '%Y-%m-%d ...') — the
+    dialect translates strftime to Spark's Java patterns (Java would
+    throw or emit garbage on a bare %Y)."""
+    assert _one(eng, "DATE_FORMAT(ts, '%Y-%m-%d %H:%M:%S')") == (
+        "2026-03-05 12:30:45"
+    )
+    assert _one(eng, "DATE_FORMAT(ts, '%Y-%m')") == "2026-03"
+    assert _one(eng, "DATE_FORMAT(ts, '%Y-%m-%d %H:00:00')") == (
+        "2026-03-05 12:00:00"
+    )
+    assert _one(eng, "DATE_FORMAT(ts, '%a, %b %d, %Y')") == "Thu, Mar 05, 2026"
+    assert _one(eng, "DATE_FORMAT(ts, '%I:%M %p')") == "12:30 PM"
+    # Java-style literals (no %) still pass through untouched
+    assert _one(eng, "DATE_FORMAT(ts, 'yyyy-MM-dd')") == "2026-03-05"

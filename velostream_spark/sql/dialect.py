@@ -593,6 +593,63 @@ def _epoch_extract(x: str) -> str:
     return f"unix_timestamp({inner})"
 
 
+#: chrono strftime directive → Java DateTimeFormatter pattern (the subset
+#: the reference corpus uses plus the common rest of chrono's table).
+#: Unmapped directives stay literal (quoted) rather than guessing.
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "h": "MMM", "B": "MMMM",
+    "p": "a", "P": "a", "j": "DDD", "Z": "zzz", "z": "xx",
+    "f": "SSSSSSSSS", "3f": "SSS", "6f": "SSSSSS", "9f": "SSSSSSSSS",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """chrono strftime → Java DateTimeFormatter pattern, with literal runs
+    containing ASCII letters single-quoted (Java treats bare letters as
+    pattern letters; strftime treats them as literals)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        lit.clear()
+        if re.search(r"[A-Za-z]", run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            lit.append("%")
+            break
+        nxt = fmt[i + 1]
+        if nxt == "%":
+            lit.append("%")
+            i += 2
+            continue
+        key = fmt[i + 1 : i + 3] if nxt in "369" else nxt
+        mapped = _STRFTIME_MAP.get(key)
+        if mapped is None:
+            lit.append("%" + key)  # unknown directive: keep literal
+        else:
+            flush()
+            out.append(mapped)
+        i += 1 + len(key)
+    flush()
+    return "".join(out)
+
+
 def _rewrite_call(name: str, args: list[str]) -> str | None:
     """Call-shape rewrites (argument-aware). Return None to keep as-is."""
     u = name.upper()
@@ -709,6 +766,20 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         return f"array_join({args[0]}, {args[1]})"
     if u == "ARRAY_LENGTH" and len(args) == 1:
         return f"size({args[0]})"
+    if u == "DATE_FORMAT" and len(args) == 2:
+        # The reference formats through chrono's strftime (functions.rs:
+        # 2377-2403: dt.format(&format)), so its corpus writes
+        # DATE_FORMAT(ts, '%Y-%m-%d %H:%M:%S') — Spark's date_format takes
+        # Java DateTimeFormatter patterns, where % + pattern-letter either
+        # throws or formats garbage. Translate literal strftime formats;
+        # Java-style literals (no %) pass through unchanged.
+        lit = re.match(r"^'((?:[^']|'')*)'$", args[1])
+        if lit and "%" in lit.group(1):
+            return (
+                f"date_format({args[0]}, "
+                f"'{_strftime_to_java(lit.group(1))}')"
+            )
+        return None
     if u == "TIMESTAMP" and len(args) == 0:
         # zero-arg TIMESTAMP() = the record's processing timestamp
         # (functions.rs:3533, StreamRecord.timestamp) — wall clock at
@@ -736,7 +807,7 @@ _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
-    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT)\s*\("
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT)\s*\("
 )
 
 
