@@ -328,3 +328,12 @@ def test_date_format_accepts_strftime_patterns(eng):
     assert _one(eng, "DATE_FORMAT(ts, '%I:%M %p')") == "12:30 PM"
     # Java-style literals (no %) still pass through untouched
     assert _one(eng, "DATE_FORMAT(ts, 'yyyy-MM-dd')") == "2026-03-05"
+
+
+def test_split_treats_delimiter_literally(eng):
+    """functions.rs split_function: s.split(&d) is a LITERAL split; Spark's
+    split() is regex. '.' and '|' are the classic foot-guns."""
+    assert _one(eng, "SPLIT('a.b.c', '.')") == ["a", "b", "c"]
+    assert _one(eng, "SPLIT('x|y|z', '|')") == ["x", "y", "z"]
+    assert _one(eng, "SPLIT(s, ',')", "i = 3") == ["velo", "stream", "sql"]
+    assert _one(eng, "JOIN(SPLIT('a.b', '.'), '-')") == "a-b"

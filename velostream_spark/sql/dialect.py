@@ -760,6 +760,18 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             return "''"
         casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
         return f"concat_ws('', {casted})"
+    if u == "SPLIT" and len(args) == 2:
+        # The reference splits on a LITERAL delimiter (functions.rs
+        # split_function: s.split(&d)); Spark's split() treats the
+        # delimiter as a Java regex, so SPLIT(s, '.') or '|' would
+        # explode per character. \Q...\E quotes the delimiter literally
+        # and works for non-literal (column) delimiters too. concat_ws,
+        # not concat: the rewrite loop re-scans replacements and a bare
+        # concat( would hit the CONCAT rule above; the guard keeps the
+        # already-rewritten form stable on re-scan.
+        if args[1].lstrip().startswith("concat_ws('', '\\\\Q'"):
+            return None
+        return f"split({args[0]}, concat_ws('', '\\\\Q', {args[1]}, '\\\\E'))"
     if u == "JOIN" and len(args) == 2:
         # the reference's array-join (functions.rs:3448). Guarded in
         # _rewrite_functions against JOIN-clause parentheses.
@@ -807,7 +819,7 @@ _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
-    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT)\s*\("
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT)\s*\("
 )
 
 
