@@ -337,3 +337,22 @@ def test_split_treats_delimiter_literally(eng):
     assert _one(eng, "SPLIT('x|y|z', '|')") == ["x", "y", "z"]
     assert _one(eng, "SPLIT(s, ',')", "i = 3") == ["velo", "stream", "sql"]
     assert _one(eng, "JOIN(SPLIT('a.b', '.'), '-')") == "a-b"
+
+
+def test_regexp_replace_flags_and_first_match_default(eng):
+    """functions.rs:784-867: REGEXP_REPLACE replaces the FIRST match by
+    default and takes flags ('g' global, 'i' case-insensitive). Spark's
+    4th arg is a position int, so the corpus's (x, p, r, 'g') form used
+    to return NULL silently, and the 3-arg form replaced all matches."""
+    assert _one(eng, "REGEXP_REPLACE('b4n4n4', '[0-9]', 'x', 'g')") == "bxnxnx"
+    assert _one(eng, "REGEXP_REPLACE('b4n4n4', '[0-9]', 'x')") == "bxn4n4"
+    assert _one(eng, "REGEXP_REPLACE('b4n4n4', 'B', 'Z', 'gi')") == "Z4n4n4"
+    assert _one(eng, "REGEXP_REPLACE('b4n4n4', 'N', 'Z', 'i')") == "b4Z4n4"
+    # literal $N backrefs survive the head-group shift
+    assert _one(eng, "REGEXP_REPLACE('ab', '(a)', '[$1]')") == "[a]b"
+    assert _one(eng, "REGEXP_REPLACE('xbyb', 'b|y', '_')") == "x_yb"
+    assert _one(eng, "REGEXP_REPLACE('abc', 'zz', 'x')") == "abc"
+    # corpus shape (data cleaning): strip non-digits globally
+    assert _one(
+        eng, "REGEXP_REPLACE('(555) 123-4567', '[^0-9]', '', 'g')"
+    ) == "5551234567"

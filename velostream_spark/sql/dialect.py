@@ -765,13 +765,67 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # split_function: s.split(&d)); Spark's split() treats the
         # delimiter as a Java regex, so SPLIT(s, '.') or '|' would
         # explode per character. \Q...\E quotes the delimiter literally
-        # and works for non-literal (column) delimiters too. concat_ws,
-        # not concat: the rewrite loop re-scans replacements and a bare
-        # concat( would hit the CONCAT rule above; the guard keeps the
-        # already-rewritten form stable on re-scan.
-        if args[1].lstrip().startswith("concat_ws('', '\\\\Q'"):
+        # and works for non-literal (column) delimiters too. Assembled
+        # with || (null-propagating like the reference, and not a
+        # function call the rewrite loop's re-scan could re-match); the
+        # guard keeps the already-rewritten form stable on re-scan.
+        if args[1].lstrip().startswith("'\\\\Q' ||"):
             return None
-        return f"split({args[0]}, concat_ws('', '\\\\Q', {args[1]}, '\\\\E'))"
+        return f"split({args[0]}, '\\\\Q' || {args[1]} || '\\\\E')"
+    if u == "REGEXP_REPLACE" and len(args) in (3, 4):
+        # The reference's REGEXP_REPLACE (functions.rs:784-867) replaces
+        # the FIRST match by default and takes a 4th FLAGS argument
+        # ('g' = global, 'i' = case-insensitive) — its corpus always
+        # writes REGEXP_REPLACE(x, p, r, 'g'). Spark's regexp_replace
+        # always replaces ALL matches and its 4th argument is a START
+        # POSITION int, so the corpus form silently returned NULL ('g'
+        # cast to int) and the 3-arg form replaced all instead of first.
+        s_, p_, r_ = args[0], args[1], args[2]
+        # already-rewritten forms must pass through on the loop's re-scan
+        # (each emitted pattern carries a recognizable prefix; the plain
+        # 'g' case prepends an inert '' || for exactly this purpose)
+        a1 = p_.lstrip()
+        if (
+            a1.startswith("'' ||")
+            or a1.startswith("'(?i)' ||")
+            or a1.startswith("'^(")
+        ):
+            return None
+        flags = ""
+        if len(args) == 4:
+            fm = re.match(r"^'((?:[^']|'')*)'$", args[3])
+            if fm is None:
+                # a literal int IS Spark's position form — pass through;
+                # only string flags get the reference treatment
+                if re.match(r"^\d+$", args[3]):
+                    return None
+                raise ValueError(
+                    "REGEXP_REPLACE flags must be a string literal: "
+                    f"{args[3]!r}"
+                )
+            flags = fm.group(1)
+        ci = "(?i)" if "i" in flags else ""
+        if "g" in flags:
+            if ci:
+                return f"regexp_replace({s_}, '(?i)' || {p_}, {r_})"
+            return f"regexp_replace({s_}, '' || {p_}, {r_})"
+        # First-match-only: anchor a reluctant head at ^ so the pattern
+        # can match at most ONCE (replaceAll's later attempts start past
+        # position 0, where ^ fails) and paste the head back with $1.
+        # (NOT named groups: Spark substitutes ${...} in SQL text as
+        # config variables before parsing.) A LITERAL replacement's $N
+        # backrefs shift by one (the head becomes group 1).
+        rm = re.match(r"^'((?:[^']|'')*)'$", r_)
+        if rm is not None and "$" in rm.group(1):
+            shifted = re.sub(
+                r"\$(\d+)", lambda m: f"${int(m.group(1)) + 1}", rm.group(1)
+            )
+            r_ = f"'{shifted}'"
+        return (
+            f"regexp_replace({s_}, "
+            f"'^{ci}([\\\\s\\\\S]*?)(?:' || {p_} || ')', "
+            f"'$1' || {r_})"
+        )
     if u == "JOIN" and len(args) == 2:
         # the reference's array-join (functions.rs:3448). Guarded in
         # _rewrite_functions against JOIN-clause parentheses.
@@ -819,7 +873,7 @@ _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
-    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT)\s*\("
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT|REGEXP_REPLACE)\s*\("
 )
 
 
