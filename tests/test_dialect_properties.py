@@ -10,6 +10,7 @@ import re
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from velostream_spark.sql import dialect
 from velostream_spark.sql.dialect import (
     _split_top_level,
     parse_duration,
@@ -138,3 +139,44 @@ def test_paren_matching_skips_string_literals():
     # function rewriter: quoted parens in a rewritable call's args
     out2 = _rewrite_functions("SELECT JSON_EXTRACT(payload, '$.a(') AS v FROM t")
     assert out2 == "SELECT get_json_object(payload, '$.a(') AS v FROM t"
+
+
+# ---------------------------------------------------------------------------
+# Rewrite-loop termination: _rewrite_functions re-scans its replacements, so
+# any rule whose output re-matches _FN_CALL_RE must be re-scan-stable. Two
+# real bugs of this class existed transiently in round 6 (SPLIT emitting
+# concat(, REGEXP_REPLACE re-matching itself) — generate random nestings of
+# every rewritable function and require termination + idempotence.
+# ---------------------------------------------------------------------------
+
+_REWRITABLE_CALLS = st.sampled_from([
+    "CONCAT({a}, {b})",
+    "CONCAT({a}, NULL, {b})",
+    "SPLIT({a}, '.')",
+    "SPLIT({a}, {b})",
+    "SPLIT_PART({a}, ',', 2)",
+    "REGEXP_REPLACE({a}, '[0-9]', 'x', 'g')",
+    "REGEXP_REPLACE({a}, '[0-9]', 'x')",
+    "REGEXP_REPLACE({a}, {b}, 'x', 'gi')",
+    "DATE_FORMAT({a}, '%Y-%m-%d %H:%M:%S')",
+    "DATE_FORMAT({a}, 'yyyy-MM-dd')",
+    "JSON_EXTRACT({a}, '$.k')",
+    "LISTAGG({a}, ',')",
+    "JOIN({a}, '-')",
+    "ARRAY_LENGTH({a})",
+    "SET_HEADER('k', {a})",
+    "HEADER('k')",
+    "LEN({a})",
+    "NOW()",
+])
+
+
+@given(outer=_REWRITABLE_CALLS, mid=_REWRITABLE_CALLS, inner=_REWRITABLE_CALLS)
+@settings(max_examples=120, deadline=None)
+def test_rewrite_functions_terminates_and_is_idempotent(outer, mid, inner):
+    expr = outer.format(a=mid.format(a=inner.format(a="c1", b="c2"), b="c2"),
+                        b="c3")
+    sql = f"SELECT {expr} AS r FROM t"
+    once = dialect._rewrite_functions(sql)      # must terminate
+    twice = dialect._rewrite_functions(once)    # and be a fixed point
+    assert twice == once
