@@ -135,6 +135,10 @@ AMORTIZED = {
     # (measured: decimal 0.68→0.29 s, percentiles 0.90→0.47 s).
     "decimal_arithmetic": (("lineitem",), 1),
     "percentile_aggs": (("lineitem",), 1),
+    # (Extending rep=1 normalization to the remaining lineitem entries was
+    # measured and NOT adopted: their scans are lighter — fewer columns /
+    # early pruning — so the multi-file layout bought nothing there, e.g.
+    # group_by_agg 0.21→0.30-0.34 s across two runs.)
 }
 
 #: Entries whose fn() legitimately runs a small eager Spark job while
