@@ -356,3 +356,13 @@ def test_regexp_replace_flags_and_first_match_default(eng):
     assert _one(
         eng, "REGEXP_REPLACE('(555) 123-4567', '[^0-9]', '', 'g')"
     ) == "5551234567"
+
+
+def test_string_agg_default_separator_and_collect_alias(eng):
+    """aggregation/functions.rs:272-285: 1-arg STRING_AGG/GROUP_CONCAT/
+    LISTAGG joins with ',' by default (Spark's listagg default is '');
+    COLLECT is the reference's LISTAGG alias (functions.rs:3122)."""
+    assert _agg(eng, "GROUP_CONCAT(CAST(i AS STRING))") == "1,2,3,4"
+    assert _agg(eng, "LISTAGG(CAST(i AS STRING))") == "1,2,3,4"
+    assert _agg(eng, "COLLECT(CAST(i AS STRING))") == "1,2,3,4"
+    assert _agg(eng, "STRING_AGG(CAST(i AS STRING), '|')") == "1|2|3|4"

@@ -550,6 +550,7 @@ _SIMPLE_FN_RENAMES = {
     "GROUP_CONCAT": "listagg",
     "STRING_AGG": "listagg",
     "LISTAGG": "listagg",
+    "COLLECT": "listagg",  # reference alias (functions.rs:3122)
     "LEN": "length",
 }
 
@@ -653,6 +654,10 @@ def _strftime_to_java(fmt: str) -> str:
 def _rewrite_call(name: str, args: list[str]) -> str | None:
     """Call-shape rewrites (argument-aware). Return None to keep as-is."""
     u = name.upper()
+    if u in ("GROUP_CONCAT", "STRING_AGG", "LISTAGG", "COLLECT") and len(args) == 1:
+        # the reference's default separator is ',' when none is given
+        # (aggregation/functions.rs:272-285); Spark's listagg default is ''
+        return f"listagg({args[0]}, ',')"
     if u in _SIMPLE_FN_RENAMES:
         return f"{_SIMPLE_FN_RENAMES[u]}({', '.join(args)})"
     if u == "COUNT_DISTINCT":
@@ -871,7 +876,7 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
 
 _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
-    r"GROUP_CONCAT|STRING_AGG|LISTAGG|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
+    r"GROUP_CONCAT|STRING_AGG|LISTAGG|COLLECT|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
     r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT|REGEXP_REPLACE)\s*\("
 )
