@@ -909,3 +909,36 @@ def test_attach_over_skips_explicit_over_and_subqueries():
 
     s, n = _attach_over("SUM(amount) AS total, 'SUM(x)' AS lit", "__w")
     assert s == "SUM(amount) OVER __w AS total, 'SUM(x)' AS lit" and n == 1
+
+
+def test_rows_window_without_order_by_uses_arrival_order(spark):
+    """PARSER_GRAMMAR.md: PARTITION BY / ORDER BY are OPTIONAL inside
+    ROWS WINDOW. With no ORDER BY the reference buffers in arrival order;
+    the dialect injects monotonically_increasing_id() so offset/ranking
+    functions and the buffer frame survive (a bare LAG(x) OVER () is a
+    Spark analysis error)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 6)], "id int, price double"
+    )
+    eng.register_stream("grammar_t", df)
+    got = eng.execute(
+        "SELECT id, LAG(price) OVER (ROWS WINDOW BUFFER 100 ROWS) AS prev "
+        "FROM grammar_t ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["prev"]) for r in got] == [
+        (1, None), (2, 10.0), (3, 20.0), (4, 30.0), (5, 40.0),
+    ]
+    got = eng.execute(
+        "SELECT id, AVG(price) OVER (ROWS WINDOW BUFFER 3 ROWS) AS a "
+        "FROM grammar_t ORDER BY id"
+    ).collect()
+    assert [round(r["a"], 1) for r in got] == [10.0, 15.0, 20.0, 30.0, 40.0]
+    # EMIT CHANGES inside OVER: per-record running count over the buffer
+    got = eng.execute(
+        "SELECT COUNT(*) OVER (ROWS WINDOW BUFFER 1000 ROWS "
+        "PARTITION BY id % 2 EMIT CHANGES) AS c FROM grammar_t"
+    ).collect()
+    assert sorted(r["c"] for r in got) == [1, 1, 2, 2, 3]

@@ -434,11 +434,17 @@ def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
     else:
         frame = f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
     rest = rest.strip()
-    has_order = re.search(r"(?is)\bORDER\s+BY\b", rest)
-    if not has_order or (fn_name and fn_name.upper() in _NO_FRAME_FNS):
-        # Spark requires ORDER BY for a ROWS frame and forbids frames on
-        # offset/ranking functions; arrival order in the reference ≈ any
-        # deterministic order here — callers should give one.
+    if not re.search(r"(?is)\bORDER\s+BY\b", rest):
+        # No ORDER BY ⇒ the reference buffers in ARRIVAL order
+        # (ast.rs:617-652; grammar: ORDER_BY_CLAUSE optional). Spark
+        # requires an explicit ordering for ROWS frames and for the
+        # offset/ranking family (a bare `LAG(x) OVER ()` is an analysis
+        # error) — monotonically_increasing_id() is the arrival-order
+        # surrogate: partition-local and increasing in input order.
+        rest = f"{rest} ORDER BY monotonically_increasing_id()".strip()
+    if fn_name and fn_name.upper() in _NO_FRAME_FNS:
+        # Spark forbids an explicit frame on offset/ranking functions,
+        # and their buffer semantics don't depend on one.
         frame = ""
     return f"{rest} {frame}".strip()
 
