@@ -942,3 +942,31 @@ def test_rows_window_without_order_by_uses_arrival_order(spark):
         "PARTITION BY id % 2 EMIT CHANGES) AS c FROM grammar_t"
     ).collect()
     assert sorted(r["c"] for r in got) == [1, 1, 2, 2, 3]
+
+
+def test_group_by_implicit_message_key():
+    """docs/sql/KEY_CONFIGURATION.md:69-117: with no inline PRIMARY KEY,
+    GROUP BY columns become the message key (priority: PRIMARY KEY wins);
+    expressions / positional items don't qualify."""
+    from velostream_spark.sql.dialect import parse_statement
+
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT symbol, COUNT(*) AS n FROM s GROUP BY symbol"
+    )
+    assert st.key_fields == ["symbol"]
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT a.region, sym, SUM(x) AS s FROM s a "
+        "GROUP BY a.region, sym HAVING SUM(x) > 0"
+    )
+    assert st.key_fields == ["region", "sym"]
+    # PRIMARY KEY beats GROUP BY
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT symbol PRIMARY KEY, venue, COUNT(*) AS n "
+        "FROM s GROUP BY symbol, venue"
+    )
+    assert st.key_fields == ["symbol"]
+    # expression items don't produce keys
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT COUNT(*) AS n FROM s GROUP BY x % 2"
+    )
+    assert st.key_fields == []

@@ -97,6 +97,11 @@ def _load(reader, what: str) -> DataFrame:
 def message_key(df: DataFrame, key_fields: list[str]) -> DataFrame:
     """PRIMARY KEY fields → Kafka message key (FR-089, PARSER_GRAMMAR.md:
     600-610): single field = raw value; compound = pipe-delimited."""
+    # Implicit GROUP BY keys may name a grouping column the SELECT didn't
+    # project (legal SQL) — only addressable output columns can key the
+    # message; none addressable → null key (round-robin partitioning,
+    # KEY_CONFIGURATION.md:147).
+    key_fields = [k for k in key_fields or [] if k in df.columns]
     if not key_fields:
         return df.withColumn("key", F.lit(None).cast("string"))
     if len(key_fields) == 1:

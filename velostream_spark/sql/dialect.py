@@ -449,6 +449,30 @@ def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
     return f"{rest} {frame}".strip()
 
 
+def _implicit_group_by_keys(sql: str) -> list[str]:
+    """GROUP BY implicit message key (docs/sql/KEY_CONFIGURATION.md:69-117):
+    with no inline PRIMARY KEY annotation, the GROUP BY columns become the
+    Kafka message key (single column = raw value; multiple = pipe-delimited
+    — same format message_key() builds). Only plain identifier items
+    qualify (an expression or positional GROUP BY has no addressable output
+    column; qualified names take their final segment). PRIMARY KEY wins
+    when both are present (the caller only falls back when keys is empty).
+    """
+    m = re.search(
+        r"(?is)\bGROUP\s+BY\s+(.*?)(?:\b(HAVING|ORDER\s+BY|LIMIT|WINDOW|"
+        r"EMIT)\b|$)",
+        sql,
+    )
+    if not m:
+        return []
+    keys = []
+    for item in _split_top_level(m.group(1)):
+        item = item.strip()
+        if re.match(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*$", item):
+            keys.append(item.rsplit(".", 1)[-1])
+    return keys
+
+
 def _call_name_before(prefix: str) -> str | None:
     """Name of the function call whose closing paren ends ``prefix``.
 
@@ -1084,6 +1108,8 @@ def translate_select_full(
     sql, emit = _extract_emit(select_sql.strip().rstrip(";"))
     sql, wc = _extract_window(sql)
     sql, keys = _extract_primary_keys(sql)
+    if not keys:
+        keys = _implicit_group_by_keys(sql)
     rw = extract_rows_window_aggs(sql)
     sql = _rewrite_join_within(sql, time_col)
     sql = _rewrite_over_clauses(sql)
