@@ -64,13 +64,23 @@ def test_emit_final_stateless_warns():
     assert any("EMIT FINAL" in w for w in rep.warnings)
 
 
-def test_ctas_without_primary_key_warns():
+def test_ctas_without_any_key_warns():
+    """A GROUP BY now provides the implicit key (KEY_CONFIGURATION.md), so
+    only a table with neither PRIMARY KEY nor GROUP BY is keyless."""
     rep = validate_statement(
-        "CREATE TABLE t2 AS SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+        "CREATE TABLE t2 AS SELECT user_id, value FROM events",
         registered={"events"},
     )
     assert rep.ok
     assert any("PRIMARY KEY" in w for w in rep.warnings)
+    # grouped CTAS carries the implicit GROUP BY key — no warning
+    rep = validate_statement(
+        "CREATE TABLE t3 AS SELECT user_id, COUNT(*) AS n FROM events "
+        "GROUP BY user_id",
+        registered={"events"},
+    )
+    assert rep.ok
+    assert not any("PRIMARY KEY" in w for w in rep.warnings)
 
 
 def test_app_dependency_order():

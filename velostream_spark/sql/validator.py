@@ -157,9 +157,12 @@ def _validate_parsed(
                 f"default ({'_event_time'!r}-configurable) will be used"
             )
     if st.kind == "create_table" and not st.key_fields:
+        # key_fields covers BOTH the inline PRIMARY KEY annotation and the
+        # implicit GROUP BY key (KEY_CONFIGURATION.md:69-117) — only a
+        # table with neither is keyless.
         rep.warnings.append(
-            "CTAS without a PRIMARY KEY column: point lookups "
-            "(UnifiedTable.get_record) will be unavailable"
+            "CTAS without a PRIMARY KEY column or GROUP BY key: point "
+            "lookups (UnifiedTable.get_record) will be unavailable"
         )
     return rep
 
