@@ -970,3 +970,29 @@ def test_group_by_implicit_message_key():
         "CREATE TABLE t AS SELECT COUNT(*) AS n FROM s GROUP BY x % 2"
     )
     assert st.key_fields == []
+
+
+def test_quantified_comparisons_rewrite(spark):
+    """x op ANY/SOME/ALL (subquery) — reference first-class syntax Spark's
+    parser rejects; the dialect rewrites to correlated EXISTS forms
+    (semantics oracle-checked by the dialect_quantified_comparisons
+    catalog entry against DuckDB's native quantifiers)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "qa", spark.createDataFrame(
+            [(1, 5.0), (2, 50.0), (3, 15.0)], "id int, x double"
+        )
+    )
+    eng.register_stream(
+        "qb", spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, y double")
+    )
+    def ids(sql):
+        return [r["id"] for r in eng.execute(sql).collect()]
+    assert ids("SELECT id FROM qa WHERE x > ANY (SELECT y FROM qb) ORDER BY id") == [2, 3]
+    assert ids("SELECT id FROM qa WHERE x > SOME (SELECT y FROM qb) ORDER BY id") == [2, 3]
+    assert ids("SELECT id FROM qa WHERE x > ALL (SELECT y FROM qb) ORDER BY id") == [2]
+    assert ids("SELECT id FROM qa WHERE x <= ALL (SELECT y FROM qb) ORDER BY id") == [1]
+    assert ids("SELECT id FROM qa WHERE ABS(x) > ANY (SELECT y FROM qb) ORDER BY id") == [2, 3]
+    assert ids("SELECT id FROM qa WHERE (x + 1) > ALL (SELECT y FROM qb) ORDER BY id") == [2]

@@ -215,3 +215,34 @@ def prometheus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.lit("_counter_gt50").alias("le"), "value"
     )
     return hist.unionByName(counter)
+
+
+@query(
+    "dialect_quantified_comparisons",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT AVG(o_totalprice) FROM orders GROUP BY o_orderpriority)
+      AND o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+    tags=("dialect", "subquery", "quantified"),
+)
+def dialect_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons ``op ANY/SOME/ALL (subquery)`` — reference
+    first-class syntax (SubqueryType::Any/All, ast.rs:753-768;
+    docs/sql/subquery-support.md) that Spark's parser REJECTS outright.
+    The dialect rewrites them to correlated EXISTS / NOT EXISTS over a
+    column-aliased table subquery (dialect._rewrite_quantified_comparisons);
+    Catalyst decorrelates those into semi/anti joins. DuckDB executes the
+    original quantified syntax natively, so the oracle is the un-rewritten
+    query — the strongest possible check of the rewrite's semantics."""
+    return _engine(spark, sf_dir).execute(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > ALL (
+                SELECT AVG(o_totalprice) FROM orders GROUP BY o_orderpriority)
+          AND o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        """
+    )

@@ -449,6 +449,84 @@ def _rewrite_rows_window_spec(spec: str, fn_name: str | None = None) -> str:
     return f"{rest} {frame}".strip()
 
 
+_QUANT_RE = re.compile(r"(?is)(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(")
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """``lhs op ANY/SOME/ALL (subquery)`` → correlated EXISTS.
+
+    The reference supports quantified comparisons as first-class syntax
+    (SubqueryType::Any/All, ast.rs:753-768; docs/sql/subquery-support.md
+    lists ANY/SOME/ALL as production features) but Spark's parser rejects
+    them outright. Rewrite:
+
+    - ``x op ANY (S)``  → ``EXISTS (SELECT 1 FROM (S) AS v(_v) WHERE x op _v)``
+    - ``x op ALL (S)``  → ``NOT EXISTS (... WHERE NOT (x op _v))``
+
+    The table-alias column list names the subquery's single output column
+    without having to parse it. Correlation with non-equality predicates
+    is decorrelated by Catalyst into a semi/anti join (plan-pinned in
+    tests). NULL elements of S make the counterexample predicate UNKNOWN
+    (row not matched), mirroring the reference's per-record evaluation
+    loop rather than the three-valued ANSI refinement. The lhs capture
+    takes the immediately preceding identifier/literal or parenthesized
+    expression (optionally a function call) — the shapes the reference's
+    own parser produces on the left of a quantifier."""
+    n = 0
+    pos = 0
+    while True:
+        m = _QUANT_RE.search(sql, pos)
+        if m is None:
+            return sql
+        j = _match_paren(sql, m.end())
+        subq = sql[m.end() : j - 1].strip()
+        if not re.match(r"(?is)^(SELECT|WITH)\b", subq):
+            pos = j
+            continue
+        i = m.start()
+        while i > 0 and sql[i - 1].isspace():
+            i -= 1
+        if i > 0 and sql[i - 1] == ")":
+            k, depth = i - 1, 0
+            while k >= 0:
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            e = k
+            while e > 0 and (sql[e - 1].isalnum() or sql[e - 1] in "_."):
+                e -= 1
+            lhs_start = e
+        else:
+            e = i
+            while e > 0 and (sql[e - 1].isalnum() or sql[e - 1] in "_.'"):
+                e -= 1
+            lhs_start = e
+        lhs = sql[lhs_start:i].strip()
+        if not lhs:
+            pos = j
+            continue
+        n += 1
+        alias = f"_vq{n}"
+        subq = _rewrite_quantified_comparisons(subq)  # nested quantifiers
+        op = m.group(1)
+        if m.group(2).upper() in ("ANY", "SOME"):
+            repl = (
+                f"EXISTS (SELECT 1 FROM ({subq}) AS {alias}({alias}_v) "
+                f"WHERE ({lhs}) {op} {alias}.{alias}_v)"
+            )
+        else:
+            repl = (
+                f"NOT EXISTS (SELECT 1 FROM ({subq}) AS {alias}({alias}_v) "
+                f"WHERE NOT (({lhs}) {op} {alias}.{alias}_v))"
+            )
+        sql = sql[:lhs_start] + repl + sql[j:]
+        pos = lhs_start + len(repl)
+
+
 def _implicit_group_by_keys(sql: str) -> list[str]:
     """GROUP BY implicit message key (docs/sql/KEY_CONFIGURATION.md:69-117):
     with no inline PRIMARY KEY annotation, the GROUP BY columns become the
@@ -1115,6 +1193,7 @@ def translate_select_full(
     sql = _rewrite_over_clauses(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
+    sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_now_diff(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
