@@ -465,7 +465,15 @@ def social(spark):
     rows = []
     base = _now() - dt.timedelta(minutes=5)
 
-    def mk(i, content, likes, shares, comments, views, follower, user=None):
+    def mk(i, content, likes, shares, comments, views, follower, user=None,
+           ts_off=None):
+        # ts_off pins a cohort to ONE timestamp: cohorts whose test crosses
+        # a HAVING COUNT(*) threshold inside an hour bucket must not
+        # straddle a bucket boundary — with the default 0-240s jitter the
+        # whole suite went red whenever the fixture ran in the last four
+        # minutes of a wall-clock hour (130 posts split 70/60 across two
+        # buckets, both under the >100 threshold on BOTH engines).
+        off = ts_off if ts_off is not None else int(rng.integers(0, 240))
         return {
             "post_id": i,
             "user_id": int(user if user is not None else rng.integers(1, 200)),
@@ -479,24 +487,27 @@ def social(spark):
             "follower_count": int(follower),
             "merchant_category": ["retail", "food", None][i % 3],
             "location": ["nyc", "sf", "london"][i % 3],
-            "timestamp": base + dt.timedelta(seconds=int(rng.integers(0, 240))),
+            "timestamp": base + dt.timedelta(seconds=off),
         }
 
     i = 0
-    # 130 posts sharing one 20-char hashtag prefix → trending (HAVING > 100)
+    # 130 posts sharing one 20-char hashtag prefix → trending (HAVING > 100);
+    # single timestamp so the cohort always lands in ONE hour bucket
     for _ in range(130):
         rows.append(
-            mk(i, "#megasale this week only wow", 10, 2, 1, 500, 100)
+            mk(i, "#megasale this week only wow", 10, 2, 1, 500, 100, ts_off=0)
         )
         i += 1
     # viral posts: engagement > 10000 and rate > 0.1
     for _ in range(8):
         rows.append(mk(i, "I love this amazing product!!!", 9000, 800, 300, 20000, 5000))
         i += 1
-    # influencer: one user with 9 posts and > 10k followers
+    # influencer: one user with 9 posts and > 10k followers (pinned to one
+    # hour bucket — the HAVING > 5 splits under a 240s straddle too)
     for _ in range(9):
         rows.append(
-            mk(i, "daily great thoughts of an influencer", 50, 5, 2, 800, 50000, user=7)
+            mk(i, "daily great thoughts of an influencer", 50, 5, 2, 800,
+               50000, user=7, ts_off=0)
         )
         i += 1
     # crisis: 60 posts mentioning emergency within the last 10 minutes
