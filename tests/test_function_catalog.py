@@ -377,3 +377,23 @@ def test_remaining_registry_aliases(eng):
     assert _agg(eng, "LAST(i)") == 4
     assert _agg(eng, "VAR_SAMP(g)") is not None
     assert _one(eng, "CURRENT_TIMESTAMP") is not None
+
+
+def test_select_alias_reuse(eng):
+    """docs/sql/functions/SELECT-ALIAS-REUSE.md: later select items may
+    reference earlier aliases in the SAME select list. Spark's lateral
+    column alias resolution provides this natively — pinned so the
+    enabling conf (lateralColumnAlias.enableImplicitResolution) staying
+    on remains load-bearing."""
+    r = eng.execute(
+        "SELECT x * 2 AS dbl, dbl + 1 AS dbl_plus, "
+        "CASE WHEN dbl_plus > 5 THEN 'big' ELSE 'small' END AS label "
+        "FROM t WHERE i = 2"
+    ).collect()[0]
+    assert (r["dbl"], r["dbl_plus"], r["label"]) == (5.0, 6.0, "big")
+    # (alias must not shadow a real column — table columns win over
+    # lateral aliases, the same precedence as MySQL/Spark document)
+    r = eng.execute(
+        "SELECT SUM(y) AS total, total * 2 AS total2 FROM t"
+    ).collect()[0]
+    assert (r["total"], r["total2"]) == (100.0, 200.0)
