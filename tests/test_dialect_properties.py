@@ -168,6 +168,11 @@ _REWRITABLE_CALLS = st.sampled_from([
     "HEADER('k')",
     "LEN({a})",
     "NOW()",
+    "EXTRACT('DOW', {a})",
+    "EXTRACT(DAYOFWEEK FROM {a})",
+    "EXTRACT('EPOCH', {a})",
+    "GROUP_CONCAT({a})",
+    "COLLECT({a})",
 ])
 
 

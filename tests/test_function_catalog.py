@@ -397,3 +397,17 @@ def test_select_alias_reuse(eng):
         "SELECT SUM(y) AS total, total * 2 AS total2 FROM t"
     ).collect()[0]
     assert (r["total"], r["total2"]) == (100.0, 200.0)
+
+
+def test_extract_dow_zero_based_and_dayofyear_alias(eng):
+    """enhanced-date-functions.md:24-32: DOW/DAYOFWEEK is 0=Sunday..
+    6=Saturday in the reference (Spark's DOW field is 1-based), and
+    DAYOFYEAR is a valid unit alias (Spark only spells it DOY).
+    2026-03-05 is a Thursday."""
+    assert _one(eng, "EXTRACT('DOW', ts)") == 4
+    assert _one(eng, "EXTRACT(DOW FROM ts)") == 4
+    assert _one(eng, "EXTRACT('DAYOFWEEK', ts)") == 4
+    assert _one(eng, "EXTRACT(DAYOFYEAR FROM ts)") == 64
+    assert _one(eng, "EXTRACT('DOY', ts)") == 64
+    assert _one(eng, "EXTRACT('WEEK', ts)") == 10
+    assert _one(eng, "EXTRACT('QUARTER', ts)") == 1

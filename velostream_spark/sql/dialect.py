@@ -759,6 +759,21 @@ def _strftime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+def _extract_unit_fixups(part: str, x: str) -> str | None:
+    """EXTRACT units whose Spark spelling or origin differs from the
+    reference (docs/sql/functions/enhanced-date-functions.md:24-32):
+    DOW/DAYOFWEEK is 0=Sunday..6=Saturday in the reference but Spark's
+    DOW field is 1=Sunday..7=Saturday; DAYOFYEAR is not a valid Spark
+    extract field (its Spark spelling is DOY). Emitted as the plain
+    dayofweek()/dayofyear() functions — an emitted extract( would be
+    re-matched by the rewrite loop's re-scan and wrapped forever."""
+    if part in ("DOW", "DAYOFWEEK"):
+        return f"(dayofweek({x}) - 1)"
+    if part == "DAYOFYEAR":
+        return f"dayofyear({x})"
+    return None
+
+
 def _rewrite_call(name: str, args: list[str]) -> str | None:
     """Call-shape rewrites (argument-aware). Return None to keep as-is."""
     u = name.upper()
@@ -824,6 +839,9 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         sub = _SUBSECOND_EXTRACT.get(part)
         if sub is not None:
             return sub.format(x=args[1])
+        mapped = _extract_unit_fixups(part, args[1])
+        if mapped is not None:
+            return mapped
         return f"extract({part} FROM {args[1]})"
     if u == "EXTRACT" and len(args) == 1:
         fm = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*)$", args[0])
@@ -834,6 +852,9 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             sub = _SUBSECOND_EXTRACT.get(part)
             if sub is not None:
                 return sub.format(x=x)
+            mapped = _extract_unit_fixups(part, x)
+            if mapped is not None:
+                return mapped
         return None
     if u == "DELTA" and len(args) == 1:
         # velostream-specific (functions.rs:3148): diff vs previous row —
