@@ -411,3 +411,11 @@ def test_extract_dow_zero_based_and_dayofyear_alias(eng):
     assert _one(eng, "EXTRACT('DOY', ts)") == 64
     assert _one(eng, "EXTRACT('WEEK', ts)") == 10
     assert _one(eng, "EXTRACT('QUARTER', ts)") == 1
+
+
+def test_datediff_ms_alias(eng):
+    """enhanced-date-functions.md:74: MILLISECONDS has an MS alias."""
+    assert _one(
+        eng,
+        "DATEDIFF('MS', ts, TIMESTAMP '2026-03-05 12:30:46')",
+    ) == 1000

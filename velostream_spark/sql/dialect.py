@@ -824,7 +824,9 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             return f"((unix_millis({e}) - unix_millis({s})) div 60000)"
         if part == "second":
             return f"((unix_millis({e}) - unix_millis({s})) div 1000)"
-        if part == "millisecond":
+        if part in ("millisecond", "m"):
+            # "MS" (docs/sql/functions/enhanced-date-functions.md:74) —
+            # rstrip('s') above leaves "m"
             return f"(unix_millis({e}) - unix_millis({s}))"
         raise ValueError(
             f"Unsupported DATEDIFF unit: {args[0]}. Supported units: "
