@@ -170,6 +170,31 @@ _LOADED = False
 #: dedup_canonical, rolling_fingerprint, multimodal_frame_sample,
 #: ann_brute_force_topk. (streaming_rows_window_tws stays ungated: its
 #: state server needs google.protobuf, absent here — README exemptions.)
+#:
+#: ROTATION batch 4 (round 7): the FINAL 9 never-officially-gated entries
+#: take slots, completing the program — after this round every catalog
+#: entry has held an official CORRECTNESS slot at least once. Rotated out
+#: (all official r6) → coverage carried by:
+#: ann_brute_force_topk → ann_ivf_topk (same exact top-k oracle; brute
+#: force IS the oracle's semantics, and IVF is the scale path);
+#: ann_lsh_topk → ann_ivf_trained_topk (bucketed/indexed ANN; rows-only —
+#: k-means training is not SQL-expressible, documented);
+#: any_all_subquery → dialect_quantified_comparisons (the same ANY/ALL
+#: semantics exercised through the dialect rewrite, with DuckDB running
+#: the ORIGINAL quantified syntax as oracle; in_not_in stays);
+#: minhash_lsh_pairs → minhash_signature (the signature half) +
+#: ngram_jaccard_pairs (keyed shingle join) + embedding_near_dup (LSH
+#: banding), all staying official;
+#: multimodal_frame_sample → multimodal_audio_energy (Arrow-batched
+#: binary-decode family; image_stats stays);
+#: rolling_fingerprint → text_analysis (pure-Catalyst document ops);
+#: streaming_tumbling_final → streaming_tumbling_changes (same stateful
+#: window, EMIT CHANGES mode) + streaming_sliding_final/_session_final
+#: (EMIT FINAL mode across the window family);
+#: streaming_group_by_changes → streaming_tumbling_changes (EMIT CHANGES)
+#: + streaming_group_by_final (staying);
+#: streaming_dedup → dedup_exact (batch twin, staying) +
+#: streaming_session_join (custom-stateful applyInPandasWithState family).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -199,10 +224,11 @@ GATE_ORDER = [
     "join_left_with_defaults",
     "interval_join",
     "streaming_interval_join",
-    # §2.7 subqueries (scalar/exists forms carried by the fused entry)
+    # §2.7 subqueries (scalar/exists forms carried by the fused entry;
+    # any_all → batch-4 rotation: dialect_quantified_comparisons)
     "scalar_exists_subquery",
     "in_not_in_subquery",
-    "any_all_subquery",
+    "dialect_quantified_comparisons",
     # §2.5 OVER-clause window functions
     "lag_lead",
     "ranking_functions",
@@ -211,29 +237,33 @@ GATE_ORDER = [
     "tumbling_window",
     "session_window",
     "window_with_having",
-    # Phase-4 pipeline operators (LLM-scale curation)
+    # Phase-4 pipeline operators (LLM-scale curation; batch-4 rotation:
+    # minhash_lsh_pairs/rolling_fingerprint/ann_brute_force/ann_lsh/
+    # multimodal_frame_sample → their never-gated family twins)
     "dedup_exact",
-    "minhash_lsh_pairs",
+    "minhash_signature",
     "ngram_jaccard_pairs",
-    "rolling_fingerprint",
+    "simhash",
     "dedup_canonical",
     "text_analysis",
     "sequence_packing",
     "stratified_sample",
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "embedding_near_dup",
     "multimodal_image_stats",
-    "multimodal_frame_sample",
+    "multimodal_audio_energy",
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
     "dialect_tumbling_select",
     "dialect_ctas_stream_table_join",
-    "streaming_tumbling_final",
-    "streaming_group_by_changes",
+    # (tumbling_final/group_by_changes/dedup → batch-4 rotation: the
+    # never-gated changes/final twins below)
+    "streaming_tumbling_changes",
+    "streaming_sliding_final",
+    "streaming_session_final",
     "streaming_group_by_final",
-    "streaming_dedup",
     "streaming_rows_window",
     "streaming_session_join",
 ]
