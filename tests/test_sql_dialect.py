@@ -996,3 +996,105 @@ def test_quantified_comparisons_rewrite(spark):
     assert ids("SELECT id FROM qa WHERE x <= ALL (SELECT y FROM qb) ORDER BY id") == [1]
     assert ids("SELECT id FROM qa WHERE ABS(x) > ANY (SELECT y FROM qb) ORDER BY id") == [2, 3]
     assert ids("SELECT id FROM qa WHERE (x + 1) > ALL (SELECT y FROM qb) ORDER BY id") == [2]
+
+
+def test_implicit_key_skips_subquery_group_by():
+    """ADVICE r6: the implicit-key scan must run at paren depth 0 only —
+    a grouped subquery donates no key, and an outer GROUP BY following a
+    grouped derived table is still found."""
+    from velostream_spark.sql.dialect import parse_statement
+
+    # inner GROUP BY only → NO implicit key
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT id, x FROM s WHERE EXISTS "
+        "(SELECT 1 FROM u GROUP BY c HAVING COUNT(*) > 2)"
+    )
+    assert st.key_fields == []
+    # grouped derived table, outer GROUP BY after it → outer key found
+    st = parse_statement(
+        "CREATE TABLE t AS SELECT region, SUM(n) AS total FROM "
+        "(SELECT region, sym, COUNT(*) AS n FROM s GROUP BY region, sym) g "
+        "GROUP BY region"
+    )
+    assert st.key_fields == ["region"]
+
+
+def test_compound_implicit_key_indexes_composite(spark):
+    """ADVICE r6: a CTAS with compound GROUP BY must index on the
+    pipe-joined composite (message_key wire format) — duplicate
+    first-column values must NOT collapse."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "ck_src",
+        spark.createDataFrame(
+            [("eu", "A", 1.0), ("eu", "B", 2.0), ("us", "A", 3.0)],
+            "region string, sym string, x double",
+        ),
+    )
+    eng.execute(
+        "CREATE TABLE ck_t AS SELECT region, sym, SUM(x) AS s "
+        "FROM ck_src GROUP BY region, sym"
+    )
+    mt = eng.tables["ck_t"]
+    assert mt.key_fields == ["region", "sym"]
+    assert mt.count() == 3  # no first-column collapse
+    assert mt.get_record("eu|A")["s"] == 1.0
+    assert mt.get_record("eu|B")["s"] == 2.0
+    assert mt.contains_key("us|A") and not mt.contains_key("us|B")
+    # oversized path uses the same composite expression
+    small = eng.tables["ck_t"]
+    small.index_max_rows = 1
+    small._oversized = None
+    assert small.get_record("eu|B")["s"] == 2.0
+
+
+def test_regexp_replace_user_caret_group_pattern(spark):
+    """ADVICE r6: a user pattern literally beginning ^( must not be
+    mistaken for the rewrite's own emitted form — 4-arg 'g' calls get
+    flag processing, and first-match 3-arg calls still anchor."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "rr_t", spark.createDataFrame([("foofoo bar",)], "s string")
+    )
+    got = eng.execute(
+        "SELECT REGEXP_REPLACE(s, '^(foo)', 'X', 'g') AS r FROM rr_t"
+    ).collect()
+    assert got[0]["r"] == "Xfoo bar"  # ^ anchors once; 'g' not a position int
+    got = eng.execute(
+        "SELECT REGEXP_REPLACE(s, '(foo)', 'X') AS r FROM rr_t"
+    ).collect()
+    assert got[0]["r"] == "Xfoo bar"  # first-match default
+
+
+def test_regexp_replace_pattern_backreference_rejected():
+    """ADVICE r6: pattern-side \\N backreferences would be silently
+    renumbered by the injected head group — and the reference's Rust
+    regex engine rejects backreferences anyway. Loud error, not silence."""
+    import pytest
+
+    from velostream_spark.sql.dialect import translate_select
+
+    with pytest.raises(ValueError, match="backreference"):
+        translate_select("SELECT REGEXP_REPLACE(s, '(a)\\1', 'x') FROM t")
+
+
+def test_quantified_compound_lhs_rejected():
+    """ADVICE r6: an unparenthesized compound lhs (a || b = ANY (S))
+    would capture only the last token and silently filter wrong rows —
+    reject loudly, parenthesized forms still work."""
+    import pytest
+
+    from velostream_spark.sql.dialect import translate_select
+
+    for bad in (
+        "SELECT * FROM t WHERE x + 1 > ALL (SELECT y FROM u)",
+        "SELECT * FROM t WHERE a || b = ANY (SELECT y FROM u)",
+    ):
+        with pytest.raises(ValueError, match="parenthesize"):
+            translate_select(bad)
+    # parenthesized compound lhs is fine (covered end-to-end above)
+    translate_select("SELECT * FROM t WHERE (x + 1) > ALL (SELECT y FROM u)")

@@ -83,6 +83,33 @@ def _match_paren(s: str, i: int) -> int:
     return i
 
 
+def _blank_nested(s: str) -> str:
+    """Copy of ``s`` with every character inside parens (depth ≥ 1) or a
+    string literal replaced by a space — length-preserving, so positions in
+    the blanked text map 1:1 onto the original. Lets clause-level regexes
+    (GROUP BY, EMIT, ...) match ONLY the outer query, never a subquery."""
+    out = list(s)
+    depth = 0
+    in_str: str | None = None
+    for i, ch in enumerate(s):
+        if in_str:
+            out[i] = " "
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            out[i] = " "
+        elif ch == "(":
+            depth += 1
+            out[i] = " "
+        elif ch == ")":
+            depth -= 1
+            out[i] = " "
+        elif depth > 0:
+            out[i] = " "
+    return "".join(out)
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on `sep` at paren/quote depth 0."""
     out, depth, cur, i = [], 0, [], 0
@@ -509,6 +536,20 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
         if not lhs:
             pos = j
             continue
+        # The capture takes only the token/paren-group immediately left of
+        # the operator. An unparenthesized compound lhs (x + 1 > ALL (S),
+        # a || b = ANY (S)) would rewrite to e.g. `x + EXISTS(...)` —
+        # arithmetic forms fail analysis loudly but || implicitly casts
+        # the boolean and silently filters wrong rows. Reject loudly;
+        # the user parenthesizes the lhs instead.
+        k = lhs_start
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        if k > 0 and sql[k - 1] in "+-*/%|&^":
+            raise ValueError(
+                "quantified comparison with a compound left-hand side is "
+                f"not supported — parenthesize it: ...{sql[max(0, k - 12):j]}"
+            )
         n += 1
         alias = f"_vq{n}"
         subq = _rewrite_quantified_comparisons(subq)  # nested quantifiers
@@ -535,15 +576,24 @@ def _implicit_group_by_keys(sql: str) -> list[str]:
     qualify (an expression or positional GROUP BY has no addressable output
     column; qualified names take their final segment). PRIMARY KEY wins
     when both are present (the caller only falls back when keys is empty).
+
+    Only the OUTER query's GROUP BY counts: the scan runs over a
+    paren-depth-0 blanked copy (subqueries/derived tables erased), so a
+    grouped subquery never donates a bogus key and a real outer GROUP BY
+    after a grouped derived table is still found.
     """
+    blanked = _blank_nested(sql)
     m = re.search(
         r"(?is)\bGROUP\s+BY\s+(.*?)(?:\b(HAVING|ORDER\s+BY|LIMIT|WINDOW|"
         r"EMIT)\b|$)",
-        sql,
+        blanked,
     )
     if not m:
         return []
     keys = []
+    # Items come from the blanked text: depth-0 identifiers are unchanged
+    # there, and anything parenthesized has been spaced out (it would fail
+    # the identifier filter anyway).
     for item in _split_top_level(m.group(1)):
         item = item.strip()
         if re.match(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*$", item):
@@ -917,14 +967,17 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # POSITION int, so the corpus form silently returned NULL ('g'
         # cast to int) and the 3-arg form replaced all instead of first.
         s_, p_, r_ = args[0], args[1], args[2]
-        # already-rewritten forms must pass through on the loop's re-scan
-        # (each emitted pattern carries a recognizable prefix; the plain
-        # 'g' case prepends an inert '' || for exactly this purpose)
+        # Already-rewritten forms must pass through on the loop's re-scan.
+        # The guard matches the FULL emitted prefix shape (not just "'^(",
+        # which a user pattern like '^(foo)' can legitimately begin with),
+        # and only for 3-arg calls — every rewrite below emits 3-arg, so a
+        # 4-arg call is never ours and always gets flag processing.
         a1 = p_.lstrip()
-        if (
+        if len(args) == 3 and (
             a1.startswith("'' ||")
             or a1.startswith("'(?i)' ||")
-            or a1.startswith("'^(")
+            or a1.startswith("'^([\\\\s\\\\S]*?)(?:' ||")
+            or a1.startswith("'^(?i)([\\\\s\\\\S]*?)(?:' ||")
         ):
             return None
         flags = ""
@@ -951,6 +1004,22 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # (NOT named groups: Spark substitutes ${...} in SQL text as
         # config variables before parsing.) A LITERAL replacement's $N
         # backrefs shift by one (the head becomes group 1).
+        #
+        # Pattern-side \N backreferences would also be renumbered by the
+        # injected head group, silently changing what matches — and the
+        # reference's regex engine (Rust `regex` crate, functions.rs)
+        # rejects backreferences outright, so there is no conformant
+        # meaning to preserve. Reject them loudly (conservative: any
+        # backslash-run + digit, since Spark's own literal unescaping can
+        # collapse doubled backslashes back into a backref).
+        pm = re.match(r"^'((?:[^']|'')*)'$", a1)
+        if pm is not None and re.search(r"\\+\d", pm.group(1)):
+            raise ValueError(
+                "REGEXP_REPLACE first-match rewrite does not support "
+                "backreferences in the pattern (the reference's regex "
+                "engine rejects them too) — use the 'g' flag or rewrite "
+                f"the pattern: {p_}"
+            )
         rm = re.match(r"^'((?:[^']|'')*)'$", r_)
         if rm is not None and "$" in rm.group(1):
             shifted = re.sub(

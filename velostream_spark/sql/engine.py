@@ -51,15 +51,31 @@ class MaterializedTable:
         self,
         name: str,
         df: DataFrame,
-        key_field: str | None = None,
+        key_field: str | list[str] | None = None,
         index_max_rows: int = INDEX_MAX_ROWS,
     ):
         self.name = name
         self.df = df
-        self.key_field = key_field
+        # Compound keys (CTAS with GROUP BY a, b) index on the pipe-joined
+        # composite — the SAME format message_key() puts on the Kafka wire
+        # (KEY_CONFIGURATION.md: multiple columns = pipe-delimited). The
+        # join/cast runs as a Spark expression so the index key matches
+        # Spark's string rendering exactly, never Python's str().
+        if isinstance(key_field, str):
+            self.key_fields: list[str] = [key_field]
+        else:
+            self.key_fields = list(key_field or [])
+        self.key_field = self.key_fields[0] if len(self.key_fields) == 1 else None
         self.index_max_rows = index_max_rows
         self._index: dict[Any, dict] | None = None
         self._oversized: bool | None = None
+
+    def _key_expr(self):
+        if len(self.key_fields) == 1:
+            return F.col(self.key_fields[0])
+        return F.concat_ws(
+            "|", *[F.col(k).cast("string") for k in self.key_fields]
+        )
 
     def _indexable(self) -> bool:
         if self._index is not None:
@@ -69,7 +85,7 @@ class MaterializedTable:
         return not self._oversized
 
     def _ensure_index(self) -> dict[Any, dict]:
-        if self.key_field is None:
+        if not self.key_fields:
             raise ValueError(f"table {self.name!r} has no key field")
         if self._index is None:
             if not self._indexable():
@@ -79,28 +95,36 @@ class MaterializedTable:
                     "risk OOM; point lookups are served via pushed-down "
                     "filters instead"
                 )
-            self._index = {
-                r[self.key_field]: r.asDict() for r in self.df.collect()
-            }
+            if len(self.key_fields) == 1:
+                self._index = {
+                    r[self.key_fields[0]]: r.asDict() for r in self.df.collect()
+                }
+            else:
+                keyed = self.df.withColumn("__key", self._key_expr())
+                self._index = {}
+                for r in keyed.collect():
+                    d = r.asDict()
+                    self._index[d.pop("__key")] = d
         return self._index
 
     def _lookup_scan(self, key: Any) -> dict | None:
         """Point lookup as a distributed scan — the key equality predicate
         pushes down to the table's source (parquet row-group skipping /
         partition pruning when key-partitioned)."""
-        rows = self.df.where(F.col(self.key_field) == F.lit(key)).limit(1).collect()
+        rows = self.df.where(self._key_expr() == F.lit(key)).limit(1).collect()
         return rows[0].asDict() if rows else None
 
     def get_record(self, key: Any) -> dict | None:
-        """get_record(key) — unified_table.rs point lookup."""
-        if self.key_field is None:
+        """get_record(key) — unified_table.rs point lookup. Compound-keyed
+        tables take the pipe-joined composite (message_key wire format)."""
+        if not self.key_fields:
             raise ValueError(f"table {self.name!r} has no key field")
         if not self._indexable():
             return self._lookup_scan(key)
         return self._ensure_index().get(key)
 
     def contains_key(self, key: Any) -> bool:
-        if self.key_field is None:
+        if not self.key_fields:
             raise ValueError(f"table {self.name!r} has no key field")
         if not self._indexable():
             return self._lookup_scan(key) is not None
@@ -166,7 +190,7 @@ class SqlEngine:
         df.createOrReplaceTempView(name)
 
     def register_table(
-        self, name: str, df: DataFrame, key_field: str | None = None
+        self, name: str, df: DataFrame, key_field: str | list[str] | None = None
     ) -> MaterializedTable:
         mt = MaterializedTable(name, df, key_field)
         self.tables[name] = mt
@@ -347,7 +371,7 @@ class SqlEngine:
             self._wire_sources(st)
             df = self.spark.sql(st.select_sql).cache()
             df.count()  # materialize now, like the CTAS population job
-            key = st.key_fields[0] if st.key_fields else None
+            key = st.key_fields or None
             self.register_table(st.name, df, key)
             # The TABLE holds current state (one row per key); with EMIT
             # CHANGES the SINK receives the per-record changelog, exactly
@@ -689,7 +713,7 @@ class SqlEngine:
 
     def _replace_target(self, name: str, df: DataFrame) -> None:
         if name in self.tables:
-            key = self.tables[name].key_field
+            key = self.tables[name].key_fields or None
             df = df.cache()
             df.count()
             self.register_table(name, df, key)
