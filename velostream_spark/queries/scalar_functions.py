@@ -513,11 +513,15 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "cast", "permissive"),
 )
 def cast_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Permissive CAST rules (reference types.rs:740+, dispatched
-    functions.rs:1269-1289): invalid casts yield NULL rather than erroring.
-    Expressed with try_cast so the permissive semantics are local to the
-    expression and hold regardless of the session's ANSI mode (the driver's
-    vanilla Spark 4 session has ansi.enabled=true)."""
+    """CAST conversion rules (reference types.rs:740+, dispatched
+    functions.rs:1269-1289). The reference's cast_to RAISES
+    SqlError::ExecutionError on an invalid string→number cast
+    (types.rs:745-750) — matching Spark's ANSI-mode CAST, which the
+    dialect passes through unchanged, so bare CAST errors like the
+    reference. TRY_CAST below demonstrates the permissive alternative
+    (NULL on failure) locally in the expression, so the entry stays
+    hash-comparable regardless of the session's ANSI mode. Divergence
+    notes in tests/test_function_catalog.py::test_cast_conformance."""
     t = tables(spark, sf_dir)
     p = t["part"].where(F.col("p_partkey") % 7 == 0)
     return p.select(

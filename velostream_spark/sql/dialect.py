@@ -286,6 +286,9 @@ class Statement:
     # CREATE STREAM ... INTO sink (ast.rs:889 IntoClause): named sink whose
     # WITH-props configure the output; defaults to the stream name.
     into: str | None = None
+    # FR-047 URI FROM sources (ast.rs:518 StreamSource::Uri): view name in
+    # the translated SQL → original URI; the engine wires each to a reader.
+    uri_sources: dict[str, str] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -1262,20 +1265,189 @@ def _rewrite_join_within(sql: str, time_col: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# URI-based FROM sources (FR-047)
+# ---------------------------------------------------------------------------
+
+#: scheme://rest — schemes per reference ConnectionString.parse
+#: (datasource/config/types.rs:381: "Simple URI parsing"). The unquoted
+#: token ends at whitespace / clause punctuation; globs (`*`, `?` query
+#: strings) are part of the URI.
+_URI_TOKEN_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*://[^\s,;()']+")
+_FROM_JOIN_RE = re.compile(r"(?is)\b(FROM|JOIN)\s+")
+
+
+def uri_view_name(uri: str) -> str:
+    """Deterministic identifier for a URI source — the reference's own
+    sanitization (processors/select.rs:543: ``uri.replace("://", "_")
+    .replace("/", "_")``) widened to every non-word char so globs and
+    query strings stay addressable as one SQL identifier."""
+    return "uri_" + re.sub(r"_+", "_", re.sub(r"\W", "_", uri)).strip("_")
+
+
+def _extract_uri_sources(sql: str) -> tuple[str, dict[str, str]]:
+    """FR-047: URI data sources directly in FROM/JOIN (reference
+    ast.rs:518 ``StreamSource::Uri``; parser/select.rs:163-180 accepts
+    both a quoted ``'file://…'`` string and a bare ``scheme://…`` token;
+    user examples in docs/sql/create-table-wildcard.md:30-58).
+
+    Each URI is replaced by a deterministic view name; the caller wires
+    the view to a Spark reader via ``parse_uri_source``. Scans outside
+    string literals, so a quoted URI is only recognized immediately
+    after FROM/JOIN (the reference's parser position), never inside an
+    unrelated literal."""
+    uris: dict[str, str] = {}
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _FROM_JOIN_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        uri = None
+        end = m.end()
+        if sql[end : end + 1] == "'":
+            j = _skip_string(sql, end)
+            candidate = sql[end + 1 : j - 1]
+            if "://" in candidate:
+                uri, end = candidate, j
+        else:
+            um = _URI_TOKEN_RE.match(sql, end)
+            if um:
+                uri, end = um.group(0), um.end()
+        if uri is None:
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        view = uri_view_name(uri)
+        uris[view] = uri
+        out.append(f"{m.group(1)} {view}")
+        i = end
+    return "".join(out), uris
+
+
+def parse_uri_source(uri: str, props: dict[str, str] | None = None) -> dict[str, str]:
+    """URI → engine source cfg — the ConnectionString.parse +
+    to_source_config analog (reference datasource/config/types.rs:
+    374-448 parse, :451-560 per-scheme configs). Query params configure
+    the source (``?format=json&header=true``); statement-level WITH
+    props override them (docs write both ``"file.format"`` and bare
+    ``"format"`` — both accepted, WITH wins over the URI).
+
+    - ``file://`` → file_source; format default **json** (types.rs:507
+      ``_ => FileFormat::Json``), csv header default true.
+    - ``kafka://host[:port]/topic`` → kafka_source; port default 9092
+      (types.rs:456); params pass through as consumer properties.
+    - ``s3:// hdfs:// gs:// abfs://`` → file_source with the URI kept as
+      the read path (Spark/Hadoop filesystems resolve these natively;
+      ``s3://`` is mapped to ``s3a://``, the Hadoop connector scheme);
+      format default **parquet** (types.rs:553: "Default for S3").
+    - ``postgresql:// mysql://`` (+clickhouse) → jdbc_source with a
+      ``jdbc:`` url and ``dbtable`` from the ``?table=`` param
+      (create-table-wildcard.md:64-77).
+    """
+    props = dict(props or {})
+    scheme, _, rest = uri.partition("://")
+    scheme = scheme.lower()
+    path_part, _, query = rest.partition("?")
+    params: dict[str, str] = {}
+    for kv in query.split("&") if query else []:
+        k, _, v = kv.partition("=")
+        if k:
+            params[k] = v
+    # WITH-prop override layer: bare keys and `file.`-scoped spellings
+    for k, v in props.items():
+        base = k.partition(".")[2] if k.startswith("file.") else k
+        if base in ("format", "header", "delimiter", "quote", "watch"):
+            params[base] = v
+
+    if scheme == "kafka":
+        host_port, _, topic = path_part.partition("/")
+        if not host_port or not topic:
+            raise ValueError(
+                f"kafka:// URI needs host[:port]/topic: {uri!r}"
+            )
+        if ":" not in host_port:
+            host_port = f"{host_port}:9092"
+        # WITH props pass through as consumer properties (the doc's
+        # `WITH ("auto.offset.reset" = "latest")` form), URI query params
+        # on top (in-URI config wins over statement-level).
+        cfg = dict(props)
+        cfg.update(params)
+        cfg.update(
+            {
+                "type": "kafka_source",
+                "bootstrap.servers": host_port,
+                "topic": topic,
+            }
+        )
+        return cfg
+    if scheme == "file":
+        fmt = params.get("format", "json")
+        if fmt == "csv" and params.get("header", "true").lower() == "false":
+            fmt = "csv_no_header"
+        cfg = {"type": "file_source", "path": path_part, "format": fmt}
+        if "delimiter" in params:
+            cfg["delimiter"] = params["delimiter"]
+        if params.get("watch", "").lower() == "true":
+            cfg["watch"] = "true"
+        return cfg
+    if scheme in ("s3", "s3a", "hdfs", "gs", "abfs", "abfss", "wasbs"):
+        hadoop_scheme = "s3a" if scheme == "s3" else scheme
+        cfg = {
+            "type": "file_source",
+            "path": f"{hadoop_scheme}://{path_part}",
+            "format": params.get("format", "parquet"),
+        }
+        if "delimiter" in params:
+            cfg["delimiter"] = params["delimiter"]
+        return cfg
+    if scheme in ("postgresql", "mysql", "clickhouse"):
+        table = params.pop("table", None)
+        if not table:
+            raise ValueError(
+                f"{scheme}:// URI needs a ?table= parameter: {uri!r}"
+            )
+        cfg = {
+            "type": "jdbc_source",
+            "url": f"jdbc:{scheme}://{path_part}",
+            "dbtable": table,
+        }
+        cfg.update(params)
+        return cfg
+    raise ValueError(f"unsupported URI source scheme {scheme!r}: {uri!r}")
+
+
 def translate_select(
     select_sql: str, time_col: str = "_event_time"
 ) -> tuple[str, WindowClause | None, str | None, list[str]]:
     """Translate a velostream SELECT body → (spark_sql, window, emit, keys)."""
-    sql, wc, emit, keys, _ = translate_select_full(select_sql, time_col)
+    sql, wc, emit, keys, _, _ = translate_select_full(select_sql, time_col)
     return sql, wc, emit, keys
 
 
 def translate_select_full(
     select_sql: str, time_col: str = "_event_time"
-) -> tuple[str, WindowClause | None, str | None, list[str], list[RowsWindowAgg]]:
+) -> tuple[
+    str,
+    WindowClause | None,
+    str | None,
+    list[str],
+    list[RowsWindowAgg],
+    dict[str, str],
+]:
     """translate_select + the captured ROWS WINDOW OVER-specs (for the
-    streaming execution path, which routes them to the stateful op)."""
-    sql, emit = _extract_emit(select_sql.strip().rstrip(";"))
+    streaming execution path, which routes them to the stateful op) +
+    the FR-047 URI FROM sources (view name → URI, for source wiring)."""
+    sql, uri_sources = _extract_uri_sources(select_sql.strip().rstrip(";"))
+    sql, emit = _extract_emit(sql)
     sql, wc = _extract_window(sql)
     sql, keys = _extract_primary_keys(sql)
     if not keys:
@@ -1298,7 +1470,7 @@ def translate_select_full(
             sql, r"(?i)\b_window_start\b", f"{wkey}.start"
         )
         sql = _sub_outside_strings(sql, r"(?i)\b_window_end\b", f"{wkey}.end")
-    return sql.strip(), wc, emit, keys, rw
+    return sql.strip(), wc, emit, keys, rw, uri_sources
 
 
 def _sub_outside_strings(sql: str, pattern: str, repl: str) -> str:
@@ -1381,11 +1553,11 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     m = re.match(r"(?is)^CREATE\s+(STREAM|TABLE)\s+(\w+)\s+AS\s+(.*)$", body)
     if m:
         kind = "create_stream" if m.group(1).upper() == "STREAM" else "create_table"
-        sel, wc, emit, keys, rw = translate_select_full(m.group(3), time_col)
+        sel, wc, emit, keys, rw, uris = translate_select_full(m.group(3), time_col)
         return Statement(
             kind=kind, name=m.group(2), select_sql=sel, emit=emit, window=wc,
             rows_window_aggs=rw, key_fields=keys, with_props=props,
-            annotations=annotations, raw=sql, into=into,
+            annotations=annotations, raw=sql, into=into, uri_sources=uris,
         )
 
     m = re.match(
@@ -1439,12 +1611,13 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
         canary_pct = int(m.group(4)) if m.group(4) else None
         if strategy.startswith("CANARY"):
             strategy = "CANARY"
-        sel, wc, emit, keys, rw = translate_select_full(m.group(5), time_col)
+        sel, wc, emit, keys, rw, uris = translate_select_full(m.group(5), time_col)
         return Statement(
             kind="deploy_job", name=m.group(1), select_sql=sel, emit=emit,
             window=wc, rows_window_aggs=rw, key_fields=keys, with_props=props,
             job_version=m.group(2), job_strategy=strategy.lower(),
             canary_pct=canary_pct, annotations=annotations, raw=sql, into=into,
+            uri_sources=uris,
         )
 
     # ROLLBACK JOB name [TO VERSION 'v'] (ast.rs:2193-2202)
@@ -1461,10 +1634,10 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
                          annotations=annotations, raw=sql)
 
     # plain SELECT
-    sel, wc, emit, keys, rw = translate_select_full(body, time_col)
+    sel, wc, emit, keys, rw, uris = translate_select_full(body, time_col)
     return Statement(kind="select", select_sql=sel, emit=emit, window=wc,
                      rows_window_aggs=rw, key_fields=keys, with_props=props, into=into,
-                     annotations=annotations, raw=sql)
+                     annotations=annotations, raw=sql, uri_sources=uris)
 
 
 # -- EMIT CHANGES changelog (batch form) -------------------------------------

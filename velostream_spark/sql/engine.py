@@ -211,8 +211,10 @@ class SqlEngine:
         fmt = cfg.get("format", "csv").lower()
         # WITH-clause paths resolve against the process CWD (like the
         # reference's velo-test runner) — absolutize so the JVM, whose own
-        # working dir is fixed at session start, agrees.
-        path = os.path.abspath(cfg["path"])
+        # working dir is fixed at session start, agrees. Remote-filesystem
+        # URIs (s3a:// hdfs:// ... from FR-047 URI sources) pass through
+        # untouched — Hadoop resolves them, not the local OS.
+        path = cfg["path"] if "://" in cfg["path"] else os.path.abspath(cfg["path"])
         if fmt in ("csv", "csv_no_header", "csvnoheader"):
             header = fmt == "csv"
             reader = self.spark.read.option("header", str(header).lower())
@@ -291,6 +293,15 @@ class SqlEngine:
                     os.path.abspath(st.with_props["config_file"])
                 )
                 by_name[tbl] = {**loaded, **by_name.get(tbl, {})}
+        # FR-047 URI FROM sources: each URI view gets a cfg derived from
+        # the URI itself (scheme, path/topic, query params) overlaid with
+        # the statement's WITH props — the same dict shape the file/kafka
+        # wiring arms below already consume.
+        from velostream_spark.sql.dialect import parse_uri_source
+
+        for view, uri in (st.uri_sources or {}).items():
+            if view not in by_name:
+                by_name[view] = parse_uri_source(uri, st.with_props)
         return by_name
 
     def _wire_sources(self, st: Statement) -> None:
@@ -308,6 +319,17 @@ class SqlEngine:
                 from velostream_spark.sources.kafka import read_batch
 
                 self.register_stream(name, read_batch(self.spark, cfg))
+            elif typ == "jdbc_source":
+                # FR-047 postgresql:// / mysql:// URI sources → Spark's
+                # built-in JDBC reader (partitioned reads via the standard
+                # partitionColumn/numPartitions options, passed through).
+                # Needs the vendor driver jar on the classpath — same
+                # standing exemption class as the Kafka connector.
+                reader = self.spark.read.format("jdbc")
+                for k, v in cfg.items():
+                    if k != "type":
+                        reader = reader.option(k, v)
+                self.register_stream(name, reader.load())
             else:
                 raise ValueError(f"unknown source type {typ!r} for {name!r}")
 
@@ -478,7 +500,11 @@ class SqlEngine:
                 continue
             if typ in ("file_source", "file_source_mmap"):
                 fmt = cfg.get("format", "csv").lower()
-                path = os.path.abspath(cfg["path"])
+                path = (
+                    cfg["path"]
+                    if "://" in cfg["path"]
+                    else os.path.abspath(cfg["path"])
+                )
                 # file-stream sources need an explicit schema: infer from a
                 # one-off batch read (the reference infers CSV headers the
                 # same way, file/config.rs)
