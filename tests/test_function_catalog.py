@@ -419,3 +419,125 @@ def test_datediff_ms_alias(eng):
         eng,
         "DATEDIFF('MS', ts, TIMESTAMP '2026-03-05 12:30:46')",
     ) == 1000
+
+
+# ---------------------------------------------------------------------------
+# CAST target-type conformance (types.rs:740-1000 cast_to, dispatched
+# functions.rs:1269-1289) — see dialect._CAST_TARGET_REWRITES
+# ---------------------------------------------------------------------------
+
+
+def test_cast_float_is_f64(eng):
+    """types.rs:781: "FLOAT" | "DOUBLE" both map to f64 — Spark's 4-byte
+    FLOAT would silently lose precision on the corpus's CAST(.. AS FLOAT)."""
+    got = _one(eng, "CAST(1.000000001 AS FLOAT)")
+    assert got == 1.000000001  # float32 would collapse to 1.0
+    df = eng.execute("SELECT CAST(x AS FLOAT) AS r FROM t WHERE i = 1")
+    assert df.schema["r"].dataType.simpleString() == "double"
+
+
+def test_cast_text_varchar_datetime_aliases(eng):
+    """types.rs:817 STRING|VARCHAR|TEXT; :878 TIMESTAMP|DATETIME. Spark
+    rejects bare VARCHAR/TEXT/DATETIME outright — dialect maps them."""
+    assert _one(eng, "CAST(42 AS VARCHAR)") == "42"
+    assert _one(eng, "CAST(42 AS TEXT)") == "42"
+    got = _one(eng, "CAST('2026-03-05 12:30:45' AS DATETIME)")
+    assert got == dt.datetime(2026, 3, 5, 12, 30, 45)
+    # VARCHAR(n) is valid Spark — untouched (Spark does not truncate on
+    # query-level cast; length enforcement applies on table writes)
+    assert _one(eng, "CAST('abcdef' AS VARCHAR(3))") == "abcdef"
+
+
+def test_cast_bare_decimal_keeps_fraction(eng):
+    """types.rs:914: bare DECIMAL is arbitrary-precision rust_decimal —
+    CAST(1.5 AS DECIMAL) stays 1.5. Spark's bare DECIMAL is (10,0) and
+    would round to 2."""
+    from decimal import Decimal
+
+    assert _one(eng, "CAST(1.5 AS DECIMAL)") == Decimal("1.5")
+    assert _one(eng, "CAST('1.25' AS NUMERIC)") == Decimal("1.25")
+    # explicit precision passes through
+    got = _one(eng, "CAST(1.256 AS DECIMAL(10,2))")
+    assert got == Decimal("1.26")
+
+
+def test_cast_scaled_integer_scale4(eng):
+    """types.rs:950: SCALED_INTEGER defaults to scale 4 (financial
+    standard), rounding — CAST(1.23456 ..) = 1.2346."""
+    from decimal import Decimal
+
+    assert _one(eng, "CAST(1.23456 AS SCALED_INTEGER)") == Decimal("1.2346")
+
+
+def test_cast_int_timestamp_unix_seconds(eng):
+    """types.rs:899: integer→TIMESTAMP treats the value as Unix seconds —
+    Spark's native CAST agrees; pinned so a regression is caught."""
+    got = _one(eng, "CAST(1700000000 AS TIMESTAMP)")
+    assert got == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_cast_null_as_string_divergence_documented(eng):
+    """ADJUDICATED divergence: reference CAST(NULL AS STRING) returns the
+    literal string 'NULL' (types.rs:823) — a reference bug (it would
+    corrupt data written through sinks: a downstream consumer cannot
+    tell the four characters N-U-L-L from a missing value). We return
+    SQL NULL, agreeing with Spark, DuckDB, and every ANSI engine."""
+    assert _one(eng, "CAST(NULL AS STRING)") is None
+
+
+def test_cast_string_boolean_superset(eng):
+    """Reference string→boolean accepts TRUE/T/1 and FALSE/F/0
+    (types.rs:838-846). Spark additionally accepts y/yes/n/no — a
+    permissive superset: every reference-accepted input agrees."""
+    for lit, want in (("'TRUE'", True), ("'t'", True), ("'1'", True),
+                      ("'FALSE'", False), ("'f'", False), ("'0'", False)):
+        assert _one(eng, f"CAST({lit} AS BOOLEAN)") is want
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL unit conformance (types.rs:1402-1414 interval_to_millis):
+# every interval is a FIXED duration in milliseconds
+# ---------------------------------------------------------------------------
+
+
+def test_interval_month_is_30_days(eng):
+    """Reference MONTH = 30 days flat ("Approximate: 30 days"), not a
+    calendar month: Jan 31 + 1 MONTH = Mar 1 (reference), not Feb 29/28
+    (Spark's calendar semantics, rewritten away by the dialect)."""
+    got = _one(eng, "TIMESTAMP '2024-01-31 00:00:00' + INTERVAL '1' MONTH")
+    assert got == dt.datetime(2024, 3, 1)
+    got = _one(eng, "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '2' MONTHS")
+    assert got == dt.datetime(2024, 3, 1)
+
+
+def test_interval_year_is_365_days(eng):
+    """Reference YEAR = 365 days flat — leap years don't stretch it."""
+    got = _one(eng, "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1' YEAR")
+    assert got == dt.datetime(2024, 12, 31)  # 2024 is a leap year
+
+
+def test_interval_week_native_pin(eng):
+    """Reference WEEK = 7 days (types.rs:1411); Spark's WEEK is also 7
+    days — pinned so a Spark behavior change is caught."""
+    got = _one(eng, "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1' WEEK")
+    assert got == dt.datetime(2024, 1, 8)
+
+
+def test_interval_sub_millisecond_truncates(eng):
+    """Nanos/micros truncate to whole milliseconds (integer division,
+    types.rs:1404-1405) — record timestamps are millis."""
+    base = "TIMESTAMP '2024-01-01 00:00:00'"
+    got = _one(eng, f"{base} + INTERVAL '1500' MICROSECOND")
+    assert got == dt.datetime(2024, 1, 1, 0, 0, 0, 1000)  # 1 ms, not 1.5
+    got = _one(eng, f"{base} + INTERVAL '2500000' NANOSECOND")
+    assert got == dt.datetime(2024, 1, 1, 0, 0, 0, 2000)  # 2 ms
+
+
+def test_window_duration_fixed_units():
+    """parse_duration (WINDOW clauses) uses the same fixed conversions."""
+    from velostream_spark.sql.dialect import parse_duration
+
+    assert parse_duration("INTERVAL '1' MONTH") == "30 days"
+    assert parse_duration("2 WEEKS") == "14 days"
+    assert parse_duration("INTERVAL '1' YEAR") == "365 days"
+    assert parse_duration("1500 MICROSECONDS") == "1 milliseconds"

@@ -847,10 +847,24 @@ def test_show_resource_surface(spark, tmp_path):
     assert metrics[0]["job"] == "s1" and metrics[0]["input_rows"] is not None
     props = eng.execute("SHOW PROPERTIES JOB s1")
     assert props[0]["sink"] == "parquet"
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError, match="broker"):
-        eng.execute("SHOW TOPICS")
+    # reference spelling: SHOW PROPERTIES STREAM <name> (commands.rs:264)
+    # → property/value rows incl. the wired source cfg (show.rs:294-331)
+    rows = eng.execute("SHOW PROPERTIES STREAM readings")
+    kv = {r["property"]: r["value"] for r in rows}
+    assert kv["type"] == "STREAM"
+    assert kv["format"] == "csv"
+    # SHOW TOPICS lists topics of REGISTERED kafka streams (show.rs:155-177
+    # iterates stream_handles — no broker I/O in the reference either)
+    assert eng.execute("SHOW TOPICS") == []
+    eng2 = SqlEngine(spark)
+    try:
+        eng2.execute(
+            "CREATE STREAM k1 AS SELECT * FROM kafka://broker:9092/orders-topic"
+        )
+    except Exception:
+        pass  # broker I/O is env-exempt; cfg capture happens before the read
+    topics = eng2.execute("SHOW TOPICS")
+    assert topics == [{"topic_name": "orders-topic", "registered": True}]
 
 
 def test_changelog_rewrite_peels_order_by_limit(spark):

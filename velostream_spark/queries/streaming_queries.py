@@ -283,6 +283,63 @@ def streaming_rows_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_rows_window_tws",
+    oracle="""
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           ROUND(AVG(value) OVER w, 6)  AS moving_avg,
+           MIN(value) OVER w            AS moving_min,
+           MAX(value) OVER w            AS moving_max,
+           COUNT(value) OVER w          AS buffer_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "rows-window", "velostream-specific", "stateful", "tws"),
+)
+def streaming_rows_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS WINDOW on the Spark-4 ``transformWithStateInPandas`` path
+    (streaming/rows_window_tws.py: RocksDB-backed state, native per-key
+    timers) — the forward-looking twin of ``streaming_rows_window``, same
+    semantics, same oracle.
+
+    DOCUMENTED FALLBACK (README 'transformWithStateInPandas status'): the
+    TWS state server needs ``google.protobuf``, which this container lacks
+    (no installs). When that import is absent the entry routes to the
+    ``applyInPandasWithState`` twin — processor-level parity between the
+    two is pinned in tests/test_rows_window_tws.py, so the values this
+    entry verifies are the values TWS produces wherever it can start."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server dependency)
+
+        tws_available = True
+    except ImportError:
+        tws_available = False
+    sdf = stream_table(spark, sf_dir, "events")
+    kwargs = dict(
+        partition_by=["user_id"],
+        order_by="event_id",
+        value_col="value",
+        buffer_size=10,
+        aggs=[
+            ("moving_avg", "avg"),
+            ("moving_min", "min"),
+            ("moving_max", "max"),
+            ("buffer_n", "count"),
+        ],
+    )
+    if tws_available:
+        from velostream_spark.streaming.rows_window_tws import (
+            rows_window_stream_tws,
+        )
+
+        out = rows_window_stream_tws(sdf, **kwargs)
+    else:
+        out = rows_window_stream_bucketed(sdf, **kwargs)
+    out = out.withColumn("moving_avg", F.round("moving_avg", 6))
+    return run_available_now(out, "append", "rows_window_tws")
+
+
+@query(
     "streaming_tumbling_changes",
     oracle="""
     SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start,

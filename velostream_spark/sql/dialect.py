@@ -178,6 +178,21 @@ def parse_duration(text: str) -> str:
     if not m:
         m = re.match(r"(?i)^(\d+)\s+(\w+)$", t)
     if m:
+        n, u = int(m.group(1)), m.group(2).upper().rstrip("S") + "S"
+        # Fixed-duration units per the reference's interval_to_millis
+        # (types.rs:1402-1414): WEEK=7d, MONTH=30d, YEAR=365d; nanos and
+        # micros truncate to whole milliseconds. Spark window durations
+        # must be fixed anyway (no calendar months in window()).
+        fixed = {"WEEKS": (7, "days"), "MONTHS": (30, "days"),
+                 "YEARS": (365, "days"),
+                 "NANOSECONDS": (1, None), "MICROSECONDS": (1, None)}
+        if u in fixed:
+            if u == "NANOSECONDS":
+                return f"{n // 1_000_000} milliseconds"
+            if u == "MICROSECONDS":
+                return f"{n // 1000} milliseconds"
+            mult, base = fixed[u]
+            return f"{n * mult} {base}"
         unit = _UNIT_TO_SPARK.get(m.group(2).upper())
         if not unit:
             raise ValueError(f"unknown time unit in duration: {text!r}")
@@ -1085,7 +1100,80 @@ _FN_CALL_RE = re.compile(
 )
 
 
+#: CAST target-type conformance (reference types.rs cast_to arms, CAST
+#: dispatch functions.rs:1269-1289). Each entry exists because Spark's
+#: reading of the type NAME diverges from the reference's:
+#: - FLOAT is f64 in the reference (types.rs:781 "FLOAT" | "DOUBLE" → f64)
+#:   but float32 in Spark — silent precision loss on the corpus's 8
+#:   CAST(... AS FLOAT) sites.
+#: - TEXT / bare VARCHAR (types.rs:817) are STRING; Spark errors
+#:   (DATATYPE_MISSING_SIZE) on bare VARCHAR and rejects TEXT. VARCHAR(n)
+#:   is left untouched (Spark accepts it).
+#: - DATETIME (types.rs:878 "TIMESTAMP" | "DATETIME") → TIMESTAMP; Spark
+#:   has no DATETIME.
+#: - bare DECIMAL/NUMERIC is arbitrary-precision rust_decimal in the
+#:   reference (types.rs:914, keeps the fraction) but DECIMAL(10,0) in
+#:   Spark (CAST(1.5 AS DECIMAL) = 2) → DECIMAL(38,18). Explicit
+#:   DECIMAL(p,s) is untouched.
+#: - SCALED_INTEGER defaults to scale 4 "financial standard"
+#:   (types.rs:950) → DECIMAL(38,4) (both round half-up for positives).
+#: NOT mirrored (documented divergences, tests in test_function_catalog):
+#: - CAST(NULL AS STRING) returns the literal string 'NULL' in the
+#:   reference (types.rs:823) — a reference bug (mirroring would corrupt
+#:   data); Spark/DuckDB return SQL NULL.
+#: - Spark's string→boolean accepts 'y'/'yes'/'n'/'no' beyond the
+#:   reference's TRUE/T/1/FALSE/F/0 set (types.rs:838) — permissive
+#:   superset, never wrong on reference-accepted inputs.
+_CAST_TARGET_REWRITES = [
+    (r"(?i)\bAS\s+FLOAT\s*\)", "AS DOUBLE)"),
+    (r"(?i)\bAS\s+DATETIME\s*\)", "AS TIMESTAMP)"),
+    (r"(?i)\bAS\s+(?:TEXT|VARCHAR)\s*\)", "AS STRING)"),
+    (r"(?i)\bAS\s+(?:DECIMAL|NUMERIC)\s*\)", "AS DECIMAL(38,18))"),
+    (r"(?i)\bAS\s+SCALED_INTEGER\s*\)", "AS DECIMAL(38,4))"),
+]
+
+
+def _rewrite_cast_targets(sql: str) -> str:
+    """Normalize CAST/TRY_CAST target type names to the reference's
+    semantics (see _CAST_TARGET_REWRITES). The ``AS <type>)`` shape only
+    occurs inside CAST-family calls — a SELECT alias is never directly
+    followed by ``)``."""
+    for pat, repl in _CAST_TARGET_REWRITES:
+        sql = _sub_outside_strings(sql, pat, repl)
+    return sql
+
+
+#: INTERVAL units whose Spark semantics diverge from the reference's.
+#: The reference converts EVERY interval to fixed MILLISECONDS
+#: (types.rs:1402-1414 interval_to_millis): WEEK = 7 days (Spark agrees —
+#: pinned in tests, no rewrite), MONTH = 30 days and YEAR = 365 days
+#: ("Approximate" by design — Spark's are calendar-aware: Jan 31 + 1 MONTH
+#: = Feb 29 in Spark but Mar 1 in the reference), NANOSECOND and
+#: MICROSECOND truncate to whole milliseconds (value/1_000_000 and
+#: value/1000, integer division — record timestamps are millis).
+_INTERVAL_FIXED_RE = (
+    r"(?i)\bINTERVAL\s+'?(\d+)'?\s+(MONTHS?|YEARS?|NANOSECONDS?|MICROSECONDS?)\b"
+)
+
+
+def _rewrite_interval_units(sql: str) -> str:
+    def conv(m: re.Match) -> str:
+        n = int(m.group(1))
+        unit = m.group(2).upper().rstrip("S")
+        if unit == "MONTH":
+            return f"INTERVAL '{n * 30}' DAY"
+        if unit == "YEAR":
+            return f"INTERVAL '{n * 365}' DAY"
+        if unit == "NANOSECOND":
+            return f"INTERVAL '{n // 1_000_000}' MILLISECOND"
+        return f"INTERVAL '{n // 1000}' MILLISECOND"  # MICROSECOND
+
+    return _sub_outside_strings(sql, _INTERVAL_FIXED_RE, conv)
+
+
 def _rewrite_functions(sql: str) -> str:
+    sql = _rewrite_cast_targets(sql)
+    sql = _rewrite_interval_units(sql)
     # Track a search offset: when _rewrite_call declines a match (repl None,
     # e.g. EXTRACT(YEAR FROM ts) passed through to Spark's native extract, or
     # 2-arg DATEDIFF), advance past it — restarting from 0 on an unchanged
@@ -1473,8 +1561,10 @@ def translate_select_full(
     return sql.strip(), wc, emit, keys, rw, uri_sources
 
 
-def _sub_outside_strings(sql: str, pattern: str, repl: str) -> str:
-    """re.sub applied only OUTSIDE quoted string literals."""
+def _sub_outside_strings(sql: str, pattern: str, repl) -> str:
+    """re.sub applied only OUTSIDE quoted string literals (the match may
+    itself span literals — e.g. ``INTERVAL '2' MONTH`` — but can only
+    START outside one). ``repl`` is a string or a match→string callable."""
     rx = re.compile(pattern)
     out: list[str] = []
     i = 0
@@ -1487,7 +1577,7 @@ def _sub_outside_strings(sql: str, pattern: str, repl: str) -> str:
             continue
         m = rx.match(sql, i)
         if m:
-            out.append(repl)
+            out.append(repl if isinstance(repl, str) else repl(m))
             i = m.end()
         else:
             out.append(ch)

@@ -173,6 +173,11 @@ class SqlEngine:
         #: metric name → (source stream name, MetricAnnotation) — FR-073
         #: `@metric` blocks bound at CREATE STREAM/TABLE time (annotations.rs)
         self.metrics: dict[str, tuple[str, "object"]] = {}
+        #: name → source cfg map as wired (WITH props / config_file / URI) —
+        #: serves SHOW PROPERTIES (show.rs:294 property/value rows) and
+        #: SHOW TOPICS (show.rs:155: topics of REGISTERED streams, no
+        #: broker I/O involved).
+        self.source_cfgs: dict[str, dict[str, str]] = {}
         self._jobs = None  # lazy StreamJobManager (streaming CSAS + JOB stmts)
 
     @property
@@ -311,6 +316,7 @@ class SqlEngine:
                 continue
             if name in self.streams or name in self.tables:
                 continue
+            self.source_cfgs[name] = dict(cfg)
             if typ in ("file_source", "file_source_mmap"):
                 # mmap is the reference's fast path (reader_mmap.rs); Spark's
                 # vectorized reader plays that role — same config accepted.
@@ -498,6 +504,8 @@ class SqlEngine:
             typ = cfg.get("type", "")
             if name in self.streams or name in self.tables:
                 continue
+            if typ.endswith("_source"):
+                self.source_cfgs[name] = dict(cfg)
             if typ in ("file_source", "file_source_mmap"):
                 fmt = cfg.get("format", "csv").lower()
                 path = (
@@ -860,6 +868,46 @@ class SqlEngine:
             return out
         if what.startswith("PROPERTIES"):
             parts = what.split()
+            if len(parts) >= 3 and parts[1] in ("STREAM", "TABLE"):
+                # reference spelling: SHOW PROPERTIES STREAM|TABLE <name>
+                # (commands.rs:264-293) → property/value rows
+                # (show.rs:294-331: id/topic/schema_id/type + field_count);
+                # our analog surfaces the wired source cfg the same way.
+                name = parts[2].lower()
+                rows = [{"property": "type", "value": parts[1]}]
+                try:
+                    df = self._describe_df(name)
+                except KeyError:
+                    # a streaming-wired source registers its cfg but may
+                    # not be resolvable once its job has been stopped —
+                    # cfg properties below are still the answer
+                    if name not in self.source_cfgs:
+                        raise
+                else:
+                    rows.append(
+                        {
+                            "property": "field_count",
+                            "value": str(len(df.schema.fields)),
+                        }
+                    )
+                if name in self.tables and self.tables[name].key_fields:
+                    rows.append(
+                        {
+                            "property": "key",
+                            "value": "|".join(self.tables[name].key_fields),
+                        }
+                    )
+                cfg = self.source_cfgs.get(name, {})
+                if "type" in cfg:
+                    # the cfg's own "type" (file_source/kafka_source/...)
+                    # must not shadow the resource-type row above
+                    rows.append(
+                        {"property": "source_type", "value": cfg["type"]}
+                    )
+                for k, v in sorted(cfg.items()):
+                    if k != "type":
+                        rows.append({"property": k, "value": str(v)})
+                return rows
             name = parts[-1].lower()
             if name in self.jobs.jobs:
                 job = self.jobs.jobs[name]
@@ -881,11 +929,17 @@ class SqlEngine:
                 }
             ]
         if what.startswith("TOPICS"):
-            # ShowResourceType::Topics lists broker topics — broker I/O is
-            # environment-exempt here (README: Kafka runtime status)
-            raise RuntimeError(
-                "SHOW TOPICS requires a Kafka broker connection; this "
-                "environment has no broker or connector jar (see README "
-                "'Kafka runtime status')"
+            # ShowResourceType::Topics — despite the docstring "whether
+            # registered or not" (ast.rs:477), the reference's processor
+            # lists topics of REGISTERED streams only (show.rs:155-177:
+            # iterates stream_handles, emits topic_name + registered=true);
+            # no broker I/O happens, so neither does any here.
+            topics = sorted(
+                {
+                    cfg["topic"]
+                    for cfg in self.source_cfgs.values()
+                    if cfg.get("type") == "kafka_source" and cfg.get("topic")
+                }
             )
+            return [{"topic_name": t, "registered": True} for t in topics]
         raise ValueError(f"unsupported SHOW: {what!r}")
