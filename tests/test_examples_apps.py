@@ -264,7 +264,10 @@ def test_ecommerce_product_analytics(ecommerce):
                COUNT(*) AS view_count,
                COUNT(CASE WHEN payload->>'$.action' = 'purchase' THEN 1 END)
                    AS purchase_count,
-               AVG(CAST(payload->>'$.price' AS FLOAT)) AS avg_price
+               -- DOUBLE: the reference's CAST(.. AS FLOAT) is f64
+               -- (types.rs:781) and the dialect now maps it so; DuckDB's
+               -- FLOAT is float32 and would drift in the 9th digit
+               AVG(CAST(payload->>'$.price' AS DOUBLE)) AS avg_price
         FROM user_events
         GROUP BY 1, 2, floor(epoch(ts) / 1800)
         """,

@@ -541,3 +541,38 @@ def test_window_duration_fixed_units():
     assert parse_duration("2 WEEKS") == "14 days"
     assert parse_duration("INTERVAL '1' YEAR") == "365 days"
     assert parse_duration("1500 MICROSECONDS") == "1 milliseconds"
+
+
+# ---------------------------------------------------------------------------
+# String-function edge adjudications (functions.rs r7 sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_start_zero_agrees(eng):
+    """functions.rs:678 `start.saturating_sub(1)`: start 0 behaves like 1 —
+    Spark agrees (0 treated as 1); pinned as agreement."""
+    assert _one(eng, "SUBSTRING('abcdef', 0, 3)") == "abc"
+    assert _one(eng, "SUBSTRING('abcdef', 1, 3)") == "abc"
+
+
+def test_substring_negative_start_divergence_documented(eng):
+    """ADJUDICATED divergence: a negative start hits `start as usize` in
+    the reference (functions.rs:669) — the two's-complement wrap makes
+    skip() consume everything, returning ''. That is an accident of the
+    cast, not designed semantics (the reference documents SUBSTRING as
+    1-based). We keep Spark's ANSI behavior (negative start counts from
+    the end), the same way the CAST(NULL AS STRING)->'NULL' accident is
+    not mirrored."""
+    assert _one(eng, "SUBSTRING('abcdef', -2)") == "ef"
+
+
+def test_left_right_edges(eng):
+    """LEFT/RIGHT with n >= length return the whole string in both engines
+    (functions.rs:2280,2302-2306). Negative n: the reference's `n as usize`
+    wrap (functions.rs:2279) accidentally returns the WHOLE string for
+    LEFT(s, -1); Spark/ANSI return '' — adjudicated to Spark (documented,
+    not mirrored)."""
+    assert _one(eng, "LEFT('abc', 10)") == "abc"
+    assert _one(eng, "RIGHT('abc', 10)") == "abc"
+    assert _one(eng, "LEFT('abc', -1)") == ""
+    assert _one(eng, "RIGHT('abc', -1)") == ""

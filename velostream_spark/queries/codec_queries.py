@@ -97,7 +97,9 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
     )
-    cust = cust.repartition(min(8, spark.sparkContext.defaultParallelism))
+    # 16 codec partitions measured fastest on 32 cores (8 left half the
+    # box idle; 32 added scheduler overhead for no gain — r7 sweep)
+    cust = cust.repartition(min(16, spark.sparkContext.defaultParallelism))
     decoded = df_roundtrip_avro(cust, _AVRO_CUSTOMER, _AVRO_CUSTOMER_READER)
     return decoded.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
@@ -142,7 +144,9 @@ def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    orders = orders.repartition(min(8, spark.sparkContext.defaultParallelism))
+    # 16 codec partitions: fastest point of the r7 partition sweep
+    # (8 -> 0.065 s, 16 -> 0.048 s, 32 -> 0.051 s at sf0.1)
+    orders = orders.repartition(min(16, spark.sparkContext.defaultParallelism))
     decoded = df_roundtrip_protobuf(orders, _PROTO_ORDERS, "Order")
     return decoded.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
