@@ -221,3 +221,26 @@ def test_uri_join_with_named_stream(spark, tmp_path):
     )
     got = {r["label"]: r["v"] for r in df.collect()}
     assert got == {"gold": 9.0, "silver": 4.0}
+
+
+def test_uri_file_streaming_watch(spark, tmp_path):
+    """create-table-wildcard.md:54-58 `watch=true`: a file URI in a
+    streaming CSAS wires through spark.readStream (the reference's file
+    watcher analog) via the same cfg path as WITH-prop sources."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "app-1.json").write_text('{"n": 1}\n{"n": 2}\n')
+    out = str(tmp_path / "out")
+    eng = SqlEngine(spark)
+    job = eng.execute_streaming(
+        f"CREATE STREAM wlog AS SELECT n FROM file://{src}/app-*.json?format=jsonl&watch=true "
+        f"WITH ('wlog.type' = 'file_sink', 'wlog.path' = '{out}', "
+        f"'wlog.format' = 'parquet');"
+    )
+    try:
+        got = sorted(r["n"] for r in spark.read.parquet(out).collect())
+        assert got == [1, 2]
+    finally:
+        eng.execute("STOP JOB wlog")
