@@ -576,3 +576,26 @@ def test_left_right_edges(eng):
     assert _one(eng, "RIGHT('abc', 10)") == "abc"
     assert _one(eng, "LEFT('abc', -1)") == ""
     assert _one(eng, "RIGHT('abc', -1)") == ""
+
+
+def test_cast_date_literal_formats(eng):
+    """types.rs:857-861: string→DATE tries %Y-%m-%d, %Y/%m/%d, %m/%d/%Y,
+    %d-%m-%Y in order — LITERALS in the non-ISO formats are normalized
+    statically by the dialect (Spark's ANSI cast only reads ISO)."""
+    want = dt.date(2024, 3, 15)
+    assert _one(eng, "CAST('2024-03-15' AS DATE)") == want
+    assert _one(eng, "CAST('2024/03/15' AS DATE)") == want
+    assert _one(eng, "CAST('03/15/2024' AS DATE)") == want
+    assert _one(eng, "CAST('15-03-2024' AS DATE)") == want
+    # trial ORDER pins disambiguation: Y/m/d wins before m/d/Y
+    assert _one(eng, "CAST('2024/03/05' AS DATE)") == dt.date(2024, 3, 5)
+
+
+def test_cast_timestamp_literal_formats(eng):
+    """types.rs:881-895: Y/m/d-with-time is the non-ISO timestamp format
+    Spark can't read — normalized; fractional seconds preserved."""
+    want = dt.datetime(2024, 3, 15, 12, 30, 45)
+    assert _one(eng, "CAST('2024/03/15 12:30:45' AS TIMESTAMP)") == want
+    assert _one(eng, "CAST('2024-03-15T12:30:45' AS TIMESTAMP)") == want
+    got = _one(eng, "CAST('2024/03/15 12:30:45.250' AS TIMESTAMP)")
+    assert got == dt.datetime(2024, 3, 15, 12, 30, 45, 250000)

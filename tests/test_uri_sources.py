@@ -244,3 +244,17 @@ def test_uri_file_streaming_watch(spark, tmp_path):
         assert got == [1, 2]
     finally:
         eng.execute("STOP JOB wlog")
+
+
+def test_validator_accepts_uri_sources():
+    """URI FROM sources are self-configuring — the validator must not
+    demand a WITH-clause source config for them (query_analyzer
+    requirement analysis skips StreamSource::Uri)."""
+    from velostream_spark.sql.validator import validate_app
+
+    rep = validate_app(
+        "CREATE TABLE t1 AS SELECT k PRIMARY KEY, v FROM file:///d/x.csv "
+        'WITH ("file.format" = "csv");',
+        registered=set(),
+    )
+    assert rep.errors == []

@@ -1133,14 +1133,63 @@ _CAST_TARGET_REWRITES = [
 ]
 
 
+#: String→DATE formats the reference's cast_to tries IN ORDER
+#: (types.rs:857-861): ISO, Y/m/d, m/d/Y, d-m-Y. Spark's ANSI cast only
+#: parses ISO-ish strings, so LITERAL date/timestamp strings in non-ISO
+#: reference formats are normalized statically (column-valued strings
+#: can't be — documented; they error in Spark just as malformed strings
+#: error in the reference).
+_DATE_FORMATS = ("%Y-%m-%d", "%Y/%m/%d", "%m/%d/%Y", "%d-%m-%Y")
+#: String→TIMESTAMP formats (types.rs:881-895): the only non-ISO one
+#: Spark can't read is Y/m/d with time.
+_TS_FORMATS = (
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y/%m/%d %H:%M:%S",
+)
+
+_CAST_DT_LITERAL_RE = (
+    r"(?i)\b(CAST|TRY_CAST)\s*\(\s*'([^']+)'\s+AS\s+(DATE|TIMESTAMP)\s*\)"
+)
+
+
+def _normalize_datetime_literal_casts(sql: str) -> str:
+    import datetime as _dt
+
+    def conv(m: re.Match) -> str:
+        fn, lit, target = m.group(1), m.group(2), m.group(3).upper()
+        if target == "DATE":
+            for fmt in _DATE_FORMATS:
+                try:
+                    d = _dt.datetime.strptime(lit, fmt).date()
+                except ValueError:
+                    continue
+                return f"{fn}('{d.isoformat()}' AS DATE)"
+        else:
+            base, _, frac = lit.partition(".")
+            for fmt in _TS_FORMATS:
+                try:
+                    ts = _dt.datetime.strptime(base, fmt)
+                except ValueError:
+                    continue
+                out = ts.strftime("%Y-%m-%d %H:%M:%S") + (
+                    f".{frac}" if frac else ""
+                )
+                return f"{fn}('{out}' AS TIMESTAMP)"
+        return m.group(0)  # unparseable → Spark errors, like the reference
+
+    return _sub_outside_strings(sql, _CAST_DT_LITERAL_RE, conv)
+
+
 def _rewrite_cast_targets(sql: str) -> str:
     """Normalize CAST/TRY_CAST target type names to the reference's
-    semantics (see _CAST_TARGET_REWRITES). The ``AS <type>)`` shape only
+    semantics (see _CAST_TARGET_REWRITES), then non-ISO date/timestamp
+    LITERALS to ISO (see _DATE_FORMATS). The ``AS <type>)`` shape only
     occurs inside CAST-family calls — a SELECT alias is never directly
     followed by ``)``."""
     for pat, repl in _CAST_TARGET_REWRITES:
         sql = _sub_outside_strings(sql, pat, repl)
-    return sql
+    return _normalize_datetime_literal_casts(sql)
 
 
 #: INTERVAL units whose Spark semantics diverge from the reference's.

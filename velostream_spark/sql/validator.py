@@ -102,6 +102,8 @@ def _validate_parsed(
         for tbl in _referenced_tables(st.select_sql):
             if tbl in registered or tbl == st.name:
                 continue
+            if tbl in {v.lower() for v in st.uri_sources}:
+                continue  # FR-047 URI FROM source — self-configuring
             cfg = cfgs.get(tbl)
             if cfg is None and tbl == stmt_config_tbl:
                 continue
