@@ -312,3 +312,53 @@ def test_ann_brute_force_is_broadcast_not_shuffled_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_ann_ivf_is_equi_join_on_cells_not_cartesian(spark):
+    # IVF probe = BROADCAST equi-join on cell id (queries are tiny), cell
+    # assignment one MapInPandas (BLAS matmul per Arrow batch), re-rank one
+    # FlatMapGroupsInPandas per query group — never an all-pairs join
+    for name in ("ann_ivf_topk", "ann_ivf_trained_topk"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+
+def test_simhash_signature_pure_codegen_no_python(spark):
+    # 64-lane vote counters are codegen bit-arithmetic over shingles —
+    # Generate (explode) + partial/final HashAggregate; no Python anywhere
+    plan = plan_of(spark, "simhash")
+    assert "HashAggregate" in plan, plan
+    for bad in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_minhash_signature_single_scan_no_shuffle_no_python(spark):
+    # expression-level minhash: one documents scan, projections only —
+    # the signature itself needs no Exchange and no Python worker
+    plan = plan_of(spark, "minhash_signature")
+    assert "Scan" in plan, plan
+    for bad in ("Exchange", "MapInPandas", "ArrowEvalPython", "Join"):
+        assert bad not in plan, plan
+
+
+def test_multimodal_audio_energy_single_arrow_stage(spark):
+    # binary audio decode = exactly ONE Arrow-batched Python stage over
+    # the scan; no shuffle (per-document decode is embarrassingly parallel)
+    import re
+
+    plan = plan_of(spark, "multimodal_audio_energy")
+    # one physical node (formatted output mentions it in tree + detail)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_quantified_comparisons_broadcast_not_shuffled_cartesian(spark):
+    # op ANY/ALL (subq) rewrites to correlated EXISTS; the non-equi
+    # correlation decorrelates to a BROADCAST nested-loop against the
+    # tiny subquery side — a shuffled CartesianProduct would be the
+    # 100-TB failure mode
+    plan = plan_of(spark, "dialect_quantified_comparisons")
+    assert "CartesianProduct" not in plan, plan
