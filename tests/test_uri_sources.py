@@ -258,3 +258,46 @@ def test_validator_accepts_uri_sources():
         registered=set(),
     )
     assert rep.errors == []
+
+
+# ---------------------------------------------------------------------------
+# INTO sink URIs (clauses.rs:534: INTO sink_name | INTO 'kafka://…')
+# ---------------------------------------------------------------------------
+
+
+def test_parse_uri_sink_mappings():
+    from velostream_spark.sql.dialect import parse_uri_sink
+
+    cfg = parse_uri_sink("kafka://broker:9092/out-topic")
+    assert cfg["type"] == "kafka_sink"
+    assert cfg["bootstrap.servers"] == "broker:9092"
+    assert cfg["topic"] == "out-topic"
+    cfg = parse_uri_sink("file:///tmp/out.parquet")
+    assert cfg == {"type": "file_sink", "path": "/tmp/out.parquet",
+                   "format": "parquet"}
+    cfg = parse_uri_sink("file:///tmp/out?format=jsonl")
+    assert cfg["format"] == "jsonl"
+    with pytest.raises(ValueError, match="sink scheme"):
+        parse_uri_sink("postgresql://h/db?table=t")
+
+
+def test_into_uri_sink_executes(spark, tmp_path):
+    """CTAS ... INTO 'file://…' writes through the file sink — both the
+    quoted form the reference parses and the bare symmetric form."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "src9", spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    )
+    out = tmp_path / "o.parquet"
+    eng.execute(
+        f"CREATE TABLE snap AS SELECT id, s FROM src9 INTO 'file://{out}'"
+    )
+    got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2]
+    out2 = tmp_path / "o2.parquet"
+    eng.execute(
+        f"CREATE TABLE snap2 AS SELECT id, s FROM src9 INTO file://{out2}"
+    )
+    assert spark.read.parquet(str(out2)).count() == 2

@@ -359,9 +359,15 @@ def _extract_with_props(sql: str) -> tuple[str, dict[str, str], str | None]:
         if p:
             props = {**p, **props}
             sql = sql2
-        im = re.search(r"(?is)\bINTO\s+([\w.]+)\s*;?\s*$", sql)
+        # sink name, quoted sink URI, or bare sink URI (FR-047:
+        # clauses.rs:534 "INTO sink_name or INTO 'kafka://broker/topic'")
+        im = re.search(
+            r"(?is)\bINTO\s+('[^']*://[^']*'|[\w.\-+]+://[^\s;]+|[\w.]+)"
+            r"\s*;?\s*$",
+            sql,
+        )
         if im:
-            into = im.group(1)
+            into = im.group(1).strip("'")
             sql = sql[: im.start()].rstrip()
             continue
         if not p:
@@ -1560,6 +1566,34 @@ def parse_uri_source(uri: str, props: dict[str, str] | None = None) -> dict[str,
         cfg.update(params)
         return cfg
     raise ValueError(f"unsupported URI source scheme {scheme!r}: {uri!r}")
+
+
+def parse_uri_sink(uri: str, props: dict[str, str] | None = None) -> dict[str, str]:
+    """Sink half of FR-047 (clauses.rs:534: ``INTO 'kafka://broker/topic'``):
+    the same URI grammar mapped to sink cfgs — ``file://`` → file_sink
+    (format from ?format= / WITH, csv default like the engine's file
+    sink), ``kafka://`` → kafka_sink (PRIMARY KEY → message key as with
+    named kafka sinks)."""
+    cfg = parse_uri_source(uri, props)
+    t = cfg.pop("type")
+    if t == "kafka_source":
+        cfg["type"] = "kafka_sink"
+    elif t == "file_source":
+        cfg["type"] = "file_sink"
+        explicit = "format=" in uri or any(
+            k in ("format", "file.format") for k in (props or {})
+        )
+        if not explicit:
+            # parse_uri_source defaults file format to json (source rule,
+            # types.rs:507); for SINKS infer from the path extension and
+            # fall back to the engine's file-sink default (csv)
+            fmt = uri.partition("?")[0].rsplit(".", 1)[-1].lower()
+            cfg["format"] = (
+                fmt if fmt in ("csv", "json", "jsonl", "parquet") else "csv"
+            )
+    else:
+        raise ValueError(f"unsupported URI sink scheme: {uri!r}")
+    return cfg
 
 
 def translate_select(

@@ -341,10 +341,16 @@ class SqlEngine:
 
     def _write_sink(self, st: Statement, df: DataFrame) -> None:
         # sink props live under the INTO name when given (ast.rs:889),
-        # else under the created stream's own name
-        cfg = self._source_names(st.with_props).get(
-            st.into or st.name or "", {}
-        )
+        # else under the created stream's own name; an INTO URI (FR-047,
+        # clauses.rs:534) configures the sink from the URI itself
+        if st.into and "://" in st.into:
+            from velostream_spark.sql.dialect import parse_uri_sink
+
+            cfg = parse_uri_sink(st.into, st.with_props)
+        else:
+            cfg = self._source_names(st.with_props).get(
+                st.into or st.name or "", {}
+            )
         typ = cfg.get("type", "")
         if typ == "file_sink":
             fmt = cfg.get("format", "csv").lower()
