@@ -599,3 +599,23 @@ def test_cast_timestamp_literal_formats(eng):
     assert _one(eng, "CAST('2024-03-15T12:30:45' AS TIMESTAMP)") == want
     got = _one(eng, "CAST('2024/03/15 12:30:45.250' AS TIMESTAMP)")
     assert got == dt.datetime(2024, 3, 15, 12, 30, 45, 250000)
+
+
+def test_division_semantics(eng):
+    """types.rs:1289-1325: Integer / Integer is TRUE division returning
+    Float (3/2 = 1.5) — Spark's `/` agrees (double result). Division by
+    zero: the reference returns the SENTINEL Integer(1) ("Defensive:
+    return 1 ... to allow record processing to continue") — adjudicated
+    NOT to mirror: a fabricated 1 silently corrupts downstream
+    aggregates (an AVG of ratios would absorb it). On the engine's
+    factory session (session.py: ansi.enabled=false) x/0 yields NULL —
+    continues processing AND is visibly absent; on an ANSI session (this
+    vanilla driver-like fixture) Spark raises, and TRY_DIVIDE is the
+    expression-local NULL form either way."""
+    assert _one(eng, "3 / 2") == 1.5
+    assert _one(eng, "10 / 4") == 2.5
+    assert _one(eng, "TRY_DIVIDE(1, 0)") is None
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.ArithmeticException):
+        _one(eng, "1 / 0")
