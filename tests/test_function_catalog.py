@@ -619,3 +619,16 @@ def test_division_semantics(eng):
 
     with pytest.raises(pyspark.errors.exceptions.base.ArithmeticException):
         _one(eng, "1 / 0")
+
+
+def test_concat_operator_vs_function_null_semantics(eng):
+    """The reference has TWO concatenations with different NULL rules:
+    the || operator is SQL-standard NULL-propagating (evaluator.rs:601
+    "concatenation with NULL returns NULL") while the CONCAT function
+    SKIPS NULLs (functions.rs concat → dialect concat_ws rewrite). Spark's
+    || matches the operator natively; the dialect carries the function."""
+    assert _one(eng, "'a' || 'b'") == "ab"
+    assert _one(eng, "'a' || NULL") is None
+    assert _one(eng, "CONCAT('a', NULL, 'b')") == "ab"
+    # mixed-type ||: non-strings take their string rendering
+    assert _one(eng, "'v=' || 7") == "v=7"
