@@ -1112,3 +1112,16 @@ def test_quantified_compound_lhs_rejected():
             translate_select(bad)
     # parenthesized compound lhs is fine (covered end-to-end above)
     translate_select("SELECT * FROM t WHERE (x + 1) > ALL (SELECT y FROM u)")
+
+
+def test_implicit_key_rejects_expression_items_after_blanking():
+    """Regression guard for the depth-0 scan: expression GROUP BY items
+    must still be rejected — the clause span comes from the blanked text
+    but items are read from the ORIGINAL, so UPPER(name) is not truncated
+    into a bogus 'UPPER' key."""
+    from velostream_spark.sql.dialect import _implicit_group_by_keys
+
+    assert _implicit_group_by_keys("SELECT 1 FROM s GROUP BY UPPER(name)") == []
+    assert _implicit_group_by_keys(
+        "SELECT 1 FROM s GROUP BY region, UPPER(name)"
+    ) == ["region"]

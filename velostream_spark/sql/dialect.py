@@ -615,10 +615,12 @@ def _implicit_group_by_keys(sql: str) -> list[str]:
     if not m:
         return []
     keys = []
-    # Items come from the blanked text: depth-0 identifiers are unchanged
-    # there, and anything parenthesized has been spaced out (it would fail
-    # the identifier filter anyway).
-    for item in _split_top_level(m.group(1)):
+    # The clause SPAN comes from the blanked text (so only the outer
+    # query's GROUP BY matches); the ITEMS come from the ORIGINAL text at
+    # the same positions (length-preserving blanking), so an expression
+    # item like UPPER(name) keeps its parens and is correctly rejected by
+    # the identifier filter instead of surviving as a bogus 'UPPER' key.
+    for item in _split_top_level(sql[m.start(1) : m.end(1)]):
         item = item.strip()
         if re.match(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*$", item):
             keys.append(item.rsplit(".", 1)[-1])
