@@ -1125,3 +1125,26 @@ def test_implicit_key_rejects_expression_items_after_blanking():
     assert _implicit_group_by_keys(
         "SELECT 1 FROM s GROUP BY region, UPPER(name)"
     ) == ["region"]
+
+
+def test_show_like_pattern_filter(spark):
+    """SHOW STREAMS/TABLES/TOPICS/FUNCTIONS accept an optional filter —
+    bare 'pat%' or LIKE 'pat%' (commands.rs:312-328) with the reference's
+    %-wildcard semantics (show.rs:406-431: prefix/suffix/substring/exact)."""
+    eng = SqlEngine(spark)
+    for n in ("user_events", "user_clicks", "orders"):
+        eng.register_stream(n, spark.createDataFrame([(1,)], "x int"))
+    names = lambda rows: [r["stream_name"] for r in rows]
+    assert names(eng.execute("SHOW STREAMS LIKE 'user%'")) == [
+        "user_clicks", "user_events",
+    ]
+    assert names(eng.execute("SHOW STREAMS '%events'")) == ["user_events"]
+    assert names(eng.execute("SHOW STREAMS '%er%'")) == [
+        "orders", "user_clicks", "user_events",
+    ]
+    assert names(eng.execute("SHOW STREAMS 'orders'")) == ["orders"]
+    assert names(eng.execute("SHOW STREAMS 'zzz'")) == []
+    fns = eng.execute("SHOW FUNCTIONS LIKE 'regexp%'")
+    assert fns and all(
+        r["function_name"].startswith("regexp") for r in fns
+    )

@@ -290,6 +290,8 @@ class Statement:
     set_clause: dict[str, str] | None = None
     where_sql: str | None = None
     show_what: str | None = None
+    #: SHOW ... ['pat%'|LIKE 'pat%'] filter (commands.rs:312, show.rs:406)
+    show_pattern: str | None = None
     job_action: str | None = None
     insert_select: str | None = None
     insert_columns: list[str] | None = None
@@ -1769,8 +1771,18 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
 
     m = re.match(r"(?is)^(SHOW|DESCRIBE)\s+(.*)$", body)
     if m:
-        return Statement(kind="show", show_what=f"{m.group(1)} {m.group(2)}".upper()
-                         if m.group(1).upper() == "DESCRIBE" else m.group(2).upper(),
+        what = m.group(2)
+        # optional trailing filter: SHOW STREAMS ['prefix%'|LIKE 'pat%']
+        # (commands.rs:312-328; %-wildcard semantics show.rs:406-431).
+        # Extracted BEFORE uppercasing so the pattern keeps its case.
+        pattern = None
+        pm = re.search(r"(?is)\s+(?:LIKE\s+)?'([^']*)'\s*$", what)
+        if pm:
+            pattern = pm.group(1)
+            what = what[: pm.start()]
+        return Statement(kind="show", show_what=f"{m.group(1)} {what}".upper()
+                         if m.group(1).upper() == "DESCRIBE" else what.upper(),
+                         show_pattern=pattern,
                          annotations=annotations, raw=sql)
 
     # DEPLOY JOB name VERSION 'v' [STRATEGY BLUE_GREEN|CANARY(p%)|ROLLING|

@@ -811,14 +811,38 @@ class SqlEngine:
 
     # -- SHOW --------------------------------------------------------------
 
+    @staticmethod
+    def _like_match(name: str, pattern: str | None) -> bool:
+        """SHOW-filter wildcard semantics (reference show.rs:406-431:
+        %-prefix/suffix/substring forms; other shapes fall back to a
+        contains check; no % = exact match)."""
+        if pattern is None:
+            return True
+        if "%" in pattern:
+            parts = pattern.split("%")
+            if len(parts) == 2 and not parts[0]:
+                return name.endswith(parts[1])
+            if len(parts) == 2 and not parts[1]:
+                return name.startswith(parts[0])
+            if len(parts) == 3 and not parts[0] and not parts[2]:
+                return parts[1] in name
+            return pattern.replace("%", "") in name
+        return name == pattern
+
     def _show(self, st: Statement) -> list[dict]:
         what = (st.show_what or "").strip()
+        pat = st.show_pattern
         if what.startswith("STREAMS"):
-            return [{"stream_name": n} for n in sorted(self.streams)]
+            return [
+                {"stream_name": n}
+                for n in sorted(self.streams)
+                if self._like_match(n, pat)
+            ]
         if what.startswith("TABLES"):
             return [
                 {"table_name": n, "key_field": t.key_field}
                 for n, t in sorted(self.tables.items())
+                if self._like_match(n, pat)
             ]
         if what.startswith("JOBS"):
             return self.jobs.show_jobs()
@@ -828,7 +852,11 @@ class SqlEngine:
             return self.jobs.show_versions(parts[1].lower() if len(parts) > 1 else None)
         if what.startswith("FUNCTIONS"):
             rows = self.spark.sql("SHOW FUNCTIONS").collect()
-            return [{"function_name": r[0]} for r in rows]
+            return [
+                {"function_name": r[0]}
+                for r in rows
+                if self._like_match(r[0], pat)
+            ]
         if what.startswith(("DESCRIBE", "SCHEMA")):
             # SHOW SCHEMA <name> == DESCRIBE <name> (ShowResourceType::Schema)
             name = what.split()[-1].lower()
@@ -947,5 +975,9 @@ class SqlEngine:
                     if cfg.get("type") == "kafka_source" and cfg.get("topic")
                 }
             )
-            return [{"topic_name": t, "registered": True} for t in topics]
+            return [
+                {"topic_name": t, "registered": True}
+                for t in topics
+                if self._like_match(t, pat)
+            ]
         raise ValueError(f"unsupported SHOW: {what!r}")
