@@ -281,7 +281,7 @@ def test_insert_update_delete(spark, engine):
 def test_show_statements(engine):
     engine.execute("CREATE TABLE st1 AS SELECT 1 AS a")
     streams = engine.execute("SHOW STREAMS")
-    assert {"stream_name": "events"} in streams
+    assert any(s["stream_name"] == "events" and s["type"] == "STREAM" for s in streams)
     tables = engine.execute("SHOW TABLES")
     assert any(t["table_name"] == "st1" for t in tables)
     cols = engine.execute("DESCRIBE st1")

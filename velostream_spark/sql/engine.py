@@ -833,14 +833,22 @@ class SqlEngine:
         what = (st.show_what or "").strip()
         pat = st.show_pattern
         if what.startswith("STREAMS"):
+            # row shape per show.rs:98-120: stream_name/topic/type (our
+            # topic = the wired kafka topic when there is one, else the
+            # stream's own name — the reference's handle.topic is the same
+            # identity for non-kafka streams)
             return [
-                {"stream_name": n}
+                {
+                    "stream_name": n,
+                    "topic": self.source_cfgs.get(n, {}).get("topic", n),
+                    "type": "STREAM",
+                }
                 for n in sorted(self.streams)
                 if self._like_match(n, pat)
             ]
         if what.startswith("TABLES"):
             return [
-                {"table_name": n, "key_field": t.key_field}
+                {"table_name": n, "key_field": t.key_field, "type": "TABLE"}
                 for n, t in sorted(self.tables.items())
                 if self._like_match(n, pat)
             ]
