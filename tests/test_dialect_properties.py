@@ -173,6 +173,15 @@ _REWRITABLE_CALLS = st.sampled_from([
     "EXTRACT('EPOCH', {a})",
     "GROUP_CONCAT({a})",
     "COLLECT({a})",
+    # round-7 rewrites: CAST target normalization + fixed-duration intervals
+    "CAST({a} AS FLOAT)",
+    "CAST({a} AS DECIMAL)",
+    "TRY_CAST({a} AS VARCHAR)",
+    "CAST({a} AS SCALED_INTEGER)",
+    "CAST('2024/03/15' AS DATE)",
+    "COALESCE({a}, {a} + INTERVAL '2' MONTH)",
+    "COALESCE({a}, {a} + INTERVAL '1' YEAR)",
+    "COALESCE({a}, {a} + INTERVAL '1500' MICROSECOND)",
 ])
 
 
@@ -185,3 +194,33 @@ def test_rewrite_functions_terminates_and_is_idempotent(outer, mid, inner):
     once = dialect._rewrite_functions(sql)      # must terminate
     twice = dialect._rewrite_functions(once)    # and be a fixed point
     assert twice == once
+
+
+# ---------------------------------------------------------------------------
+# URI extraction properties (FR-047)
+# ---------------------------------------------------------------------------
+
+
+@given(name=IDENT, col=IDENT)
+@settings(max_examples=40)
+def test_uri_extraction_identity_without_uris(name, col):
+    """SQL with no :// is untouched and yields no URI sources."""
+    sql = f"SELECT {col} FROM {name} WHERE {col} > 0"
+    out, uris = dialect._extract_uri_sources(sql)
+    assert out == sql and uris == {}
+
+
+@given(
+    path=st.from_regex(r"/[a-z0-9_]{1,8}/[a-z0-9_]{1,8}\.(csv|json)", fullmatch=True),
+    col=IDENT,
+)
+@settings(max_examples=40)
+def test_uri_extraction_idempotent(path, col):
+    """Extracting twice is a fixed point (the view name has no ://)."""
+    sql = f"SELECT {col} FROM file://{path} WHERE {col} IS NOT NULL"
+    out1, uris1 = dialect._extract_uri_sources(sql)
+    out2, uris2 = dialect._extract_uri_sources(out1)
+    assert out2 == out1 and uris2 == {}
+    assert list(uris1.values()) == [f"file://{path}"]
+    (view,) = uris1
+    assert view.isidentifier() and f"FROM {view}" in out1
