@@ -1148,3 +1148,49 @@ def test_show_like_pattern_filter(spark):
     assert fns and all(
         r["function_name"].startswith("regexp") for r in fns
     )
+
+
+def test_parameterized_query_substitution(spark):
+    """$N placeholder substitution with injection-safe quoting (reference
+    SelectProcessor.build_parameterized_query, select.rs:76-230; its
+    parameterized_query_test.rs assertions mirrored here)."""
+    import datetime as dt
+
+    from velostream_spark.sql.engine import build_parameterized_query
+
+    out = build_parameterized_query(
+        "SELECT * FROM users WHERE id = $0 AND name = $1 AND score > $2",
+        [123, "John'; DROP TABLE users; --", 85.5],
+    )
+    assert out.startswith("SELECT * FROM users WHERE id = 123 AND name = '")
+    assert "'John''; DROP TABLE users; --'" in out  # injection safely quoted
+    assert "85.5" in out
+    # $1 must not corrupt $12 (single-pass scan)
+    out = build_parameterized_query("SELECT $1, $12", {1: "a", 12: "b"})
+    assert out == "SELECT 'a', 'b'"
+    # unknown index stays literal; NULL / bool / temporal renderings
+    assert build_parameterized_query("SELECT $7", []) == "SELECT $7"
+    assert build_parameterized_query("SELECT $0", [None]) == "SELECT NULL"
+    assert build_parameterized_query("SELECT $0", [True]) == "SELECT true"
+    assert build_parameterized_query(
+        "SELECT $0", [dt.date(2024, 3, 15)]
+    ) == "SELECT '2024-03-15'"
+    # control chars stripped, NUL removed (select.rs:199-202)
+    out = build_parameterized_query("SELECT $0", ["a\0b\x01c\td"])
+    assert out == "SELECT 'abc\td'"
+
+
+def test_parameterized_query_executes(spark):
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_stream(
+        "pq_users",
+        spark.createDataFrame(
+            [(1, "ann", 90.0), (2, "bo'b", 70.0)], "id int, name string, score double"
+        ),
+    )
+    rows = eng.execute_parameterized(
+        "SELECT id FROM pq_users WHERE name = $0 AND score > $1", ["bo'b", 50.0]
+    ).collect()
+    assert [r["id"] for r in rows] == [2]

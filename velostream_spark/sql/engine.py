@@ -161,6 +161,64 @@ class MaterializedTable:
         return self.df.count()
 
 
+def format_param_value(value: Any) -> str:
+    """One parameter → SQL literal (reference format_param_value_fast,
+    processors/select.rs:177-230): numbers verbatim (non-finite → NULL),
+    strings quoted with ``''`` doubling + ``\\`` doubling, NUL/SUB
+    stripped and other control chars (except tab/newline/CR) dropped —
+    the injection-safety contract its tests assert; timestamps/dates as
+    quoted ISO; None → NULL."""
+    import datetime as _dt
+    import decimal as _decimal
+    import math
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return str(value) if math.isfinite(value) else "NULL"
+    if isinstance(value, _decimal.Decimal):
+        return str(value)
+    if isinstance(value, _dt.datetime):
+        return f"'{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(value, _dt.date):
+        return f"'{value.strftime('%Y-%m-%d')}'"
+    if isinstance(value, str):
+        escaped = value.replace("\\", "\\\\").replace("'", "''")
+        escaped = escaped.replace("\0", "").replace("\x1a", "")
+        escaped = "".join(
+            c for c in escaped if c in "\t\n\r" or not (ord(c) < 32 or ord(c) == 127)
+        )
+        return f"'{escaped}'"
+    raise ValueError(f"unsupported parameter type: {type(value).__name__}")
+
+
+def build_parameterized_query(template: str, params) -> str:
+    """``$N`` placeholder substitution with injection-safe quoting
+    (reference SelectProcessor.build_parameterized_query,
+    processors/select.rs:76-174; behavior pinned by its
+    parameterized_query_test.rs). ``params`` is a list (position = index)
+    or an index→value dict; single-pass scan, so ``$1`` never corrupts
+    ``$12``; unknown indexes stay literal (reference complex path)."""
+    if not params:
+        return template
+    if isinstance(params, (list, tuple)):
+        param_map = dict(enumerate(params))
+    else:
+        param_map = dict(params)
+
+    def sub(m: re.Match) -> str:
+        idx = int(m.group(1))
+        if idx in param_map:
+            return format_param_value(param_map[idx])
+        return m.group(0)
+
+    return re.sub(r"\$(\d+)", sub, template)
+
+
 class SqlEngine:
     """Multi-statement velostream-SQL engine over one SparkSession."""
 
@@ -383,6 +441,12 @@ class SqlEngine:
 
         registered = {n.lower() for n in (*self.streams, *self.tables)}
         return validate_app(sql, registered)
+
+    def execute_parameterized(self, template: str, params) -> "DataFrame | list | int":
+        """Execute a ``$N``-templated statement with safely-quoted
+        parameters (reference parameterized-query surface,
+        processors/select.rs:76)."""
+        return self.execute(build_parameterized_query(template, params))
 
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
