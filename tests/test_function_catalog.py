@@ -638,3 +638,12 @@ def test_concat_operator_vs_function_null_semantics(eng):
     assert _one(eng, "CONCAT('a', NULL, 'b')") == "ab"
     # mixed-type ||: non-strings take their string rendering
     assert _one(eng, "'v=' || 7") == "v=7"
+
+
+def test_temporal_cross_comparisons(eng):
+    """Date↔Timestamp comparisons promote the date to midnight
+    (reference temporal_comparison_test.rs:79-130) — Spark's implicit
+    date→timestamp cast agrees; pinned."""
+    assert _one(eng, "DATE '2025-06-15' < TIMESTAMP '2025-06-15 12:00:00'") is True
+    assert _one(eng, "TIMESTAMP '2025-06-15 23:59:59' < DATE '2025-06-16'") is True
+    assert _one(eng, "DATE '2025-06-15' = TIMESTAMP '2025-06-15 00:00:00'") is True
