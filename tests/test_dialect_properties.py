@@ -162,7 +162,8 @@ _REWRITABLE_CALLS = st.sampled_from([
     "DATE_FORMAT({a}, 'yyyy-MM-dd')",
     "JSON_EXTRACT({a}, '$.k')",
     "LISTAGG({a}, ',')",
-    "JOIN({a}, '-')",
+    "JOIN('-', {a}, 'x')",
+    "SPLIT_PART({a}, ',', {b})",
     "ARRAY_LENGTH({a})",
     "SET_HEADER('k', {a})",
     "HEADER('k')",

@@ -89,8 +89,12 @@ def test_string_functions(eng):
     assert _one(eng, "LEN(s)", "i = 2") == 5
     assert _one(eng, "CONCAT(s, '!')", "i = 2") == "spark!"
     assert _one(eng, "SPLIT(s, ',')", "i = 3") == ["velo", "stream", "sql"]
-    # JOIN(array, sep) — the reference's array-join (functions.rs:3448)
-    assert _one(eng, "JOIN(arr, '-')") == "a-b-c"
+    # JOIN(sep, v1, ..., vn) — DELIMITER-FIRST variadic
+    # (functions.rs:1001-1043); NULL values become the literal 'NULL'
+    assert _one(eng, "JOIN('-', 'a', 'b', 'c')") == "a-b-c"
+    assert _one(eng, "JOIN(',', s, 'x')", "i = 2") == "spark,x"
+    assert _one(eng, "JOIN(',', 'a', NULL, 'b')") == "a,NULL,b"
+    assert _one(eng, "JOIN(':', i, x)", "i = 2") == "2:2.5"
     assert _one(eng, "LEFT(s, 2)", "i = 2") == "sp"
     assert _one(eng, "RIGHT(s, 2)", "i = 2") == "rk"
     assert _one(eng, "POSITION('ar' IN s)", "i = 2") == 3
@@ -336,7 +340,10 @@ def test_split_treats_delimiter_literally(eng):
     assert _one(eng, "SPLIT('a.b.c', '.')") == ["a", "b", "c"]
     assert _one(eng, "SPLIT('x|y|z', '|')") == ["x", "y", "z"]
     assert _one(eng, "SPLIT(s, ',')", "i = 3") == ["velo", "stream", "sql"]
-    assert _one(eng, "JOIN(SPLIT('a.b', '.'), '-')") == "a-b"
+    assert (
+        _one(eng, "JOIN('-', SPLIT_PART('a.b', '.', 1), SPLIT_PART('a.b', '.', 2))")
+        == "a-b"
+    )
 
 
 def test_regexp_replace_flags_and_first_match_default(eng):
@@ -647,3 +654,86 @@ def test_temporal_cross_comparisons(eng):
     assert _one(eng, "DATE '2025-06-15' < TIMESTAMP '2025-06-15 12:00:00'") is True
     assert _one(eng, "TIMESTAMP '2025-06-15 23:59:59' < DATE '2025-06-16'") is True
     assert _one(eng, "DATE '2025-06-15' = TIMESTAMP '2025-06-15 00:00:00'") is True
+
+
+def test_round_double_tie_divergence_documented(eng):
+    """ADJUDICATED divergence: the reference rounds doubles C-style —
+    `(f * 10^p).round() / 10^p` (functions.rs:448-450), half-away on the
+    BINARY product — while Spark's ROUND(double, p) applies HALF_UP to
+    the double's shortest DECIMAL representation. They differ exactly
+    when the binary product lands on the other side of .5 from the
+    decimal text: 1.005*100 = 100.49999999999999 in IEEE, so the
+    reference (and DuckDB, same C-style path) give 1.0 where Spark gives
+    1.01. NOT mirrored: the string-level dialect is type-blind, and
+    rerouting every ROUND through a double-only expression would corrupt
+    DECIMAL rounding (which is exact HALF_UP in BOTH engines — the
+    ScaledInteger arm, functions.rs:452-464, divides as f64 and rounds
+    half-away, agreeing with decimal HALF_UP away-from-zero). Spark's
+    reading matches what the literal's author wrote; divergence is
+    confined to repr-tie doubles."""
+    # Spark decimal-repr HALF_UP (the adjudicated behavior):
+    assert _one(eng, "ROUND(CAST(1.005 AS DOUBLE), 2)") == 1.01
+    # agreement everywhere the binary product is not a repr-tie:
+    assert _one(eng, "ROUND(CAST(2.675 AS DOUBLE), 2)") == 2.68  # 267.5 exact
+    assert _one(eng, "ROUND(CAST(2.665 AS DOUBLE), 2)") == 2.67
+    assert _one(eng, "ROUND(CAST(-2.5 AS DOUBLE), 0)") == -3.0  # away from 0
+    # DECIMAL path: both engines round half-up/away exactly
+    assert float(_one(eng, "ROUND(CAST(2.5 AS DECIMAL(5,1)), 0)")) == 3.0
+    assert float(_one(eng, "ROUND(CAST(-2.5 AS DECIMAL(5,1)), 0)")) == -3.0
+
+
+def test_join_reference_signature(eng):
+    """JOIN is DELIMITER-FIRST and variadic (functions.rs:1001-1043):
+    every value is stringified (NULL → the literal 'NULL',
+    functions.rs:1029; numbers/booleans via to_string; dates ISO) and
+    joined. A non-string delimiter ERRORS in the reference
+    (functions.rs:1013) — here a NULL/array delimiter fails analysis or
+    nulls out the same visible way, never silently joins."""
+    assert _one(eng, "JOIN('-', 'a', 'b', 'c')") == "a-b-c"
+    assert _one(eng, "JOIN(', ', i, s)", "i = 2") == "2, spark"
+    assert _one(eng, "JOIN('|', NULL, 'x', NULL)") == "NULL|x|NULL"
+    assert _one(eng, "JOIN('-', CAST(NULL AS STRING))") == "NULL"
+    assert (
+        _one(eng, "JOIN('/', CAST(ts AS DATE))", "i = 1") == "2026-03-05"
+    )
+
+
+def test_split_part_index_edges(eng):
+    """functions.rs:989-998: SPLIT_PART index < 1 returns '' (PostgreSQL
+    semantics per the reference's own comment), out-of-bounds returns '',
+    NULL in any argument propagates NULL. Spark's split_part ERRORS on 0
+    and counts from the END on negatives, so non-literal / sub-1 indexes
+    are guarded by the dialect."""
+    assert _one(eng, "SPLIT_PART('a,b,c', ',', 2)") == "b"
+    assert _one(eng, "SPLIT_PART('a,b,c', ',', 9)") == ""
+    assert _one(eng, "SPLIT_PART('a,b,c', ',', 0)") == ""
+    assert _one(eng, "SPLIT_PART('a,b,c', ',', -1)") == ""
+    # dynamic (column) index goes through the guarded form
+    assert _one(eng, "SPLIT_PART(s, ',', i - 1)", "i = 3") == "stream"
+    assert _one(eng, "SPLIT_PART(s, ',', i - 3)", "i = 3") == ""
+    assert _one(eng, "SPLIT_PART('a,b', ',', CAST(NULL AS INT))") is None
+    assert _one(eng, "SPLIT_PART(CAST(NULL AS STRING), ',', 1)") is None
+    # literal delimiter foot-gun stays literal in the guarded form too
+    assert _one(eng, "SPLIT_PART('a.b.c', '.', 1 + 1)") == "b"
+
+
+def test_position_three_arg_start(eng):
+    """functions.rs:2490-2522: 3-arg POSITION searches from start_pos but
+    returns the position in the FULL string — Spark's position/locate
+    agrees natively (no rewrite); not-found → 0 in both."""
+    assert _one(eng, "POSITION('a', 'banana', 3)") == 4
+    assert _one(eng, "POSITION('a', 'banana')") == 2
+    assert _one(eng, "POSITION('z', 'banana')") == 0
+
+
+def test_split_returns_array_superset_documented(eng):
+    """ADJUDICATED superset: the reference's SPLIT returns only the FIRST
+    part — functions.rs:947 'Return first part for simplicity (full array
+    support would need array type)' — an implementation LIMITATION of its
+    scalar type system, not designed semantics (its docs never promise
+    the first-part behavior; the user-facing splitter is SPLIT_PART).
+    Here SPLIT returns the full array (Spark has a native array type);
+    SPLIT_PART(s, d, 1) is the exact-parity spelling of the reference's
+    SPLIT result."""
+    assert _one(eng, "SPLIT('a,b', ',')") == ["a", "b"]
+    assert _one(eng, "SPLIT_PART('a,b', ',', 1)") == "a"

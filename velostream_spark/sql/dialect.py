@@ -1059,10 +1059,42 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             f"'^{ci}([\\\\s\\\\S]*?)(?:' || {p_} || ')', "
             f"'$1' || {r_})"
         )
-    if u == "JOIN" and len(args) == 2:
-        # the reference's array-join (functions.rs:3448). Guarded in
+    if u == "JOIN" and len(args) >= 2:
+        # The reference's JOIN is DELIMITER-FIRST and variadic
+        # (functions.rs:1001-1043 join_function): JOIN(sep, v1, ..., vn)
+        # stringifies every value (NULL becomes the literal 'NULL',
+        # functions.rs:1029) and joins with sep. concat_ws would SKIP
+        # NULLs, so each value is coalesced to 'NULL' first. A non-string
+        # delimiter errors in the reference ("JOIN delimiter must be a
+        # string") and fails Spark analysis here the same way. Guarded in
         # _rewrite_functions against JOIN-clause parentheses.
-        return f"array_join({args[0]}, {args[1]})"
+        vals = ", ".join(
+            f"coalesce(CAST({a} AS STRING), 'NULL')" for a in args[1:]
+        )
+        return f"concat_ws({args[0]}, {vals})"
+    if u == "SPLIT_PART" and len(args) == 3:
+        # functions.rs:989-991: index < 1 returns '' ("PostgreSQL
+        # semantics"); Spark's split_part ERRORS on index 0 and counts
+        # from the END on negatives. Literal indexes >= 1 (the only shape
+        # in the reference corpus, e.g. transform-data.md:494) pass
+        # through to Spark's split_part unguarded (same semantics there:
+        # literal delimiter, out-of-bounds ''). Anything else gets a
+        # runtime guard built WITHOUT split_part (the rewrite loop
+        # re-scans replacements; split+\Q is re-scan-stable via the SPLIT
+        # arm's guard): NULL in any argument propagates NULL
+        # (functions.rs:968,980), index < 1 → '', out-of-bounds → ''.
+        if re.fullmatch(r"\+?\d+", args[2].strip()) and int(
+            args[2].strip().lstrip("+")
+        ) >= 1:
+            return None
+        s3, d3, i3 = args[0], args[1], args[2]
+        return (
+            f"CASE WHEN {s3} IS NULL OR {d3} IS NULL OR ({i3}) IS NULL "
+            f"THEN CAST(NULL AS STRING) WHEN ({i3}) < 1 THEN '' "
+            f"ELSE coalesce(try_element_at("
+            f"split({s3}, '\\\\Q' || {d3} || '\\\\E'), "
+            f"CAST({i3} AS INT)), '') END"
+        )
     if u == "ARRAY_LENGTH" and len(args) == 1:
         return f"size({args[0]})"
     if u == "DATE_FORMAT" and len(args) == 2:
@@ -1106,7 +1138,8 @@ _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|COLLECT|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
-    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT|REGEXP_REPLACE)\s*\("
+    r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT_PART|"
+    r"SPLIT|REGEXP_REPLACE)\s*\("
 )
 
 
