@@ -726,6 +726,35 @@ def test_position_three_arg_start(eng):
     assert _one(eng, "POSITION('z', 'banana')") == 0
 
 
+def test_math_edge_conformance(eng):
+    """functions.rs:474-510 CEIL/FLOOR on Float return INTEGER (i64) —
+    Spark's ceil/floor(double) return BIGINT, agreeing on both value and
+    integer-ness (pinned; DuckDB returns double, already handled by
+    oracle-side CASTs where used). functions.rs:549-576 POWER always
+    returns Float even for int^int — Spark's pow returns double, agrees.
+    functions.rs:600-610 MOD keeps the DIVIDEND's sign (Rust %) — Spark's
+    MOD/% agrees (pmod is the positive variant, not used). SQRT of a
+    negative ERRORS in the reference (functions.rs:522-526); Spark yields
+    NaN — adjudicated NOT to mirror (NaN propagates visibly through
+    aggregates; wrapping every SQRT in a raise_error CASE would tax the
+    hot path for a corner the reference's own corpus never hits)."""
+    from pyspark.sql.types import LongType
+
+    df = eng.execute("SELECT CEIL(x) AS c, FLOOR(x) AS f FROM t WHERE i = 2")
+    assert isinstance(df.schema["c"].dataType, LongType)
+    assert isinstance(df.schema["f"].dataType, LongType)
+    assert _one(eng, "CEIL(2.5)") == 3 and _one(eng, "FLOOR(2.5)") == 2
+    assert _one(eng, "CEIL(-2.5)") == -2 and _one(eng, "FLOOR(-2.5)") == -3
+    assert _one(eng, "POWER(2, 10)") == 1024.0
+    assert isinstance(_one(eng, "POWER(2, 10)"), float)
+    assert _one(eng, "MOD(-7, 3)") == -1  # dividend sign, both engines
+    assert _one(eng, "MOD(7, -3)") == 1
+    assert _one(eng, "MOD(7.5, 2.0)") == 1.5
+    import math
+
+    assert math.isnan(_one(eng, "SQRT(-1.0)"))
+
+
 def test_split_returns_array_superset_documented(eng):
     """ADJUDICATED superset: the reference's SPLIT returns only the FIRST
     part — functions.rs:947 'Return first part for simplicity (full array
