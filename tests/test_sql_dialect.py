@@ -1194,3 +1194,54 @@ def test_parameterized_query_executes(spark):
         "SELECT id FROM pq_users WHERE name = $0 AND score > $1", ["bo'b", 50.0]
     ).collect()
     assert [r["id"] for r in rows] == [2]
+
+
+def test_start_job_as_query(spark, tmp_path):
+    """START JOB name AS <query> [WITH props] — the reference's DEFINING
+    form (parser commands.rs:332-360): registers a named continuous job
+    from the inner query and starts it. STOP JOB name FORCE
+    (commands.rs:373-378) records the force flag (the reference's
+    processor echoes it as metadata, job.rs:103). QUERY is the
+    backward-compat alias for JOB (tokenizer mod.rs:363)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "r.csv").write_text("station,temp\noslo,10.0\nparis,20.0\n")
+    out = str(tmp_path / "o")
+    eng = SqlEngine(spark)
+    job = eng.execute(
+        f"""
+        START JOB hotspots AS
+        SELECT station, temp FROM readings WHERE temp > 15.0
+        WITH ('readings.type' = 'file_source', 'readings.path' = '{src_dir}',
+              'readings.format' = 'csv',
+              'hotspots.type' = 'file_sink', 'hotspots.path' = '{out}',
+              'hotspots.format' = 'parquet');
+        """
+    )
+    eng.jobs.wait("hotspots")
+    rows = spark.read.parquet(out).collect()
+    assert [(r["station"], r["temp"]) for r in rows] == [("paris", 20.0)]
+
+    stopped = eng.execute("STOP JOB hotspots FORCE")
+    assert stopped.state == "stopped" and stopped.stop_forced is True
+    # plain stop on a re-started job leaves the flag unset
+    eng.execute("START JOB hotspots")
+    stopped = eng.execute("STOP QUERY hotspots")
+    assert stopped.state == "stopped" and stopped.stop_forced is False
+
+
+def test_list_and_queries_aliases(spark, tmp_path):
+    """LIST is a full SHOW alias (parser common.rs:392) and QUERIES/QUERY
+    alias JOBS/JOB (tokenizer mod.rs:354,363): LIST STREAMS, LIST TABLES,
+    SHOW QUERIES, and SHOW QUERY STATUS all execute."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.execute("CREATE STREAM ls1 AS SELECT 1 AS one")
+    names = {r["stream_name"] for r in eng.execute("LIST STREAMS")}
+    assert "ls1" in names
+    assert {r["stream_name"] for r in eng.execute("LIST STREAMS 'ls%'")} == {"ls1"}
+    assert eng.execute("LIST TABLES") == eng.execute("SHOW TABLES")
+    assert eng.execute("SHOW QUERIES") == eng.execute("SHOW JOBS")

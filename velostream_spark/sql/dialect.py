@@ -293,6 +293,10 @@ class Statement:
     #: SHOW ... ['pat%'|LIKE 'pat%'] filter (commands.rs:312, show.rs:406)
     show_pattern: str | None = None
     job_action: str | None = None
+    #: STOP JOB name FORCE (ast.rs StopJob.force; parser commands.rs:373).
+    #: The reference's processor is metadata-only about it (job.rs:84-115:
+    #: logs + echoes the flag); here it is recorded on the job.
+    job_force: bool = False
     insert_select: str | None = None
     insert_columns: list[str] | None = None
     insert_values: list[list[str]] | None = None
@@ -1802,9 +1806,14 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
         return Statement(kind="delete", target=m.group(1), where_sql=where,
                          annotations=annotations, raw=sql)
 
-    m = re.match(r"(?is)^(SHOW|DESCRIBE)\s+(.*)$", body)
+    # LIST is a full SHOW alias (parser common.rs:392: Show | List both
+    # dispatch parse_show); QUERIES/QUERY are backward-compat aliases for
+    # JOBS/JOB (tokenizer mod.rs:354,363).
+    m = re.match(r"(?is)^(SHOW|LIST|DESCRIBE)\s+(.*)$", body)
     if m:
         what = m.group(2)
+        what = re.sub(r"(?is)^QUERIES\b", "JOBS", what)
+        what = re.sub(r"(?is)^QUERY\b", "JOB", what)
         # optional trailing filter: SHOW STREAMS ['prefix%'|LIKE 'pat%']
         # (commands.rs:312-328; %-wildcard semantics show.rs:406-431).
         # Extracted BEFORE uppercasing so the pattern keeps its case.
@@ -1848,10 +1857,29 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
         return Statement(kind="job", job_action="rollback", target=m.group(1),
                          job_version=m.group(2), annotations=annotations, raw=sql)
 
-    m = re.match(r"(?is)^(START|STOP|PAUSE|RESUME|DEPLOY)\s+JOB\s+(\w+)", body)
+    # START JOB name AS <query> [WITH (...)] — the reference's DEFINING
+    # form (commands.rs:332-360: name, AS, inner query, optional WITH
+    # props): registers a named continuous job from the query and starts
+    # it. The WITH clause was already extracted into `props` above.
+    m = re.match(r"(?is)^START\s+(?:JOB|QUERY)\s+(\w+)\s+AS\s+(.*)$", body)
+    if m:
+        sel, wc, emit, keys, rw, uris = translate_select_full(m.group(2), time_col)
+        return Statement(
+            kind="start_job", name=m.group(1), select_sql=sel, emit=emit,
+            window=wc, rows_window_aggs=rw, key_fields=keys, with_props=props,
+            annotations=annotations, raw=sql, into=into, uri_sources=uris,
+        )
+
+    # QUERY is the backward-compat alias for JOB (tokenizer mod.rs:363);
+    # STOP JOB name FORCE sets the force flag (commands.rs:373-378).
+    m = re.match(
+        r"(?is)^(START|STOP|PAUSE|RESUME|DEPLOY)\s+(?:JOB|QUERY)\s+(\w+)"
+        r"(\s+FORCE)?\s*$",
+        body,
+    )
     if m:
         return Statement(kind="job", job_action=m.group(1).lower(), target=m.group(2),
-                         annotations=annotations, raw=sql)
+                         job_force=bool(m.group(3)), annotations=annotations, raw=sql)
 
     # plain SELECT
     sel, wc, emit, keys, rw, uris = translate_select_full(body, time_col)

@@ -487,7 +487,7 @@ class SqlEngine:
             return self._show(st)
         if st.kind == "job":
             return self._job(st)
-        if st.kind == "deploy_job":
+        if st.kind in ("deploy_job", "start_job"):
             return self.execute_streaming(sql)
         raise ValueError(f"unsupported statement kind: {st.kind}")
 
@@ -501,10 +501,10 @@ class SqlEngine:
         windowed aggregation with watermark — Spark constraint); EMIT
         CHANGES changelogs to files go through foreachBatch instead."""
         st = parse_statement(sql, self.time_col)
-        if st.kind not in ("create_stream", "deploy_job"):
+        if st.kind not in ("create_stream", "deploy_job", "start_job"):
             raise ValueError(
-                "execute_streaming expects CREATE STREAM ... AS SELECT "
-                "or DEPLOY JOB ... AS SELECT"
+                "execute_streaming expects CREATE STREAM ... AS SELECT, "
+                "DEPLOY JOB ... AS SELECT, or START JOB ... AS SELECT"
             )
         self.last_annotations = st.annotations
         cfgs = self._source_names(st.with_props)
@@ -741,7 +741,7 @@ class SqlEngine:
         if action in ("start", "deploy"):
             return self.jobs.start(st.target)
         if action == "stop":
-            return self.jobs.stop(st.target)
+            return self.jobs.stop(st.target, force=st.job_force)
         if action == "pause":
             return self.jobs.pause(st.target)
         if action == "resume":

@@ -40,6 +40,8 @@ class StreamJob:
     query: StreamingQuery | None = None
     state: str = "defined"  # defined | running | paused | stopped | failed
     deployed_at: float = field(default_factory=time.time)
+    #: STOP JOB name FORCE (ast.rs StopJob.force) — echoed like job.rs:103
+    stop_forced: bool = False
 
 
 @dataclass
@@ -123,12 +125,18 @@ class StreamJobManager:
         self._start(job)
         return job
 
-    def stop(self, name: str) -> StreamJob:
-        """STOP JOB — terminate; checkpoint retained (restart = recovery)."""
+    def stop(self, name: str, force: bool = False) -> StreamJob:
+        """STOP JOB [FORCE] — terminate; checkpoint retained (restart =
+        recovery). The reference's processor treats FORCE as
+        graceful-vs-immediate metadata (job.rs:84-115 logs and echoes the
+        flag); Spark's ``StreamingQuery.stop()`` is already an immediate
+        interrupt, so the flag is recorded on the job, not a different
+        code path."""
         job = self._get(name)
         if job.query is not None and job.query.isActive:
             job.query.stop()
         job.state = "stopped"
+        job.stop_forced = force
         return job
 
     def pause(self, name: str) -> StreamJob:
