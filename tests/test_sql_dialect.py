@@ -1245,3 +1245,65 @@ def test_list_and_queries_aliases(spark, tmp_path):
     assert {r["stream_name"] for r in eng.execute("LIST STREAMS 'ls%'")} == {"ls1"}
     assert eng.execute("LIST TABLES") == eng.execute("SHOW TABLES")
     assert eng.execute("SHOW QUERIES") == eng.execute("SHOW JOBS")
+
+
+def test_partition_annotations(spark):
+    """Partitioning annotations (annotations.rs:6-14; strategy enum
+    ast.rs:101-117): @partition_count → exchange partition count;
+    always_hash → hash exchange on the key columns; round_robin →
+    RoundRobinPartitioning; @sticky_partition_id → single-partition
+    placement; hyphenated spellings (@partition-count,
+    @sticky-partition-id — the header's own examples) normalize to the
+    underscore keys."""
+    from velostream_spark.sql.dialect import Statement, strip_comments
+    from velostream_spark.sql.engine import SqlEngine
+
+    _, ann = strip_comments(
+        "-- @partition-count: 4\n-- @sticky-partition-id: 0\nSELECT 1"
+    )
+    assert ann == {"partition_count": "4", "sticky_partition_id": "0"}
+
+    eng = SqlEngine(spark)
+    df = spark.range(100).withColumnRenamed("id", "k")
+
+    st = Statement(kind="create_stream", annotations={"partition_count": "4"})
+    assert eng._apply_partition_annotations(df, st).rdd.getNumPartitions() == 4
+
+    st = Statement(
+        kind="create_stream",
+        annotations={"partitioning_strategy": "round_robin", "partition_count": "3"},
+    )
+    assert eng._apply_partition_annotations(df, st).rdd.getNumPartitions() == 3
+
+    # always_hash on the stream key: co-locates equal keys (the
+    # reference's "consistent hashing on GROUP BY columns")
+    st = Statement(
+        kind="create_stream",
+        annotations={"partitioning_strategy": "always_hash", "partition_count": "2"},
+        key_fields=["k"],
+    )
+    hashed = eng._apply_partition_annotations(df.withColumn("k", df.k % 5), st)
+    assert hashed.rdd.getNumPartitions() == 2
+    per_part = hashed.rdd.mapPartitions(
+        lambda it: [len({r["k"] for r in it})]
+    ).collect()
+    assert sum(per_part) == 5  # each key value lives in exactly one partition
+
+    st = Statement(
+        kind="create_stream",
+        annotations={
+            "partitioning_strategy": "sticky_partition",
+            "sticky_partition_id": "0",
+        },
+    )
+    assert eng._apply_partition_annotations(df, st).rdd.getNumPartitions() == 1
+
+    # smart / fan_in / bare sticky: no exchange inserted
+    for strat in ("smart_repartition", "fan_in", "sticky_partition"):
+        st = Statement(
+            kind="create_stream", annotations={"partitioning_strategy": strat}
+        )
+        assert (
+            eng._apply_partition_annotations(df, st).rdd.getNumPartitions()
+            == df.rdd.getNumPartitions()
+        )

@@ -159,9 +159,13 @@ def strip_comments(sql: str) -> tuple[str, dict[str, str]]:
                 buf.append(ch)
             elif ch == "-" and i + 1 < len(line) and line[i + 1] == "-":
                 comment = line[i + 2 :].strip()
-                m = re.match(r"@([\w.]+)\s*:\s*(.+)$", comment)
+                # hyphenated spellings are accepted alongside underscores
+                # (annotations.rs header documents @sticky-partition-id /
+                # @partition-count; the parser reads both) — normalized to
+                # underscores so the engine reads one key.
+                m = re.match(r"@([\w.-]+)\s*:\s*(.+)$", comment)
                 if m:
-                    annotations[m.group(1)] = m.group(2).strip()
+                    annotations[m.group(1).replace("-", "_")] = m.group(2).strip()
                 break
             else:
                 buf.append(ch)

@@ -519,9 +519,7 @@ class SqlEngine:
                 df = self._build_rows_window_stream(st)
             else:
                 df = self.spark.sql(st.select_sql)
-            if "num_partitions" in st.annotations:
-                df = df.repartition(int(st.annotations["num_partitions"]))
-            return df
+            return self._apply_partition_annotations(df, st)
 
         typ = sink_cfg.get("type", "memory")
         if typ == "file_sink":
@@ -560,6 +558,50 @@ class SqlEngine:
         if wait:
             self.jobs.wait(st.name)
         return job
+
+    def _apply_partition_annotations(self, df: DataFrame, st: Statement) -> DataFrame:
+        """Partitioning annotations (annotations.rs:6-14, strategy enum
+        ast.rs:101-117) mapped to Spark's physical partitioning:
+
+        - ``@partition_count: N`` (aliases @partition-count,
+          @num_partitions) → ``repartition(N)`` — the reference uses it to
+          override its CPU-count worker default; Spark's analog is the
+          partition count of the exchange.
+        - ``@partitioning_strategy: always_hash|hash`` → hash exchange on
+          the stream's key columns (the reference hashes GROUP BY columns
+          — our key_fields carry exactly those, KEY_CONFIGURATION.md).
+        - ``round_robin`` → ``repartition(n)`` with no columns — Spark's
+          RoundRobinPartitioning IS uniform distribution.
+        - ``smart_repartition|smart`` → no-op: AQE's runtime coalescing /
+          skew splitting is the "hybrid automatic optimization" the
+          reference describes (ast.rs:112).
+        - ``sticky_partition|sticky`` → no-op: keep the SOURCE partitioning
+          (ast.rs:107 "use record's source partition field,
+          zero-overhead" — exactly what not inserting an exchange does).
+          ``@sticky_partition_id: i`` pins all records to one partition →
+          ``repartition(1)`` (single-partition placement; the specific
+          partition INDEX is a scheduler detail Spark does not expose).
+        - ``fan_in`` → no-op: "broadcast to all partitions (for joins)"
+          (ast.rs:104) is Catalyst's broadcast-join selection, already
+          chosen per-join and plan-pinned in tests.
+        """
+        ann = st.annotations
+        n = ann.get("partition_count") or ann.get("num_partitions")
+        strategy = (ann.get("partitioning_strategy") or "").strip().lower()
+        if strategy in ("always_hash", "hash") and st.key_fields:
+            cols = [F.col(k) for k in st.key_fields]
+            return df.repartition(int(n), *cols) if n else df.repartition(*cols)
+        if strategy in ("round_robin", "roundrobin"):
+            return df.repartition(int(n)) if n else df.repartition(
+                self.spark.sparkContext.defaultParallelism
+            )
+        if strategy in ("sticky_partition", "sticky") and ann.get(
+            "sticky_partition_id"
+        ) is not None:
+            return df.repartition(1)
+        if n:
+            return df.repartition(int(n))
+        return df
 
     def _wire_sources_streaming(self, st: Statement) -> None:
         from velostream_spark.streaming import source as ssource
