@@ -150,3 +150,48 @@ def test_statement_config_file_covers_only_the_from_table():
     )
     assert any("'b'" in e for e in rep.errors), rep.errors
     assert not any("'a'" in e for e in rep.errors), rep.errors
+
+
+def test_aggregate_without_grouping_warning():
+    """parser/validator.rs:36-64 AggregateWithoutGrouping — defined as an
+    error in the reference but its enforcement call is commented out
+    (parser/mod.rs:486), so it surfaces here as the non-blocking warning
+    tier, on continuous kinds only."""
+    from velostream_spark.sql.validator import validate_statement
+
+    rep = validate_statement(
+        "CREATE STREAM s AS SELECT COUNT(*) AS n, AVG(x) AS a FROM t "
+        "WITH ('t.type' = 'file_source', 't.path' = '/tmp/x', "
+        "'t.format' = 'csv')"
+    )
+    assert any("AggregateWithoutGrouping" in w for w in rep.warnings)
+    assert rep.ok  # warning, not error
+
+    # GROUP BY silences it
+    rep = validate_statement(
+        "CREATE STREAM s AS SELECT k, COUNT(*) AS n FROM t GROUP BY k "
+        "WITH ('t.type' = 'file_source', 't.path' = '/tmp/x', "
+        "'t.format' = 'csv')"
+    )
+    assert not any("AggregateWithoutGrouping" in w for w in rep.warnings)
+
+    # a WINDOW clause is implicit grouping
+    rep = validate_statement(
+        "CREATE STREAM s AS SELECT COUNT(*) AS n FROM t "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "WITH ('t.type' = 'file_source', 't.path' = '/tmp/x', "
+        "'t.format' = 'csv')"
+    )
+    assert not any("AggregateWithoutGrouping" in w for w in rep.warnings)
+
+    # windowed analytic (OVER) is not a grouping aggregate
+    rep = validate_statement(
+        "CREATE STREAM s AS SELECT x, SUM(x) OVER (ORDER BY x) AS rt FROM t "
+        "WITH ('t.type' = 'file_source', 't.path' = '/tmp/x', "
+        "'t.format' = 'csv')"
+    )
+    assert not any("AggregateWithoutGrouping" in w for w in rep.warnings)
+
+    # batch SELECT is exempt (this engine executes global aggregates)
+    rep = validate_statement("SELECT COUNT(*) AS n FROM t")
+    assert not any("AggregateWithoutGrouping" in w for w in rep.warnings)

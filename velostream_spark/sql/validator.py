@@ -143,6 +143,40 @@ def _validate_parsed(
             if opt not in _KNOWN_OPTS and not opt.startswith("kafka."):
                 rep.warnings.append(f"{name!r}: unknown option {opt!r}")
 
+    # AggregateWithoutGrouping (parser/validator.rs:36-64): aggregates in
+    # SELECT with neither GROUP BY nor WINDOW. The reference DEFINES this
+    # as an error but its enforcement call is commented out
+    # (parser/mod.rs:486) — and this engine's batch execution handles
+    # global aggregates fine — so it surfaces as the same non-blocking
+    # warning tier the reference effectively ships with, aimed at
+    # CONTINUOUS kinds where an unbounded global aggregate never closes.
+    if st.select_sql and st.kind in ("create_stream", "start_job", "deploy_job"):
+        # the lookahead skips simple windowed forms (AGG(...) OVER ...),
+        # which the reference's extractor also exempts (they carry their
+        # own frame); nested-paren OVER forms are rare enough for a lint
+        aggs = {
+            m.group(1).upper()
+            for m in re.finditer(
+                r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|STDDEV(?:_POP|_SAMP)?|"
+                r"VAR(?:IANCE|_POP|_SAMP)|MEDIAN|PERCENTILE(?:_CONT|_DISC)?|"
+                r"STRING_AGG|GROUP_CONCAT|LISTAGG|COLLECT|FIRST|LAST|"
+                r"APPROX_COUNT_DISTINCT|COUNT_DISTINCT)\s*\((?![^()]*\)\s*OVER\b)",
+                st.select_sql,
+            )
+        }
+        has_grouping = (
+            re.search(r"(?is)\bGROUP\s+BY\b", st.select_sql) is not None
+            or st.window is not None
+            or bool(st.rows_window_aggs)
+        )
+        if aggs and not has_grouping:
+            rep.warnings.append(
+                f"aggregate functions {sorted(aggs)} without GROUP BY or "
+                f"WINDOW clause: on a continuous stream this aggregate "
+                f"never closes (reference AggregateWithoutGrouping, "
+                f"parser/validator.rs:53)"
+            )
+
     # feature checks (validator.rs feature validation)
     if st.select_sql:
         has_agg = bool(
