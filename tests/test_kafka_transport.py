@@ -93,6 +93,12 @@ def test_json_value_pipeline_end_to_end(spark):
     assert {"_timestamp", "_offset", "_partition", "_topic", "_key"} <= set(
         sys_df.columns
     )
+    # _timestamp is INT64 epoch-millis (system-columns.md:20) so the doc's
+    # own `WHERE _timestamp > 1697296245000` comparisons work unchanged
+    from pyspark.sql.types import LongType
+
+    assert isinstance(sys_df.schema["_timestamp"].dataType, LongType)
+    assert sys_df.filter("_timestamp > 0").count() == 6
     decoded = decode_json_value(
         sys_df, "order_id long, symbol string, amount double"
     ).orderBy("order_id")

@@ -49,11 +49,16 @@ def source_options(cfg: dict[str, str]) -> dict[str, str]:
 def with_system_columns(df: DataFrame) -> DataFrame:
     """Expose the reference's system columns (_timestamp, _offset,
     _partition, _topic, _key — types.rs:1625-1627, system-columns.md) from
-    the connector's native columns, value still serialized."""
+    the connector's native columns, value still serialized.
+
+    ``_timestamp`` is INT64 epoch-MILLIS per system-columns.md:20 (the
+    doc's own examples compare it to integer literals like
+    1697296245000); the connector's native TimestampType column is
+    converted with unix_millis so those comparisons work unchanged."""
     return df.select(
         "value",
         "headers",
-        F.col("timestamp").alias("_timestamp"),
+        F.unix_millis(F.col("timestamp")).alias("_timestamp"),
         F.col("offset").alias("_offset"),
         F.col("partition").alias("_partition"),
         F.col("topic").alias("_topic"),
