@@ -289,8 +289,19 @@ def test_tumble_bounds(eng, spark):
         "SELECT TUMBLE_START() AS ws, TUMBLE_END() AS we, COUNT(*) AS n "
         "FROM w WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL"
     ).collect()
-    got = {(r["ws"].minute, r["we"].minute) for r in rows}
+    # INT64 epoch-millis (functions.rs:2347 reads _WINDOW_START, an
+    # Integer-millis field; system-columns.md contract)
+    got = {
+        (
+            dt.datetime.fromtimestamp(r["ws"] / 1000).minute,
+            dt.datetime.fromtimestamp(r["we"] / 1000).minute,
+        )
+        for r in rows
+    }
     assert got == {(0, 5), (5, 10)}
+    assert all(
+        isinstance(r["ws"], int) and r["we"] - r["ws"] == 300_000 for r in rows
+    )
 
 
 # ---------------------------------------------------------------------------

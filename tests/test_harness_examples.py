@@ -213,6 +213,8 @@ def test_tier2_tumbling_window(spark, monkeypatch):
     )
     # multiple 1-minute buckets over the 3-minute simulation
     assert len({(r["window_start"], r["window_end"]) for r in rows}) >= 3
-    # window bounds really are 1 minute apart
+    # window bounds are INT64 epoch-millis exactly 1 minute apart
+    # (_window_start/_window_end contract, system-columns.md:32-36)
     for r in rows:
-        assert (r["window_end"] - r["window_start"]).total_seconds() == 60.0
+        assert isinstance(r["window_start"], int)
+        assert r["window_end"] - r["window_start"] == 60_000

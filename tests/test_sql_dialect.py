@@ -345,16 +345,26 @@ def test_streaming_csas_windowed_to_parquet(spark, tmp_path):
               'agg_out.format' = 'parquet');
         """
     )
+    import datetime as _dt
+
+    def _ms(s):  # TUMBLE_START() is INT64 epoch-millis (system-columns.md)
+        return int(
+            _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+            * 1000
+        )
+
     got = {
-        (str(r["window_start"]), r["sensor"]): (r["n"], r["total"])
+        (r["window_start"], r["sensor"]): (r["n"], r["total"])
         for r in spark.read.parquet(out).collect()
     }
     # watermark = max ts (10:11) → the 10:00 and 10:05 windows closed;
     # the 10:10 window (row at 10:11) stays open and is withheld
-    assert got[("2024-01-01 10:00:00", "a")] == (2, 30.0)
-    assert got[("2024-01-01 10:00:00", "b")] == (1, 30.0)
-    assert got[("2024-01-01 10:05:00", "a")] == (1, 40.0)
-    assert ("2024-01-01 10:10:00", "a") not in got
+    assert got[(_ms("2024-01-01 10:00:00"), "a")] == (2, 30.0)
+    assert got[(_ms("2024-01-01 10:00:00"), "b")] == (1, 30.0)
+    assert got[(_ms("2024-01-01 10:05:00"), "a")] == (1, 40.0)
+    assert (_ms("2024-01-01 10:10:00"), "a") not in got
     jobs = {j["name"]: j for j in eng.execute("SHOW JOBS")}
     assert "agg_out" in jobs
     eng.execute("PAUSE JOB agg_out")
@@ -905,7 +915,8 @@ def test_window_system_columns_not_rewritten_in_string_literals(spark):
         "_window_start AS ws FROM ev GROUP BY 1 WINDOW TUMBLING(1m)"
     )
     assert "'_window_start'" in st.select_sql  # literal intact
-    assert "window.start AS ws" in st.select_sql  # identifier rewritten
+    # identifier rewritten to the INT64-millis form
+    assert "unix_millis(window.start) AS ws" in st.select_sql
 
 
 def test_attach_over_skips_explicit_over_and_subqueries():

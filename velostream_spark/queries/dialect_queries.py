@@ -28,7 +28,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> SqlEngine:
 @query(
     "dialect_tumbling_select",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP AS window_start,
+    SELECT CAST(floor(epoch(ts) / 300) * 300 * 1000 AS BIGINT) AS window_start,
            event_type,
            COUNT(*)             AS n_events,
            ROUND(SUM(value), 4) AS total_value
@@ -40,7 +40,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> SqlEngine:
 def dialect_tumbling_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-grammar windowed aggregation: `WINDOW TUMBLING(INTERVAL '5'
     MINUTE)` + `TUMBLE_START()` (functions.rs:3569) + `EMIT FINAL`, executed
-    from SQL text via the dialect shim."""
+    from SQL text via the dialect shim. TUMBLE_START() is INT64
+    epoch-millis like the reference's (it reads the _WINDOW_START metadata
+    field, FieldValue::Integer millis — functions.rs:2347,
+    window_v2/adapter.rs:974; system-columns.md documents the contract)."""
     return _engine(spark, sf_dir).execute(
         """
         SELECT TUMBLE_START() AS window_start,

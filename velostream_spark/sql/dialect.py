@@ -1128,10 +1128,16 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # 0-arg inside a WINDOW TUMBLING query; the 2-arg spelling
         # TUMBLE_START(time_col, INTERVAL ...) (demo/trading/apps/
         # app_market_data.sql) names the same bounds the WINDOW clause
-        # already defines — both resolve to the grouping window struct
-        return "window.start"
+        # already defines — both resolve to the grouping window struct.
+        # INT64 epoch-MILLIS, not a timestamp: the reference reads the
+        # _WINDOW_START metadata field (functions.rs:2347), which the
+        # window processor populates as FieldValue::Integer millis
+        # (window_v2/adapter.rs:971-975), and system-columns.md documents
+        # the same INT64-ms contract its doc examples depend on
+        # (FROM_UNIXTIME(_window_start / 1000), end - start arithmetic).
+        return "unix_millis(window.start)"
     if u == "TUMBLE_END" and len(args) <= 2:
-        return "window.end"
+        return "unix_millis(window.end)"
     if u == "SESSION_DURATION" and len(args) == 0:
         # Extension: examples/iot_monitoring_phase4.sql uses it, but the
         # reference registry has no such function (grep functions.rs) —
@@ -1679,13 +1685,18 @@ def translate_select_full(
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
         # `_window_start` / `_window_end` system columns (reference
         # docs/sql/system-columns.md:14-36, types.rs:1625-1627) → the
-        # grouping window struct's bounds (identifier positions only —
-        # quoted string literals are left untouched)
+        # grouping window struct's bounds as INT64 epoch-MILLIS
+        # (FieldValue::Integer, window_v2/adapter.rs:971-981; the doc's
+        # examples do FROM_UNIXTIME(_window_start/1000) and end-start
+        # millisecond arithmetic). Identifier positions only — quoted
+        # string literals are left untouched.
         wkey = "session_window" if wc.kind == "session" else "window"
         sql = _sub_outside_strings(
-            sql, r"(?i)\b_window_start\b", f"{wkey}.start"
+            sql, r"(?i)\b_window_start\b", f"unix_millis({wkey}.start)"
         )
-        sql = _sub_outside_strings(sql, r"(?i)\b_window_end\b", f"{wkey}.end")
+        sql = _sub_outside_strings(
+            sql, r"(?i)\b_window_end\b", f"unix_millis({wkey}.end)"
+        )
     return sql.strip(), wc, emit, keys, rw, uri_sources
 
 
