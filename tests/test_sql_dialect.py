@@ -1318,3 +1318,51 @@ def test_partition_annotations(spark):
             eng._apply_partition_annotations(df, st).rdd.getNumPartitions()
             == df.rdd.getNumPartitions()
         )
+
+
+def test_event_time_millis_comparison(spark):
+    """The reference compares temporal values against Integers as EPOCH
+    MILLIS (evaluator.rs compare_values "Temporal vs Integer(epoch-millis)"
+    arms); the event-time guide's own predicates are written that way.
+    Spark refuses timestamp-vs-bigint comparison (DATATYPE_MISMATCH), so
+    the dialect promotes integer literals compared to _event_time with
+    timestamp_millis()."""
+    import datetime as _dt
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)  # default time_col = _event_time
+    df = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2023, 10, 14, 15, 10, 40)),
+            (2, _dt.datetime(2023, 10, 14, 15, 10, 50)),
+        ],
+        "id int, _event_time timestamp",
+    )
+    eng.register_stream("ev_ms", df)
+    cutoff = int(
+        _dt.datetime(2023, 10, 14, 15, 10, 45, tzinfo=_dt.timezone.utc).timestamp()
+        * 1000
+    )
+    got = eng.execute(
+        f"SELECT id FROM ev_ms WHERE _event_time > {cutoff}"
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+    got = eng.execute(
+        f"SELECT id FROM ev_ms WHERE {cutoff} >= _event_time"
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+    got = eng.execute(
+        f"SELECT id FROM ev_ms WHERE _event_time BETWEEN {cutoff - 10_000} "
+        f"AND {cutoff}"
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+    # small integers (not epoch-scale) and strings are left untouched
+    from velostream_spark.sql.dialect import translate_select
+
+    s, _, _, _ = translate_select("SELECT * FROM t WHERE x > 100")
+    assert "timestamp_millis" not in s
+    s, _, _, _ = translate_select(
+        "SELECT * FROM t WHERE note = '_event_time > 1697296245000'"
+    )
+    assert "timestamp_millis" not in s

@@ -1697,7 +1697,37 @@ def translate_select_full(
         sql = _sub_outside_strings(
             sql, r"(?i)\b_window_end\b", f"unix_millis({wkey}.end)"
         )
+    sql = _rewrite_event_time_millis_comparisons(sql)
     return sql.strip(), wc, emit, keys, rw, uri_sources
+
+
+#: `_event_time <op> <integer>` — the reference compares temporal values
+#: against Integers as EPOCH MILLIS (evaluator.rs compare_values, the
+#: "Temporal vs Integer(epoch-millis)" arms; event-time-guide examples
+#: write `WHERE _event_time > 1697296245000`). Spark refuses
+#: timestamp-vs-bigint comparison outright (DATATYPE_MISMATCH), so the
+#: literal is promoted with timestamp_millis(). Name-scoped to the
+#: documented `_event_time` system column — this engine carries it as a
+#: TIMESTAMP column; `_timestamp` is already INT64 and compares natively.
+_ET_CMP_RE = (
+    r"(?i)\b(_event_time)\s*(>=|<=|<>|!=|>|<|=)\s*(\d{10,})\b"
+    r"|\b(\d{10,})\s*(>=|<=|<>|!=|>|<|=)\s*(_event_time)\b"
+    r"|\b(_event_time)\s+BETWEEN\s+(\d{10,})\s+AND\s+(\d{10,})\b"
+)
+
+
+def _rewrite_event_time_millis_comparisons(sql: str) -> str:
+    def conv(m: re.Match) -> str:
+        if m.group(1):
+            return f"{m.group(1)} {m.group(2)} timestamp_millis({m.group(3)})"
+        if m.group(4):
+            return f"timestamp_millis({m.group(4)}) {m.group(5)} {m.group(6)}"
+        return (
+            f"{m.group(7)} BETWEEN timestamp_millis({m.group(8)}) "
+            f"AND timestamp_millis({m.group(9)})"
+        )
+
+    return _sub_outside_strings(sql, _ET_CMP_RE, conv)
 
 
 def _sub_outside_strings(sql: str, pattern: str, repl) -> str:
