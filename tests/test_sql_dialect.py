@@ -1366,3 +1366,58 @@ def test_event_time_millis_comparison(spark):
         "SELECT * FROM t WHERE note = '_event_time > 1697296245000'"
     )
     assert "timestamp_millis" not in s
+
+
+def test_multiformat_column_date_casts(spark):
+    """CAST(col AS DATE|TIMESTAMP) on string COLUMNS tries the reference's
+    format chain (types.rs:859-895): DATE = ISO, Y/m/d, m/d/Y, d-m-Y;
+    TIMESTAMP adds Y/m/d H:M:S and a date-only→midnight fallback. Spark's
+    bare cast parses only ISO, so '10/14/2023' in a column would error
+    (ANSI) where the reference succeeds."""
+    import datetime as _dt
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "2023-10-14", "2023-10-14 15:10:40"),
+            (2, "2023/10/14", "2023/10/14 15:10:40"),
+            (3, "10/14/2023", "2023-10-14T15:10:40"),
+            (4, "14-10-2023", "2023-10-14"),  # ts: date-only → midnight
+            (5, "2/3/2024", "2023/10/14 5:1:2"),  # unpadded, chrono-flexible
+        ],
+        "id int, ds string, tss string",
+    )
+    eng.register_stream("fmts", df)
+    rows = {
+        r["id"]: (r["d"], r["t"])
+        for r in eng.execute(
+            "SELECT id, CAST(ds AS DATE) AS d, CAST(tss AS TIMESTAMP) AS t "
+            "FROM fmts"
+        ).collect()
+    }
+    oct14 = _dt.date(2023, 10, 14)
+    t = _dt.datetime(2023, 10, 14, 15, 10, 40)
+    assert rows[1] == (oct14, t)
+    assert rows[2] == (oct14, t)
+    assert rows[3] == (oct14, t)
+    assert rows[4] == (oct14, _dt.datetime(2023, 10, 14))
+    assert rows[5] == (_dt.date(2024, 2, 3), _dt.datetime(2023, 10, 14, 5, 1, 2))
+    # trial ORDER is the reference's: d-m-Y only after m/d/Y fails
+    amb = spark.createDataFrame([("01-02-2024",)], "ds string")
+    eng.register_stream("amb", amb)
+    got = eng.execute("SELECT CAST(ds AS DATE) AS d FROM amb").collect()
+    assert got[0]["d"] == _dt.date(2024, 2, 1)  # %d-%m-%Y: Feb 1, not Jan 2
+    # Integer → TIMESTAMP stays Unix SECONDS through the chain (types.rs:899)
+    secs = spark.createDataFrame([(1_697_296_240,)], "s bigint")
+    eng.register_stream("secs", secs)
+    got = eng.execute("SELECT CAST(s AS TIMESTAMP) AS t FROM secs").collect()
+    assert got[0]["t"] == _dt.datetime(
+        2023, 10, 14, 15, 10, 40, tzinfo=_dt.timezone.utc
+    ).astimezone().replace(tzinfo=None)
+    # TRY_CAST: all-formats-miss is NULL, never an error
+    bad = spark.createDataFrame([("not a date",)], "ds string")
+    eng.register_stream("badf", bad)
+    got = eng.execute("SELECT TRY_CAST(ds AS DATE) AS d FROM badf").collect()
+    assert got[0]["d"] is None

@@ -1241,12 +1241,98 @@ def _normalize_datetime_literal_casts(sql: str) -> str:
 def _rewrite_cast_targets(sql: str) -> str:
     """Normalize CAST/TRY_CAST target type names to the reference's
     semantics (see _CAST_TARGET_REWRITES), then non-ISO date/timestamp
-    LITERALS to ISO (see _DATE_FORMATS). The ``AS <type>)`` shape only
+    LITERALS to ISO (see _DATE_FORMATS), then COLUMN-valued string casts
+    to the reference's multi-format trial chain (see
+    _rewrite_multiformat_column_casts). The ``AS <type>)`` shape only
     occurs inside CAST-family calls — a SELECT alias is never directly
     followed by ``)``."""
     for pat, repl in _CAST_TARGET_REWRITES:
         sql = _sub_outside_strings(sql, pat, repl)
-    return _normalize_datetime_literal_casts(sql)
+    sql = _normalize_datetime_literal_casts(sql)
+    return _rewrite_multiformat_column_casts(sql)
+
+
+_CAST_FAMILY_RE = re.compile(r"(?i)\b(CAST|TRY_CAST)\s*\(")
+#: Spark format strings for the reference's NON-ISO trial formats. Spark's
+#: plain cast (arm 1) already covers chrono's ISO arms; `M`/`d`/`H` parse
+#: 1-2 digits like chrono's `%m`/`%d`/`%H` (a padded-only `MM` would
+#: reject '2/3/2024', which the reference accepts).
+_DATE_TRIAL_FMTS = ("yyyy/M/d", "M/d/yyyy", "d-M-yyyy")
+_TS_TRIAL_FMT = "yyyy/M/d H:m:s"
+
+
+def _rewrite_multiformat_column_casts(sql: str) -> str:
+    """``CAST(col AS DATE|TIMESTAMP)`` on a NON-literal argument → the
+    reference's multi-format trial chain (types.rs:859-895): string→DATE
+    tries ISO, Y/m/d, m/d/Y, d-m-Y in order; string→TIMESTAMP tries the
+    ISO space/T forms (with or without millis), Y/m/d H:M:S, then
+    date-only promoted to midnight. Spark's bare cast parses only the ISO
+    arms, so column values like '10/14/2023' would error (ANSI) or go
+    NULL (non-ANSI) where the reference succeeds. Emitted shape:
+
+        coalesce(try_cast(e AS DATE), try_to_date(e,'yyyy/M/d'), ...,
+                 to_date(e))
+
+    - arm 1 covers every ISO string plus DATE/TIMESTAMP/Integer inputs
+      (Integer→TIMESTAMP = Unix seconds in BOTH engines, types.rs:899);
+    - the final ``to_date``/``to_timestamp`` arm reproduces the
+      reference's ERROR on an all-formats-miss string under ANSI (and is
+      deliberately NOT spelled CAST, keeping this rewrite idempotent);
+      for TRY_CAST the final arm is dropped — all-miss is NULL.
+    Documented permissive supersets (not mirrored): Spark's arm-1 cast
+    accepts trailing time in string→DATE and flexible fraction digits
+    where chrono's `%.3f` wants exactly 3. Pure string LITERALS are the
+    literal normalizer's job (statically parsed, above) and are skipped.
+    """
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_string(sql, i)
+            continue
+        m = _CAST_FAMILY_RE.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        j = _match_paren(sql, m.end())
+        inner = sql[m.end() : j - 1]
+        mm = re.search(r"(?is)\sAS\s+(DATE|TIMESTAMP)\s*$", _blank_nested(inner))
+        if not mm:
+            i = m.end()  # scan inside: the argument may hold a nested cast
+            continue
+        fn = m.group(1).upper()
+        if fn == "TRY_CAST" and re.match(
+            r"(?is)\s*,\s*try_to_(date|timestamp)\s*\(", sql[j:]
+        ):
+            i = j  # first arm of an already-emitted chain — don't re-wrap
+            continue
+        # argument text from the ORIGINAL string (blanked text truncates
+        # call arguments); recurse so nested casts are rewritten once
+        expr = _rewrite_multiformat_column_casts(inner[: mm.start()].strip())
+        if re.fullmatch(r"'[^']*'", expr):
+            i = j  # literal — normalized statically above
+            continue
+        target = mm.group(1).upper()
+        # trial args are cast to STRING explicitly: try_to_timestamp does
+        # NOT implicitly coerce numerics (Spark INTERNAL_ERROR on bigint)
+        s_expr = f"CAST({expr} AS STRING)"
+        if target == "DATE":
+            trials = ", ".join(
+                f"try_to_date({s_expr}, '{f}')" for f in _DATE_TRIAL_FMTS
+            )
+            final = f"to_date({expr})"
+        else:
+            trials = f"try_to_timestamp({s_expr}, '{_TS_TRIAL_FMT}')"
+            final = f"to_timestamp({expr})"
+        arms = f"try_cast({expr} AS {target}), {trials}"
+        repl = (
+            f"coalesce({arms})"
+            if fn == "TRY_CAST"
+            else f"coalesce({arms}, {final})"
+        )
+        sql = sql[: m.start()] + repl + sql[j:]
+        i = m.start() + len(repl)
+    return sql
 
 
 #: INTERVAL units whose Spark semantics diverge from the reference's.
