@@ -183,6 +183,11 @@ _REWRITABLE_CALLS = st.sampled_from([
     "COALESCE({a}, {a} + INTERVAL '2' MONTH)",
     "COALESCE({a}, {a} + INTERVAL '1' YEAR)",
     "COALESCE({a}, {a} + INTERVAL '1500' MICROSECOND)",
+    # multi-format column casts: emitted coalesce(try_cast..) chain must be
+    # a fixed point (the TRY_CAST first arm re-matches the scanner)
+    "CAST({a} AS DATE)",
+    "TRY_CAST({a} AS TIMESTAMP)",
+    "CAST(CAST({a} AS DATE) AS TIMESTAMP)",
 ])
 
 

@@ -777,3 +777,25 @@ def test_split_returns_array_superset_documented(eng):
     SPLIT result."""
     assert _one(eng, "SPLIT('a,b', ',')") == ["a", "b"]
     assert _one(eng, "SPLIT_PART('a,b', ',', 1)") == "a"
+
+
+def test_like_metachar_divergence_documented(eng):
+    """ADJUDICATED divergence: the reference's LIKE (evaluator.rs:1210
+    match_pattern) builds a regex by substituting % -> .* and _ -> .
+    WITHOUT escaping regex metacharacters, so `'3514' LIKE '3.14'` is
+    TRUE there (the literal dot matches any char) and `'aaa' LIKE 'a+'`
+    is TRUE (the + quantifies). That is a metachar leak, not designed
+    semantics — the reference's own docs describe standard SQL LIKE.
+    Kept: Spark's standard LIKE (metachars literal). The designed arms
+    AGREE and are pinned below: % = any run, _ = exactly one char,
+    anchored full-string match."""
+    assert _one(eng, "'hello world' LIKE 'hello%'") is True
+    assert _one(eng, "'hello world' LIKE '%world'") is True
+    assert _one(eng, "'hello world' LIKE '%lo wo%'") is True
+    assert _one(eng, "'hat' LIKE 'h_t'") is True
+    assert _one(eng, "'heat' LIKE 'h_t'") is False  # _ is exactly one
+    assert _one(eng, "'hello' LIKE 'ell'") is False  # anchored both ends
+    # the leak, not mirrored: metachars stay literal here
+    assert _one(eng, "'3514' LIKE '3.14'") is False
+    assert _one(eng, "'3.14' LIKE '3.14'") is True
+    assert _one(eng, "'aaa' LIKE 'a+'") is False
