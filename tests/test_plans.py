@@ -362,3 +362,15 @@ def test_quantified_comparisons_broadcast_not_shuffled_cartesian(spark):
     # 100-TB failure mode
     plan = plan_of(spark, "dialect_quantified_comparisons")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dialect_cast_multiformat_stays_jvm_side(spark):
+    """The multi-format cast trial chain must stay pure Catalyst: a
+    coalesce of try_cast/try_to_date arms compiles into codegen — no
+    Python worker, no extra exchange beyond the one aggregate shuffle,
+    scan pruned to the two orders columns it needs."""
+    plan = plan_of(spark, "dialect_cast_multiformat")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partials
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "o_comment" not in scan and "o_totalprice" not in scan, scan

@@ -249,3 +249,50 @@ def dialect_quantified_comparisons(spark: SparkSession, sf_dir: str) -> DataFram
           AND o_custkey = ANY (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         """
     )
+
+
+@query(
+    "dialect_cast_multiformat",
+    oracle="""
+    SELECT o_orderkey % 4 AS fmt,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates,
+           MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(CAST(o_orderdate AS DATE)) AS max_date,
+           MIN(o_orderdate) AS min_ts
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("dialect", "cast", "conformance"),
+)
+def dialect_cast_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format string→DATE/TIMESTAMP casts on COLUMN values
+    (types.rs:859-895): each order's date is re-rendered in one of the
+    reference's four accepted DATE formats (ISO, Y/m/d, m/d/Y, d-m-Y) and
+    one of two TIMESTAMP forms (Y/m/d H:M:S, date-only→midnight), then
+    CAST back. The oracle is the identity roundtrip on the original
+    column — any format mis-parsed (e.g. month/day swapped) breaks the
+    MIN/MAX/COUNT DISTINCT hash. Exercises the dialect's
+    coalesce(try_cast, try_to_date...) trial chain — pure Catalyst, no
+    Python, broadcastless single-scan aggregate at any scale."""
+    return _engine(spark, sf_dir).execute(
+        """
+        SELECT fmt,
+               COUNT(DISTINCT CAST(ds AS DATE)) AS n_dates,
+               MIN(CAST(ds AS DATE)) AS min_date,
+               MAX(CAST(ds AS DATE)) AS max_date,
+               MIN(CAST(ts_s AS TIMESTAMP)) AS min_ts
+        FROM (SELECT o_orderkey % 4 AS fmt,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN DATE_FORMAT(o_orderdate, '%Y-%m-%d')
+                       WHEN 1 THEN DATE_FORMAT(o_orderdate, '%Y/%m/%d')
+                       WHEN 2 THEN DATE_FORMAT(o_orderdate, '%m/%d/%Y')
+                       ELSE DATE_FORMAT(o_orderdate, '%d-%m-%Y')
+                     END AS ds,
+                     CASE o_orderkey % 2
+                       WHEN 0 THEN DATE_FORMAT(o_orderdate, '%Y/%m/%d %H:%M:%S')
+                       ELSE DATE_FORMAT(o_orderdate, '%Y-%m-%d')
+                     END AS ts_s
+              FROM orders) shaped
+        GROUP BY fmt
+        """
+    )

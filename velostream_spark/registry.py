@@ -195,6 +195,12 @@ _LOADED = False
 #: + streaming_group_by_final (staying);
 #: streaming_dedup → dedup_exact (batch twin, staying) +
 #: streaming_session_join (custom-stateful applyInPandasWithState family).
+#:
+#: ROTATION batch 5 (candidates for round 8 — entries ADDED in round 7,
+#: after batch 4 completed the every-entry-once program):
+#: dialect_cast_multiformat (multi-format string→DATE/TIMESTAMP column
+#: casts, types.rs:859-895; displacement candidate: cast_semantics, whose
+#: non-temporal arms the function-catalog sweep carries).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
