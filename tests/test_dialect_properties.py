@@ -230,3 +230,31 @@ def test_uri_extraction_idempotent(path, col):
     assert list(uris1.values()) == [f"file://{path}"]
     (view,) = uris1
     assert view.isidentifier() and f"FROM {view}" in out1
+
+
+# ---------------------------------------------------------------------------
+# Full-translate idempotence over OVER-clause shapes: the value-function
+# frame pass inserts a ROWS frame whose presence must suppress re-insertion,
+# and epoch-millis promotion wraps literals whose output must not re-match.
+# ---------------------------------------------------------------------------
+
+_OVER_SHAPES = st.sampled_from([
+    "LAST_VALUE({a}) OVER (PARTITION BY g ORDER BY t)",
+    "NTH_VALUE({a}, 2) OVER (ORDER BY t)",
+    "LAST_VALUE({a}) OVER (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "FIRST_VALUE({a}) OVER (PARTITION BY g ORDER BY t)",
+    "SUM({a}) OVER (ORDER BY t)",
+])
+
+
+@given(shape=_OVER_SHAPES, col=st.sampled_from(["c1", "UPPER(c1)", "c1 + 1"]))
+@settings(max_examples=60, deadline=None)
+def test_translate_select_over_clauses_idempotent(shape, col):
+    sql = (
+        f"SELECT {shape.format(a=col)} AS r FROM t "
+        "WHERE _event_time > 1697296245000"
+    )
+    once, *_ = dialect.translate_select(sql)
+    twice, *_ = dialect.translate_select(once)
+    assert twice == once
+    assert "timestamp_millis(1697296245000)" in once

@@ -799,3 +799,30 @@ def test_like_metachar_divergence_documented(eng):
     assert _one(eng, "'3514' LIKE '3.14'") is False
     assert _one(eng, "'3.14' LIKE '3.14'") is True
     assert _one(eng, "'aaa' LIKE 'a+'") is False
+
+
+def test_ranking_tie_and_ntile_divergences_documented(eng):
+    """ADJUDICATED divergences (window_functions.rs): the reference's
+    PERCENT_RANK (:714) and CUME_DIST (:749) use the row's buffer
+    POSITION, not its rank — tied rows get distinct values there,
+    depending on an unstable sort position. Its NTILE (:775) sizes every
+    tile at ceil(n/tiles), so trailing tiles starve (4 rows, 3 tiles →
+    sizes 2,2,0 instead of the standard 2,1,1). Both contradict the SQL
+    standard AND the reference's own docs; position-among-equals is
+    nondeterministic in their buffer. Kept: Spark's standard rank-based
+    PERCENT_RANK/CUME_DIST (ties share values) and remainder-first
+    NTILE. Pinned below on tie data."""
+    df = eng.execute(
+        "SELECT i, PERCENT_RANK() OVER (ORDER BY tie) AS pr, "
+        "CUME_DIST() OVER (ORDER BY tie) AS cd, "
+        "NTILE(3) OVER (ORDER BY i) AS nt "
+        "FROM (SELECT i, CASE WHEN i <= 2 THEN 0 ELSE 1 END AS tie FROM t)"
+    )
+    rows = {r["i"]: r for r in df.collect()}
+    # ties share: rows 1,2 (tie=0) both pr=0.0, cd=0.5; rows 3,4 pr=2/3, cd=1
+    assert rows[1]["pr"] == rows[2]["pr"] == 0.0
+    assert rows[3]["pr"] == rows[4]["pr"] == pytest.approx(2 / 3)
+    assert rows[1]["cd"] == rows[2]["cd"] == 0.5
+    assert rows[3]["cd"] == rows[4]["cd"] == 1.0
+    # standard NTILE on 4 rows / 3 tiles: sizes 2,1,1
+    assert [rows[i]["nt"] for i in (1, 2, 3, 4)] == [1, 1, 2, 3]

@@ -1368,6 +1368,52 @@ def test_event_time_millis_comparison(spark):
     assert "timestamp_millis" not in s
 
 
+def test_schema_temporal_millis_comparison(spark):
+    """The engine's schema-aware half: ANY registered temporal column
+    (not just _event_time) compares against 10+-digit integers as epoch
+    millis, per the reference's compare_values Temporal-vs-Integer arms
+    (it type-dispatches at runtime on the actual FieldValue; we dispatch
+    on the registered schema). A name that is an INT column stays an
+    ordinary integer comparison."""
+    import datetime as _dt
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2023, 10, 14, 15, 10, 40), _dt.date(2023, 10, 13),
+             1_697_296_244_000),
+            (2, _dt.datetime(2023, 10, 14, 15, 10, 50), _dt.date(2023, 10, 15),
+             1_697_296_246_000),
+        ],
+        "id int, evt timestamp, d date, raw_ms bigint",
+    )
+    eng.register_stream("sched", df)
+    cutoff = int(
+        _dt.datetime(2023, 10, 14, 15, 10, 45, tzinfo=_dt.timezone.utc).timestamp()
+        * 1000
+    )
+    got = eng.execute(f"SELECT id FROM sched WHERE evt > {cutoff}").collect()
+    assert [r["id"] for r in got] == [2]
+    # DATE column: midnight promotion (evaluator.rs:1126 arm)
+    mid14 = int(
+        _dt.datetime(2023, 10, 14, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    got = eng.execute(f"SELECT id FROM sched WHERE d >= {mid14}").collect()
+    assert [r["id"] for r in got] == [2]
+    # alias-qualified reference
+    got = eng.execute(
+        f"SELECT s.id FROM sched s WHERE s.evt <= {cutoff}"
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+    # an INTEGER column with an epoch-scale value stays a plain int compare
+    got = eng.execute(
+        f"SELECT id FROM sched WHERE raw_ms > {cutoff}"
+    ).collect()
+    assert [r["id"] for r in got] == [2]
+
+
 def test_multiformat_column_date_casts(spark):
     """CAST(col AS DATE|TIMESTAMP) on string COLUMNS tries the reference's
     format chain (types.rs:859-895): DATE = ISO, Y/m/d, m/d/Y, d-m-Y;
@@ -1421,3 +1467,37 @@ def test_multiformat_column_date_casts(spark):
     eng.register_stream("badf", bad)
     got = eng.execute("SELECT TRY_CAST(ds AS DATE) AS d FROM badf").collect()
     assert got[0]["d"] is None
+
+
+def test_frameless_last_value_reads_partition_last(spark):
+    """window_functions.rs:625-652: the reference's LAST_VALUE/NTH_VALUE
+    read the WHOLE partition (frame bounds never consulted), so a
+    frameless pasted query must see the partition's last value — not
+    Spark's default running frame (which would return the CURRENT row's
+    value). Explicit frames are honored as written (adjudicated)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "sym string, seq int, price double",
+    )
+    eng.register_stream("qt", df)
+    rows = eng.execute(
+        "SELECT sym, seq, "
+        "LAST_VALUE(price) OVER (PARTITION BY sym ORDER BY seq) AS close_p, "
+        "NTH_VALUE(price, 2) OVER (PARTITION BY sym ORDER BY seq) AS second_p "
+        "FROM qt"
+    ).collect()
+    got = {(r["sym"], r["seq"]): (r["close_p"], r["second_p"]) for r in rows}
+    assert got[("a", 1)] == (30.0, 20.0)  # partition-last / partition-2nd
+    assert got[("a", 2)] == (30.0, 20.0)
+    assert got[("a", 3)] == (30.0, 20.0)
+    assert got[("b", 1)] == (5.0, None)
+    # explicit frame honored: running LAST_VALUE = current row
+    rows = eng.execute(
+        "SELECT seq, LAST_VALUE(price) OVER (PARTITION BY sym ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_p "
+        "FROM qt WHERE sym = 'a'"
+    ).collect()
+    assert {r["seq"]: r["run_p"] for r in rows} == {1: 10.0, 2: 20.0, 3: 30.0}

@@ -1763,6 +1763,7 @@ def translate_select_full(
     rw = extract_rows_window_aggs(sql)
     sql = _rewrite_join_within(sql, time_col)
     sql = _rewrite_over_clauses(sql)
+    sql = _rewrite_value_fn_frames(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
     sql = _rewrite_quantified_comparisons(sql)
@@ -1783,26 +1784,79 @@ def translate_select_full(
         sql = _sub_outside_strings(
             sql, r"(?i)\b_window_end\b", f"unix_millis({wkey}.end)"
         )
-    sql = _rewrite_event_time_millis_comparisons(sql)
+    sql = promote_epoch_millis_comparisons(sql)
     return sql.strip(), wc, emit, keys, rw, uri_sources
 
 
-#: `_event_time <op> <integer>` — the reference compares temporal values
-#: against Integers as EPOCH MILLIS (evaluator.rs compare_values, the
-#: "Temporal vs Integer(epoch-millis)" arms; event-time-guide examples
-#: write `WHERE _event_time > 1697296245000`). Spark refuses
-#: timestamp-vs-bigint comparison outright (DATATYPE_MISMATCH), so the
-#: literal is promoted with timestamp_millis(). Name-scoped to the
-#: documented `_event_time` system column — this engine carries it as a
-#: TIMESTAMP column; `_timestamp` is already INT64 and compares natively.
-_ET_CMP_RE = (
-    r"(?i)\b(_event_time)\s*(>=|<=|<>|!=|>|<|=)\s*(\d{10,})\b"
-    r"|\b(\d{10,})\s*(>=|<=|<>|!=|>|<|=)\s*(_event_time)\b"
-    r"|\b(_event_time)\s+BETWEEN\s+(\d{10,})\s+AND\s+(\d{10,})\b"
-)
+_VALUE_FN_OVER_RE = re.compile(r"(?i)\b(LAST_VALUE|NTH_VALUE)\s*\(")
 
 
-def _rewrite_event_time_millis_comparisons(sql: str) -> str:
+def _rewrite_value_fn_frames(sql: str) -> str:
+    """Frameless `LAST_VALUE(x) OVER (...)` / `NTH_VALUE(x, n) OVER (...)`
+    get `ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING`: the
+    reference's value functions read the WHOLE PARTITION, not a frame
+    (window_functions.rs:625-652 last_value takes partition_bounds' end;
+    :654-711 nth_value indexes from partition start; frame bounds are
+    never consulted), and its own doc examples spell the full-partition
+    frame out (advanced-query-features.md:437, COPY_PASTE_EXAMPLES.md).
+    Spark's DEFAULT frame ends at CURRENT ROW, so a frameless pasted
+    query would return the running-last (= current row's value) instead
+    of the partition's last. FIRST_VALUE needs no rewrite — partition
+    first is inside Spark's default frame already. ADJUDICATED: an
+    EXPLICIT user frame is honored (standard SQL); the reference
+    ignoring even explicit frames is an implementation accident we do
+    not mirror."""
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_string(sql, i)
+            continue
+        m = _VALUE_FN_OVER_RE.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        j = _match_paren(sql, m.end())  # past the call's args
+        mo = re.match(r"(?is)\s*OVER\s*\(", sql[j:])
+        if not mo:
+            i = j
+            continue
+        body_start = j + mo.end()
+        body_end = _match_paren(sql, body_start)  # just past OVER's ')'
+        body = sql[body_start : body_end - 1]
+        if re.search(r"(?i)\b(ROWS|RANGE)\b", _blank_nested(body)):
+            i = body_end  # explicit frame — honored as written
+            continue
+        frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        sql = sql[: body_end - 1] + frame + sql[body_end - 1 :]
+        i = body_end + len(frame)
+    return sql
+
+
+def promote_epoch_millis_comparisons(
+    sql: str, cols: tuple[str, ...] = ("_event_time",)
+) -> str:
+    """`<temporal col> <op> <integer>` — the reference compares temporal
+    values against Integers as EPOCH MILLIS (evaluator.rs compare_values,
+    the "Temporal vs Integer(epoch-millis)" arms, for BOTH Timestamp and
+    Date lhs; event-time-guide examples write `WHERE _event_time >
+    1697296245000`). Spark refuses timestamp-vs-bigint comparison outright
+    (DATATYPE_MISMATCH), so the literal is promoted with
+    timestamp_millis(). DATE columns compare through Spark's native
+    date→midnight-timestamp promotion, the same arm the reference uses
+    (`a.and_hms_opt(0,0,0)`, evaluator.rs:1126 — agreement pinned in
+    test_function_catalog). The 10-digit floor keeps ordinary integers
+    (ids, counts) out; translate applies this to the documented
+    `_event_time` system column, and SqlEngine re-applies it with the
+    registered streams' actual temporal column names (schema-aware)."""
+    names = "|".join(re.escape(c) for c in cols)
+    col = rf"((?:\w+\.)?(?:{names}))"
+    pat = (
+        rf"(?i)\b{col}\s*(>=|<=|<>|!=|>|<|=)\s*(\d{{10,}})\b"
+        rf"|\b(\d{{10,}})\s*(>=|<=|<>|!=|>|<|=)\s*{col}\b"
+        rf"|\b{col}\s+BETWEEN\s+(\d{{10,}})\s+AND\s+(\d{{10,}})\b"
+    )
+
     def conv(m: re.Match) -> str:
         if m.group(1):
             return f"{m.group(1)} {m.group(2)} timestamp_millis({m.group(3)})"
@@ -1813,7 +1867,7 @@ def _rewrite_event_time_millis_comparisons(sql: str) -> str:
             f"AND timestamp_millis({m.group(9)})"
         )
 
-    return _sub_outside_strings(sql, _ET_CMP_RE, conv)
+    return _sub_outside_strings(sql, pat, conv)
 
 
 def _sub_outside_strings(sql: str, pattern: str, repl) -> str:

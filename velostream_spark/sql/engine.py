@@ -28,7 +28,12 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from velostream_spark.sql.dialect import Statement, parse_statement, split_statements
+from velostream_spark.sql.dialect import (
+    Statement,
+    parse_statement,
+    promote_epoch_millis_comparisons,
+    split_statements,
+)
 
 
 #: Above this many rows a table's driver-side dict index is refused and
@@ -448,10 +453,54 @@ class SqlEngine:
         processors/select.rs:76)."""
         return self.execute(build_parameterized_query(template, params))
 
+    def _promote_temporal_millis(self, st) -> None:
+        """Schema-aware half of the epoch-millis comparison promotion
+        (evaluator.rs compare_values "Temporal vs Integer" arms): the
+        reference compares ANY Timestamp/Date value against an Integer as
+        epoch millis. The dialect already promotes the documented
+        `_event_time` system column; here the registered streams' actual
+        temporal column names are promoted too — the dialect can't know
+        types, the engine can. A name is skipped when it is non-temporal
+        in ANY referenced source (ambiguous) or re-bound by an AS alias in
+        the statement (the alias, not the column, is in scope where SQL
+        allows it)."""
+        text = st.select_sql
+        if not text:
+            return
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        temporal: set[str] = set()
+        other: set[str] = set()
+        sources: list[DataFrame] = [
+            *(df for n, df in self.streams.items()
+              if re.search(rf"(?i)\b{re.escape(n)}\b", text)),
+            *(mt.df for n, mt in self.tables.items()
+              if re.search(rf"(?i)\b{re.escape(n)}\b", text)),
+        ]
+        for df in sources:
+            for f in df.schema.fields:
+                if isinstance(
+                    f.dataType, (TimestampType, TimestampNTZType, DateType)
+                ):
+                    temporal.add(f.name)
+                else:
+                    other.add(f.name)
+        temporal -= other
+        temporal.discard(self.time_col)  # translate already promoted it
+        temporal = {
+            c for c in temporal
+            if not re.search(rf"(?i)\bAS\s+{re.escape(c)}\b", text)
+        }
+        if temporal:
+            st.select_sql = promote_epoch_millis_comparisons(
+                text, tuple(sorted(temporal))
+            )
+
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
         a list of dicts for SHOW, row count for DML."""
         st = parse_statement(sql, self.time_col)
+        self._promote_temporal_millis(st)
         self.last_annotations = st.annotations
         if st.kind in ("create_stream", "create_table"):
             self._bind_metrics(st.name, sql)
@@ -501,6 +550,7 @@ class SqlEngine:
         windowed aggregation with watermark — Spark constraint); EMIT
         CHANGES changelogs to files go through foreachBatch instead."""
         st = parse_statement(sql, self.time_col)
+        self._promote_temporal_millis(st)
         if st.kind not in ("create_stream", "deploy_job", "start_job"):
             raise ValueError(
                 "execute_streaming expects CREATE STREAM ... AS SELECT, "
