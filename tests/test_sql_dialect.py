@@ -1501,3 +1501,29 @@ def test_frameless_last_value_reads_partition_last(spark):
         "FROM qt WHERE sym = 'a'"
     ).collect()
     assert {r["seq"]: r["run_p"] for r in rows} == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_ungrouped_bare_column_is_group_first(spark):
+    """accumulator.rs:268+ / functions.rs:56-74: a non-aggregate,
+    non-grouped select field resolves to the group's FIRST-arrival value
+    in the reference (Spark would raise MISSING_AGGREGATION). Bare
+    identifiers are wrapped in first(); complex ungrouped expressions
+    still error (adjudicated, see _wrap_ungrouped_bare_columns)."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 2), ("b", 5.0, 3)],
+        "sym string, price double, seq int",
+    ).coalesce(1)  # one partition: arrival order == row order, like the stream
+    eng.register_stream("tk", df)
+    rows = eng.execute(
+        "SELECT sym, price, COUNT(*) AS n FROM tk GROUP BY sym"
+    ).collect()
+    got = {r["sym"]: (r["price"], r["n"]) for r in rows}
+    assert got == {"a": (10.0, 2), "b": (5.0, 1)}
+    # grouped-by-alias form stays untouched
+    rows = eng.execute(
+        "SELECT sym AS s, COUNT(*) AS n FROM tk GROUP BY s"
+    ).collect()
+    assert {r["s"]: r["n"] for r in rows} == {"a": 2, "b": 1}

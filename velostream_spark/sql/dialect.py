@@ -1768,6 +1768,7 @@ def translate_select_full(
     sql = _rewrite_functions(sql)
     sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_now_diff(sql)
+    sql = _wrap_ungrouped_bare_columns(sql)
     if wc is not None:
         sql = _inject_time_window(sql, wc, wc.time_column or time_col)
         # `_window_start` / `_window_end` system columns (reference
@@ -1786,6 +1787,70 @@ def translate_select_full(
         )
     sql = promote_epoch_millis_comparisons(sql)
     return sql.strip(), wc, emit, keys, rw, uri_sources
+
+
+def _wrap_ungrouped_bare_columns(sql: str) -> str:
+    """`SELECT symbol, price, COUNT(*) FROM t GROUP BY symbol` — the
+    reference resolves a NON-aggregate, NON-grouped select field to the
+    group's FIRST-arrival value (accumulator.rs:268+ stores first/last
+    per expression; functions.rs:56-74,241-250 emits first_values), where
+    Spark raises MISSING_AGGREGATION. Bare-identifier items (optionally
+    qualified / aliased) that match no GROUP BY item are wrapped in
+    `first(...)` so pasted reference queries run with the reference's
+    semantics. Scoped deliberately narrow: complex ungrouped EXPRESSIONS
+    still error (adjudicated — wrapping arbitrary expressions risks
+    capturing grouped computations like CASE over aggregates), and
+    system columns (leading `_`, rewritten later against the window key)
+    are left alone. Arrival order is deterministic in the reference's
+    single stream; in Spark `first()` is per-group arrival under one
+    partition and pinned as such in tests."""
+    blank = _blank_nested(sql)
+    gm = re.search(r"(?i)\bGROUP\s+BY\s+", blank)
+    sm = re.match(r"(?i)\s*SELECT\s+(DISTINCT\s+)?", blank)
+    fm = re.search(r"(?i)\sFROM\s", blank)
+    if not (gm and sm and fm) or fm.start() <= sm.end():
+        return sql
+    g_end = len(blank)
+    for ge in re.finditer(
+        r"(?i)\b(HAVING|WINDOW|ORDER\s+BY|LIMIT|EMIT)\b", blank[gm.end() :]
+    ):
+        if ge.group(1).upper() == "WINDOW" and re.match(
+            r"\s*\(", sql[gm.end() + ge.end() :]
+        ):
+            continue  # the injected window(...) grouping call, not a clause
+        g_end = gm.end() + ge.start()
+        break
+    gitems = {
+        re.sub(r"\s+", "", x).lower()
+        for x in _split_top_level(sql[gm.end() : g_end])
+    }
+    gsegs = {g.split(".")[-1] for g in gitems} | gitems
+    items = _split_top_level(sql[sm.end() : fm.start()])
+    out: list[str] = []
+    changed = False
+    for it in items:
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)\s*(?:(?i:AS)\s+([A-Za-z_]\w*))?\s*",
+            it,
+        )
+        name = m.group(1) if m else None
+        if (
+            not name
+            or name.startswith("_")
+            or name.lower() in ("true", "false", "null", "distinct")
+            or name.lower() in gsegs
+            or name.split(".")[-1].lower() in gsegs
+            # grouped under its alias: SELECT symbol AS s ... GROUP BY s
+            or (m.group(2) and m.group(2).lower() in gsegs)
+        ):
+            out.append(it)
+            continue
+        alias = (m.group(2) or name.split(".")[-1]) if m else ""
+        out.append(f" first({name}) AS {alias}")
+        changed = True
+    if not changed:
+        return sql
+    return sql[: sm.end()] + ",".join(out) + sql[fm.start() :]
 
 
 _VALUE_FN_OVER_RE = re.compile(r"(?i)\b(LAST_VALUE|NTH_VALUE)\s*\(")
