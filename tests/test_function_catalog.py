@@ -826,3 +826,24 @@ def test_ranking_tie_and_ntile_divergences_documented(eng):
     assert rows[3]["cd"] == rows[4]["cd"] == 1.0
     # standard NTILE on 4 rows / 3 tiles: sizes 2,1,1
     assert [rows[i]["nt"] for i in (1, 2, 3, 4)] == [1, 1, 2, 3]
+
+
+def test_not_in_null_semantics_divergence_documented(eng):
+    """ADJUDICATED divergence: the reference's NOT IN is the plain
+    negation of its IN scan (subquery_executor.rs:134 `!in_result`), and
+    its values_equal treats NULL as unequal to everything — so a NULL in
+    the subquery result does NOT poison NOT IN there (rows still pass).
+    Standard SQL three-valued logic (Spark, DuckDB, and this repo's
+    in_not_in_subquery oracle) says `x NOT IN (..., NULL)` is UNKNOWN →
+    row filtered. Kept: standard semantics — the reference's behavior is
+    a by-product of its equality helper, contradicts every SQL reference
+    text, and silently changes results only on NULL-bearing subqueries."""
+    rows = eng.execute(
+        "SELECT i FROM t WHERE 99 NOT IN (SELECT CASE WHEN i = 1 THEN NULL "
+        "ELSE i END FROM t)"
+    ).collect()
+    assert rows == []  # NULL poisons NOT IN (standard); reference would pass
+    rows = eng.execute(
+        "SELECT COUNT(*) AS n FROM t WHERE 99 NOT IN (SELECT i FROM t)"
+    ).collect()
+    assert rows[0]["n"] > 0  # no NULLs → both engines agree
