@@ -276,6 +276,11 @@ def test_insert_update_delete(spark, engine):
     assert vals == {1: "a", 2: "z", 3: "z"}
     assert engine.execute("DELETE FROM kv WHERE k = 1") == 1
     assert engine.tables["kv"].count() == 2
+    # SET of a brand-new column ADDS the field (update.rs:194-206 inserts
+    # into the record's field map unconditionally); non-matching rows NULL
+    assert engine.execute("UPDATE kv SET flag = k * 10 WHERE k = 2") == 1
+    vals = {r["k"]: r["flag"] for r in engine.tables["kv"].df.collect()}
+    assert vals == {2: 20, 3: None}
 
 
 def test_show_statements(engine):

@@ -953,7 +953,16 @@ class SqlEngine:
                 if c in st.set_clause
                 else F.col(c)
                 for c in base.columns
-            ]
+            ],
+            # SET of a column the target doesn't have ADDS the field in the
+            # reference (schema-on-read records — update.rs:194-206
+            # apply_assignments inserts into the field map unconditionally);
+            # non-matching rows get NULL, there is no prior value to keep.
+            *[
+                F.when(cond, F.expr(expr_sql)).alias(c)
+                for c, expr_sql in st.set_clause.items()
+                if c not in base.columns
+            ],
         )
         self._replace_target(st.target, updated)
         return n
