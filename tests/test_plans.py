@@ -374,3 +374,14 @@ def test_dialect_cast_multiformat_stays_jvm_side(spark):
     assert plan.count("HashAggregate") >= 2, plan  # map-side partials
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "o_comment" not in scan and "o_totalprice" not in scan, scan
+
+
+def test_pii_scrub_stays_jvm_side(spark):
+    """PII scrubbing is a regexp_replace/regexp_count chain — must stay in
+    whole-stage codegen: no Python workers, no exchange at all (pure
+    per-partition rewrite), scan pruned to doc_id + text."""
+    plan = plan_of(spark, "pii_scrub")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "lang" not in scan and "source" not in scan, scan

@@ -260,3 +260,48 @@ def rolling_fingerprint(col: Column, n: int = 3) -> Column:
 
 def rolling_fingerprint_sql(expr: str, n: int = 3) -> str:
     return f"list_min(list_transform({shingles_sql(expr, n)}, s -> md5(s)))"
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (training-data cleanup).
+#
+# Pattern, replacement pairs applied IN ORDER (emails before URLs before
+# phone runs, so a scrubbed token never re-matches a later pattern). The
+# same tuple drives the Spark Column builder and the DuckDB oracle SQL, so
+# the two sides cannot drift. Patterns deliberately use only syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, + / {m,} quantifiers, no backreferences or lookaround.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, URLs, and phone-number runs — pure Catalyst
+    regexp_replace chain, whole-stage-codegen'd, no Python."""
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def scrub_pii_sql(expr: str) -> str:
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def pii_count(col: Column) -> Column:
+    """Number of redactions scrub_pii would make (pre-scrub match count)."""
+    out = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        out = out + F.regexp_count(col, F.lit(pat))
+    return out
+
+
+def pii_count_sql(expr: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))" for pat, _ in PII_PATTERNS
+    )

@@ -724,3 +724,52 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing
+
+#: The synthetic documents contain no PII, so deterministic PII spans are
+#: injected FROM doc_id inside the query — both engines build the identical
+#: augmented text, and the oracle verifies the SCRUBBING itself (the full
+#: cleaned text participates in the value hash).
+_PII_AUG_SQL = (
+    "('Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "+1-555-01' || CAST(doc_id AS VARCHAR) || ' via https://ex.com/u/' || "
+    "CAST(doc_id AS VARCHAR) || ' -- ' || text)"
+)
+
+_PII_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       {textops.scrub_pii_sql(_PII_AUG_SQL)}         AS clean_text,
+       {textops.pii_count_sql(_PII_AUG_SQL)}         AS n_redactions,
+       length({textops.scrub_pii_sql(_PII_AUG_SQL)}) AS clean_len
+FROM documents
+"""
+
+
+@query("pii_scrub", oracle=_PII_SCRUB_ORACLE, tags=("pipeline", "text", "scrub"))
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleanup: redact emails, URLs, and phone-number runs
+    (textops.PII_PATTERNS — one shared pattern table drives this plan AND
+    the DuckDB oracle). Pure Catalyst regexp_replace/regexp_count chain:
+    one scan, zero shuffles, no Python — at 100 TB this is embarrassingly
+    parallel per-partition text rewriting inside whole-stage codegen."""
+    t = tables(spark, sf_dir)
+    aug = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.col("doc_id").cast("string"),
+        F.lit(" via https://ex.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" -- "),
+        F.col("text"),
+    )
+    clean = textops.scrub_pii(aug)
+    return t["documents"].select(
+        "doc_id",
+        clean.alias("clean_text"),
+        textops.pii_count(aug).cast("long").alias("n_redactions"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )

@@ -200,7 +200,10 @@ _LOADED = False
 #: after batch 4 completed the every-entry-once program):
 #: dialect_cast_multiformat (multi-format string→DATE/TIMESTAMP column
 #: casts, types.rs:859-895; displacement candidate: cast_semantics, whose
-#: non-temporal arms the function-catalog sweep carries).
+#: non-temporal arms the function-catalog sweep carries);
+#: pii_scrub (training-data PII/URL redaction, pure-Catalyst regex chain
+#: with a shared-pattern-table DuckDB oracle; displacement candidate:
+#: text_analysis — same pure-Catalyst text family).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
