@@ -1532,3 +1532,45 @@ def test_ungrouped_bare_column_is_group_first(spark):
         "SELECT sym AS s, COUNT(*) AS n FROM tk GROUP BY s"
     ).collect()
     assert {r["s"]: r["n"] for r in rows} == {"a": 2, "b": 1}
+
+
+def test_phase4_doc_only_functions(spark):
+    """The phase-4 examples use functions that exist NOWHERE in the
+    reference's registry (its engine rejects them — doc-only):
+    SESSION_START/SESSION_END (session bounds), UNNEST + STRING_TO_ARRAY
+    (hashtag explosion, social_media_analytics_phase4.sql:229),
+    JSON_EXTRACT_SCALAR (ecommerce_analytics_phase4.sql:227). All mapped
+    so the shipped examples execute."""
+    import datetime as _dt
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark, time_col="ts")
+    df = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 0, 1), "#a! b #c", '{"items": [{"id": 7}]}'),
+            (1, _dt.datetime(2024, 1, 1, 0, 2), "#a x", '{"items": [{"id": 8}]}'),
+        ],
+        "k int, ts timestamp, content string, payload string",
+    )
+    eng.register_stream("posts", df)
+    tags = [
+        r["hashtag"]
+        for r in eng.execute(
+            "SELECT UNNEST(STRING_TO_ARRAY(REGEXP_REPLACE(content, "
+            "'[^#\\\\w\\\\s]', '', 'g'), ' ')) AS hashtag FROM posts"
+        ).collect()
+    ]
+    assert "#a" in tags and "#c" in tags and "b" in tags
+    got = eng.execute(
+        "SELECT JSON_EXTRACT_SCALAR(payload, '$.items[0].id') AS pid FROM posts"
+    ).collect()
+    assert sorted(r["pid"] for r in got) == ["7", "8"]
+    rows = eng.execute(
+        "SELECT SESSION_START() AS s, SESSION_END() AS e, "
+        "EXTRACT(EPOCH FROM (SESSION_END() - SESSION_START())) / 60 AS mins, "
+        "COUNT(*) AS n FROM posts GROUP BY k "
+        "WINDOW SESSION(INTERVAL '5' MINUTE)"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2
+    assert rows[0]["e"] > rows[0]["s"] and rows[0]["mins"] > 0

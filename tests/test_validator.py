@@ -195,3 +195,26 @@ def test_aggregate_without_grouping_warning():
     # batch SELECT is exempt (this engine executes global aggregates)
     rep = validate_statement("SELECT COUNT(*) AS n FROM t")
     assert not any("AggregateWithoutGrouping" in w for w in rep.warnings)
+
+
+def test_semantic_function_validation():
+    """semantic_validator.rs:155-207: unknown functions error (strict, the
+    reference default) or warn (lenient) with did-you-mean suggestions;
+    a known non-window non-aggregate with OVER is always an error. Spark
+    builtins pass — this engine's documented permissive superset."""
+    from velostream_spark.sql.validator import validate_statement
+
+    r = validate_statement("SELECT UPER(name) FROM t")
+    assert any("unknown function 'UPER'" in e and "UPPER" in e for e in r.errors)
+    r = validate_statement("SELECT UPER(name) FROM t", strict_functions=False)
+    assert not any("unknown function" in e for e in r.errors)
+    assert any("unknown function 'UPER'" in w for w in r.warnings)
+    r = validate_statement("SELECT UPPER(name) OVER (ORDER BY ts) AS u FROM t")
+    assert any("cannot be used in OVER" in e for e in r.errors)
+    # window fns + aggregates with OVER, and Spark builtins, all pass
+    r = validate_statement(
+        "SELECT LAG(x) OVER (ORDER BY ts) AS l, COUNT(*) OVER () AS c, "
+        "initcap(name) AS i, PERCENTILE_CONT(0.9) WITHIN GROUP "
+        "(ORDER BY x) AS p FROM t"
+    )
+    assert not [e for e in r.errors if "function" in e], r.errors

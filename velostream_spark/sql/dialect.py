@@ -738,6 +738,7 @@ def _extract_primary_keys(sql: str) -> tuple[str, list[str]]:
 # ---------------------------------------------------------------------------
 
 _SIMPLE_FN_RENAMES = {
+    "JSON_EXTRACT_SCALAR": "get_json_object",  # doc-only (phase-4 examples)
     "JSON_EXTRACT": "get_json_object",
     "JSON_VALUE": "get_json_object",
     "JSON_QUERY": "get_json_object",
@@ -982,6 +983,18 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             return "''"
         casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
         return f"concat_ws('', {casted})"
+    if u == "STRING_TO_ARRAY" and len(args) == 2:
+        # Doc-only function (phase-4 examples; absent from the reference's
+        # registry like SESSION_START) — PostgreSQL semantics: split on a
+        # LITERAL delimiter returning the array. Same literal-quoting as
+        # the SPLIT arm below.
+        if args[1].lstrip().startswith("'\\\\Q' ||"):
+            return None
+        return f"split({args[0]}, '\\\\Q' || {args[1]} || '\\\\E')"
+    if u == "UNNEST" and len(args) == 1:
+        # Doc-only (social_media_analytics_phase4.sql:229) — SELECT-position
+        # array flattening = Spark's explode (one output row per element).
+        return f"explode({args[0]})"
     if u == "SPLIT" and len(args) == 2:
         # The reference splits on a LITERAL delimiter (functions.rs
         # split_function: s.split(&d)); Spark's split() treats the
@@ -1145,13 +1158,26 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
         # `session_window` struct, so duration = end - start (an interval,
         # comparable to INTERVAL literals).
         return "(session_window.end - session_window.start)"
+    if u in ("SESSION_START", "SESSION_END") and len(args) == 0:
+        # Extension: the phase-4 social/ecommerce examples use these, but
+        # like SESSION_DURATION they exist NOWHERE in the reference's
+        # registry (its engine would reject them — doc-only functions).
+        # Mapped to the session_window bounds as TIMESTAMPS, not the
+        # TUMBLE_START INT64-millis contract: there is no reference
+        # metadata contract to honor here, and the examples' own
+        # arithmetic (`EXTRACT(EPOCH FROM (SESSION_END() -
+        # SESSION_START()))`, social_media_analytics_phase4.sql:198)
+        # requires timestamp operands for the difference shape.
+        return f"session_window.{'start' if u == 'SESSION_START' else 'end'}"
     return None
 
 
 _FN_CALL_RE = re.compile(
-    r"(?i)\b(JSON_EXTRACT|JSON_VALUE|JSON_QUERY|JSON_EXISTS|COUNT_DISTINCT|"
+    r"(?i)\b(JSON_EXTRACT_SCALAR|JSON_EXTRACT|JSON_VALUE|JSON_QUERY|"
+    r"JSON_EXISTS|STRING_TO_ARRAY|UNNEST|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|COLLECT|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
-    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|SET_HEADER|"
+    r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|"
+    r"SESSION_START|SESSION_END|SET_HEADER|"
     r"REMOVE_HEADER|JOIN|ARRAY_LENGTH|TIMESTAMP|CONCAT|DATE_FORMAT|SPLIT_PART|"
     r"SPLIT|REGEXP_REPLACE)\s*\("
 )
@@ -1837,6 +1863,8 @@ def _wrap_ungrouped_bare_columns(sql: str) -> str:
         if (
             not name
             or name.startswith("_")
+            # fields of the injected grouping-window struct ARE grouped
+            or name.lower().split(".")[0] in ("window", "session_window")
             or name.lower() in ("true", "false", "null", "distinct")
             or name.lower() in gsegs
             or name.split(".")[-1].lower() in gsegs

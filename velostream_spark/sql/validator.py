@@ -30,6 +30,119 @@ _FILE_FORMATS = {"csv", "csv_no_header", "csvnoheader", "jsonl", "jsonlines",
                  "json_lines", "json", "parquet"}
 
 
+#: The reference's validation function registry
+#: (validation/function_registry.rs:117-350), split the way its semantic
+#: validator needs: aggregates may appear bare or with OVER; window
+#: functions require OVER; everything else must NOT take an OVER clause.
+_REF_AGGREGATES = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "STDDEV", "STDDEV_SAMP",
+    "STDDEV_POP", "VARIANCE", "VAR_SAMP", "VAR_POP", "MEDIAN",
+    "PERCENTILE_CONT", "PERCENTILE_DISC", "CORR", "COVAR_POP", "COVAR_SAMP",
+    "REGR_SLOPE", "REGR_INTERCEPT", "COUNT_DISTINCT",
+    "APPROX_COUNT_DISTINCT", "FIRST_VALUE", "LAST_VALUE", "LISTAGG",
+    "STRING_AGG",
+}
+_REF_WINDOW_FNS = {
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST",
+    "NTILE", "LAG", "LEAD", "NTH_VALUE", "FIRST_VALUE", "LAST_VALUE",
+}
+_REF_SCALARS = {
+    "HEADER", "HEADER_KEYS", "HAS_HEADER", "SET_HEADER", "REMOVE_HEADER",
+    "COALESCE", "NULLIF", "CAST",
+    "UPPER", "LOWER", "SUBSTRING", "SUBSTR", "LEFT", "RIGHT", "REPLACE",
+    "TRIM", "LTRIM", "RTRIM", "LENGTH", "LEN", "POSITION", "CONCAT",
+    "CONCAT_WS", "JOIN", "REGEXP", "REGEXP_REPLACE", "SPLIT",
+    "ABS", "MOD", "ROUND", "CEIL", "CEILING", "FLOOR", "POWER", "POW",
+    "SQRT", "EXP", "LN", "LOG", "LOG10", "LEAST", "GREATEST",
+    "NOW", "CURRENT_TIMESTAMP", "CURRENT_TIME", "CURRENT_DATE", "TIMESTAMP",
+    "DATE", "TIME", "EXTRACT", "DATE_FORMAT", "DATE_TRUNC", "DATE_ADD",
+    "DATE_SUB", "DATE_DIFF", "DATEDIFF", "YEAR", "MONTH", "DAY", "HOUR",
+    "MINUTE", "SECOND", "WEEK", "QUARTER", "DOW", "DOY", "EPOCH",
+    "MILLISECOND", "MICROSECOND", "NANOSECOND", "UNIX_TIMESTAMP",
+    "FROM_UNIXTIME", "TO_TIMESTAMP", "TO_DATE", "TUMBLE_START", "TUMBLE_END",
+    "IF", "CASE", "WHEN", "ELSE", "END",
+    "JSON_VALUE", "JSON_QUERY", "JSON_OBJECT", "JSON_ARRAY", "JSON_EXTRACT",
+    "ARRAY_LENGTH", "ARRAY_CONTAINS", "ARRAY_DISTINCT", "MAP_KEYS",
+    "MAP_VALUES", "ARRAY", "MAP", "STRUCT",
+}
+#: Names the RUNTIME registry (functions.rs) supports beyond the validation
+#: registry, all exercised by the 89-name conformance sweep.
+_DIALECT_EXTRAS = {
+    "GROUP_CONCAT", "COLLECT", "DELTA", "SPLIT_PART", "SESSION_DURATION",
+    "SESSION_START", "SESSION_END", "FIRST", "LAST", "TRY_CAST",
+}
+_REF_SUPPORTED = _REF_AGGREGATES | _REF_WINDOW_FNS | _REF_SCALARS
+#: SQL keywords that can precede '(' without being function calls
+_NOT_FUNCTIONS = {
+    "AND", "OR", "NOT", "IN", "EXISTS", "VALUES", "ON", "USING", "OVER",
+    "BETWEEN", "SELECT", "WHERE", "FROM", "AS", "BY", "THEN", "ANY", "ALL",
+    "SOME", "DISTINCT", "INTERVAL", "PARTITION", "WITHIN", "LIKE",
+    "TUMBLING", "SLIDING", "SESSION", "WITH", "HAVING", "UNION", "EXCEPT",
+    "INTERSECT", "JOIN", "LIMIT", "EMIT",
+    "GROUP", "ORDER",  # WITHIN GROUP (ORDER BY ...) / GROUP BY (expr)
+}
+
+_spark_builtin_names: set[str] | None = None
+
+
+def _spark_builtins() -> set[str]:
+    """Python-side pyspark.sql.functions names (session-free probe) — the
+    documented permissive superset: this engine passes unrecognized names
+    through to Spark, so a Spark builtin is not 'unknown' here even though
+    the reference's strict validator would reject it."""
+    global _spark_builtin_names
+    if _spark_builtin_names is None:
+        from pyspark.sql import functions as _F
+
+        _spark_builtin_names = {n.upper() for n in dir(_F) if not n.startswith("_")}
+    return _spark_builtin_names
+
+
+def _validate_function_names(sql: str, rep: ValidationReport, strict: bool) -> None:
+    """Semantic function validation (semantic_validator.rs:155-207): an
+    unknown function name is an error in strict mode (the reference's
+    default) with did-you-mean suggestions, a warning otherwise; a known
+    non-window, non-aggregate function with an OVER clause is always an
+    error. Scans the ORIGINAL statement text (pre-translation names)."""
+    import difflib
+
+    from velostream_spark.sql.dialect import _match_paren, _skip_string
+
+    known = _REF_SUPPORTED | _DIALECT_EXTRAS
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_string(sql, i)
+            continue
+        m = re.match(r"([A-Za-z_]\w*)\s*\(", sql[i:])
+        if not m or (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_.")):
+            i += 1
+            continue
+        name = m.group(1).upper()
+        close = _match_paren(sql, i + m.end())
+        if name in _NOT_FUNCTIONS:
+            i += m.end(1)
+            continue
+        has_over = re.match(r"(?is)\s*OVER\b", sql[close:]) is not None
+        if name not in known:
+            if name not in _spark_builtins():
+                similar = difflib.get_close_matches(name, sorted(known), 3, 0.6)
+                hint = f" — did you mean {', '.join(similar)}?" if similar else ""
+                msg = f"unknown function {name!r}{hint}"
+                (rep.errors if strict else rep.warnings).append(msg)
+        elif has_over and name in _REF_SUPPORTED and not (
+            name in _REF_WINDOW_FNS or name in _REF_AGGREGATES
+        ):
+            rep.errors.append(
+                f"function {name!r} cannot be used in OVER clauses — only "
+                f"window functions (ROW_NUMBER, LAG, ...) and aggregates "
+                f"(COUNT, SUM, ...) are allowed "
+                f"(semantic_validator.rs:185-207)"
+            )
+        i += m.end(1)
+
+
 @dataclass
 class ValidationReport:
     errors: list[str] = field(default_factory=list)
@@ -54,15 +167,19 @@ def validate_statement(
     sql: str,
     registered: set[str] | None = None,
     time_col: str = "_event_time",
+    strict_functions: bool = True,
 ) -> ValidationReport:
     """Validate one statement; never raises for content problems — parse
-    failures land in .errors like the reference's syntax check."""
+    failures land in .errors like the reference's syntax check.
+    ``strict_functions`` mirrors SemanticValidator::new (errors) vs
+    new_lenient (warnings) for unknown function names."""
     rep = ValidationReport()
     try:
         st = parse_statement(sql, time_col)
     except ValueError as e:
         rep.errors.append(f"parse error: {e}")
         return rep
+    _validate_function_names(sql, rep, strict_functions)
     return _validate_parsed(st, rep, registered or set())
 
 
