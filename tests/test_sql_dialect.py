@@ -1574,3 +1574,39 @@ def test_phase4_doc_only_functions(spark):
     ).collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
     assert rows[0]["e"] > rows[0]["s"] and rows[0]["mins"] > 0
+
+
+def test_grouped_wildcard_expands_to_first_values(spark):
+    """docs/sql/create-table-wildcard.md:133-143: `SELECT *, COUNT(*) ...
+    GROUP BY k` is a documented reference shape — the wildcard's
+    non-grouped fields resolve per group through the first-value fallback
+    (accumulator.rs:268+). The engine expands * from the registered
+    schema; Spark alone would raise MISSING_AGGREGATION."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (1, 20.0, "y"), (2, 5.0, "z")],
+        "user_id int, amount double, note string",
+    ).coalesce(1)
+    eng.register_stream("wc_orders", df)
+    out = eng.execute(
+        """
+        CREATE TABLE wc_summaries AS
+        SELECT user_id, order_count, total_amount
+        FROM (
+            SELECT *, COUNT(*) as order_count, SUM(amount) as total_amount
+            FROM wc_orders
+            GROUP BY user_id
+        )
+        """
+    )
+    rows = {r["user_id"]: (r["order_count"], r["total_amount"]) for r in out.collect()}
+    assert rows == {1: (2, 30.0), 2: (1, 5.0)}
+    got = eng.execute(
+        "SELECT *, COUNT(*) AS n FROM wc_orders GROUP BY user_id"
+    ).collect()
+    assert sorted((r["user_id"], r["amount"], r["note"], r["n"]) for r in got) \
+        == [(1, 10.0, "x", 2), (2, 5.0, "z", 1)]
+    # plain wildcard (no GROUP BY) is untouched
+    assert eng.execute("SELECT * FROM wc_orders").count() == 3

@@ -496,11 +496,74 @@ class SqlEngine:
                 text, tuple(sorted(temporal))
             )
 
+    def _expand_grouped_wildcards(self, sql: str) -> None | str:
+        """``SELECT *, COUNT(*) AS c FROM s GROUP BY k`` — the reference
+        expands the wildcard per group through its non-aggregate fallback
+        (every field resolves to the group's FIRST value,
+        accumulator.rs:268+) and its wildcard-CTAS guide documents exactly
+        this shape (docs/sql/create-table-wildcard.md:133-143, inside a
+        derived table). Spark raises MISSING_AGGREGATION, so when the
+        driving FROM is a registered stream/table the engine expands ``*``
+        from the schema: group-key columns stay bare, everything else
+        becomes ``first(col) AS col``. Recurses into parenthesized
+        subqueries (the doc's own example nests it). Returns None when
+        nothing changed."""
+        from velostream_spark.sql.dialect import (
+            _blank_nested,
+            _match_paren,
+            _split_top_level,
+            first_from_table,
+        )
+
+        changed = False
+        # subqueries first: each "( SELECT" body is rewritten in isolation
+        i = 0
+        while i < len(sql):
+            if sql[i] == "(" and re.match(r"(?is)\s*SELECT\b", sql[i + 1 :]):
+                j = _match_paren(sql, i + 1)
+                inner = self._expand_grouped_wildcards(sql[i + 1 : j - 1])
+                if inner is not None:
+                    sql = sql[: i + 1] + inner + sql[j - 1 :]
+                    changed = True
+                    j = _match_paren(sql, i + 1)
+                i = j
+                continue
+            i += 1
+        blank = _blank_nested(sql)
+        sm = re.match(r"(?is)\s*SELECT\s+", blank)
+        fm = re.search(r"(?is)\sFROM\s", blank)
+        gm = re.search(r"(?is)\bGROUP\s+BY\s+", blank)
+        if not (sm and fm and gm) or fm.start() <= sm.end():
+            return sql if changed else None
+        items = _split_top_level(sql[sm.end() : fm.start()])
+        if not any(it.strip() == "*" for it in items):
+            return sql if changed else None
+        tbl = (first_from_table(sql) or "").lower()
+        df = self.streams.get(tbl) or getattr(self.tables.get(tbl), "df", None)
+        if df is None:
+            return sql if changed else None
+        ge = re.search(
+            r"(?i)\b(HAVING|WINDOW|ORDER\s+BY|LIMIT|EMIT)\b", blank[gm.end() :]
+        )
+        g_end = gm.end() + (ge.start() if ge else len(blank) - gm.end())
+        gcols = {
+            x.strip().lower() for x in _split_top_level(sql[gm.end() : g_end])
+        }
+        expansion = ", ".join(
+            c if c.lower() in gcols else f"first({c}) AS {c}" for c in df.columns
+        )
+        items = [expansion if it.strip() == "*" else it for it in items]
+        return sql[: sm.end()] + ", ".join(i.strip() for i in items) + sql[fm.start() :]
+
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
         a list of dicts for SHOW, row count for DML."""
         st = parse_statement(sql, self.time_col)
         self._promote_temporal_millis(st)
+        if st.select_sql and "*" in st.select_sql:
+            expanded = self._expand_grouped_wildcards(st.select_sql)
+            if expanded is not None:
+                st.select_sql = expanded
         self.last_annotations = st.annotations
         if st.kind in ("create_stream", "create_table"):
             self._bind_metrics(st.name, sql)
