@@ -451,7 +451,16 @@ def streaming_sliding_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (reference sliding.rs:1-25 + emit_final.rs): each record lands
     in two overlapping windows; append mode emits each window once its END
     passes the watermark — so only fully-closed overlapping windows appear,
-    which the oracle mirrors with the same bucket arithmetic + cutoff."""
+    which the oracle mirrors with the same bucket arithmetic + cutoff.
+
+    ADJUDICATED divergence (not mirrored): the reference's watermark
+    readiness check releases a sliding window when the watermark passes
+    ``window_start + advance`` — the SLIDE end, half-way through a
+    10min/5min window (processors/window.rs:198-202) — emitting PARTIAL
+    aggregates that silently exclude the window's second half. Emission at
+    window END (Spark append mode, and this oracle) is the semantics the
+    reference's own EMIT FINAL docs describe; the slide-end check is an
+    implementation accident of reusing the tumbling arithmetic."""
     sdf = stream_table(spark, sf_dir, "events")
     agg = (
         sdf.withWatermark("ts", "0 seconds")
