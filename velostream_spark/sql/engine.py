@@ -538,6 +538,11 @@ class SqlEngine:
         items = _split_top_level(sql[sm.end() : fm.start()])
         if not any(it.strip() == "*" for it in items):
             return sql if changed else None
+        if re.search(r"(?i)\bJOIN\b", blank[fm.end() :]):
+            # * spans BOTH join sides — expanding from the driving table
+            # alone would silently drop the other side's columns; leave the
+            # statement to error loudly instead
+            return sql if changed else None
         tbl = (first_from_table(sql) or "").lower()
         df = self.streams.get(tbl) or getattr(self.tables.get(tbl), "df", None)
         if df is None:
