@@ -162,3 +162,26 @@ def test_wait_and_retry_late_dim_row_enriches(spark, tmp_path):
     assert rows[1] == ("gold", T(10, 5))
     # retries exhausted: emitted null-enriched after watermark passed 10:10
     assert rows[2] == (None, None)
+
+
+def test_include_in_next_window_maps_to_process(spark):
+    """watermarks.rs:361: IncludeInNextWindow → LateDataAction::Process —
+    the late record is NOT dropped; it re-enters normal window assignment
+    (the reference never relocates it to a 'next' window). Spark mapping:
+    update mode — same machinery as UPDATE_PREVIOUS, pinned here so the
+    strategy name stays wired."""
+    import datetime as _dt
+
+    from velostream_spark.streaming.late_data import (
+        LateDataStrategy,
+        with_late_policy,
+    )
+
+    assert LateDataStrategy("include_in_next_window") is LateDataStrategy.INCLUDE_IN_NEXT
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+    wm, mode = with_late_policy(sdf, "ts", "10 minutes", LateDataStrategy.INCLUDE_IN_NEXT)
+    assert mode == "update"
+    assert wm.isStreaming

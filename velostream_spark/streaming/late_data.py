@@ -32,6 +32,12 @@ class LateDataStrategy(str, Enum):
     DROP = "drop"
     UPDATE_PREVIOUS = "update_previous_window"
     DEAD_LETTER = "dead_letter_queue"
+    #: watermarks.rs:361: IncludeInNextWindow maps to LateDataAction::Process
+    #: — the record is NOT dropped and simply re-enters normal window
+    #: assignment (the name overpromises; nothing moves it to a "next"
+    #: window). Spark equivalent: update output mode, where a late row
+    #: within the state-retention watermark updates its own window.
+    INCLUDE_IN_NEXT = "include_in_next_window"
 
 
 def with_late_policy(sdf: DataFrame, ts_col: str, delay: str, strategy: LateDataStrategy):
@@ -44,7 +50,10 @@ def with_late_policy(sdf: DataFrame, ts_col: str, delay: str, strategy: LateData
     wm = sdf.withWatermark(ts_col, delay)
     if strategy is LateDataStrategy.DROP:
         return wm, "append"
-    if strategy is LateDataStrategy.UPDATE_PREVIOUS:
+    if strategy in (
+        LateDataStrategy.UPDATE_PREVIOUS,
+        LateDataStrategy.INCLUDE_IN_NEXT,
+    ):
         return wm, "update"
     raise ValueError(f"{strategy} needs the DeadLetterSplitter foreachBatch path")
 
