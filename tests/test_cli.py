@@ -63,3 +63,21 @@ def test_batch_executes_app(spark, tmp_path, capsys):
     assert len(summary) == 2
     assert summary[0]["result"] == "2 rows"  # two stations
     assert summary[1]["result"] == "2 rows"
+
+
+def test_schema_generator(tmp_path, capsys):
+    """`schema` = velo-schema-generator (JSON Schema for WITH configs,
+    FR-057): generated from the validator's own constants, so the schema
+    can't accept what the engine rejects."""
+    import json as _json
+
+    out = tmp_path / "with.schema.json"
+    assert main(["schema", "--output", str(out)]) == 0
+    schema = _json.loads(out.read_text())
+    assert schema["$schema"].startswith("http://json-schema.org")
+    src = schema["properties"]["source"]
+    assert "file_source" in src["properties"]["type"]["enum"]
+    assert "kafka_source" in src["properties"]["type"]["enum"]
+    assert "csv" in src["properties"]["format"]["enum"]
+    assert main(["schema"]) == 0
+    assert '"sink"' in capsys.readouterr().out

@@ -59,7 +59,58 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("server", help="(env-exempt) Kafka multi-job server")
     s.add_argument("--brokers", default="localhost:9092")
     s.add_argument("--port", type=int, default=8080)
+
+    g = sub.add_parser(
+        "schema",
+        help="emit JSON Schema for WITH-clause configs (velo-schema-generator)",
+    )
+    g.add_argument("--output", help="write to this path instead of stdout")
     return p
+
+
+def _config_json_schema() -> dict:
+    """JSON Schema for the WITH-clause source/sink configurations — the
+    analog of `velo-schema-generator` (src/bin/velo-schema-generator.rs:
+    "Generates comprehensive JSON Schema files for IDE integration and
+    validation", FR-057 self-registering config schema). Generated from
+    the SAME constants the validator enforces, so the schema cannot drift
+    from what the engine accepts."""
+    from velostream_spark.sql.validator import (
+        _FILE_FORMATS,
+        _KNOWN_OPTS,
+        _SINK_TYPES,
+        _SOURCE_TYPES,
+    )
+
+    prop_defs = {
+        opt: {"type": "string"} for opt in sorted(_KNOWN_OPTS) if opt != "type"
+    }
+    prop_defs["format"] = {"type": "string", "enum": sorted(_FILE_FORMATS)}
+
+    def node(types: set[str], required: list[str]) -> dict:
+        return {
+            "type": "object",
+            "properties": {
+                "type": {"type": "string", "enum": sorted(types)},
+                **prop_defs,
+            },
+            "required": ["type", *required],
+            "additionalProperties": True,  # 'kafka.*' client passthrough
+        }
+
+    return {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Velostream-Spark WITH-clause configuration",
+        "description": (
+            "Per-name source/sink options ('<name>.<option>' keys in the "
+            "WITH clause, or a config_file YAML with extends:)"
+        ),
+        "type": "object",
+        "properties": {
+            "source": node(_SOURCE_TYPES, []),
+            "sink": node(_SINK_TYPES, []),
+        },
+    }
 
 
 def _engine(args):
@@ -86,6 +137,15 @@ def _describe(result) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "schema":
+        text = json.dumps(_config_json_schema(), indent=2)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(text + "\n")
+        else:
+            print(text)
+        return 0
 
     if args.command == "server":
         print(
