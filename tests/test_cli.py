@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from velostream_spark.cli import main
 
 
@@ -40,7 +42,39 @@ def test_server_is_env_exempt(capsys):
     assert "environment exemption" in capsys.readouterr().err
 
 
-def test_batch_executes_app(spark, tmp_path, capsys):
+@pytest.fixture
+def restore_session_confs(spark):
+    """The CLI's get_session() legitimately applies its tuned runtime confs
+    (UTC timezone, ANSI off, ...) via getOrCreate — on the shared VANILLA
+    test session that mutation would leak into every later test (the
+    watermark tests assert local-time window boundaries). Snapshot and
+    restore the confs get_session touches."""
+    keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.ansi.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    yield
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_batch_executes_app(spark, restore_session_confs, tmp_path, capsys):
     # `spark` fixture keeps the CLI's get_session() on the test session
     src = tmp_path / "in.csv"
     src.write_text("station,temp\na,1.5\na,2.5\nb,10.0\n")
