@@ -1135,7 +1135,12 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
     if u == "TIMESTAMP" and len(args) == 0:
         # zero-arg TIMESTAMP() = the record's processing timestamp
         # (functions.rs:3533, StreamRecord.timestamp) — wall clock at
-        # processing time in the batch engine
+        # processing time in the batch engine. ADJUDICATED type: the
+        # reference returns Integer millis (functions.rs:1301), but its
+        # own doc examples subtract INTERVALs from it and pass it to
+        # DATEDIFF (sql-enhancements-summary.md:30,189) — timestamp-typed
+        # here so those pasted examples execute; the INT64-millis contract
+        # lives on `_timestamp` (system-columns.md).
         return "current_timestamp()"
     if u == "TUMBLE_START" and len(args) <= 2:
         # 0-arg inside a WINDOW TUMBLING query; the 2-arg spelling
