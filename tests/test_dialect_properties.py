@@ -258,3 +258,45 @@ def test_translate_select_over_clauses_idempotent(shape, col):
     twice, *_ = dialect.translate_select(once)
     assert twice == once
     assert "timestamp_millis(1697296245000)" in once
+
+
+# ---------------------------------------------------------------------------
+# Round-7 passes: ungrouped-first wrapping and the validator's function-name
+# scanner must terminate, stay idempotent, and never raise on odd-but-legal
+# query shapes.
+# ---------------------------------------------------------------------------
+
+_GB_ITEMS = st.sampled_from([
+    "sym", "price", "t.price AS px", "UPPER(sym) AS us", "COUNT(*) AS n",
+    "SUM(v) AS tot", "price", "_window_start", "session_window.start",
+    "sym AS s",
+])
+_GB_KEYS = st.sampled_from(["sym", "s", "UPPER(sym)", "sym, region"])
+
+
+@given(a=_GB_ITEMS, b=_GB_ITEMS, key=_GB_KEYS,
+       tail=st.sampled_from(["", " HAVING COUNT(*) > 1", " ORDER BY 1 LIMIT 5",
+                             " WINDOW TUMBLING(INTERVAL '5' MINUTE)"]))
+@settings(max_examples=120, deadline=None)
+def test_translate_group_by_shapes_idempotent(a, b, key, tail):
+    sql = f"SELECT {a}, {b} FROM trades t GROUP BY {key}{tail}"
+    once, *_ = dialect.translate_select(sql)
+    twice, *_ = dialect.translate_select(once)
+    assert twice == once
+    # a bare grouped key is never first()-wrapped
+    if a == "sym" and key.startswith("sym"):
+        assert "first(sym)" not in once
+
+
+@given(text=st.text(alphabet="abcXY_ (),.'\"%*=<>1\n", min_size=0, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_validator_function_scan_never_raises(text):
+    from velostream_spark.sql.validator import (
+        ValidationReport,
+        _validate_function_names,
+    )
+
+    rep = ValidationReport()
+    _validate_function_names(f"SELECT {text} FROM t", rep, strict=True)
+    # errors/warnings are fine; crashing or hanging is not
+    assert isinstance(rep.errors, list)
