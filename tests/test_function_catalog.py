@@ -859,3 +859,16 @@ def test_string_agg_float_formatting_divergence_documented(eng):
     their '.0' only in STRING_AGG would be an inconsistency, not parity.
     Non-whole values render identically in both."""
     assert _agg(eng, "STRING_AGG(y, ',')") == "10.0,20.0,30.0,40.0"
+
+
+def test_trim_strips_all_whitespace_like_reference(eng):
+    """functions.rs:731-744,870-895: TRIM/LTRIM/RTRIM are Rust str::trim —
+    ALL whitespace, not just spaces (Spark's 1-arg trim strips only ' ').
+    Dialect rewrites to the explicit trim-set form over the ASCII
+    whitespace set; the reference's Unicode-whitespace tail (U+00A0 ...)
+    is a documented gap. Explicit BOTH/LEADING/TRAILING user forms pass
+    through untouched."""
+    assert _one(eng, "TRIM('\\t a b \\n')") == "a b"
+    assert _one(eng, "LTRIM('\\t a ')") == "a "
+    assert _one(eng, "RTRIM(' a \\n')") == " a"
+    assert _one(eng, "TRIM(BOTH 'x' FROM 'xax')") == "a"

@@ -983,6 +983,22 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
             return "''"
         casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
         return f"concat_ws('', {casted})"
+    if (
+        u in ("TRIM", "LTRIM", "RTRIM")
+        and len(args) == 1
+        and not re.match(r"(?i)\s*(BOTH|LEADING|TRAILING)\b", args[0])
+    ):
+        # The reference trims ALL whitespace — Rust str::trim /
+        # trim_start / trim_end (functions.rs:731-744,870-895) — while
+        # Spark's 1-arg trim family strips ONLY the space character.
+        # Rewritten to the explicit trim-set form with the ASCII
+        # whitespace set (tab, LF, VT, FF, CR, space); the reference's
+        # Unicode-whitespace tail (U+00A0 etc.) is not mirrored —
+        # documented superset gap. Explicit BOTH/LEADING/TRAILING forms
+        # (including this rewrite's own output) pass through.
+        mode = {"TRIM": "BOTH", "LTRIM": "LEADING", "RTRIM": "TRAILING"}[u]
+        ws = " \t\n\r\x0b\x0c"
+        return f"trim({mode} '{ws}' FROM {args[0]})"
     if u == "STRING_TO_ARRAY" and len(args) == 2:
         # Doc-only function (phase-4 examples; absent from the reference's
         # registry like SESSION_START) — PostgreSQL semantics: split on a
@@ -1179,7 +1195,7 @@ def _rewrite_call(name: str, args: list[str]) -> str | None:
 
 _FN_CALL_RE = re.compile(
     r"(?i)\b(JSON_EXTRACT_SCALAR|JSON_EXTRACT|JSON_VALUE|JSON_QUERY|"
-    r"JSON_EXISTS|STRING_TO_ARRAY|UNNEST|COUNT_DISTINCT|"
+    r"JSON_EXISTS|STRING_TO_ARRAY|UNNEST|TRIM|LTRIM|RTRIM|COUNT_DISTINCT|"
     r"GROUP_CONCAT|STRING_AGG|LISTAGG|COLLECT|NOW|LEN|EXTRACT|DATEDIFF|HEADER_KEYS|"
     r"HAS_HEADER|HEADER|TUMBLE_START|TUMBLE_END|SESSION_DURATION|"
     r"SESSION_START|SESSION_END|SET_HEADER|"
