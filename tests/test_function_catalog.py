@@ -872,3 +872,16 @@ def test_trim_strips_all_whitespace_like_reference(eng):
     assert _one(eng, "LTRIM('\\t a ')") == "a "
     assert _one(eng, "RTRIM(' a \\n')") == " a"
     assert _one(eng, "TRIM(BOTH 'x' FROM 'xax')") == "a"
+
+
+def test_length_bytes_divergence_documented(eng):
+    """ADJUDICATED divergence: the reference's LENGTH/LEN return Rust
+    `str::len()` — UTF-8 BYTES (functions.rs:915) — while its own
+    SUBSTRING/LEFT/RIGHT index CHARACTERS (chars().skip(), :678), so
+    'héllo' is LENGTH 6 there but SUBSTRING(s,1,LENGTH(s)) would overrun.
+    A byte count from a char-indexed engine is an accident, and every
+    standard engine (Spark, DuckDB — whose oracles gate these entries)
+    counts characters. Kept: characters; identical on ASCII."""
+    assert _one(eng, "LENGTH('héllo')") == 5  # reference: 6 (bytes)
+    assert _one(eng, "LEN('héllo')") == 5
+    assert _one(eng, "LENGTH('hello')") == 5  # ASCII: both engines agree
