@@ -885,3 +885,13 @@ def test_length_bytes_divergence_documented(eng):
     assert _one(eng, "LENGTH('héllo')") == 5  # reference: 6 (bytes)
     assert _one(eng, "LEN('héllo')") == 5
     assert _one(eng, "LENGTH('hello')") == 5  # ASCII: both engines agree
+
+
+def test_position_bytes_divergence_documented(eng):
+    """Same class as LENGTH: the reference's POSITION returns Rust
+    `str::find` BYTE offsets +1 (functions.rs:2517-2518), but its
+    SUBSTRING consumes CHARACTER positions — feeding one into the other
+    breaks on non-ASCII there. Kept: Spark/DuckDB character positions
+    (POSITION output composes with SUBSTRING); identical on ASCII."""
+    assert _one(eng, "POSITION('l' IN 'héllo')") == 3  # reference: 4 (bytes)
+    assert _one(eng, "POSITION('l' IN 'hello')") == 3  # ASCII: agree
