@@ -22,7 +22,7 @@ FLAGSHIPS = {
     "ngram_jaccard_pairs",
     "simhash",
     "dedup_canonical",
-    "text_analysis",
+    "pii_scrub",
     "sequence_packing",
     "stratified_sample",
     "ann_ivf_topk",
@@ -32,13 +32,18 @@ FLAGSHIPS = {
     "streaming_rows_window",
 }
 
-#: THIS round's first-time-official entrants (rotation batch 4, round 7 —
-#: the FINAL nine: after this batch every catalog entry has held an
-#: official slot at least once). Earlier batches' entrants are recorded in
-#: registry.GATE_ORDER's rotation notes and CORRECTNESS_r*.json history;
-#: they are asserted present-in-catalog below, not present-in-gate (later
-#: batches legitimately displace them).
+#: THIS round's first-time-official entrants: rotation batch 5 (round 8,
+#: the two entries added in round 7) PLUS batch 4's nine — the round-7
+#: driver run recorded no CORRECTNESS_r07.json, so batch 4 keeps its slots
+#: until an official record exists. Earlier batches' entrants are recorded
+#: in registry.GATE_ORDER's rotation notes and CORRECTNESS_r*.json
+#: history; they are asserted present-in-catalog below, not
+#: present-in-gate (later batches legitimately displace them).
 ROTATED_IN = {
+    # batch 5 (round 8)
+    "dialect_cast_multiformat",
+    "pii_scrub",
+    # batch 4 (round 7; no official record yet — retained)
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "dialect_quantified_comparisons",
@@ -138,5 +143,8 @@ def test_displaced_entries_still_registered():
         "streaming_tumbling_final",
         "streaming_group_by_changes",
         "streaming_dedup",
+        # rotated out in round-8 batch 5 (official r6)
+        "cast_semantics",
+        "text_analysis",
     ):
         assert kept in names

@@ -196,14 +196,18 @@ _LOADED = False
 #: streaming_dedup → dedup_exact (batch twin, staying) +
 #: streaming_session_join (custom-stateful applyInPandasWithState family).
 #:
-#: ROTATION batch 5 (candidates for round 8 — entries ADDED in round 7,
-#: after batch 4 completed the every-entry-once program):
+#: ROTATION batch 5 (round 8 — entries ADDED in round 7, after batch 4
+#: completed the every-entry-once program). Note: the round-7 driver run
+#: recorded no CORRECTNESS_r07.json, so batch 4's nine entrants KEEP their
+#: slots this round to earn their first official record. Rotated in →
+#: displaced (coverage carried by):
 #: dialect_cast_multiformat (multi-format string→DATE/TIMESTAMP column
-#: casts, types.rs:859-895; displacement candidate: cast_semantics, whose
-#: non-temporal arms the function-catalog sweep carries);
+#: casts, types.rs:859-895) ← cast_semantics, whose non-temporal arms the
+#: function-catalog sweep + dialect_functions_select carry;
 #: pii_scrub (training-data PII/URL redaction, pure-Catalyst regex chain
-#: with a shared-pattern-table DuckDB oracle; displacement candidate:
-#: text_analysis — same pure-Catalyst text family).
+#: with a shared-pattern-table DuckDB oracle) ← text_analysis — same
+#: pure-Catalyst text family, its token/quality scoring also exercised by
+#: lm_quality_score in the parity mirror.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -227,7 +231,7 @@ GATE_ORDER = [
     "percentile_aggs",
     # §1.2 type semantics
     "decimal_arithmetic",
-    "cast_semantics",
+    "dialect_cast_multiformat",
     # §2.3 joins (full_outer/windowed → batch-3 rotation)
     "stream_table_join",
     "join_left_with_defaults",
@@ -254,7 +258,7 @@ GATE_ORDER = [
     "ngram_jaccard_pairs",
     "simhash",
     "dedup_canonical",
-    "text_analysis",
+    "pii_scrub",
     "sequence_packing",
     "stratified_sample",
     "ann_ivf_topk",
