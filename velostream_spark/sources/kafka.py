@@ -146,31 +146,45 @@ def sink_frame(
     Default value codec is JSON; with ``value.format = avro_confluent`` the
     value becomes a Confluent-framed Avro binary (magic + global schema id,
     resolved through `avro.schema.registry.path`/`avro.schema.subject`) —
-    the wire layout a real migrating user's topics contain."""
+    the wire layout a real migrating user's topics contain.
+
+    A ``headers`` column (`array<struct<key,value>>`) passes through to the
+    producer — Spark's Kafka sink writes it natively — implementing FR-090's
+    1:1 preserve policy at the wire (the reference's writer sends
+    ``record.headers``, kafka/writer.rs; mutate with
+    functions.headers.set_header/remove_header, aggregate with
+    agg_headers)."""
     cfg = cfg or {}
     data_cols = [c for c in df.columns if c not in ("key", "value", "headers")]
+    passthrough = ["headers"] if "headers" in df.columns else []
     if cfg.get("value.format", "").lower() in ("avro_confluent", "avro-confluent"):
-        return _confluent_keyed(df, key_fields or [], data_cols, cfg)
+        return _confluent_keyed(df, key_fields or [], data_cols, cfg, passthrough)
     return message_key(df, key_fields or []).select(
-        "key", F.to_json(F.struct(*data_cols)).alias("value")
+        "key", F.to_json(F.struct(*data_cols)).alias("value"), *passthrough
     )
 
 
 def _confluent_keyed(
-    df: DataFrame, key_fields: list[str], data_cols: list[str], cfg: dict[str, str]
+    df: DataFrame,
+    key_fields: list[str],
+    data_cols: list[str],
+    cfg: dict[str, str],
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """key + Confluent-framed value in ONE Arrow stage: the shared
-    ``df_encode_confluent`` pipeline with the message key passed through."""
+    ``df_encode_confluent`` pipeline with the message key (and any
+    ``headers`` column) passed through."""
     from .schema_registry import df_encode_confluent
 
     version = cfg.get("avro.schema.version")
-    keyed = message_key(df, key_fields).select("key", *data_cols)
+    extra = passthrough or []
+    keyed = message_key(df, key_fields).select("key", *extra, *data_cols)
     return df_encode_confluent(
         keyed,
         cfg["avro.schema.registry.path"],
         cfg["avro.schema.subject"],
         int(version) if version else None,
-        passthrough_cols=["key"],
+        passthrough_cols=["key", *extra],
     )
 
 
