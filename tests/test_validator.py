@@ -83,6 +83,34 @@ def test_ctas_without_any_key_warns():
     assert not any("PRIMARY KEY" in w for w in rep.warnings)
 
 
+def test_primary_key_on_file_sink_warns():
+    """FR-094's 'quick win': file sinks silently ignore PRIMARY KEY in the
+    reference (README.md:9,199-205) — surface the missing warning. Both
+    the named-sink and URI-sink forms."""
+    rep = validate_statement(
+        "CREATE STREAM out AS SELECT symbol PRIMARY KEY, price FROM trades "
+        "INTO snk WITH ('trades.type'='file_source','trades.path'='/x.jsonl',"
+        "'trades.format'='jsonl','snk.type'='file_sink','snk.path'='/o.csv',"
+        "'snk.format'='csv')"
+    )
+    assert rep.ok
+    assert any("file sink" in w and "FR-094" in w for w in rep.warnings)
+    rep = validate_statement(
+        "CREATE STREAM out2 AS SELECT symbol PRIMARY KEY, price FROM trades "
+        "INTO 'file:///o.csv' WITH ('trades.type'='file_source',"
+        "'trades.path'='/x.jsonl','trades.format'='jsonl')"
+    )
+    assert any("file sink" in w for w in rep.warnings)
+    # Kafka sink: the key IS meaningful — no warning
+    rep = validate_statement(
+        "CREATE STREAM out3 AS SELECT symbol PRIMARY KEY, price FROM trades "
+        "INTO ksink WITH ('trades.type'='file_source','trades.path'='/x.jsonl',"
+        "'trades.format'='jsonl','ksink.type'='kafka_sink',"
+        "'ksink.topic'='t','ksink.bootstrap.servers'='b:9092')"
+    )
+    assert not any("file sink" in w for w in rep.warnings)
+
+
 def test_app_dependency_order():
     rep = validate_app(
         """

@@ -309,6 +309,18 @@ def _validate_parsed(
                 f"WINDOW clause has no explicit time column; the engine "
                 f"default ({'_event_time'!r}-configurable) will be used"
             )
+    if st.key_fields and st.into:
+        # PRIMARY KEY on a file sink: file sinks have no message-key wire,
+        # so the annotation silently does nothing in the reference — its
+        # own FR-094 doc flags the missing warning as the "quick win"
+        # (docs/feature/FR-094-primary-key-semantics/README.md:9,199-205).
+        into_cfg = dict(st.with_props).get(f"{st.into}.type", "")
+        if into_cfg == "file_sink" or st.into.startswith("file://"):
+            rep.warnings.append(
+                f"PRIMARY KEY fields {st.key_fields} target file sink "
+                f"{st.into!r}: file sinks have no message key — the "
+                f"annotation has no effect (FR-094)"
+            )
     if st.kind == "create_table" and not st.key_fields:
         # key_fields covers BOTH the inline PRIMARY KEY annotation and the
         # implicit GROUP BY key (KEY_CONFIGURATION.md:69-117) — only a
