@@ -62,6 +62,10 @@ HEADLINE = [
     "sliding_window",
     "session_window",
     "text_analysis",
+    "pii_scrub",
+    "repetition_filter",
+    "gopher_quality_filter",
+    "doc_chunking",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",

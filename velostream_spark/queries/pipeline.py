@@ -773,3 +773,141 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.pii_count(aug).cast("long").alias("n_redactions"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition features (Gopher §A1.1 repetition signals)
+
+_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       ROUND({textops.top_word_frac_sql("text")}, 6)    AS top_word_frac,
+       ROUND({textops.dup_ngram_frac_sql("text", 2)}, 6) AS dup_2gram_frac,
+       ROUND({textops.dup_ngram_frac_sql("text", 3)}, 6) AS dup_3gram_frac
+FROM documents
+"""
+
+
+@query("repetition_filter", oracle=_REPETITION_ORACLE, tags=("pipeline", "text"))
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitious-text signals (Gopher/C4 family): mode-word fraction and
+    duplicate 2-/3-gram occurrence fractions, per document.
+
+    Pure per-row array arithmetic — ZERO data shuffle (the repartition
+    carries only the scan's rows once, to spread the CPU-bound per-doc
+    work over every core; at 100 TB the scan itself has that parallelism
+    and the repartition disappears). All three signals are native JVM
+    builtins over ONE staged words array: mode frequency = longest run in
+    the sorted array (single O(n) fold), dup n-grams = arrays_zip of
+    shifted slices (no per-element lambdas — 2-4× over the naive
+    transform/filter forms, measured)."""
+    t = tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    staged = t["documents"].repartition(par).select(
+        "doc_id", textops.words(F.col("text")).alias("_w")
+    )
+    w = F.col("_w")
+    return staged.select(
+        "doc_id",
+        F.round(textops.top_word_frac_from(w), 6).alias("top_word_frac"),
+        F.round(textops.dup_ngram_frac_from(w, 2), 6).alias("dup_2gram_frac"),
+        F.round(textops.dup_ngram_frac_from(w, 3), 6).alias("dup_3gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules
+
+_GF = textops.gopher_features_sql("text")
+_GOPHER_ORACLE = f"""
+SELECT doc_id,
+       {_GF['n_words']}                    AS n_words,
+       ROUND({_GF['mean_word_len']}, 6)    AS mean_word_len,
+       {_GF['stop_hits']}                  AS stop_hits,
+       ({_GF['n_words']} BETWEEN {textops.GOPHER_MIN_WORDS} AND {textops.GOPHER_MAX_WORDS})
+           AND ({_GF['mean_word_len']} BETWEEN {textops.GOPHER_MIN_MEAN_WORD_LEN}
+                AND {textops.GOPHER_MAX_MEAN_WORD_LEN})
+           AND ({_GF['stop_hits']} >= {textops.GOPHER_MIN_STOPWORD_HITS})
+           AND ({_GF['symbol_ratio']} <= {textops.GOPHER_MAX_SYMBOL_RATIO})
+                                           AS passes
+FROM documents
+"""
+
+
+@query("gopher_quality_filter", oracle=_GOPHER_ORACLE, tags=("pipeline", "text"))
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021 §A1.1): word
+    count bounds, mean word length band, stop-word probe (≥2 distinct of
+    the published set), symbol-to-word ceiling — one boolean verdict plus
+    the raw signals (shared constant table with the oracle, textops.GOPHER_*).
+
+    Pure Catalyst: one scan, zero data shuffles, every feature native JVM
+    arithmetic over one staged normalize/split (no interpreted lambdas); a
+    100-TB filter pass is map-only and the verdict predicate pushes into
+    downstream scans when materialized as a partition column."""
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    staged = t["documents"].select(
+        "doc_id",
+        txt.alias("text"),
+        textops.normalize(txt).alias("_norm"),
+        textops.words(txt).alias("_words"),
+    )
+    f = textops.gopher_features_from(
+        F.col("text"), F.col("_norm"), F.col("_words")
+    )
+    passes = (
+        f["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
+        & f["mean_word_len"].between(
+            textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (f["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
+        & (f["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return staged.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        f["stop_hits"].alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window prep with overlap)
+
+_CHUNK_W = f"({textops.words_sql('text')})"
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST((s.start - 1) / {textops.CHUNK_STRIDE} AS BIGINT)  AS chunk_id,
+       array_to_string(list_slice({_CHUNK_W}, s.start, s.start + {textops.CHUNK_WORDS} - 1), ' ')
+                                                        AS chunk_text,
+       CAST(len(list_slice({_CHUNK_W}, s.start, s.start + {textops.CHUNK_WORDS} - 1)) AS BIGINT)
+                                                        AS n_chunk_words
+FROM documents,
+     UNNEST({textops.chunk_starts_sql(f'len{_CHUNK_W}')}) AS s(start)
+"""
+
+
+@query("doc_chunking", oracle=_CHUNK_ORACLE, tags=("pipeline", "text"))
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into {CHUNK_WORDS}-word chunks with {CHUNK_WORDS -
+    CHUNK_STRIDE}-word overlap (textops.CHUNK_* constants shared with the
+    oracle). posexplode of the per-row start-offset array — map-side
+    Generate, zero shuffles; at 100 TB chunking is a pure scan transform
+    whose output feeds tokenize/pack stages without a repartition."""
+    t = tables(spark, sf_dir)
+    w = textops.words(F.col("text"))
+    staged = t["documents"].select("doc_id", w.alias("_w"))
+    starts = textops.chunk_starts(F.size(F.col("_w")))
+    return staged.select(
+        "doc_id", "_w", F.posexplode(starts).alias("chunk_id", "_start")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("_start"), textops.CHUNK_WORDS), " "
+        ).alias("chunk_text"),
+        F.size(F.slice(F.col("_w"), F.col("_start"), textops.CHUNK_WORDS))
+        .cast("long")
+        .alias("n_chunk_words"),
+    )
