@@ -378,11 +378,13 @@ def test_dialect_cast_multiformat_stays_jvm_side(spark):
 
 def test_pii_scrub_stays_jvm_side(spark):
     """PII scrubbing is a regexp_replace/regexp_count chain — must stay in
-    whole-stage codegen: no Python workers, no exchange at all (pure
-    per-partition rewrite), scan pruned to doc_id + text."""
+    whole-stage codegen: no Python workers, no KEYED exchange (the only
+    exchange allowed is the round-robin spread of the regex CPU over the
+    cores — the test corpus is a single scan partition), scan pruned to
+    doc_id + text."""
     plan = plan_of(spark, "pii_scrub")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "lang" not in scan and "source" not in scan, scan
 

@@ -753,8 +753,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleanup: redact emails, URLs, and phone-number runs
     (textops.PII_PATTERNS — one shared pattern table drives this plan AND
     the DuckDB oracle). Pure Catalyst regexp_replace/regexp_count chain:
-    one scan, zero shuffles, no Python — at 100 TB this is embarrassingly
-    parallel per-partition text rewriting inside whole-stage codegen."""
+    one scan, no Python — at 100 TB this is embarrassingly parallel
+    per-partition text rewriting inside whole-stage codegen. (The
+    round-robin repartition spreads the regex CPU over every core — the
+    test corpus is one parquet file = one scan partition; a many-file
+    production table already has the parallelism.)"""
     t = tables(spark, sf_dir)
     aug = F.concat(
         F.lit("Contact user"),
@@ -767,7 +770,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     clean = textops.scrub_pii(aug)
-    return t["documents"].select(
+    par = spark.sparkContext.defaultParallelism
+    return t["documents"].repartition(par).select(
         "doc_id",
         clean.alias("clean_text"),
         textops.pii_count(aug).cast("long").alias("n_redactions"),
