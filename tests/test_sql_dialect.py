@@ -1610,3 +1610,61 @@ def test_grouped_wildcard_expands_to_first_values(spark):
         == [(1, 10.0, "x", 2), (2, 5.0, "z", 1)]
     # plain wildcard (no GROUP BY) is untouched
     assert eng.execute("SELECT * FROM wc_orders").count() == 3
+
+
+def test_interval_range_frame_rewritten_for_millis_columns():
+    """Temporal RANGE-frame bounds (parser/window_functions.rs:459-504).
+    Over the INT64 epoch-millis system columns, INTERVAL bounds become
+    numeric millis; over timestamp columns they pass through to Spark's
+    native interval frames. ADJUDICATION pinned here: we implement the
+    TRUE temporal semantics the syntax declares — the reference's
+    executor collapses every interval bound to CURRENT ROW (its offset
+    match has no Range/IntervalPreceding arm and falls to `_ => 0`,
+    expression/window_functions.rs:328-331) — see
+    dialect._rewrite_interval_frames."""
+    sql, _, _, _ = translate_select(
+        "SELECT symbol, AVG(price) OVER (PARTITION BY symbol ORDER BY _timestamp "
+        "RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW) AS a "
+        "FROM trades"
+    )
+    assert "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW" in sql, sql
+    # both bounds as intervals
+    sql, _, _, _ = translate_select(
+        "SELECT AVG(price) OVER (ORDER BY _timestamp RANGE BETWEEN "
+        "INTERVAL '2' HOURS PRECEDING AND INTERVAL '30' SECONDS FOLLOWING) AS a "
+        "FROM trades"
+    )
+    assert "BETWEEN 7200000 PRECEDING AND 30000 FOLLOWING" in sql, sql
+    # timestamp ORDER BY column: untouched (Spark executes it natively)
+    sql, _, _, _ = translate_select(
+        "SELECT AVG(price) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '10' MINUTE "
+        "PRECEDING AND CURRENT ROW) AS a FROM trades"
+    )
+    assert "INTERVAL '10' MINUTE PRECEDING" in sql, sql
+    # ROWS frames never carry interval bounds (the reference parser
+    # rejects them; nothing to rewrite) — and a RANGE frame elsewhere in
+    # the statement must not bleed into an adjacent OVER body
+    sql, _, _, _ = translate_select(
+        "SELECT SUM(v) OVER (ORDER BY _timestamp ROWS BETWEEN 3 PRECEDING AND "
+        "CURRENT ROW) AS s, AVG(v) OVER (ORDER BY _timestamp RANGE BETWEEN "
+        "INTERVAL '1' SECOND PRECEDING AND CURRENT ROW) AS a FROM t"
+    )
+    assert "ROWS BETWEEN 3 PRECEDING" in sql and "1000 PRECEDING" in sql, sql
+
+
+def test_interval_range_frame_executes_true_temporal_semantics(spark):
+    """10:00/10:05/10:20 with a 10-minute trailing frame: the middle row
+    averages rows 1-2, the late row only itself — the CURRENT-ROW
+    collapse the reference executes would return the raw value for all
+    three."""
+    spark.createDataFrame(
+        [(1, 0, 5.0), (1, 300_000, 7.0), (1, 1_200_000, 9.0)],
+        "k int, _timestamp long, v double",
+    ).createOrReplaceTempView("iv_frames")
+    sql, _, _, _ = translate_select(
+        "SELECT k, _timestamp, AVG(v) OVER (PARTITION BY k ORDER BY _timestamp "
+        "RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW) AS a "
+        "FROM iv_frames"
+    )
+    got = {r["_timestamp"]: r["a"] for r in spark.sql(sql).collect()}
+    assert got == {0: 5.0, 300_000: 6.0, 1_200_000: 9.0}

@@ -1813,6 +1813,7 @@ def translate_select_full(
     sql = _rewrite_value_fn_frames(sql)
     sql = _rewrite_delta(sql)
     sql = _rewrite_functions(sql)
+    sql = _rewrite_interval_frames(sql)
     sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_now_diff(sql)
     sql = _wrap_ungrouped_bare_columns(sql)
@@ -1945,6 +1946,77 @@ def _rewrite_value_fn_frames(sql: str) -> str:
         sql = sql[: body_end - 1] + frame + sql[body_end - 1 :]
         i = body_end + len(frame)
     return sql
+
+
+#: Fixed-duration millis per frame-bound interval unit — exactly the
+#: TimeUnit set the reference's frame parser accepts
+#: (parser/window_functions.rs:470-476; months/years are rejected there).
+_FRAME_UNIT_MS = {
+    "MILLISECOND": 1, "MILLISECONDS": 1,
+    "SECOND": 1_000, "SECONDS": 1_000,
+    "MINUTE": 60_000, "MINUTES": 60_000,
+    "HOUR": 3_600_000, "HOURS": 3_600_000,
+    "DAY": 86_400_000, "DAYS": 86_400_000,
+}
+
+#: INT64 epoch-millis system columns (docs/sql/system-columns.md): a RANGE
+#: frame over these needs NUMERIC millis bounds — Spark's native interval
+#: frames require a timestamp-typed ORDER BY.
+_MILLIS_INT_ORDER = re.compile(
+    r"(?i)\bORDER\s+BY\s+(?:\w+\.)?(?:_timestamp|_window_start|_window_end)\b"
+)
+
+_FRAME_INTERVAL = re.compile(
+    r"(?i)\bINTERVAL\s+'(\d+)'\s+"
+    r"(MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s+"
+    r"(PRECEDING|FOLLOWING)"
+)
+
+
+def _rewrite_interval_frames(sql: str) -> str:
+    """Temporal RANGE-frame bounds — ``RANGE BETWEEN INTERVAL '10' MINUTE
+    PRECEDING AND CURRENT ROW`` (parser/window_functions.rs:459-504,
+    FrameBound::IntervalPreceding/Following; window_frame_validator.rs:86
+    admits them for RANGE frames only).
+
+    Spark executes interval frames natively when the ORDER BY column is a
+    timestamp (so those pass through untouched); over the INT64
+    epoch-millis system columns the bound is rewritten to its fixed
+    millisecond count, which is exactly the reference's own
+    ``interval_to_millis`` arithmetic for these units.
+
+    ADJUDICATION — implemented with TRUE temporal semantics, diverging
+    from the reference's EXECUTED behavior: its frame-offset computation
+    has no (Range, IntervalPreceding) arm, so every interval bound falls
+    to the ``_ => 0`` default (expression/window_functions.rs:328-331,
+    354-357) and the frame silently collapses to CURRENT ROW. Its numeric
+    RANGE bounds likewise reuse the ROWS row-offset arms (":322-325, the
+    code's own comment admits 'you'd need to look at ORDER BY values for
+    true RANGE semantics'). Both are execution gaps contradicting the
+    parser/validator's documented contract; mirroring them would corrupt
+    every windowed aggregate the syntax promises, so we implement what
+    the syntax declares (pinned in test_sql_dialect)."""
+
+    out: list[str] = []
+    i = 0
+    rx_over = re.compile(r"(?i)\bOVER\s*\(")
+    while i < len(sql):
+        m = rx_over.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        body_start = m.end()
+        body_end = _match_paren(sql, body_start)  # just past close paren
+        body = sql[body_start : body_end - 1]
+        if _MILLIS_INT_ORDER.search(body) and re.search(r"(?i)\bRANGE\b", body):
+            body = _FRAME_INTERVAL.sub(
+                lambda fm: f"{int(fm.group(1)) * _FRAME_UNIT_MS[fm.group(2).upper()]}"
+                f" {fm.group(3)}",
+                body,
+            )
+        out.append(sql[i : body_start] + body + ")")
+        i = body_end
+    return "".join(out)
 
 
 def promote_epoch_millis_comparisons(
