@@ -66,6 +66,9 @@ HEADLINE = [
     "repetition_filter",
     "gopher_quality_filter",
     "doc_chunking",
+    "span_dedup",
+    "corpus_mix",
+    "global_shuffle",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",

@@ -1,0 +1,205 @@
+"""Round-8 corpus-curation operators: span dedup, mixing, global shuffle.
+
+Correctness vs DuckDB is covered by the parity mirror (test_oracle_parity);
+these tests pin the operator CONTRACTS — permutation totality, epoch-weight
+arithmetic, reassembly fidelity — and the 100-TB plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from velostream_spark.operators import curation, textops
+from velostream_spark.registry import all_queries
+
+
+def _run(spark, name):
+    return all_queries()[name].fn(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+
+
+def test_global_shuffle_is_total_permutation(spark):
+    """global_pos must be exactly 0..N-1, each once (a permutation, not
+    just a rank-ish ordering)."""
+    df = _run(spark, "global_shuffle").cache()
+    try:
+        n = df.count()
+        agg = df.agg(
+            F.min("global_pos").alias("lo"),
+            F.max("global_pos").alias("hi"),
+            F.countDistinct("global_pos").alias("d"),
+        ).first()
+        assert (agg["lo"], agg["hi"], agg["d"]) == (0, n - 1, n)
+    finally:
+        df.unpersist()
+
+
+def test_global_shuffle_deterministic(spark):
+    a = {r["doc_id"]: r["global_pos"] for r in _run(spark, "global_shuffle").collect()}
+    b = {r["doc_id"]: r["global_pos"] for r in _run(spark, "global_shuffle").collect()}
+    assert a == b
+
+
+def test_global_shuffle_shard_tiles_global_order(spark):
+    """Shard = leading byte of the order key, so per-shard pos ranges must
+    be contiguous and non-overlapping in shard order — the invariant that
+    makes the sort-free construction equal one total-order ROW_NUMBER."""
+    rows = (
+        _run(spark, "global_shuffle")
+        .groupBy("shard")
+        .agg(F.min("global_pos").alias("lo"), F.max("global_pos").alias("hi"), F.count("*").alias("n"))
+        .orderBy("shard")
+        .collect()
+    )
+    expect_lo = 0
+    for r in rows:
+        assert r["lo"] == expect_lo, rows
+        assert r["hi"] == r["lo"] + r["n"] - 1
+        expect_lo = r["hi"] + 1
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix
+
+
+def test_corpus_mix_epoch_counts_match_weights(spark):
+    df = _run(spark, "corpus_mix")
+    per_doc = df.groupBy("doc_id", "lang").agg(F.count("*").alias("n"), F.max("epoch").alias("me"))
+    rows = per_doc.collect()
+    for r in rows:
+        milli = curation.MIX_WEIGHTS_MILLI.get(r["lang"], curation.MIX_DEFAULT_MILLI)
+        full = milli // 1000
+        assert r["n"] in (full, full + 1), r
+        # epochs are the contiguous prefix 1..n
+        assert r["me"] == r["n"], r
+
+
+def test_corpus_mix_fraction_share_is_hash_exact(spark):
+    """The extra-copy share is not approximate: it is exactly the set of
+    docs whose sample hash clears the milli-weight remainder."""
+    from velostream_spark.operators.sampling import sample_hash
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    expected = (
+        docs.where(F.col("lang") == "en")
+        .select(
+            F.sum(
+                F.when(
+                    sample_hash(F.col("doc_id"))
+                    < curation.MIX_WEIGHTS_MILLI["en"] % 1000,
+                    1,
+                ).otherwise(0)
+            ).alias("extra"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    got = (
+        _run(spark, "corpus_mix")
+        .where(F.col("lang") == "en")
+        .groupBy("doc_id")
+        .count()
+        .where(F.col("count") == curation.MIX_WEIGHTS_MILLI["en"] // 1000 + 1)
+        .count()
+    )
+    assert got == expected["extra"]
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+
+
+def test_span_dedup_untouched_docs_roundtrip(spark):
+    """Documents with no removed spans must reassemble to their normalized
+    text exactly (split/rejoin is lossless)."""
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    joined = (
+        _run(spark, "span_dedup")
+        .join(docs.select("doc_id", textops.normalize(F.col("text")).alias("norm")), "doc_id")
+    )
+    bad = joined.where(
+        (F.col("n_removed") == 0) & (F.col("clean_text") != F.col("norm"))
+    ).count()
+    assert bad == 0
+    assert joined.where(F.col("n_removed") == 0).count() > 0
+
+
+def test_span_dedup_survivor_rule(spark):
+    """A span occurring in k>1 docs survives in exactly one (the min id):
+    total removals == sum over duplicated spans of (occurrences - 1)."""
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    s = curation.SPAN_WORDS
+    ws = textops.words(F.col("text"))
+    staged = docs.select(
+        "doc_id", ws.alias("w"), F.ceil(F.size(ws) / s).cast("int").alias("n")
+    )
+    spans = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i * s + 1, s), " ")),
+            )
+        ).alias("h"),
+    )
+    dup_excess = (
+        spans.groupBy("h").count().where(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1)).first()[0]
+    ) or 0
+    removed = _run(spark, "span_dedup").agg(F.sum("n_removed")).first()[0]
+    assert removed == dup_excess
+
+
+# ---------------------------------------------------------------------------
+# Plan pins (100-TB shapes)
+
+
+def _plan(spark, name):
+    import contextlib
+    import io
+
+    df = _run(spark, name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_corpus_mix_zero_shuffle_scan_side(spark):
+    plan = _plan(spark, "corpus_mix")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan  # explode of the epochs slice
+
+
+def test_global_shuffle_no_global_sort(spark):
+    plan = _plan(spark, "global_shuffle")
+    assert "CartesianProduct" not in plan
+    # per-shard ranking after a hash exchange on the 256-way shard key
+    assert "hashpartitioning(shard" in plan, plan
+    # shard base offsets join back by broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    # the only single-partition window is the 256-row offsets dimension:
+    # the corpus-side window partitions by shard
+    assert "Window" in plan, plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    plan = _plan(spark, "span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # occurrence counting exchanges on the span hash
+    assert "hashpartitioning(_h" in plan, plan
+    # reassembly groups by doc id
+    assert "hashpartitioning(doc_id" in plan, plan

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from velostream_spark.operators import dedup, sampling, similarity, textops
+from velostream_spark.operators import curation, dedup, sampling, similarity, textops
 from velostream_spark.registry import query, tables
 
 # ---------------------------------------------------------------------------
@@ -915,3 +915,56 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chunk_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 corpus-level curation: global span dedup, mixing, global shuffle
+
+_SPAN_DEDUP_ORACLE = curation.span_dedup_sql("documents", "text", "doc_id")
+
+
+@query("span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("pipeline", "dedup", "curation"))
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-GLOBAL span dedup: every {curation.SPAN_WORDS}-word
+    span occurring in >1 document survives only in the min-doc_id document;
+    documents come back reassembled with drop counts.
+
+    Scale shape (operators/curation.py): the corpus-wide shuffles carry
+    (span_md5, doc_id, span_idx) and the per-doc drop lists — span TEXT
+    never crosses a shuffle; texts are rebuilt scan-side from each doc's
+    own word array. The repartition below is the bench-scale substitute
+    for multi-file scan parallelism (single-file corpus = one scan task)."""
+    t = tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return curation.span_dedup(t["documents"].repartition(par), "text", "doc_id")
+
+
+_CORPUS_MIX_ORACLE = curation.corpus_mix_sql("documents", "lang", "doc_id")
+
+
+@query("corpus_mix", oracle=_CORPUS_MIX_ORACLE, tags=("pipeline", "sampling", "curation"))
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing (Pile/DoReMi-style epoch weights):
+    en 2.4 epochs -> two full copies + a deterministic 40% third; es 0.35
+    -> deterministic downsample. Pure scan-side plan — a literal CASE for
+    the weight and explode(slice(sequence)) for the copies; ZERO shuffles,
+    bit-reproducible across engines (integer milli-weight thresholds vs
+    the shared sample hash, never float RNG)."""
+    t = tables(spark, sf_dir)
+    return curation.corpus_mix(t["documents"], "lang", "doc_id")
+
+
+_GLOBAL_SHUFFLE_ORACLE = curation.global_shuffle_sql("documents", "doc_id")
+
+
+@query("global_shuffle", oracle=_GLOBAL_SHUFFLE_ORACLE, tags=("pipeline", "sampling", "curation"))
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation WITHOUT a global
+    sort: rank by (md5(seed||id), id) computed as per-shard row_number
+    (shard = leading byte of the order key, so shard ranges tile the total
+    order) + broadcast 256-row shard base offsets. The oracle is the
+    single-sort ROW_NUMBER formulation the distributed plan must equal —
+    at 100 TB the per-shard sorts parallelize and nothing funnels into one
+    partition."""
+    t = tables(spark, sf_dir)
+    return curation.global_shuffle(t["documents"], "doc_id")
