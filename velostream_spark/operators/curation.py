@@ -64,11 +64,6 @@ __all__ = [
 SPAN_WORDS = 10
 
 
-def _span_expr(ws: Column, i: Column) -> Column:
-    """Span i of a word array: words [i*S+1, i*S+S], joined by spaces."""
-    return F.array_join(F.slice(ws, i * SPAN_WORDS + 1, SPAN_WORDS), " ")
-
-
 def span_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-global span dedup: every ``SPAN_WORDS``-word span that occurs
     in >1 document survives only in the MIN-id document.
@@ -78,24 +73,32 @@ def span_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     Scale shape: the only corpus-wide shuffles carry ``(span_md5, id,
     span_idx)`` for the occurrence count and ``(id, span_idx)`` for the
     per-document drop lists; span TEXT never crosses a shuffle — documents
-    are rebuilt scan-side from their own word arrays plus the drop list.
+    are rebuilt scan-side from their own span arrays plus the drop list.
+    The span array is staged ONCE per branch and every downstream
+    expression reuses it (keeps the analyzed tree small and the per-row
+    HOF work to a single slice/join pass).
     """
-    idc = F.col(id_col)
-    staged = docs.select(
-        idc.alias(id_col),
-        textops.words(F.col(text_col)).alias("_ws"),
-    ).withColumn("_n", F.ceil(F.size("_ws") / SPAN_WORDS).cast("int"))
+    s = SPAN_WORDS
+    ws = textops.words(F.col(text_col))
+    n = F.ceil(F.size(ws) / s).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(ws, i * s + 1, s), " "),
+    )
+    staged = docs.select(F.col(id_col).alias(id_col), spans.alias("_spans"))
 
-    span_ids = F.sequence(F.lit(0), F.col("_n") - 1)
-    hashes = F.transform(span_ids, lambda i: F.md5(_span_expr(F.col("_ws"), i)))
     occurrences = staged.select(
-        id_col, F.posexplode(hashes).alias("span_idx", "_h")
+        id_col,
+        F.posexplode(F.transform(F.col("_spans"), F.md5)).alias("span_idx", "_h"),
     )
-    counts = occurrences.groupBy("_h").agg(
-        F.min(id_col).alias("_keep_id"), F.count("*").alias("_n_occur")
-    )
+    # Survivor adjudication as ONE hash-partitioned window pass (min-id +
+    # occurrence count over the span hash) rather than groupBy+self-join:
+    # same single shuffle key, but the occurrence branch — and its
+    # scan+span-HOF subtree — is evaluated once instead of twice.
+    wh = Window.partitionBy("_h")
     drops = (
-        occurrences.join(counts, "_h")
+        occurrences.withColumn("_keep_id", F.min(id_col).over(wh))
+        .withColumn("_n_occur", F.count("*").over(wh))
         .where((F.col("_n_occur") > 1) & (F.col(id_col) != F.col("_keep_id")))
         .groupBy(id_col)
         .agg(
@@ -104,17 +107,17 @@ def span_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         )
     )
     kept = F.filter(
-        span_ids,
-        lambda i: F.coalesce(~F.array_contains(F.col("_dropped"), i), F.lit(True)),
+        F.col("_spans"),
+        lambda sp, i: F.coalesce(
+            ~F.array_contains(F.col("_dropped"), i), F.lit(True)
+        ),
     )
     return (
         staged.join(drops, id_col, "left")
         .select(
             id_col,
-            F.array_join(
-                F.transform(kept, lambda i: _span_expr(F.col("_ws"), i)), " "
-            ).alias("clean_text"),
-            F.col("_n").alias("n_spans"),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("_spans").alias("n_spans"),
             F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
         )
     )
