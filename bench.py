@@ -69,6 +69,7 @@ HEADLINE = [
     "span_dedup",
     "corpus_mix",
     "global_shuffle",
+    "curation_pipeline",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",

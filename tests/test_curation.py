@@ -203,3 +203,53 @@ def test_span_dedup_shuffles_hashes_not_text(spark):
     assert "hashpartitioning(_h" in plan, plan
     # reassembly groups by doc id
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline (composed end-to-end)
+
+
+def test_curation_pipeline_is_one_lazy_plan_no_text_after_fingerprint(spark):
+    plan = _plan(spark, "curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # packing + shuffle stages exchange on stratum/shard keys
+    assert "hashpartitioning" in plan, plan
+    # the only broadcast is the 256-row shard-offset dimension
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curation_pipeline_composes_stage_contracts(spark):
+    """Pipeline output must agree with the standalone stages: every output
+    doc survives the standalone gopher gate and exact-dedup survivor rule,
+    epochs respect the mix weights, and global_pos is a permutation."""
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "curation_pipeline").cache()
+    try:
+        n = out.count()
+        perm = out.agg(
+            F.min("global_pos"), F.max("global_pos"), F.countDistinct("global_pos")
+        ).first()
+        assert tuple(perm) == (0, n - 1, n)
+        gate = _run(spark, "gopher_quality_filter").where(~F.col("passes"))
+        leaked = out.join(gate, "doc_id", "left_semi").count()
+        assert leaked == 0
+        per_doc = out.groupBy("doc_id", "lang").count().collect()
+        for r in per_doc:
+            milli = curation.MIX_WEIGHTS_MILLI.get(
+                r["lang"], curation.MIX_DEFAULT_MILLI
+            )
+            assert r["count"] in (milli // 1000, milli // 1000 + 1), r
+        # packs never exceed budget by more than one document's tokens
+        from velostream_spark.queries.pipeline import _PIPE_PACK_BUDGET
+
+        over = (
+            out.groupBy("lang", "epoch", "pack_id")
+            .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+            .where(F.col("tot") - F.col("mx") >= _PIPE_PACK_BUDGET)
+            .count()
+        )
+        assert over == 0
+    finally:
+        out.unpersist()

@@ -175,7 +175,10 @@ MIX_MAX_EPOCHS = max(MIX_WEIGHTS_MILLI.values()) // 1000 + 1
 
 
 def corpus_mix(
-    docs: DataFrame, strata_col: str = "lang", id_col: str = "doc_id"
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Source-weighted corpus mixing: emit ``(id, stratum, epoch)`` with
     ``floor(w)`` guaranteed copies per document plus one extra copy for a
@@ -194,7 +197,7 @@ def corpus_mix(
     n_copies = n_full + extra
     epochs = F.slice(F.sequence(F.lit(1), F.lit(MIX_MAX_EPOCHS)), 1, n_copies)
     return docs.select(
-        id_col, strata_col, F.explode(epochs).alias("epoch")
+        id_col, strata_col, *keep, F.explode(epochs).alias("epoch")
     )
 
 
@@ -233,7 +236,9 @@ def _shuffle_key(id_col: Column) -> Column:
     return F.md5(F.concat(F.lit(SHUFFLE_SEED), id_col.cast("string")))
 
 
-def global_shuffle(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def global_shuffle(
+    docs: DataFrame, id_col: str = "doc_id", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Deterministic global training-order permutation ``(id, shard,
     global_pos)`` equal to the rank in one total order by ``(md5(seed||id),
     id)`` — computed WITHOUT a global sort.
@@ -245,7 +250,7 @@ def global_shuffle(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     run in parallel and nothing ever funnels into one partition.
     """
     h = _shuffle_key(F.col(id_col))
-    base = docs.select(F.col(id_col), h.alias("_h")).withColumn(
+    base = docs.select(F.col(id_col), *keep, h.alias("_h")).withColumn(
         "shard", F.substring("_h", 1, 2)
     )
     # 256-row dimension: per-shard row counts -> cumulative base offsets.
@@ -272,6 +277,7 @@ def global_shuffle(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         base.join(F.broadcast(offsets), "shard")
         .select(
             id_col,
+            *keep,
             "shard",
             (F.col("_offset") + rank - 1).alias("global_pos"),
         )

@@ -968,3 +968,113 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition."""
     t = tables(spark, sf_dir)
     return curation.global_shuffle(t["documents"], "doc_id")
+
+
+# Composed end-to-end curation pipeline: quality gate -> exact dedup ->
+# epoch mixing -> sequence packing -> global shuffle, as ONE lazy plan.
+
+_PIPE_PACK_BUDGET = 512
+_PIPE_MIX_FACTOR = curation.MIX_MAX_EPOCHS + 1  # composite (doc, epoch) id
+
+
+def _pipeline_oracle() -> str:
+    gf = textops.gopher_features_sql("text")
+    arms = " ".join(
+        f"WHEN '{v}' THEN {m}" for v, m in curation.MIX_WEIGHTS_MILLI.items()
+    )
+    epoch_rows = ", ".join(f"({e})" for e in range(1, curation.MIX_MAX_EPOCHS + 1))
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE ({gf['n_words']} BETWEEN {textops.GOPHER_MIN_WORDS} AND {textops.GOPHER_MAX_WORDS})
+    AND ({gf['mean_word_len']} BETWEEN {textops.GOPHER_MIN_MEAN_WORD_LEN}
+         AND {textops.GOPHER_MAX_MEAN_WORD_LEN})
+    AND ({gf['stop_hits']} >= {textops.GOPHER_MIN_STOPWORD_HITS})
+    AND ({gf['symbol_ratio']} <= {textops.GOPHER_MAX_SYMBOL_RATIO})
+), d AS (
+  SELECT doc_id, lang, text,
+         MIN(doc_id) OVER (PARTITION BY {textops.fingerprint_sql('text')}) AS keep_id
+  FROM q
+), surv AS (
+  SELECT doc_id, lang, {textops.token_count_sql('text')} AS n_tokens
+  FROM d WHERE doc_id = keep_id
+), copies AS (
+  SELECT doc_id, lang, n_tokens,
+         (w // 1000) + CASE WHEN ({sampling.sample_hash_sql('doc_id')}) < (w % 1000)
+                            THEN 1 ELSE 0 END AS n_copies
+  FROM (SELECT *, CASE lang {arms} ELSE {curation.MIX_DEFAULT_MILLI} END AS w FROM surv)
+), m AS (
+  SELECT doc_id, lang, n_tokens, CAST(e.epoch AS INT) AS epoch
+  FROM copies CROSS JOIN (VALUES {epoch_rows}) AS e(epoch)
+  WHERE e.epoch <= n_copies
+), p AS (
+  SELECT *,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, epoch ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / {_PIPE_PACK_BUDGET}.0)
+              AS BIGINT) AS pack_id,
+         doc_id * {_PIPE_MIX_FACTOR} + epoch AS mix_id
+  FROM m
+)
+SELECT doc_id, lang, epoch, n_tokens, pack_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('{curation.SHUFFLE_SEED}' || CAST(mix_id AS VARCHAR)), mix_id
+       ) - 1 AS global_pos
+FROM p
+"""
+
+
+@query("curation_pipeline", oracle=_pipeline_oracle(), tags=("pipeline", "curation"))
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation as ONE lazy Catalyst plan:
+    Gopher quality gate (scan-side predicate) -> exact-content dedup
+    (min-id survivor window over the fingerprint) -> epoch-weighted corpus
+    mixing (scan-side explode) -> per-(lang, epoch) sequence packing (one
+    WindowExec) -> sort-free global shuffle over the composite (doc,
+    epoch) id. Every stage reuses the standalone operator (and its shared
+    constants), so this entry proves the operators COMPOSE — the oracle is
+    the same chain as DuckDB CTEs. At 100 TB the plan shuffles token
+    counts and ids, never document text past the fingerprint stage."""
+    t = tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    txt = F.col("text")
+    staged = t["documents"].repartition(par).select(
+        "doc_id",
+        "lang",
+        txt.alias("text"),
+        textops.normalize(txt).alias("_norm"),
+        textops.words(txt).alias("_words"),
+    )
+    gf = textops.gopher_features_from(F.col("text"), F.col("_norm"), F.col("_words"))
+    q = staged.where(
+        gf["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
+        & gf["mean_word_len"].between(
+            textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
+        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+    )
+    from pyspark.sql.window import Window
+
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("_norm"))))
+    surv = (
+        q.withColumn("_keep", keep)
+        .where(F.col("doc_id") == F.col("_keep"))
+        .select(
+            "doc_id",
+            "lang",
+            textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
+        )
+    )
+    mixed = curation.corpus_mix(surv, "lang", "doc_id", keep=("n_tokens",))
+    packed = sampling.pack_sequences(
+        mixed.withColumn("_stratum", F.concat_ws("#", "lang", "epoch")),
+        "doc_id",
+        "n_tokens",
+        _PIPE_PACK_BUDGET,
+        "_stratum",
+    ).withColumn(
+        "mix_id", F.col("doc_id") * _PIPE_MIX_FACTOR + F.col("epoch")
+    )
+    return curation.global_shuffle(
+        packed, "mix_id", keep=("doc_id", "lang", "epoch", "n_tokens", "pack_id")
+    ).select("doc_id", "lang", "epoch", "n_tokens", "pack_id", "global_pos")
