@@ -69,6 +69,13 @@ def test_math_functions(eng):
     assert _one(eng, "MOD(10, 3)") == 1
     assert _one(eng, "LEAST(3, 1, 2)") == 1
     assert _one(eng, "GREATEST(3, 1, 2)") == 3
+    # NULL-skipping agreement: the reference's compare_values_for_min/max
+    # (functions.rs:2531-2613) treat NULL as never-winning — "NULL is not
+    # less than anything / anything is less than NULL" — which is exactly
+    # Spark's least()/greatest() null-skip; all-NULL args stay NULL in both.
+    assert _one(eng, "LEAST(3, NULL, 1)") == 1
+    assert _one(eng, "GREATEST(3, NULL, 1)") == 3
+    assert _one(eng, "LEAST(NULL, NULL)") is None
 
 
 # ---------------------------------------------------------------------------

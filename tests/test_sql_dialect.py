@@ -1668,3 +1668,53 @@ def test_interval_range_frame_executes_true_temporal_semantics(spark):
     )
     got = {r["_timestamp"]: r["a"] for r in spark.sql(sql).collect()}
     assert got == {0: 5.0, 300_000: 6.0, 1_200_000: 9.0}
+
+
+# -- schema-on-read missing columns (evaluator.rs:234, :520) -----------------
+
+
+def test_missing_column_resolves_to_null(engine):
+    """The reference's evaluator resolves an identifier naming no field to
+    NULL instead of erroring (evaluator.rs:234, :520: "Return NULL if not
+    found instead of error") — schema-on-read records have no closed
+    schema. The engine mirrors that via an analyze-retry rewrite."""
+    df = engine.execute(
+        "SELECT c_custkey, ghost_col FROM customer WHERE c_custkey BETWEEN 1 AND 3"
+    )
+    rows = df.orderBy("c_custkey").collect()
+    assert [r["c_custkey"] for r in rows] == [1, 2, 3]
+    assert df.columns == ["c_custkey", "ghost_col"]
+    assert all(r["ghost_col"] is None for r in rows)
+
+
+def test_missing_column_in_predicates_is_null_semantics(engine):
+    # NULL = 5 is unknown -> filters everything (reference: NULL comparison
+    # -> false through field_value_to_bool)
+    assert engine.execute(
+        "SELECT c_custkey FROM customer WHERE ghost_col = 5"
+    ).count() == 0
+    # IS NULL keeps every row
+    total = engine.execute("SELECT COUNT(*) AS n FROM customer").first()["n"]
+    assert engine.execute(
+        "SELECT c_custkey FROM customer WHERE ghost_col IS NULL"
+    ).count() == total
+    # expressions over the missing field propagate NULL
+    r = engine.execute(
+        "SELECT c_custkey, ghost_col + 1 AS g1, UPPER(ghost2) AS g2 "
+        "FROM customer WHERE c_custkey = 1"
+    ).first()
+    assert r["g1"] is None and r["g2"] is None
+
+
+def test_missing_column_never_rewrites_valid_or_string_literals(engine):
+    # a valid query with a string literal equal to a column-ish word runs
+    # through the plain path (rewrite only fires on UNRESOLVED_COLUMN)
+    df = engine.execute(
+        "SELECT c_name FROM customer WHERE c_name = 'ghost_col'"
+    )
+    assert df.count() == 0
+    # genuinely malformed SQL still raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.execute("SELECT FROM WHERE")

@@ -2426,3 +2426,78 @@ def first_from_table(select_sql: str) -> str | None:
         return None
     m = re.compile(pat, re.IGNORECASE).match(select_sql, i)
     return m.group(1) if m else None
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read missing columns (evaluator.rs:234, :520)
+
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)*$")
+
+#: Never null out a bare keyword: Spark can report e.g. `FROM` as an
+#: unresolved "column" when parsing genuinely malformed SQL (SELECT FROM
+#: WHERE), and rewriting it would mask the user's syntax error.
+_NULLABLE_IDENT_STOPWORDS = frozenset(
+    """select from where group order by having join on and or not as
+    distinct limit union all inner left right full outer cross when then
+    else end case between like in is null true false exists any some""".split()
+)
+
+
+def _blank_strings(s: str) -> str:
+    """Length-preserving copy with string-literal contents blanked (parens
+    kept — unlike _blank_nested, identifiers inside subqueries survive)."""
+    out = list(s)
+    in_str: str | None = None
+    for i, ch in enumerate(s):
+        if in_str:
+            out[i] = " "
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            out[i] = " "
+    return "".join(out)
+
+
+def null_out_identifier(sql: str, name: str) -> str | None:
+    """Replace every standalone occurrence of column ``name`` with NULL —
+    the reference's schema-on-read resolution for fields that don't exist
+    (`evaluator.rs:234`, `:520`: "Return NULL if not found instead of
+    error"). A bare top-level SELECT item keeps its output name via
+    ``NULL AS name`` (the reference emits the field under the requested
+    name). Returns None when ``name`` isn't a plain identifier or nothing
+    matched (caller re-raises Spark's analysis error)."""
+    if not _IDENT_RE.match(name):
+        return None
+    if any(p.lower() in _NULLABLE_IDENT_STOPWORDS for p in name.split(".")):
+        return None
+    last = name.rsplit(".", 1)[-1]
+    pat = re.compile(
+        r"(?<![\w.`$])" + re.escape(name) + r"(?![\w.`(])", re.IGNORECASE
+    )
+    # 1. Bare top-level SELECT items keep their output name.
+    blanked = _blank_nested(sql)
+    sm = re.search(r"(?i)\bSELECT\s+(DISTINCT\s+)?", blanked)
+    fm = re.search(r"(?i)\sFROM\s", blanked)
+    out = sql
+    if sm and fm and sm.end() < fm.start():
+        items = _split_top_level(sql[sm.end() : fm.start()])
+        rewritten = [
+            f"NULL AS {last}" if it.strip().lower() == name.lower() else it
+            for it in items
+        ]
+        out = sql[: sm.end()] + ", ".join(x.strip() for x in rewritten) + sql[fm.start() :]
+    # 2. Every other standalone occurrence (WHERE/HAVING/ORDER BY/subquery
+    #    positions) becomes a bare NULL, matching the evaluator.
+    masked = _blank_strings(out)
+    spans = [
+        m.span()
+        for m in pat.finditer(masked)
+        # alias-definition positions (`... AS name`) define a NEW name —
+        # including the `NULL AS name` items injected above — never a
+        # column reference to null out
+        if not re.search(r"(?i)\bAS\s+$", masked[: m.start()])
+    ]
+    for a, b in reversed(spans):
+        out = out[:a] + "NULL" + out[b:]
+    return out if out != sql else None

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from velostream_spark.sql.dialect import (
     Statement,
+    null_out_identifier,
     parse_statement,
     promote_epoch_millis_comparisons,
     split_statements,
@@ -560,6 +561,37 @@ class SqlEngine:
         items = [expansion if it.strip() == "*" else it for it in items]
         return sql[: sm.end()] + ", ".join(i.strip() for i in items) + sql[fm.start() :]
 
+    _UNRESOLVED_NAME_RE = re.compile(
+        r"with name ((?:`[^`]+`\.)*`[^`]+`) cannot be resolved"
+    )
+
+    def _sql(self, sql: str) -> DataFrame:
+        """``spark.sql`` with the reference's schema-on-read column
+        resolution: an identifier naming no field evaluates to NULL rather
+        than erroring (evaluator.rs:234, :520 — "Return NULL if not found
+        instead of error"; UPDATE twin at update.rs:194-206). Implemented
+        as an analyze-retry loop so valid queries never pay or risk a
+        rewrite: only when Spark reports UNRESOLVED_COLUMN for a plain
+        identifier is that identifier replaced by NULL (keeping its output
+        name in the SELECT list) and analysis retried."""
+        from pyspark.errors import AnalysisException
+
+        cur = sql
+        for _ in range(8):
+            try:
+                return self.spark.sql(cur)
+            except AnalysisException as exc:
+                msg = str(exc)
+                m = self._UNRESOLVED_NAME_RE.search(msg)
+                if "UNRESOLVED_COLUMN" not in msg or not m:
+                    raise
+                name = m.group(1).replace("`", "")
+                rewritten = null_out_identifier(cur, name)
+                if not rewritten:
+                    raise
+                cur = rewritten
+        return self.spark.sql(cur)
+
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
         a list of dicts for SHOW, row count for DML."""
@@ -574,7 +606,7 @@ class SqlEngine:
             self._bind_metrics(st.name, sql)
         if st.kind == "select":
             self._wire_sources(st)
-            return self.spark.sql(st.select_sql)
+            return self._sql(st.select_sql)
         if st.kind == "create_stream":
             self._wire_sources(st)
             df = self._select_df(st)
@@ -584,7 +616,7 @@ class SqlEngine:
             return df
         if st.kind == "create_table":
             self._wire_sources(st)
-            df = self.spark.sql(st.select_sql).cache()
+            df = self._sql(st.select_sql).cache()
             df.count()  # materialize now, like the CTAS population job
             key = st.key_fields or None
             self.register_table(st.name, df, key)
@@ -860,8 +892,8 @@ class SqlEngine:
         if st.emit == "changes":
             clog = changelog_rewrite(st.select_sql)
             if clog is not None:
-                return self.spark.sql(clog)
-        return self.spark.sql(st.select_sql)
+                return self._sql(clog)
+        return self._sql(st.select_sql)
 
     def _propagate_time_col(self, st: Statement, df: DataFrame) -> DataFrame:
         """System-column flow: the reference's `_event_time` rides along
