@@ -143,6 +143,13 @@ AMORTIZED = {
     # (measured: decimal 0.68→0.29 s, percentiles 0.90→0.47 s).
     "decimal_arithmetic": (("lineitem",), 1),
     "percentile_aggs": (("lineitem",), 1),
+    # codec entries: same rep=1 layout normalization — the single-file
+    # orders/customer scans forced a full repartition shuffle before the
+    # Arrow codec stage (~0.3 s of protobuf's 0.74 s wall was that
+    # exchange); the multi-file layout parallelizes the scan itself and
+    # _spread() skips the shuffle (measured 0.74 -> ~0.5 s).
+    "protobuf_roundtrip": (("orders",), 1),
+    "avro_roundtrip": (("customer",), 1),
     # (Extending rep=1 normalization to the remaining lineitem entries was
     # measured and NOT adopted: their scans are lighter — fewer columns /
     # early pruning — so the multi-file layout bought nothing there, e.g.

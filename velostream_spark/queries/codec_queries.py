@@ -66,6 +66,19 @@ _AVRO_CUSTOMER_READER = json.dumps(
 )
 
 
+def _spread(df, spark, target: int = 16):
+    """One parquet file would mean ONE Python codec worker, so single-split
+    scans are repartitioned to ``target`` codec partitions (16 measured
+    fastest on 32 cores — r7 sweep). A multi-file production layout (or the
+    bench pool's layout-normalized tables) already provides the splits, so
+    it skips the shuffle entirely — at 100 TB the source always arrives as
+    many files and this is the no-exchange path."""
+    n = min(target, spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 @query(
     "avro_roundtrip",
     oracle="""
@@ -97,9 +110,7 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
     )
-    # 16 codec partitions measured fastest on 32 cores (8 left half the
-    # box idle; 32 added scheduler overhead for no gain — r7 sweep)
-    cust = cust.repartition(min(16, spark.sparkContext.defaultParallelism))
+    cust = _spread(cust, spark)
     decoded = df_roundtrip_avro(cust, _AVRO_CUSTOMER, _AVRO_CUSTOMER_READER)
     return decoded.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
@@ -144,9 +155,7 @@ def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    # 16 codec partitions: fastest point of the r7 partition sweep
-    # (8 -> 0.065 s, 16 -> 0.048 s, 32 -> 0.051 s at sf0.1)
-    orders = orders.repartition(min(16, spark.sparkContext.defaultParallelism))
+    orders = _spread(orders, spark)
     decoded = df_roundtrip_protobuf(orders, _PROTO_ORDERS, "Order")
     return decoded.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
