@@ -300,3 +300,40 @@ def test_validator_function_scan_never_raises(text):
     _validate_function_names(f"SELECT {text} FROM t", rep, strict=True)
     # errors/warnings are fine; crashing or hanging is not
     assert isinstance(rep.errors, list)
+
+
+@given(name=IDENT, other=IDENT, lit=IDENT)
+@settings(max_examples=60, deadline=None)
+def test_null_out_identifier_properties(name, other, lit):
+    """Schema-on-read NULL rewrite (evaluator.rs:234): every standalone
+    occurrence of the target is replaced, other identifiers and string
+    literals are untouched, a bare SELECT item keeps its output name, and
+    a second pass over the result finds nothing left to rewrite."""
+    from velostream_spark.sql.dialect import null_out_identifier
+
+    if name.lower() in (other.lower(), lit.lower()):
+        return
+    sql = (
+        f"SELECT {other}, {name} FROM t "
+        f"WHERE {name} = '{lit}' AND {other} > 1 ORDER BY {name}"
+    )
+    out = null_out_identifier(sql, name)
+    assert out is not None
+    blanked = dialect._blank_strings(out)
+    assert not re.search(
+        rf"(?<![\w.])(?<!AS ){re.escape(name)}(?![\w.])", blanked, re.IGNORECASE
+    ), out
+    assert f"NULL AS {name}" in out
+    assert f"'{lit}'" in out  # string literal preserved
+    assert re.search(rf"\b{re.escape(other)}\b", out)  # other column intact
+    # fixpoint: nothing left to rewrite on a second pass
+    assert null_out_identifier(out, name) is None
+
+
+@given(kw=st.sampled_from(["FROM", "WHERE", "SELECT", "AND", "NOT", "AS"]))
+@settings(max_examples=12, deadline=None)
+def test_null_out_identifier_refuses_keywords(kw):
+    from velostream_spark.sql.dialect import null_out_identifier
+
+    assert null_out_identifier(f"SELECT {kw} FROM t", kw) is None
+    assert null_out_identifier("SELECT a FROM t", kw.lower()) is None
