@@ -178,7 +178,11 @@ def parse_duration(text: str) -> str:
     """Duration syntax → Spark interval string: `INTERVAL '5' MINUTE`,
     `5 MINUTE`, `100ms`, `30s`/`5m`/`1h`/`1d` → '5 minutes' etc."""
     t = text.strip()
-    m = re.match(r"(?i)^INTERVAL\s+'(\d+)'\s+(\w+)$", t)
+    # quotes around the count are optional: the reference's parser (and its
+    # own docs, e.g. comprehensive-sql-ctas-guide.md `WINDOW
+    # TUMBLING(INTERVAL 5 MINUTES)`) accept both INTERVAL '5' MINUTE and
+    # INTERVAL 5 MINUTES
+    m = re.match(r"(?i)^INTERVAL\s+'?(\d+)'?\s+(\w+)$", t)
     if not m:
         m = re.match(r"(?i)^(\d+)\s+(\w+)$", t)
     if m:
@@ -420,6 +424,10 @@ def _extract_window(sql: str) -> tuple[str, WindowClause | None]:
         return sql, None
     kind = m.group(1).lower()
     args = [a.strip() for a in _split_top_level(m.group(2))]
+    # doc-contract sugar: `SLIDING(INTERVAL 10 MINUTES, ADVANCE BY
+    # INTERVAL 1 MINUTE)` (comprehensive-sql-ctas-guide.md) — the ADVANCE
+    # BY prefix just names the second argument
+    args = [re.sub(r"(?i)^ADVANCE\s+BY\s+", "", a) for a in args]
     time_column: str | None = None
     if kind == "session":
         # SESSION(gap) | SESSION(time_expr, gap[, partition_key...])
@@ -1487,9 +1495,19 @@ _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
 
 
 def _rewrite_delta(sql: str) -> str:
-    """DELTA(x) OVER (spec) → (x - lag(x, 1) OVER (spec)) — the reference's
-    consecutive-difference aggregate (functions.rs:3148-3160), which is a
-    window-function rewrite in Spark (SURVEY §4.3)."""
+    """DELTA in its three reference contexts:
+
+    - ``DELTA(x) OVER (spec)`` → ``(x - lag(x, 1) OVER (spec))`` — the
+      consecutive-difference form (functions.rs:3148-3160; SURVEY §4.3).
+    - Aggregate context (the statement has a depth-0 GROUP BY): ``DELTA(x)``
+      → ``(MAX(x) - MIN(x))`` — the reference's compute_delta_aggregate is
+      literally max − min per group (aggregation/functions.rs:320-331; the
+      CTAS docs alias it ``price_range``).
+    - Per-record with no grouping: ``(x - x)`` — the expression-level
+      handler returns a typed zero for a single value and NULL for NULL
+      (functions.rs:1809-1828); ``x - x`` reproduces both.
+    """
+    grouped = re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(sql)) is not None
     while True:
         m = _DELTA_RE.search(sql)
         if not m:
@@ -1498,10 +1516,11 @@ def _rewrite_delta(sql: str) -> str:
         arg = sql[m.end() : j - 1].strip()
         om = re.match(r"(?is)\s*OVER\s*\(", sql[j:])
         if not om:
-            raise ValueError(
-                "DELTA(x) requires an OVER clause in the Spark dialect "
-                "(per-record diff needs an explicit order)"
+            repl = (
+                f"(MAX({arg}) - MIN({arg}))" if grouped else f"({arg} - {arg})"
             )
+            sql = sql[: m.start()] + repl + sql[j:]
+            continue
         k = _match_paren(sql, j + om.end())
         over = sql[j + om.end() : k - 1]
         sql = (
