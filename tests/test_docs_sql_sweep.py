@@ -1,11 +1,12 @@
-"""Every SQL statement embedded in the reference's docs/sql guides must
-parse through the dialect — the user-facing doc examples are the de-facto
-surface contract (the sweep that surfaced FR-047 URI sources in r6 and the
-unquoted-INTERVAL / ADVANCE BY / aggregate-DELTA forms in r8).
+"""Every SQL statement embedded in the reference's docs (all 342 markdown
+files) must parse through the dialect — the user-facing doc examples are
+the de-facto surface contract (the sweep that surfaced FR-047 URI sources
+in r6 and, in r8: unquoted INTERVAL counts, ADVANCE BY, aggregate DELTA,
+bare WITH values, WINDOW-before-INTO ordering).
 
 Known-invalid doc examples are skip-listed explicitly WITH the reason the
-reference's own parser rejects them too — the gate is zero failures
-outside that list.
+reference's own parser/tokenizer rejects them too — the gate is zero
+failures outside that list.
 """
 
 from __future__ import annotations
@@ -13,27 +14,40 @@ from __future__ import annotations
 import glob
 import re
 
-import pytest
-
 from velostream_spark.sql.dialect import parse_statement, split_statements
 
-DOCS = sorted(
-    glob.glob("/root/reference/docs/sql/**/*.md", recursive=True)
-)
+DOCS = sorted(glob.glob("/root/reference/docs/**/*.md", recursive=True))
 
 STATEMENT_HEADS = {
     "SELECT", "CREATE", "INSERT", "UPDATE", "DELETE", "SHOW", "START",
     "STOP", "PAUSE", "RESUME", "DEPLOY", "ROLLBACK", "DESCRIBE", "LIST",
 }
 
-#: (file suffix, snippet) -> why the reference's own parser rejects it too
+#: (file suffix, snippet-in-statement) — why the reference rejects it too
 KNOWN_INVALID = {
-    # one-arg SLIDING: clauses.rs:126-131 errors — "SLIDING window requires
-    # at least two parameters (size, advance)"
-    ("advanced-query-features.md", "WINDOW SLIDING (INTERVAL '5' MINUTE)"),
-    # two statements in one block with no `;` separator — not one parseable
+    # one-arg SLIDING: clauses.rs:126-131 — "SLIDING window requires at
+    # least two parameters (size, advance)"
+    ("sql/advanced-query-features.md", "WINDOW SLIDING (INTERVAL '5' MINUTE)"),
+    # multi-statement doc blocks with no `;` separator — not one parseable
     # statement in any dialect
-    ("by-task/group-by-dual-mode.md", "WINDOW TUMBLING(1h)"),
+    ("sql/by-task/group-by-dual-mode.md", "WINDOW TUMBLING(1h)"),
+    ("claude/SQL_GRAMMAR_RULES.md", "WINDOW TUMBLING(INTERVAL '5' MINUTE)"),
+    ("feature/FR-081-sql-engine-perf/FR-081-04-ARCHITECTURAL-BLUEPRINT.md",
+     "WINDOW TUMBLING(5m)"),
+    # literal `...` placeholders
+    ("feature/FR-082-perf-part-2/SCENARIO-BASELINE-COMPARISON.md",
+     "WINDOW TUMBLING (...)"),
+    ("feature/FR-090-header-prop/README.md", "METADATA FROM"),
+    # FR-090/094 blocks are FLINK SQL shown for comparison (METADATA
+    # FROM / PRIMARY KEY NOT ENFORCED column DDL — not velostream grammar)
+    ("feature/FR-094-primary-key-semantics/README.md", "NOT ENFORCED"),
+    # design/roadmap-proposed syntax never implemented (no SIZE/ADVANCE
+    # keywords in clauses.rs; no FILTER(WHERE)/IS_OUTLIER in functions.rs)
+    ("feature/FR-091-stream-stream-join/DESIGN.md", "SIZE INTERVAL"),
+    ("feature/fr-070-outlier-roadmap.md", "SIZE 1 MINUTE"),
+    # `# comment` inside a WITH clause: the reference tokenizer only knows
+    # `--` and `/* */` comments (tokenizer.rs:135+), so this fails there too
+    ("data-sources/multi-source-sink-guide.md", "# Override YAML value"),
 }
 
 
@@ -41,7 +55,7 @@ def _doc_statements():
     out = []
     for f in DOCS:
         text = open(f, encoding="utf-8", errors="replace").read()
-        rel = f.split("docs/sql/")[-1]
+        rel = f.split("docs/")[-1]
         for m in re.finditer(r"```sql\n(.*?)```", text, re.S):
             try:
                 parts = split_statements(m.group(1))
@@ -56,20 +70,23 @@ def _doc_statements():
 
 def test_docs_sql_statements_parse():
     stmts = _doc_statements()
-    assert len(stmts) > 1300, f"doc sweep found only {len(stmts)} statements"
+    assert len(stmts) > 2000, f"doc sweep found only {len(stmts)} statements"
     failures = []
-    skipped = 0
+    skipped = set()
     for rel, p in stmts:
         try:
             parse_statement(p)
         except Exception as e:
-            if any(rel == f and s in p for f, s in KNOWN_INVALID):
-                skipped += 1
+            hit = next(
+                ((f, s) for f, s in KNOWN_INVALID if rel == f and s in p), None
+            )
+            if hit:
+                skipped.add(hit)
                 continue
             failures.append((rel, str(e)[:100], p[:120]))
     assert not failures, failures[:10]
     # the skip-list must stay honest: every entry still present & failing
-    assert skipped == len(KNOWN_INVALID)
+    assert skipped == KNOWN_INVALID
 
 
 def test_doc_sugar_forms_execute(spark):
@@ -111,3 +128,18 @@ def test_doc_sugar_forms_execute(spark):
         "WINDOW SLIDING(INTERVAL 10 MINUTES, ADVANCE BY INTERVAL 5 MINUTES)"
     )
     assert df.count() > 0
+
+
+def test_bare_with_values(spark):
+    """Bare (unquoted) WITH values — with_clause_parser.rs:296-308 takes
+    the raw text after '=' and :406 validates booleans as bare
+    true/false; the degradation guide writes "skip.reason.logging" = true."""
+    from velostream_spark.sql.dialect import parse_statement
+
+    st = parse_statement(
+        "CREATE STREAM s AS SELECT * FROM t "
+        "WITH ('source.type' = 'file_source', \"skip.reason.logging\" = true, "
+        "'retry.count' = 3)"
+    )
+    assert st.with_props["skip.reason.logging"] == "true"
+    assert st.with_props["retry.count"] == "3"

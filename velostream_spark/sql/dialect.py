@@ -347,7 +347,12 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
             continue
         pm = re.match(
             r"(?s)^(?:'([^']+)'|\"([^\"]+)\")\s*=\s*"
-            r"(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\")$",
+            # value: quoted either style, or a bare scalar — the reference's
+            # config parser takes the raw text after '=' and unquotes only
+            # if quoted (with_clause_parser.rs:296-308; booleans validated
+            # as bare true/false/yes/no at :406, and the user guides write
+            # e.g. "skip.reason.logging" = true)
+            r"(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\"|([^'\"\s]\S*))$",
             item,
         )
         if not pm:
@@ -355,8 +360,10 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
         key = pm.group(1) if pm.group(1) is not None else pm.group(2)
         if pm.group(3) is not None:
             val = pm.group(3).replace("''", "'")
-        else:
+        elif pm.group(4) is not None:
             val = pm.group(4).replace('""', '"')
+        else:
+            val = pm.group(5)
         props[key] = val
     return sql[: last.start()].rstrip(), props
 
@@ -406,7 +413,7 @@ def _extract_emit(sql: str) -> tuple[str, str | None]:
 
 _WINDOW_RE = re.compile(
     r"(?is)\bWINDOW\s+(TUMBLING|SLIDING|SESSION)\s*\((.*?)\)"
-    r"(?=\s*(?:ORDER\s+BY|LIMIT|EMIT|WITH\s*\(|HAVING|$))"
+    r"(?=\s*(?:ORDER\s+BY|LIMIT|EMIT|WITH\s*\(|HAVING|INTO\s|$))"
 )
 
 
