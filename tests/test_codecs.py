@@ -84,6 +84,14 @@ def test_delta_rewrite_and_execution(spark):
     assert got["dv"].fillna(-1).round(9).tolist() == want["dv"].fillna(-1).round(9).tolist()
 
 
-def test_delta_without_over_errors():
-    with pytest.raises(ValueError, match="OVER"):
-        translate_select("SELECT DELTA(value) FROM events")
+def test_delta_without_over_maps_reference_contexts():
+    """r8 supersedes the old reject-adjudication: the reference defines
+    no-OVER DELTA as max-min in aggregate context
+    (aggregation/functions.rs:320-331) and a typed zero per-record
+    (functions.rs:1809-1828); the dialect now mirrors both."""
+    grouped = translate_select(
+        "SELECT k, DELTA(value) AS d FROM events GROUP BY k"
+    )[0]
+    assert "(MAX(value) - MIN(value))" in grouped
+    ungrouped = translate_select("SELECT DELTA(value) AS d FROM events")[0]
+    assert "(value - value)" in ungrouped

@@ -208,6 +208,13 @@ _LOADED = False
 #: with a shared-pattern-table DuckDB oracle) ← text_analysis — same
 #: pure-Catalyst text family, its token/quality scoring also exercised by
 #: lm_quality_score in the parity mirror.
+#:
+#: ROTATION batch 6 (planned for round 9, once batches 4+5 hold their
+#: first official record in CORRECTNESS_r08): rotate in the round-8
+#: entries span_dedup, corpus_mix, global_shuffle, curation_pipeline
+#: (displacing near-twins whose coverage the parity mirror carries:
+#: candidates dedup_exact -> span_dedup family, stratified_sample ->
+#: corpus_mix, sequence_packing -> curation_pipeline which composes it).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
