@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_mix",
     "global_shuffle",
     "curation_pipeline",
+    "semdedup",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",
@@ -166,7 +167,7 @@ AMORTIZED = {
 #:  - ann_ivf_topk: IVF centroid selection (K ids via min/max agg +
 #:    argmin groupBy) is the one-time index build; the reference's ANN
 #:    benchmarks likewise query a prebuilt index.
-EAGER_DERIVE = {"minhash_lsh_pairs", "ann_ivf_topk"}
+EAGER_DERIVE = {"minhash_lsh_pairs", "ann_ivf_topk", "semdedup"}
 
 #: per-table key columns shifted per replica so joins/window partitions stay
 #: within-replica (more keys, same per-key history — work scales linearly)

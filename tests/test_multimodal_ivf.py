@@ -156,3 +156,42 @@ def test_ivf_trained_centroids_recall(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_semdedup_greedy_by_id_rule(spark):
+    """Hand-built case pinning the survivor semantics: a doc is dropped
+    iff an EARLIER-id doc in the SAME cell has cosine >= tau; kept docs
+    carry max_prior_sim = NULL, dropped docs the max over their earlier
+    in-cell neighbors (rounded to 6 first)."""
+    import math
+
+    vecs = {
+        1: [1.0, 0.0],      # cell 0, first -> kept
+        2: [0.99, 0.14],    # cell 0, cos(1,2) ~ 0.990 -> dropped
+        3: [0.0, 1.0],      # cell 1, first -> kept
+        4: [0.1, 0.995],    # cell 1, cos(3,4) ~ 0.995 -> dropped
+        5: [-1.0, 0.2],     # cell 1, far from 3 and 4 -> kept
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(
+            df, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert {i: out[i]["kept"] for i in vecs} == {
+        1: True, 2: False, 3: True, 4: False, 5: True
+    }
+    assert {i: out[i]["cell"] for i in vecs} == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return round(d / n, 6)
+
+    assert out[1]["max_prior_sim"] is None and out[5]["max_prior_sim"] is None
+    assert out[2]["max_prior_sim"] == pytest.approx(cos(vecs[1], vecs[2]), abs=1e-9)
+    assert out[4]["max_prior_sim"] == pytest.approx(cos(vecs[3], vecs[4]), abs=1e-9)

@@ -410,3 +410,14 @@ def test_doc_chunking_map_side_generate(spark):
     assert "Exchange" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_semdedup_cell_equijoin_no_cartesian(spark):
+    # in-cluster pairwise must stay an equi-join on the cell id (the
+    # cluster bounds the candidate set — that is the whole point of
+    # SemDeDup); forbid all-pairs shapes. Assignment is the one vectorized
+    # MapInPandas BLAS pass shared with IVF.
+    plan = plan_of(spark, "semdedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan

@@ -354,6 +354,67 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    n_centroids: int = 8,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then within each cluster drop every
+    document that has an EARLIER-id neighbor with cosine ≥ threshold (the
+    deterministic greedy-by-id survivor rule also used by dedup_canonical).
+    Returns one row per input doc: (id, cell, kept, max_prior_sim) — the
+    caller filters ``kept`` to materialize the deduplicated corpus.
+
+    Complements embedding_near_dup_pairs (LSH-bucketed): here the
+    candidate set is bounded by the CLUSTER, the index that semantic-dedup
+    pipelines already build. Scale design: pairwise cost is
+    Σ_cells n_c²/2 ≈ N²/2K for balanced cells, so K grows with the corpus
+    (K ≈ √N gives N^1.5/2 comparisons — the same nlist guidance as IVF);
+    the only shuffle carries (id, cell, vector), never text, and the
+    per-cell join is an equi-join on cell — no cartesian. With the default
+    even-spaced deterministic centroids (ivf_centroids) every step is pure
+    arithmetic, so the whole operator has an exact DuckDB oracle; pass a
+    k-means matrix (ivf_train_centroids) for the production index."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    assigned = ivf_assign(
+        corpus, centroids, vec_col, id_col, nprobe=1, out_id="_id", out_vec="_v"
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_cell").alias("cell")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_cell").alias("cell")
+    )
+    # round to 6 BEFORE thresholding (both engines) so a ~1e-16
+    # summation-order difference can never flip a keep/drop at the margin
+    hits = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_cos")
+        )
+        .where(F.col("_cos") >= threshold)
+    )
+    prior = hits.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max("_cos").alias("max_prior_sim")
+    )
+    return (
+        assigned.select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+        .join(prior, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("max_prior_sim").isNull().alias("kept"),
+            "max_prior_sim",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

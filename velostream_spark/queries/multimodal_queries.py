@@ -108,23 +108,13 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
-                    n_queries: int = 20) -> str:
-    """DuckDB oracle for the DETERMINISTIC-index IVF path. Every step of
-    similarity.ivf_topk with even-spaced centroids is pure, SQL-expressible
-    arithmetic: centroid ids snap each of K evenly spaced id targets to the
-    nearest actual id (tie → smaller id); centroid j = j-th smallest chosen
-    id; corpus vectors go to their argmax-cosine cell (tie → lower j, numpy
-    argmax); queries probe their top-nprobe cells (stable argsort → lower j
-    first); exact cosine re-rank within probed cells, ties by neighbor_id.
-    So "approximate" ANN here still has an exact oracle — the approximation
-    is in the INDEX DESIGN, not in any runtime nondeterminism. Both
-    engines round every score to 6 digits BEFORE ordering (ties → lower
-    cell index / neighbor id), so a ~1e-16 summation-order difference
-    between numpy's pairwise dot and DuckDB's sequential list_dot_product
-    can never flip a cell assignment or a rank at a near-tie."""
-    return f"""
-    WITH bounds AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
+def _ivf_cell_ctes(n_centroids: int) -> str:
+    """Shared DuckDB CTE chain reproducing the deterministic IVF index:
+    evenly id-spaced centroid selection (similarity.ivf_centroids) and
+    argmax-cosine cell assignment (similarity.ivf_assign, nprobe=1) —
+    ``corpus_cell(vec_id, v, cell)`` is the assigned corpus. Used by both
+    the ann_ivf_topk and semdedup oracles."""
+    return f"""bounds AS (SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM embeddings),
     targets AS (
       SELECT DISTINCT lo + ((hi - lo) * g.i) // {n_centroids} AS t
       FROM bounds, (SELECT UNNEST(range({n_centroids})) AS i) g
@@ -155,7 +145,26 @@ def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
                    AS rn
         FROM corpus c CROSS JOIN cents ct
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+                    n_queries: int = 20) -> str:
+    """DuckDB oracle for the DETERMINISTIC-index IVF path. Every step of
+    similarity.ivf_topk with even-spaced centroids is pure, SQL-expressible
+    arithmetic: centroid ids snap each of K evenly spaced id targets to the
+    nearest actual id (tie → smaller id); centroid j = j-th smallest chosen
+    id; corpus vectors go to their argmax-cosine cell (tie → lower j, numpy
+    argmax); queries probe their top-nprobe cells (stable argsort → lower j
+    first); exact cosine re-rank within probed cells, ties by neighbor_id.
+    So "approximate" ANN here still has an exact oracle — the approximation
+    is in the INDEX DESIGN, not in any runtime nondeterminism. Both
+    engines round every score to 6 digits BEFORE ordering (ties → lower
+    cell index / neighbor id), so a ~1e-16 summation-order difference
+    between numpy's pairwise dot and DuckDB's sequential list_dot_product
+    can never flip a cell assignment or a rank at a near-tie."""
+    return f"""
+    WITH {_ivf_cell_ctes(n_centroids)},
     q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
           FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
     q_cells AS (
@@ -215,6 +224,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("ann_ivf_topk", sf_dir),
         lambda: similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4),
+    )
+
+
+def _semdedup_oracle(n_centroids: int = 8, threshold: float = 0.3) -> str:
+    """Exact oracle for the deterministic-index semdedup path: the shared
+    IVF cell CTEs assign every vector, then within-cell pairs (id_a <
+    id_b) with ROUND(cos, 6) ≥ threshold mark the LATER doc a duplicate;
+    kept = no earlier in-cell neighbor above threshold."""
+    return f"""
+    WITH {_ivf_cell_ctes(n_centroids)},
+    hits AS (
+      SELECT b.vec_id AS id_b,
+             ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v)) > 0
+                        THEN list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v)))
+                        ELSE 0.0 END, 6) AS _cos
+      FROM corpus_cell a JOIN corpus_cell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    prior AS (
+      SELECT id_b AS vec_id, MAX(_cos) AS max_prior_sim
+      FROM hits WHERE _cos >= {threshold} GROUP BY id_b
+    )
+    SELECT cc.vec_id, cc.cell,
+           p.vec_id IS NULL AS kept,
+           p.max_prior_sim
+    FROM corpus_cell cc LEFT JOIN prior p ON cc.vec_id = p.vec_id
+    """
+
+
+@query(
+    "semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("pipeline", "dedup", "embedding", "clustering", "beyond-reference"),
+)
+def semdedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over the clustered embedding space
+    (SemDeDup, Abbas et al. 2023): per-doc keep/drop verdicts where a doc
+    is dropped iff an earlier-id doc in the SAME cluster cell has cosine
+    ≥ τ. Cluster-bounded candidates complement the LSH-bucketed
+    embedding_near_dup; with the deterministic even-spaced index the
+    entire operator is exact-oracle-checkable (_semdedup_oracle). The demo
+    τ=0.3 sits at the p99 of in-cell pairwise cosine on the synthetic
+    near-orthogonal embeddings (production: τ≈0.95 on real embeddings,
+    K≈√N cells). Index build (centroid selection) is memoized like
+    ann_ivf_topk — declared EAGER_DERIVE in bench."""
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("semdedup", sf_dir),
+        lambda: similarity.semdedup(
+            emb, "embedding", "vec_id", threshold=0.3, n_centroids=8
+        ),
     )
 
 
