@@ -312,10 +312,12 @@ def main() -> None:
     derive: dict[str, float] = {}
     flagged: list[str] = []
     total = 0.0
+    # dev-only subset filter (unset in driver runs → full headline list)
+    only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s}
     try:
         for name in HEADLINE:
             entry = catalog.get(name)
-            if entry is None:
+            if entry is None or (only and name not in only):
                 continue
             tables, rep = amortized.get(name, (None, 1))
             # amortized entries MUST resolve their combo dir — a silent

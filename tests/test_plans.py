@@ -412,12 +412,15 @@ def test_doc_chunking_map_side_generate(spark):
         assert node not in plan, plan
 
 
-def test_semdedup_cell_equijoin_no_cartesian(spark):
-    # in-cluster pairwise must stay an equi-join on the cell id (the
-    # cluster bounds the candidate set — that is the whole point of
-    # SemDeDup); forbid all-pairs shapes. Assignment is the one vectorized
-    # MapInPandas BLAS pass shared with IVF.
+def test_semdedup_one_shuffle_grouped_blas(spark):
+    # cluster bounds the candidate set (the whole point of SemDeDup): one
+    # MapInPandas assignment pass (shared with IVF), ONE shuffle on the
+    # cell id, one grouped-Arrow BLAS pass per cell — never a pair join,
+    # never an all-pairs shape
     plan = plan_of(spark, "semdedup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
