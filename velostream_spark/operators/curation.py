@@ -258,9 +258,21 @@ def global_shuffle(
     run in parallel and nothing ever funnels into one partition.
     """
     h = _shuffle_key(F.col(id_col))
-    base = docs.select(F.col(id_col), *keep, h.alias("_h")).withColumn(
-        "shard", F.substring("_h", 1, 2)
-    )
+    # shard is non-nullable by construction (coalesce with a literal) so
+    # the inner offsets join can't inject useless isnotnull filters.
+    # Two-phase design (the zipWithIndex shape): the offsets branch is a
+    # column-pruned count-only pass whose shuffle is 256 PARTIAL COUNTS
+    # (map-side combined), the main branch shuffles the rows once. At
+    # 100 TB the count pass reads one column; a composed input re-executes
+    # its (pruned) lineage for that pass — compose-heavy callers should
+    # materialize their input first (see curation_pipeline). Exchange
+    # reuse can't merge the branches: column pruning narrows the offsets
+    # projection below its exchange, so the subtrees never canonicalize
+    # equal (verified; Spark also rewrites count(struct(...)) keep-alives
+    # back to count(1)).
+    base = docs.select(
+        F.col(id_col), *keep, F.coalesce(h, F.lit("")).alias("_h")
+    ).withColumn("shard", F.substring("_h", 1, 2))
     # 256-row dimension: per-shard row counts -> cumulative base offsets.
     offsets = (
         base.groupBy("shard")

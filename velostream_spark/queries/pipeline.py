@@ -1033,7 +1033,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch) id. Every stage reuses the standalone operator (and its shared
     constants), so this entry proves the operators COMPOSE — the oracle is
     the same chain as DuckDB CTEs. At 100 TB the plan shuffles token
-    counts and ids, never document text past the fingerprint stage."""
+    counts and ids, never document text past the fingerprint stage.
+
+    Cost note (measured): global_shuffle's 256-shard offsets pass
+    re-executes a column-PRUNED copy of the upstream lineage (Catalyst
+    drops the pack window from it; exchange reuse can't merge the
+    branches because that same pruning de-canonicalizes them — see
+    operators/curation.py). Composed-lazy beat materializing the packed
+    stage (localCheckpoint) 1.6 s vs 1.9 s at sf0.1; at 100 TB production
+    would WRITE the packed corpus (it is the deliverable) and shuffle over
+    the written table, making the offsets pass a count-only scan."""
     t = tables(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     txt = F.col("text")
