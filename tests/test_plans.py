@@ -18,6 +18,13 @@ from velostream_spark.registry import all_queries
 
 
 def plan_of(spark, name: str) -> str:
+    # Memoized entries (semdedup, ann_ivf_*) hand back the SAME DataFrame
+    # a previous test may have executed; an executed AQE plan explains as
+    # Final Plan + Initial Plan, doubling every node string. Clear the
+    # memo so these audits always pin the freshly-constructed shape.
+    from velostream_spark.registry import _PLAN_MEMO
+
+    _PLAN_MEMO.clear()
     df = all_queries()[name].fn(spark, SF_SMOKE)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
