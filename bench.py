@@ -87,6 +87,9 @@ HEADLINE = [
     "streaming_group_by_changes",
     "streaming_rows_window",
     "streaming_session_join",
+    # rep=1: content-keyed dedup collapses replicated copies (identical
+    # text → one survivor), so replication would NOT scale its work
+    "streaming_curation",
 ]
 
 #: query -> (tables, replication factor R). Each reads ONLY the named tables;

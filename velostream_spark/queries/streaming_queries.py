@@ -502,3 +502,67 @@ def streaming_group_by_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return run_available_now(agg, mode, "group_by_final")
+
+
+def _streaming_curation_oracle() -> str:
+    from velostream_spark.operators import textops
+
+    gf = textops.gopher_features_sql("text")
+    norm = textops.normalize_sql("text")
+    return f"""
+    SELECT DISTINCT lang,
+           md5(lang || '#' || ({norm}))     AS fp,
+           {textops.token_count_sql('text')} AS n_tokens
+    FROM documents
+    WHERE ({gf['n_words']} BETWEEN {textops.GOPHER_MIN_WORDS} AND {textops.GOPHER_MAX_WORDS})
+      AND ({gf['mean_word_len']} BETWEEN {textops.GOPHER_MIN_MEAN_WORD_LEN}
+           AND {textops.GOPHER_MAX_MEAN_WORD_LEN})
+      AND ({gf['stop_hits']} >= {textops.GOPHER_MIN_STOPWORD_HITS})
+      AND ({gf['symbol_ratio']} <= {textops.GOPHER_MAX_SYMBOL_RATIO})
+    """
+
+
+@query(
+    "streaming_curation",
+    oracle=_streaming_curation_oracle(),
+    tags=("streaming", "curation", "dedup", "quality", "beyond-reference"),
+)
+def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus curation: the batch curation_pipeline's ingest half
+    as ONE streaming plan — Gopher quality gate (stateless, scan-side) →
+    exact-content dedup (dropDuplicates keyed on the content fingerprint,
+    the streaming analog of the batch min-id survivor window) → token
+    counting. New documents stream in; only first-seen content survives.
+
+    Every emitted column is functionally determined by the dedup key
+    (fp = md5(lang#normalized_text); n_tokens derives from the normalized
+    text alone), so the append-mode output equals batch SELECT DISTINCT
+    regardless of arrival order — that is the oracle. State at 100 TB:
+    one 16-byte hash per surviving doc in the dedup store; production
+    bounds it with dropDuplicatesWithinWatermark (evict by event time),
+    unbounded here because the source is bounded and un-timestamped."""
+    from velostream_spark.operators import textops
+
+    sdf = stream_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    staged = sdf.select(
+        "lang",
+        txt.alias("text"),
+        textops.normalize(txt).alias("_norm"),
+        textops.words(txt).alias("_words"),
+    )
+    gf = textops.gopher_features_from(F.col("text"), F.col("_norm"), F.col("_words"))
+    q = staged.where(
+        gf["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
+        & gf["mean_word_len"].between(
+            textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
+        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+    )
+    rows = q.select(
+        "lang",
+        F.md5(F.concat_ws("#", F.col("lang"), F.col("_norm"))).alias("fp"),
+        textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
+    ).dropDuplicates(["fp"])
+    return run_available_now(rows, "append", "streaming_curation")
