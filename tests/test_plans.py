@@ -431,3 +431,21 @@ def test_semdedup_one_shuffle_grouped_blas(spark):
     assert "MapInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("+- Exchange") == 1, plan
+
+
+def test_curation_pipeline_shuffles_never_carry_text(spark):
+    # the dedup/pack/shuffle KEYED exchanges must move only ids,
+    # fingerprints and token counts — at 100 TB a keyed shuffle carrying
+    # text/_norm/_words would be corpus-sized. (The round-robin exchange is
+    # exempt: it is the declared CPU-spread of the bench's single-file
+    # scan, which a many-file 100-TB layout wouldn't need.)
+    plan = plan_of(spark, "curation_pipeline")
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if (
+            first.startswith("(")
+            and "Exchange" in first
+            and "RoundRobinPartitioning" not in seg
+        ):
+            for payload in ("text#", "_norm#", "_words#"):
+                assert payload not in seg, (first, seg)

@@ -1064,15 +1064,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    keep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("_norm"))))
+    # Fingerprint and token count are computed BEFORE the survivor window
+    # so the dedup exchange carries only (doc_id, lang, _fp, n_tokens) —
+    # ~50 B/row — instead of the text/norm/words payloads (at 100 TB the
+    # dedup shuffle volume drops from corpus-sized to id-sized).
+    narrow = q.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("_norm")).alias("_fp"),
+        textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("_fp"))
     surv = (
-        q.withColumn("_keep", keep)
+        narrow.withColumn("_keep", keep)
         .where(F.col("doc_id") == F.col("_keep"))
-        .select(
-            "doc_id",
-            "lang",
-            textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
-        )
+        .select("doc_id", "lang", "n_tokens")
     )
     mixed = curation.corpus_mix(surv, "lang", "doc_id", keep=("n_tokens",))
     packed = sampling.pack_sequences(
