@@ -195,3 +195,52 @@ def test_semdedup_greedy_by_id_rule(spark):
     assert out[1]["max_prior_sim"] is None and out[5]["max_prior_sim"] is None
     assert out[2]["max_prior_sim"] == pytest.approx(cos(vecs[1], vecs[2]), abs=1e-9)
     assert out[4]["max_prior_sim"] == pytest.approx(cos(vecs[3], vecs[4]), abs=1e-9)
+
+
+def test_semdedup_blocked_sweep_matches_full_gram(spark):
+    """A cell WIDER than _DEDUP_BLOCK (forced tiny here) must produce
+    bit-equal verdicts to the one-shot full-Gram formulation — including
+    duplicate vectors (the boilerplate mega-cell case the blocking exists
+    for), zero-norm rows, and the None/max_prior_sim boundary."""
+    import numpy as np
+
+    from velostream_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    v = rng.normal(size=(n, dim))
+    v[50] = v[10]          # exact duplicate of an earlier id
+    v[120] = 0.0           # zero-norm row
+    v[130] = v[125] * 2.0  # scaled copy: cosine exactly 1 with id 125
+    rows = [(i, [float(x) for x in v[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.zeros((1, dim))  # one cell: everything lands together
+
+    # reference: one full Gram, same rounding/tie rules
+    norms = np.sqrt((v * v).sum(axis=1))
+    s = np.round(v @ v.T / np.maximum(np.outer(norms, norms), 1e-300), 6)
+    zero = norms == 0.0
+    s[zero, :] = 0.0
+    s[:, zero] = 0.0
+    upper = np.triu(np.ones_like(s, dtype=bool), k=1)
+    thr = 0.5
+    want_prior = (upper & (s >= thr)).any(axis=0)
+    want_maxp = np.where(upper, s, -np.inf).max(axis=0, initial=-np.inf)
+
+    old = sim._DEDUP_BLOCK
+    sim._DEDUP_BLOCK = 16  # force many blocks over the 200-row cell
+    try:
+        out = {
+            r["vec_id"]: r
+            for r in sim.semdedup(df, threshold=thr, centroids=cents).collect()
+        }
+    finally:
+        sim._DEDUP_BLOCK = old
+    for i in range(n):
+        assert out[i]["kept"] == (not want_prior[i]), i
+        if want_prior[i]:
+            assert out[i]["max_prior_sim"] == float(want_maxp[i]), i
+        else:
+            assert out[i]["max_prior_sim"] is None, i
+    assert not out[50]["kept"] and out[50]["max_prior_sim"] == 1.0
+    assert not out[130]["kept"] and out[130]["max_prior_sim"] == 1.0

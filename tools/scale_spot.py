@@ -1,0 +1,130 @@
+"""Scale-up spot check for the corpus-curation operators (PERF.md table).
+
+Replicates sf0.1 `documents` / `embeddings` R× into a multi-file /dev/shm
+layout and re-times the curation entries steady-state. Replication rules
+differ from bench.py's key-shift pool because these operators key on
+CONTENT, not ids:
+
+- documents: doc_id shifts by R*max; text gets a per-replica suffix token
+  (" repN") so content is unique ACROSS replicas while every intra-replica
+  duplicate relationship (exact dups, shared spans) is preserved — the
+  dedup work scales linearly instead of collapsing 16 replicas into one
+  survivor set.
+- embeddings (semdedup): vec_id shifts; vectors are kept identical, and
+  n_centroids scales WITH the corpus (K ≈ R×K0, the production rule
+  K≈√N applied to a replicated corpus) so per-cell candidate sets — and
+  therefore the O(cell²) Gram work per cell — stay constant-sized. At
+  fixed K a 16× corpus would mean 256× Gram FLOPs, which is a scaling
+  ANTI-pattern, not a measurement.
+
+Usage: python tools/scale_spot.py [reps ...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
+    """documents ×rep with shifted ids + content-perturbing suffix; every
+    other table symlinked at 1× so catalog entries resolve them."""
+    from velostream_spark.session import TABLE_NAMES, load_tables
+
+    d = os.path.join(root, f"sf_docs_x{rep}")
+    os.makedirs(d)
+    dfs = load_tables(spark, sf_dir, register_views=False)
+    docs = dfs["documents"]
+    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(rep).select(F.col("id").alias("rep"))
+    out = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * max_id).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+        "lang",
+        "source",
+        F.col("n_chars"),
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    emb = dfs["embeddings"]
+    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
+        "embedding",
+        "label",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    for t in TABLE_NAMES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if t not in ("documents", "embeddings") and os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+def steady_min(build, runs: int = 3) -> float:
+    build().count()  # warm (also pays one-time memo/index derivation)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    reps = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from velostream_spark.registry import all_queries, memo_plan
+    from velostream_spark.session import get_session
+    from velostream_spark.operators import similarity
+
+    spark = get_session("scale-spot")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="vs-scale-spot-", dir=shm)
+    qs = all_queries()
+    entries = [
+        "span_dedup",
+        "curation_pipeline",
+        "pii_scrub",
+        "gopher_quality_filter",
+        "dedup_exact",
+        "global_shuffle",
+        "streaming_curation",
+    ]
+    try:
+        dirs = {r: replicate_docs(spark, sf_dir, r, root) for r in reps}
+        print(f"{'query':24s} " + " ".join(f"{r:>2d}x_wall" for r in reps))
+        for name in entries:
+            walls = [steady_min(lambda d=dirs[r]: qs[name].fn(spark, d)) for r in reps]
+            print(f"{name:24s} " + " ".join(f"{w:7.3f}" for w in walls))
+        # semdedup with K scaled alongside the corpus (see module doc)
+        walls = []
+        for r in reps:
+            from velostream_spark.session import load_tables
+
+            emb = load_tables(spark, dirs[r], register_views=False)["embeddings"]
+            walls.append(
+                steady_min(
+                    lambda e=emb, r=r: memo_plan(
+                        spark,
+                        ("scale-spot-semdedup", r),
+                        lambda: similarity.semdedup(
+                            e, "embedding", "vec_id", threshold=0.3, n_centroids=8 * r
+                        ),
+                    )
+                )
+            )
+        print(f"{'semdedup (K=8R)':24s} " + " ".join(f"{w:7.3f}" for w in walls))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
