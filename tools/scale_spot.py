@@ -54,9 +54,16 @@ def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
     )
     emb = dfs["embeddings"]
     max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    # Perturb dim 0 per replica so vectors are unique ACROSS replicas —
+    # identical vectors would pile every copy into the same IVF cell
+    # (cells 16× bigger → 256× Gram work: the mega-cell stress case, now
+    # handled by the blocked sweep but not a linear-scaling measurement).
     emb.crossJoin(F.broadcast(reps)).select(
         (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
-        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN CAST(x + rep * 0.0137 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
         "label",
     ).repartition(32).write.mode("overwrite").parquet(
         os.path.join(d, "embeddings.parquet")

