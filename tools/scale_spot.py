@@ -54,15 +54,21 @@ def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
     )
     emb = dfs["embeddings"]
     max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
-    # Perturb dim 0 per replica so vectors are unique ACROSS replicas —
+    # Perturb per replica so vectors are distinct ACROSS replicas —
     # identical vectors would pile every copy into the same IVF cell
-    # (cells 16× bigger → 256× Gram work: the mega-cell stress case, now
+    # (cells R× bigger → R²× Gram work: the mega-cell stress case, now
     # handled by the blocked sweep but not a linear-scaling measurement).
+    # Circular dimension rotation + sign flip: norm-preserving, keeps the
+    # within-replica similarity structure intact, and spreads replicas
+    # over different cells (an additive dim-0 drift was tried first and
+    # itself CREATED a 40k-row mega-cell — big-dim-0 vectors all look
+    # alike to cosine). Unique for rep < 2·dim = 128.
     emb.crossJoin(F.broadcast(reps)).select(
         (F.col("vec_id") + F.col("rep") * max_vid).alias("vec_id"),
         F.expr(
-            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
-            "THEN CAST(x + rep * 0.0137 AS FLOAT) ELSE x END)"
+            "transform(embedding, (x, i) -> CAST("
+            "(1 - 2 * ((rep div 64) % 2)) * "
+            "element_at(embedding, CAST(((i + rep) % 64) + 1 AS INT)) AS FLOAT))"
         ).alias("embedding"),
         "label",
     ).repartition(32).write.mode("overwrite").parquet(
