@@ -62,6 +62,7 @@ HEADLINE = [
     "sliding_window",
     "session_window",
     "text_analysis",
+    "bpe_pair_counts",
     "pii_scrub",
     "repetition_filter",
     "gopher_quality_filter",

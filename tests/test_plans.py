@@ -449,3 +449,20 @@ def test_curation_pipeline_shuffles_never_carry_text(spark):
         ):
             for payload in ("text#", "_norm#", "_words#"):
                 assert payload not in seg, (first, seg)
+
+
+def test_bpe_pair_counts_tiny_shuffle_topn(spark):
+    # pair generation is map-side (explode + substring codegen, no Python);
+    # the only exchange carries (pair, partial_count) — alphabet²-bounded
+    # regardless of corpus size — and the final N come via TakeOrdered
+    plan = plan_of(spark, "bpe_pair_counts")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partial count
+    assert "partial_count" in plan, plan
+    # exactly one keyed exchange (the pair-count agg); no doc-payload columns
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if first.startswith("(") and "Exchange" in first and "hashpartitioning" in seg:
+            assert "text#" not in seg and "word#" not in seg, seg

@@ -1093,3 +1093,65 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.global_shuffle(
         packed, "mix_id", keep=("doc_id", "lang", "epoch", "n_tokens", "pack_id")
     ).select("doc_id", "lang", "epoch", "n_tokens", "pack_id", "global_pos")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary induction: distributed BPE pair counting
+
+_BPE_PAIRS_TOPN = 50
+
+_BPE_PAIRS_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split({textops.normalize_sql('text')}, ' ')) AS word
+  FROM documents
+),
+p AS (
+  SELECT substr(w.word, CAST(g.i AS INT), 2) AS pair
+  FROM w, LATERAL (SELECT unnest(range(1, length(w.word))) AS i) g
+)
+SELECT pair, COUNT(*) AS n
+FROM p
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_PAIRS_TOPN}
+"""
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=_BPE_PAIRS_ORACLE,
+    tags=("pipeline", "tokenizer", "vocab", "beyond-reference"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-step statistics (Sennrich et al. 2016): the
+    frequency of every adjacent character pair within words across the
+    corpus — the quantity one iteration of byte-pair-encoding vocabulary
+    training maximizes. Top-N pairs returned (deterministic: count desc,
+    pair asc); a driver loop re-invoking this with the previous winner
+    merged IS distributed BPE training.
+
+    Scale shape: the pair generation is all map-side (explode words →
+    per-word substring pairs, pure codegen — no Python, no data shuffle);
+    the only exchange carries (pair, partial_count) — pair cardinality is
+    alphabet², thousands of rows regardless of corpus size — followed by
+    a TakeOrdered top-N. A 100-TB corpus shuffles kilobytes."""
+    t = tables(spark, sf_dir)
+    word = F.explode(textops.words(F.col("text"))).alias("word")
+    words = t["documents"].select(word)
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_PAIRS_TOPN)
+    )
