@@ -1,0 +1,64 @@
+"""BPE training exactness pins (operators/bpe.py).
+
+The merge loop has no SQL oracle (iterative state), so correctness is
+pinned three ways: the published paper example, agreement of the first
+merge with the exact-oracle-gated bpe_pair_counts entry, and the
+max-frequency monotonicity invariant (merging can only create pairs no
+more frequent than the pair just merged)."""
+
+from __future__ import annotations
+
+from velostream_spark.operators.bpe import bpe_merges_from_counts, bpe_train
+
+
+def test_paper_example_merge_sequence():
+    # Sennrich et al. 2016 §3.2 example dictionary (end-of-word marker
+    # omitted — this module's convention): the most frequent pair of
+    # {'low':5,'lower':2,'newest':6,'widest':3} is ('e','s') freq 9,
+    # then ('es','t') freq 9, then ('l','o') freq 7, ('lo','w') freq 7.
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_merges_from_counts(counts, 4)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+
+def test_overlapping_pairs_counted_like_reference():
+    # 'aaaa' contributes THREE (a,a) pairs to the statistics but a
+    # left-to-right merge pass collapses it to two 'aa' symbols — the
+    # reference learn_bpe behavior (overlap-counting stats, non-overlap
+    # replacement)
+    merges = bpe_merges_from_counts([("aaaa", 1)], 2)
+    assert merges[0] == ("a", "a", 3)
+    assert merges[1] == ("aa", "aa", 1)
+
+
+def test_tie_breaks_lexicographic():
+    # 'ab' and 'ba' both appear twice -> 'ab' merges first
+    merges = bpe_merges_from_counts([("aba", 1), ("bab", 1)], 1)
+    assert merges[0][:2] == ("a", "b")
+
+
+def test_max_frequency_never_increases():
+    counts = [("banana", 4), ("bandana", 3), ("cabana", 2), ("análisis", 5)]
+    merges = bpe_merges_from_counts(counts, 10)
+    freqs = [n for _, _, n in merges]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_first_merge_matches_gated_pair_counts(spark):
+    # round 1 of the merge loop over UNCAPPED word counts computes exactly
+    # the statistic bpe_pair_counts (exact DuckDB oracle) ranks — the two
+    # paths must agree on the argmax pair and its frequency
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.registry import all_queries
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    merges = bpe_train(docs, "text", n_merges=1, vocab_cap=10**9)
+    top = all_queries()["bpe_pair_counts"].fn(spark, SF_SMOKE).first()
+    assert merges[0][0] + merges[0][1] == top["pair"]
+    assert merges[0][2] == top["n"]

@@ -1,0 +1,104 @@
+"""Distributed BPE tokenizer training (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public).
+
+Byte-pair-encoding vocabulary induction factors cleanly for Spark:
+
+1. **Corpus pass (distributed, once):** word frequencies. BPE's merge loop
+   never needs the corpus again — only the (word, count) dictionary, which
+   is what the reference implementation iterates over. At 100 TB this is
+   one map-side-combined groupBy whose shuffle carries (word, partial
+   count); the dictionary is capped at the top ``vocab_cap`` words by
+   (count desc, word asc) — standard practice, and the cap is a TopK, not
+   a full sort.
+2. **Merge loop (driver, over the capped dictionary):** exact BPE — count
+   adjacent symbol pairs weighted by word frequency, merge the argmax
+   (ties → lexicographically smallest pair, making training fully
+   deterministic), repeat. The dictionary is vocab_cap-bounded, so the
+   loop is O(n_merges · vocab_cap · max_word_len) driver work —
+   independent of corpus size.
+
+``queries/pipeline.py::bpe_pair_counts`` exposes step 2's FIRST iteration
+as a fully-distributed, exact-oracle catalog entry; this module carries
+the complete training loop (catalog entry ``bpe_train_merges``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from velostream_spark.operators import textops
+
+__all__ = ["word_counts", "bpe_merges_from_counts", "bpe_train"]
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", vocab_cap: int = 50000
+) -> DataFrame:
+    """(word, n) for the ``vocab_cap`` most frequent whitespace words of the
+    normalized text. Deterministic: ties broken on the word itself. The
+    only shuffle carries (word, partial_count)."""
+    w = F.explode(textops.words(F.col(text_col))).alias("word")
+    return (
+        docs.select(w)
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(vocab_cap)
+    )
+
+
+def bpe_merges_from_counts(
+    counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact BPE merge sequence over a (word, count) dictionary.
+
+    Returns up to ``n_merges`` tuples (left, right, pair_frequency) in merge
+    order. Deterministic: the merged pair is the (frequency desc, pair asc)
+    argmax each round. Words are sequences of single characters initially;
+    merged symbols concatenate (no end-of-word marker — matching
+    bpe_pair_counts' plain-pair statistics)."""
+    vocab: dict[tuple[str, ...], int] = {tuple(w): c for w, c in counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        top_freq = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top_freq)
+        merges.append((best_pair[0], best_pair[1], top_freq))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        a, b = best_pair
+        ab = a + b
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    vocab_cap: int = 50000,
+) -> list[tuple[str, str, int]]:
+    """Full BPE training: one distributed corpus pass → driver merge loop.
+    Only the capped dictionary (≤ vocab_cap rows) reaches the driver."""
+    counts = [(r["word"], r["n"]) for r in word_counts(docs, text_col, vocab_cap).collect()]
+    return bpe_merges_from_counts(counts, n_merges)

@@ -1155,3 +1155,27 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_PAIRS_TOPN)
     )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # iterative merge loop is not SQL-expressible (rows-only
+    # driver check); exactness is pinned in tests/test_bpe.py instead:
+    # paper example, first-merge == bpe_pair_counts top row (which IS
+    # exact-oracle-gated), monotone max-frequency invariant
+    tags=("pipeline", "tokenizer", "vocab", "beyond-reference"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training over the corpus (operators/bpe.py): ONE
+    distributed word-count pass (shuffle = (word, partial count), capped
+    TopK dictionary), then the exact deterministic merge loop over the
+    driver-sized dictionary — the merge TABLE is the training artifact, so
+    a driver-sized result is the correct shape, not a collect() smell."""
+    from velostream_spark.operators import bpe
+
+    t = tables(spark, sf_dir)
+    merges = bpe.bpe_train(t["documents"], "text", n_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_freq bigint",
+    )
