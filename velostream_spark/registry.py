@@ -211,10 +211,12 @@ _LOADED = False
 #:
 #: ROTATION batch 6 (planned for round 9, once batches 4+5 hold their
 #: first official record in CORRECTNESS_r08): rotate in the round-8
-#: entries span_dedup, corpus_mix, global_shuffle, curation_pipeline
-#: (displacing near-twins whose coverage the parity mirror carries:
-#: candidates dedup_exact -> span_dedup family, stratified_sample ->
-#: corpus_mix, sequence_packing -> curation_pipeline which composes it).
+#: entries span_dedup, corpus_mix, global_shuffle, curation_pipeline,
+#: semdedup, streaming_curation, bpe_pair_counts (displacing near-twins
+#: whose coverage the parity mirror carries: candidates dedup_exact ->
+#: span_dedup family, stratified_sample -> corpus_mix, sequence_packing
+#: -> curation_pipeline which composes it, streaming_dedup-family twin ->
+#: streaming_curation, a scalar-function twin -> bpe_pair_counts).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
