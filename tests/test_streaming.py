@@ -613,3 +613,71 @@ def test_session_join_out_of_order_bucketed(spark, tmp_path):
         spark, tmp_path, "bucketed", buckets=4, late_slack_minutes=120
     )
     assert got == EXPECTED_OOO_PAIRS
+
+
+def test_streaming_curation_dedups_across_micro_batches(spark, tmp_path):
+    """The dedup state must survive micro-batch boundaries: a duplicate of
+    batch-1 content arriving in batch 2 is DROPPED by the state store (not
+    merely within-batch distinct). Two parquet files + maxFilesPerTrigger=1
+    force two micro-batches in one availableNow run."""
+    import os as _os
+
+    from velostream_spark.queries.streaming_queries import curation_stream
+    from velostream_spark.streaming.runner import run_available_now
+
+    # 24 words each, mean word length in [3, 10], ≥2 distinct stopwords,
+    # no symbols — both pass the Gopher gate (asserted below, so a gate
+    # constant change can't silently hollow out this test)
+    good = (
+        "the curious fox walks around the quiet meadow and watches "
+        "every bird that sings with great patience during the long "
+        "warm summer afternoon hours"
+    )
+    other = (
+        "the careful owl glides over the silent valley and studies "
+        "every mouse that moves with quiet focus during the cold "
+        "clear winter morning hours"
+    )
+    from velostream_spark.operators import textops
+
+    probe = spark.createDataFrame([(good,), (other,)], "text string")
+    gf = textops.gopher_features(F.col("text"))
+    assert (
+        probe.where(
+            gf["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
+            & gf["mean_word_len"].between(
+                textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
+            )
+            & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
+            & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+        ).count()
+        == 2
+    ), "test texts must pass the quality gate"
+
+    src = str(tmp_path / "docs_stream")
+    _os.makedirs(src)
+    b1 = spark.createDataFrame([(1, good, "en")], "doc_id long, text string, lang string")
+    b2 = spark.createDataFrame(
+        [(2, good, "en"), (3, other, "en")],  # 2 = cross-batch duplicate
+        "doc_id long, text string, lang string",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    # file-stream source orders batches by modification time — force it
+    now = time.time()
+    for sub, ts in (("f1", now - 120), ("f2", now - 60)):
+        d = _os.path.join(src, sub)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (ts, ts))
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = run_available_now(curation_stream(sdf), "append", "cur_state").collect()
+    # 3 input docs, 2 distinct contents: the batch-2 duplicate must be
+    # dropped by cross-batch state
+    assert len(out) == 2, out
+    assert len({r["fp"] for r in out}) == 2

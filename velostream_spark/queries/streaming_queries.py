@@ -527,23 +527,15 @@ def _streaming_curation_oracle() -> str:
     oracle=_streaming_curation_oracle(),
     tags=("streaming", "curation", "dedup", "quality", "beyond-reference"),
 )
-def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous corpus curation: the batch curation_pipeline's ingest half
-    as ONE streaming plan — Gopher quality gate (stateless, scan-side) →
+def curation_stream(sdf: DataFrame) -> DataFrame:
+    """The continuous-curation transformation over any documents stream
+    (lang, text): Gopher quality gate (stateless, scan-side) →
     exact-content dedup (dropDuplicates keyed on the content fingerprint,
     the streaming analog of the batch min-id survivor window) → token
-    counting. New documents stream in; only first-seen content survives.
-
-    Every emitted column is functionally determined by the dedup key
-    (fp = md5(lang#normalized_text); n_tokens derives from the normalized
-    text alone), so the append-mode output equals batch SELECT DISTINCT
-    regardless of arrival order — that is the oracle. State at 100 TB:
-    one 16-byte hash per surviving doc in the dedup store; production
-    bounds it with dropDuplicatesWithinWatermark (evict by event time),
-    unbounded here because the source is bounded and un-timestamped."""
+    counting. Shared by the catalog entry and the multi-micro-batch state
+    test (tests/test_streaming.py)."""
     from velostream_spark.operators import textops
 
-    sdf = stream_table(spark, sf_dir, "documents")
     txt = F.col("text")
     staged = sdf.select(
         "lang",
@@ -560,9 +552,26 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
         & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
     )
-    rows = q.select(
+    return q.select(
         "lang",
         F.md5(F.concat_ws("#", F.col("lang"), F.col("_norm"))).alias("fp"),
         textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
     ).dropDuplicates(["fp"])
+
+
+def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus curation: the batch curation_pipeline's ingest half
+    as ONE streaming plan (see curation_stream). New documents stream in;
+    only first-seen content survives.
+
+    Every emitted column is functionally determined by the dedup key
+    (fp = md5(lang#normalized_text); n_tokens derives from the normalized
+    text alone), so the append-mode output equals batch SELECT DISTINCT
+    regardless of arrival order — that is the oracle. State at 100 TB:
+    one 16-byte hash per surviving doc in the dedup store; production
+    bounds it with dropDuplicatesWithinWatermark (evict by event time),
+    unbounded here because the source is bounded and un-timestamped.
+    Cross-micro-batch state (a duplicate arriving in a LATER batch is
+    dropped) is pinned in tests/test_streaming.py."""
+    rows = curation_stream(stream_table(spark, sf_dir, "documents"))
     return run_available_now(rows, "append", "streaming_curation")
