@@ -522,11 +522,6 @@ def _streaming_curation_oracle() -> str:
     """
 
 
-@query(
-    "streaming_curation",
-    oracle=_streaming_curation_oracle(),
-    tags=("streaming", "curation", "dedup", "quality", "beyond-reference"),
-)
 def curation_stream(sdf: DataFrame) -> DataFrame:
     """The continuous-curation transformation over any documents stream
     (lang, text): Gopher quality gate (stateless, scan-side) →
@@ -559,6 +554,11 @@ def curation_stream(sdf: DataFrame) -> DataFrame:
     ).dropDuplicates(["fp"])
 
 
+@query(
+    "streaming_curation",
+    oracle=_streaming_curation_oracle(),
+    tags=("streaming", "curation", "dedup", "quality", "beyond-reference"),
+)
 def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous corpus curation: the batch curation_pipeline's ingest half
     as ONE streaming plan (see curation_stream). New documents stream in;
