@@ -48,6 +48,25 @@ KNOWN_INVALID = {
     # `# comment` inside a WITH clause: the reference tokenizer only knows
     # `--` and `/* */` comments (tokenizer.rs:135+), so this fails there too
     ("data-sources/multi-source-sink-guide.md", "# Override YAML value"),
+    # round 8 (exposed when the CREATE fallthrough-to-select mis-parse was
+    # replaced by real structural errors):
+    # `CREATE STREAM name FROM uri` (no AS) — commands.rs:43 requires AS
+    ("developer/ADDING_SOURCES_AND_SINKS.md", "FROM redis://"),
+    ("developer/configuration-api-reference.md", "FROM KAFKA '"),
+    # INSERT INTO <uri> — parser expects an identifier target
+    ("developer/ADDING_SOURCES_AND_SINKS.md", "INSERT INTO redis://"),
+    # doc typo: missing comma between WITH pairs (clauses.rs:524 expects
+    # Comma between properties) — the reference rejects it too
+    (
+        "feature/fr-048-file-source-sink-demo.md",
+        "sink_config='configs/kafka_aggregated_sink.yaml'\n    'partitions'",
+    ),
+    # roadmap-only resource types never in the grammar (commands.rs:22:
+    # CREATE dispatches on STREAM|TABLE only)
+    ("feature/fr-073-unified-observability.md", "CREATE FORECAST MODEL"),
+    ("sql/ops/multi-server-coordination-guide.md", "CREATE SINK"),
+    # literal `STREAM|TABLE <name>` placeholder syntax
+    ("sql/COPY_PASTE_EXAMPLES.md", "CREATE STREAM|TABLE <name>"),
 }
 
 

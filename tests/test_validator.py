@@ -124,9 +124,18 @@ def test_app_dependency_order():
 
 
 def test_parse_error_lands_in_errors():
-    rep = validate_statement("SELECT DELTA(x) FROM t")
-    assert not rep.ok
-    assert "parse error" in rep.errors[0]
+    # (the old probe SELECT DELTA(x) FROM t became LEGAL in round 8 —
+    # aggregate DELTA is max-min, per-record DELTA a typed zero)
+    for bad in (
+        "SELECT amount FROM",        # dangling FROM (select.rs:411)
+        "CREATE STREAM x AS",        # CTAS with no query
+        "INSERT GARBAGE",            # INSERT missing VALUES/SELECT
+        "FROB x",                    # unknown statement head
+        "SHOW",                      # SHOW with no resource
+    ):
+        rep = validate_statement(bad)
+        assert not rep.ok, bad
+        assert "parse error" in rep.errors[0], (bad, rep.errors)
 
 
 def test_statement_level_config_file_satisfies_source():

@@ -318,6 +318,15 @@ class Statement:
     # FR-047 URI FROM sources (ast.rs:518 StreamSource::Uri): view name in
     # the translated SQL → original URI; the engine wires each to a reader.
     uri_sources: dict[str, str] = field(default_factory=dict)
+    # CREATE ... (column definitions) — reference clauses.rs:440 ColumnDef
+    # (name, data_type, NOT NULL); plus the FR-094 doc form's table-level
+    # PRIMARY KEY (cols) [NOT ENFORCED], which lands in key_fields.
+    # Each entry: (name, type_sql, nullable).
+    schema_columns: list | None = None
+    # Doc-faithful modifiers (the reference's own docs use them though its
+    # parser rejects them — same precedent as SESSION_START):
+    if_not_exists: bool = False
+    or_replace: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -330,9 +339,14 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
     (A statement may carry several: `... WITH (src props) INTO sink WITH
     (sink props)` — with_clause_parser.rs accepts one per clause position.)"""
     last = None
-    # property keys may be single- OR double-quoted (the reference's demos
-    # use both spellings: 'key' = 'v' and "key" = "v")
-    for m in re.finditer(r"(?is)\bWITH\s*\(\s*['\"]", sql):
+    # property keys may be single- or double-quoted (the reference's demos
+    # use both spellings), or BARE identifiers (`topic = '...'`,
+    # `config_file = '...'` — the quickstart/hello-world doc form; the
+    # reference's parse_with_properties demands quoted keys,
+    # clauses.rs:510, but its own docs are the user contract). The bare
+    # form needs the `ident =` lookahead so a CTE's `WITH name AS (` can
+    # never match.
+    for m in re.finditer(r"(?is)\bWITH\s*\(\s*(?:['\"]|[A-Za-z_][\w.]*\s*=)", sql):
         last = m
     if last is None:
         return sql, {}
@@ -341,29 +355,55 @@ def _pop_trailing_with(sql: str) -> tuple[str, dict[str, str]]:
     if sql[j:].strip().rstrip(";").strip():
         return sql, {}  # not trailing — e.g. WITH inside a subquery/CTE
     props: dict[str, str] = {}
-    for item in _split_top_level(sql[open_paren + 1 : j - 1]):
+    # bracket-aware item split: array-literal values (`partition_by =
+    # ['year', 'month']`, data-sources docs) hold commas the plain
+    # top-level splitter would break on
+    inner = sql[open_paren + 1 : j - 1]
+    items, buf, depth = [], [], 0
+    k = 0
+    while k < len(inner):
+        ch = inner[k]
+        if ch in ("'", '"'):
+            end = _skip_string(inner, k)
+            buf.append(inner[k:end])
+            k = end
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            k += 1
+            continue
+        buf.append(ch)
+        k += 1
+    items.append("".join(buf))
+    for item in items:
         item = item.strip()
         if not item:
             continue
         pm = re.match(
-            r"(?s)^(?:'([^']+)'|\"([^\"]+)\")\s*=\s*"
+            r"(?s)^(?:'([^']+)'|\"([^\"]+)\"|([A-Za-z_][\w.]*))\s*=\s*"
             # value: quoted either style, or a bare scalar — the reference's
             # config parser takes the raw text after '=' and unquotes only
             # if quoted (with_clause_parser.rs:296-308; booleans validated
             # as bare true/false/yes/no at :406, and the user guides write
             # e.g. "skip.reason.logging" = true)
-            r"(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\"|([^'\"\s]\S*))$",
+            # ... or an array literal (['year', 'month']) kept verbatim
+            r"(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\"|(\[[^\]]*\]|[^'\"\s]\S*))$",
             item,
         )
         if not pm:
             raise ValueError(f"bad WITH property: {item!r}")
-        key = pm.group(1) if pm.group(1) is not None else pm.group(2)
-        if pm.group(3) is not None:
-            val = pm.group(3).replace("''", "'")
-        elif pm.group(4) is not None:
-            val = pm.group(4).replace('""', '"')
+        key = next(g for g in pm.group(1, 2, 3) if g is not None)
+        if pm.group(4) is not None:
+            val = pm.group(4).replace("''", "'")
+        elif pm.group(5) is not None:
+            val = pm.group(5).replace('""', '"')
         else:
-            val = pm.group(5)
+            val = pm.group(6)
         props[key] = val
     return sql[: last.start()].rstrip(), props
 
@@ -2155,20 +2195,171 @@ def split_statements_keep_comments(sql_app: str) -> list[str]:
     return out
 
 
+def _take_balanced(s: str) -> tuple[str, str]:
+    """Split ``(...)rest`` at the matching close paren (string-literal and
+    ``<>``-aware for STRUCT<...> types); returns (inner, rest)."""
+    assert s.startswith("(")
+    depth = angle = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i], s[i + 1 :]
+        elif ch == "<":
+            angle += 1
+        elif ch == ">" and angle:
+            angle -= 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in column definitions: {s[:40]!r}")
+
+
+def _parse_column_defs(src: str) -> tuple[list, list]:
+    """Column-definition block (reference clauses.rs:440): ``name TYPE
+    [NOT NULL]`` items, comma-separated at the top level (commas inside
+    DECIMAL(10,2) / MAP(...) / STRUCT<...> don't split). The FR-094 doc
+    form's table-level ``PRIMARY KEY (col, ...) [NOT ENFORCED]`` is also
+    accepted — its columns become the message key (KEY_CONFIGURATION.md).
+    Returns ([(name, type_sql, nullable)], key_cols)."""
+    cols: list = []
+    keys: list[str] = []
+    # split at top-level commas, <>-aware
+    items, depth, angle, start = [], 0, 0, 0
+    i = 0
+    while i < len(src):
+        ch = src[i]
+        if ch in ("'", '"'):
+            i = _skip_string(src, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "<":
+            angle += 1
+        elif ch == ">" and angle:
+            angle -= 1
+        elif ch == "," and depth == 0 and angle == 0:
+            items.append(src[start:i])
+            start = i + 1
+        i += 1
+    items.append(src[start:])
+    for item in items:
+        item = item.strip()
+        if not item:
+            continue
+        km = re.match(r"(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?$", item)
+        if km:
+            keys.extend(c.strip().strip("`") for c in km.group(1).split(","))
+            continue
+        cm = re.match(r"(?is)^[`\"]?(\w+)[`\"]?\s+(.+)$", item)
+        if not cm:
+            raise ValueError(f"bad column definition: {item!r}")
+        name, type_sql = cm.group(1), cm.group(2).strip()
+        nullable = True
+        nn = re.search(r"(?is)\s+NOT\s+NULL\b", type_sql)
+        if nn:
+            nullable = False
+            type_sql = (type_sql[: nn.start()] + type_sql[nn.end() :]).strip()
+        pk = re.search(r"(?is)\s+PRIMARY\s+KEY\b", type_sql)
+        if pk:
+            keys.append(name)
+            type_sql = (type_sql[: pk.start()] + type_sql[pk.end() :]).strip()
+        cols.append((name, type_sql, nullable))
+    return cols, keys
+
+
 def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     """Parse one velostream statement into a Statement."""
     cleaned, annotations = strip_comments(sql)
     body, props, into = _extract_with_props(cleaned.strip())
     body = body.strip().rstrip(";").strip()
 
-    m = re.match(r"(?is)^CREATE\s+(STREAM|TABLE)\s+(\w+)\s+AS\s+(.*)$", body)
+    # Structural guards matching the reference parser's rejections
+    # (parser/common.rs dispatches on a known statement keyword;
+    # parser/select.rs:411 requires a source after FROM): an unknown head
+    # or a dangling FROM must be a parse error, not a silent
+    # translate-as-select (the validator surfaces these as
+    # "parse error: ..." — test_validator.py).
+    if not body:
+        raise ValueError("empty statement")
+    hm = re.match(r"[A-Za-z_]+", body)
+    head = hm.group(0).upper() if hm else ""
+    _HEADS = {
+        "SELECT", "WITH", "CREATE", "INSERT", "UPDATE", "DELETE", "SHOW",
+        "LIST", "DESCRIBE", "DEPLOY", "ROLLBACK", "START", "STOP", "PAUSE",
+        "RESUME",
+    }
+    if head not in _HEADS and not body.startswith("("):
+        raise ValueError(f"unknown statement head {head or body[:12]!r}")
+    if re.search(r"(?is)\bFROM\s*$", body):
+        raise ValueError("FROM clause has no source")
+
+    m = re.match(
+        r"(?is)^CREATE\s+(?:(OR\s+REPLACE)\s+)?(STREAM|TABLE|VIEW)\s+"
+        r"(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*(.*)$",
+        body,
+    )
     if m:
-        kind = "create_stream" if m.group(1).upper() == "STREAM" else "create_table"
-        sel, wc, emit, keys, rw, uris = translate_select_full(m.group(3), time_col)
+        what = m.group(2).upper()
+        kind = {
+            "STREAM": "create_stream",
+            "TABLE": "create_table",
+            "VIEW": "create_view",
+        }[what]
+        rest = m.group(5).strip()
+        columns = key_cols = None
+        if rest.startswith("("):
+            col_src, rest = _take_balanced(rest)
+            columns, key_cols = _parse_column_defs(col_src)
+            rest = rest.strip()
+        # WITH may precede AS in the FR-094 doc form:
+        # CREATE TABLE x (PRIMARY KEY (k)) WITH (...) AS SELECT ...
+        wm = re.match(r"(?is)^WITH\s*\(", rest)
+        if wm:
+            w_inner, after = _take_balanced(rest[wm.end() - 1 :])
+            _, mid_props, _ = _extract_with_props(f"X WITH ({w_inner})")
+            props = {**mid_props, **props}
+            rest = after.strip()
+        am = re.match(r"(?is)^AS\s+(\S.*)$", rest)
+        if am:
+            sel, wc, emit, keys, rw, uris = translate_select_full(
+                am.group(1), time_col
+            )
+            return Statement(
+                kind=kind, name=m.group(4), select_sql=sel, emit=emit,
+                window=wc, rows_window_aggs=rw,
+                key_fields=key_cols or keys, with_props=props,
+                annotations=annotations, raw=sql, into=into,
+                uri_sources=uris, schema_columns=columns,
+                if_not_exists=bool(m.group(3)), or_replace=bool(m.group(1)),
+            )
+        if rest:
+            raise ValueError(f"malformed CREATE statement: {body[:40]!r}")
+        # Registration-only form (no AS): the reference's quickstart /
+        # hello-world docs register sources and sinks exactly like this
+        # (`CREATE STREAM orders WITH ('topic' = ..., ...)` — its own
+        # parser requires AS, commands.rs:43, but the shipped docs are the
+        # user contract; doc-faithful extension like SESSION_START). A
+        # typed column block with no query declares an empty typed table.
+        if kind == "create_view":
+            raise ValueError("CREATE VIEW requires AS <select>")
+        if not props and not columns:
+            raise ValueError(
+                f"CREATE {what} without AS needs WITH properties or a "
+                f"column schema: {body[:40]!r}"
+            )
         return Statement(
-            kind=kind, name=m.group(2), select_sql=sel, emit=emit, window=wc,
-            rows_window_aggs=rw, key_fields=keys, with_props=props,
-            annotations=annotations, raw=sql, into=into, uri_sources=uris,
+            kind=kind, name=m.group(4), select_sql=None, with_props=props,
+            key_fields=key_cols or [], annotations=annotations, raw=sql,
+            into=into, schema_columns=columns,
+            if_not_exists=bool(m.group(3)), or_replace=bool(m.group(1)),
         )
 
     m = re.match(
@@ -2246,9 +2437,11 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
             uri_sources=uris,
         )
 
-    # ROLLBACK JOB name [TO VERSION 'v'] (ast.rs:2193-2202)
+    # ROLLBACK JOB name [VERSION 'v'] (commands.rs:502-507: bare VERSION,
+    # no TO — the TO form is kept as a lenient alias)
     m = re.match(
-        r"(?is)^ROLLBACK\s+JOB\s+(\w+)(?:\s+TO\s+VERSION\s+'([^']+)')?\s*$", body
+        r"(?is)^ROLLBACK\s+JOB\s+(\w+)(?:\s+(?:TO\s+)?VERSION\s+'([^']+)')?\s*$",
+        body,
     )
     if m:
         return Statement(kind="job", job_action="rollback", target=m.group(1),
@@ -2277,6 +2470,13 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
     if m:
         return Statement(kind="job", job_action=m.group(1).lower(), target=m.group(2),
                          job_force=bool(m.group(3)), annotations=annotations, raw=sql)
+
+    # Every non-SELECT head has an arm above; reaching here with one means
+    # its required clauses were missing (CREATE ... AS <nothing>,
+    # INSERT with no VALUES/SELECT, bare SHOW) — the reference's parser
+    # errors there too.
+    if head not in ("SELECT", "WITH") and not body.startswith("("):
+        raise ValueError(f"malformed {head} statement: {body[:40]!r}")
 
     # plain SELECT
     sel, wc, emit, keys, rw, uris = translate_select_full(body, time_col)

@@ -373,6 +373,83 @@ class SqlEngine:
                 by_name[view] = parse_uri_source(uri, st.with_props)
         return by_name
 
+    #: reference data-type spellings → Spark SQL types (clauses.rs
+    #: parse_data_type: INT INTEGER FLOAT DOUBLE REAL STRING VARCHAR TEXT
+    #: BOOLEAN BOOL TIMESTAMP DECIMAL NUMERIC ARRAY MAP + sizes)
+    _DDL_TYPES = {
+        "INT": "int", "INTEGER": "int", "BIGINT": "bigint",
+        "SMALLINT": "smallint", "FLOAT": "float", "REAL": "float",
+        "DOUBLE": "double", "STRING": "string", "TEXT": "string",
+        "BOOLEAN": "boolean", "BOOL": "boolean", "TIMESTAMP": "timestamp",
+        "DATE": "date", "BYTES": "binary", "BINARY": "binary",
+    }
+
+    def _ddl_type_to_spark(self, type_sql: str) -> str:
+        t = type_sql.strip()
+        m = re.match(r"(?is)^(\w+)\s*(\(([^)]*)\))?", t)
+        base = m.group(1).upper() if m else t.upper()
+        if base in ("DECIMAL", "NUMERIC"):
+            return f"decimal({m.group(3)})" if m.group(3) else "decimal(38,18)"
+        if base == "VARCHAR" or base == "CHAR":
+            return "string"
+        if base == "TIMESTAMP":
+            return "timestamp"  # TIMESTAMP(3) precision folds to micros
+        if base in ("ARRAY", "MAP", "STRUCT"):
+            return t.lower()  # Spark accepts array<...>/map<...>/struct<...>
+        return self._DDL_TYPES.get(base, "string")
+
+    def _apply_declared_schema(self, st: Statement, df: DataFrame) -> DataFrame:
+        """CREATE ... (columns) AS select: the declared column types are the
+        stream's schema — cast matching output columns (by name) to them."""
+        if not st.schema_columns:
+            return df
+        casts = {
+            name: self._ddl_type_to_spark(type_sql)
+            for name, type_sql, _null in st.schema_columns
+        }
+        return df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _register_only(self, st: Statement) -> DataFrame:
+        """Registration-only CREATE (no AS — reference quickstart docs):
+        WITH properties are recorded as the stream's source/sink config
+        (a full typed source config wires a readable stream immediately);
+        a column block with no query registers an EMPTY typed table —
+        the declared schema materialized. IF NOT EXISTS is honored."""
+        exists = st.name in self.streams or st.name in self.tables
+        if exists and st.if_not_exists:
+            return self.streams.get(st.name) or self.tables[st.name].df
+        # record config: prefixed props under their own names, bare props
+        # (topic = ..., config_file = ...) under the created name
+        cfgs = self._resolve_config_files(st)
+        bare = {k: v for k, v in st.with_props.items() if "." not in k}
+        cfg = dict(cfgs.get(st.name, {}))
+        cfg.update(bare)
+        if cfg:
+            self.source_cfgs[st.name] = cfg
+        if cfg.get("type", "").endswith("_source") or "config_file" in bare:
+            self._wire_sources(st)
+        if st.name in self.streams:
+            return self.streams[st.name]
+        if st.schema_columns:
+            fields = ", ".join(
+                f"`{name}` {self._ddl_type_to_spark(ts)}"
+                for name, ts, _null in st.schema_columns
+            )
+            empty = self.spark.createDataFrame([], fields)
+            if st.kind == "create_table":
+                self.register_table(st.name, empty, st.key_fields or None)
+            else:
+                self.register_stream(st.name, empty)
+            return empty
+        return self.spark.createDataFrame(
+            [(st.name, st.kind, True)], "name string, kind string, registered boolean"
+        )
+
     def _wire_sources(self, st: Statement) -> None:
         for name, cfg in self._resolve_config_files(st).items():
             typ = cfg.get("type", "")
@@ -607,16 +684,33 @@ class SqlEngine:
         if st.kind == "select":
             self._wire_sources(st)
             return self._sql(st.select_sql)
+        if st.kind in ("create_stream", "create_table") and st.select_sql is None:
+            return self._register_only(st)
+        if st.kind in ("create_stream", "create_table") and st.if_not_exists:
+            existing = self.streams.get(st.name) or (
+                self.tables[st.name].df if st.name in self.tables else None
+            )
+            if existing is not None:
+                return existing
+        if st.kind == "create_view":
+            # Doc-faithful extension (FR-086 planning docs): a named
+            # re-runnable query — same registration path as CREATE STREAM
+            # but never a sink. Dotted names (pg_catalog.pg_type) sanitize
+            # to _ (Spark temp views are unqualified).
+            self._wire_sources(st)
+            df = self._apply_declared_schema(st, self._sql(st.select_sql))
+            self.register_stream(st.name.replace(".", "_"), df)
+            return df
         if st.kind == "create_stream":
             self._wire_sources(st)
-            df = self._select_df(st)
+            df = self._apply_declared_schema(st, self._select_df(st))
             df = self._propagate_time_col(st, df)
             self.register_stream(st.name, df)
             self._write_sink(st, df)
             return df
         if st.kind == "create_table":
             self._wire_sources(st)
-            df = self._sql(st.select_sql).cache()
+            df = self._apply_declared_schema(st, self._sql(st.select_sql)).cache()
             df.count()  # materialize now, like the CTAS population job
             key = st.key_fields or None
             self.register_table(st.name, df, key)
