@@ -124,3 +124,16 @@ def test_array_literal_property_value():
     )
     assert st.with_props["partition_by"] == "['year', 'month']"
     assert st.with_props["compression"] == "snappy"
+
+
+def test_validator_ignores_column_block_as_function():
+    from velostream_spark.sql.validator import validate_statement
+
+    rep = validate_statement("CREATE TABLE t2 (a BIGINT, b STRING)")
+    assert rep.ok, rep.errors
+    # but functions in the AS query are still validated
+    rep2 = validate_statement(
+        "CREATE STREAM s (a BIGINT) AS SELECT FAKEFUNC(a) AS x FROM events",
+        registered={"events"},
+    )
+    assert any("FAKEFUNC" in e for e in rep2.errors)

@@ -179,7 +179,14 @@ def validate_statement(
     except ValueError as e:
         rep.errors.append(f"parse error: {e}")
         return rep
-    _validate_function_names(sql, rep, strict_functions)
+    fn_scan_sql = sql
+    if st.schema_columns is not None:
+        # a column-definition block (`CREATE TABLE t2 (a BIGINT, ...)`)
+        # looks like a call `t2 (...)` to the function scanner — scan only
+        # the query after AS (registration-only DDL has no functions)
+        am = re.search(r"(?is)\bAS\b(.*)$", sql)
+        fn_scan_sql = am.group(1) if am else ""
+    _validate_function_names(fn_scan_sql, rep, strict_functions)
     return _validate_parsed(st, rep, registered or set())
 
 
