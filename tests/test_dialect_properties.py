@@ -337,3 +337,33 @@ def test_null_out_identifier_refuses_keywords(kw):
 
     assert null_out_identifier(f"SELECT {kw} FROM t", kw) is None
     assert null_out_identifier("SELECT a FROM t", kw.lower()) is None
+
+
+_KEYWORDISH = {"with", "as", "from", "select", "where", "into"}
+_PROP_KEY = st.one_of(
+    IDENT.filter(lambda s: s.lower() not in _KEYWORDISH),  # bare (doc form)
+    st.from_regex(r"[a-z][a-z0-9_]{0,8}(\.[a-z][a-z0-9_]{0,8}){1,2}", fullmatch=True),
+)
+_PROP_VAL = st.one_of(
+    st.from_regex(r"[a-zA-Z0-9_./:-]{1,24}", fullmatch=True),          # scalar
+    st.lists(st.from_regex(r"[a-z0-9_]{1,8}", fullmatch=True), min_size=1,
+             max_size=4).map(lambda xs: "[" + ", ".join(f"'{x}'" for x in xs) + "]"),
+)
+
+
+@given(props=st.dictionaries(_PROP_KEY, _PROP_VAL, min_size=1, max_size=6),
+       quote=st.sampled_from(["'", '"', ""]))
+@settings(max_examples=40, deadline=None)
+def test_with_props_roundtrip(props, quote):
+    """Every key spelling the docs use (quoted either style, bare) and
+    every value shape (quoted, bare scalar, array literal) must extract
+    verbatim, and the statement body must come back WITH-free."""
+    pairs = ", ".join(
+        f"{quote}{k}{quote} = '{v}'" if not v.startswith("[") else
+        f"{quote}{k}{quote} = {v}"
+        for k, v in props.items()
+    )
+    sql = f"SELECT a FROM t WITH ({pairs})"
+    body, got, _into = dialect._extract_with_props(sql)
+    assert got == props, (sql, got)
+    assert "WITH" not in body.upper()
