@@ -137,3 +137,26 @@ def test_validator_ignores_column_block_as_function():
         registered={"events"},
     )
     assert any("FAKEFUNC" in e for e in rep2.errors)
+
+
+def test_create_from_uri_registers_source(engine, tmp_path):
+    import json as _json
+
+    p = tmp_path / "ev.jsonl"
+    p.write_text("\n".join(_json.dumps({"a": i}) for i in range(4)))
+    # known scheme: readable immediately
+    engine.execute(f"CREATE STREAM ev_in FROM file://{p}?format=jsonl")
+    assert engine.streams["ev_in"].count() == 4
+    # doc's to-be-added connector: registers, errors only at read
+    df = engine.execute(
+        "CREATE STREAM events_redis FROM "
+        "redis://localhost:6379?key_pattern=events:*&format=json"
+    )
+    assert df.first()["registered"] is True
+    assert engine.source_cfgs["events_redis"]["type"] == "redis_source"
+    # FROM KAFKA '<uri>' spelling (configuration-api-reference.md)
+    df2 = engine.execute(
+        "CREATE STREAM user_events FROM KAFKA 'kafka://localhost:9092/events' "
+        "WITH (group.id = 'analytics')"
+    )
+    assert engine.source_cfgs["user_events"]["topic"] == "events"

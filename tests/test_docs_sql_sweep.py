@@ -50,9 +50,6 @@ KNOWN_INVALID = {
     ("data-sources/multi-source-sink-guide.md", "# Override YAML value"),
     # round 8 (exposed when the CREATE fallthrough-to-select mis-parse was
     # replaced by real structural errors):
-    # `CREATE STREAM name FROM uri` (no AS) — commands.rs:43 requires AS
-    ("developer/ADDING_SOURCES_AND_SINKS.md", "FROM redis://"),
-    ("developer/configuration-api-reference.md", "FROM KAFKA '"),
     # INSERT INTO <uri> — parser expects an identifier target
     ("developer/ADDING_SOURCES_AND_SINKS.md", "INSERT INTO redis://"),
     # doc typo: missing comma between WITH pairs (clauses.rs:524 expects

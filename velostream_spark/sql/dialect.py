@@ -2327,6 +2327,23 @@ def parse_statement(sql: str, time_col: str = "_event_time") -> Statement:
             _, mid_props, _ = _extract_with_props(f"X WITH ({w_inner})")
             props = {**mid_props, **props}
             rest = after.strip()
+        # Registration sugar from the developer docs
+        # (ADDING_SOURCES_AND_SINKS.md, configuration-api-reference.md):
+        # `CREATE STREAM name FROM <uri>` / `FROM KAFKA '<uri>'` — the
+        # source half of FR-047 bound to a name with no query. Unknown
+        # schemes (the docs' redis:// example is a to-be-added connector)
+        # still REGISTER; reading them errors at use, not at parse.
+        fm = re.match(r"(?is)^FROM\s+(?:KAFKA\s+|FILE\s+)?(?:'([^']+)'|(\S+))\s*$", rest)
+        if fm and kind != "create_view":
+            uri = fm.group(1) or fm.group(2)
+            if "://" in uri:
+                return Statement(
+                    kind=kind, name=m.group(4), select_sql=None,
+                    with_props=props, key_fields=key_cols or [],
+                    annotations=annotations, raw=sql, into=into,
+                    schema_columns=columns, uri_sources={m.group(4): uri},
+                    if_not_exists=bool(m.group(3)), or_replace=bool(m.group(1)),
+                )
         am = re.match(r"(?is)^AS\s+(\S.*)$", rest)
         if am:
             sel, wc, emit, keys, rw, uris = translate_select_full(

@@ -425,8 +425,33 @@ class SqlEngine:
             return self.streams.get(st.name) or self.tables[st.name].df
         # record config: prefixed props under their own names, bare props
         # (topic = ..., config_file = ...) under the created name
-        cfgs = self._resolve_config_files(st)
         bare = {k: v for k, v in st.with_props.items() if "." not in k}
+        uri = (st.uri_sources or {}).get(st.name)
+        if uri:
+            # CREATE STREAM name FROM <uri>: known schemes get a real
+            # source cfg (readable immediately); unknown ones (the docs'
+            # to-be-added redis:// connector) register the raw URI — the
+            # error surfaces at READ time, like a pending connector
+            from velostream_spark.sql.dialect import parse_uri_source
+
+            try:
+                cfg = parse_uri_source(uri, st.with_props)
+            except ValueError:
+                scheme = uri.partition("://")[0].lower()
+                cfg = {"type": f"{scheme}_source", "uri": uri, **bare}
+            self.source_cfgs[st.name] = cfg
+            # only file sources are readable in this environment — kafka/
+            # jdbc register their cfg but wire lazily at first use (the
+            # connector jars are the standing env exemption, README)
+            if cfg.get("type") == "file_source":
+                self._wire_sources(st)
+            if st.name in self.streams:
+                return self.streams[st.name]
+            return self.spark.createDataFrame(
+                [(st.name, st.kind, True)],
+                "name string, kind string, registered boolean",
+            )
+        cfgs = self._resolve_config_files(st)
         cfg = dict(cfgs.get(st.name, {}))
         cfg.update(bare)
         if cfg:
