@@ -200,10 +200,15 @@ def _validate_parsed(
         "refresh_interval",
     }
 
+    # Registration-only CREATE (no AS): bare keys ARE the documented form
+    # (`topic = ...`, quickstart docs) — the prefix advice is for queries
+    registration_only = (
+        st.kind in ("create_stream", "create_table") and st.select_sql is None
+    )
     cfgs: dict[str, dict[str, str]] = {}
     for k, v in st.with_props.items():
         if "." not in k:
-            if k not in _STMT_PROPS:
+            if k not in _STMT_PROPS and not registration_only:
                 rep.warnings.append(f"WITH property {k!r} has no '<name>.' prefix")
             continue
         name, _, opt = k.partition(".")
