@@ -160,3 +160,12 @@ def test_create_from_uri_registers_source(engine, tmp_path):
         "WITH (group.id = 'analytics')"
     )
     assert engine.source_cfgs["user_events"]["topic"] == "events"
+
+
+def test_show_streams_lists_registration_only(engine):
+    engine.execute(
+        "CREATE STREAM pending_redis FROM redis://localhost:6379?fmt=json"
+    )
+    rows = engine.execute("SHOW STREAMS 'pending%'")
+    names = [r["stream_name"] for r in rows]
+    assert names == ["pending_redis"]

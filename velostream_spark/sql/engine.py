@@ -1221,13 +1221,21 @@ class SqlEngine:
             # topic = the wired kafka topic when there is one, else the
             # stream's own name — the reference's handle.topic is the same
             # identity for non-kafka streams)
+            # registration-only streams (CREATE ... WITH / FROM <uri> with
+            # an unwired connector) are REGISTERED, so they list too —
+            # show.rs lists the registry, not readability
+            names = set(self.streams) | {
+                n
+                for n, c in self.source_cfgs.items()
+                if c.get("type", "").endswith("_source") and n not in self.tables
+            }
             return [
                 {
                     "stream_name": n,
                     "topic": self.source_cfgs.get(n, {}).get("topic", n),
                     "type": "STREAM",
                 }
-                for n in sorted(self.streams)
+                for n in sorted(names)
                 if self._like_match(n, pat)
             ]
         if what.startswith("TABLES"):
