@@ -62,3 +62,24 @@ def test_first_merge_matches_gated_pair_counts(spark):
     top = all_queries()["bpe_pair_counts"].fn(spark, SF_SMOKE).first()
     assert merges[0][0] + merges[0][1] == top["pair"]
     assert merges[0][2] == top["n"]
+
+
+def test_merges_independent_of_dictionary_order():
+    # dict/Counter iteration order must not leak into the merge sequence
+    # (ties break on min(pair), not first-seen)
+    import random
+
+    counts = [("banana", 4), ("bandana", 3), ("cabana", 2), ("abba", 7), ("baab", 7)]
+    want = bpe_merges_from_counts(counts, 8)
+    rng = random.Random(13)
+    for _ in range(5):
+        shuffled = counts[:]
+        rng.shuffle(shuffled)
+        assert bpe_merges_from_counts(shuffled, 8) == want
+
+
+def test_merges_stop_when_no_pairs_remain():
+    # single-char words have no pairs: loop terminates early, no padding
+    assert bpe_merges_from_counts([("a", 5), ("b", 3)], 10) == []
+    # one two-char word: exactly one merge possible
+    assert bpe_merges_from_counts([("ab", 2)], 10) == [("a", "b", 2)]
