@@ -68,6 +68,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "doc_chunking",
     "span_dedup",
+    "sequence_packing_ffd",
     "corpus_mix",
     "global_shuffle",
     "curation_pipeline",

@@ -253,3 +253,68 @@ def test_curation_pipeline_composes_stage_contracts(spark):
         assert over == 0
     finally:
         out.unpersist()
+
+
+def test_ffd_packing_exact_and_beats_greedy(spark):
+    """pack_sequences_ffd == an independent pure-Python FFD on the same
+    rows (bit-equal assignment), every pack within budget (except
+    oversized singletons), and pack COUNT ≤ greedy's on the same corpus —
+    the padding win that justifies the operator."""
+    import random
+
+    from velostream_spark.operators import sampling
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice(["en", "de"]), rng.randint(10, 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    budget = 256
+    got = {
+        (r["lang"], r["doc_id"]): r["pack_id"]
+        for r in sampling.pack_sequences_ffd(
+            df, "doc_id", "tokens", budget, "lang"
+        ).withColumnRenamed("_stratum", "lang").collect()
+    }
+
+    def ffd_ref(items):  # independent reference: (id, tokens) -> pack ids
+        items = sorted(items, key=lambda x: (-x[1], x[0]))
+        rem, out = [], {}
+        for i, t in items:
+            for j, r in enumerate(rem):
+                if r >= t:
+                    rem[j] -= t
+                    out[i] = j
+                    break
+            else:
+                rem.append(budget - t)
+                out[i] = len(rem) - 1
+        return out, len(rem)
+
+    greedy_packs = 0
+    for lang in ("en", "de"):
+        items = [(i, t) for i, lg, t in rows if lg == lang]
+        want, n_ffd = ffd_ref(items)
+        assert {i: got[(lang, i)] for i, _ in items} == want, lang
+        # budget invariant: only single-document oversized packs may exceed
+        fill: dict = {}
+        members: dict = {}
+        for i, t in items:
+            fill[want[i]] = fill.get(want[i], 0) + t
+            members.setdefault(want[i], []).append(t)
+        for p, v in fill.items():
+            assert v <= budget or (
+                len(members[p]) == 1 and members[p][0] > budget
+            ), (p, v, members[p])
+        # greedy pack count on the same stratum (id order, cumulative)
+        items_id = sorted(items)
+        acc = packs = 0
+        for _i, t in items_id:
+            if acc + t > budget:
+                packs += 1
+                acc = t
+            else:
+                acc += t
+        packs += 1 if acc else 0
+        assert n_ffd <= packs, (lang, n_ffd, packs)
+        greedy_packs += packs
+    ffd_total = len({(lg, p) for (lg, _i), p in got.items()})
+    assert ffd_total < greedy_packs  # strict win on this corpus

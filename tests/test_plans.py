@@ -466,3 +466,12 @@ def test_bpe_pair_counts_tiny_shuffle_topn(spark):
         first = seg.lstrip().splitlines()[0] if seg.strip() else ""
         if first.startswith("(") and "Exchange" in first and "hashpartitioning" in seg:
             assert "text#" not in seg and "word#" not in seg, seg
+
+
+def test_ffd_packing_single_stratum_exchange(spark):
+    # one keyed exchange (the stratum), the FFD loop inside the grouped
+    # cell — no cartesian, no extra shuffles
+    plan = plan_of(spark, "sequence_packing_ffd")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning(_stratum") >= 1, plan
+    assert "CartesianProduct" not in plan, plan

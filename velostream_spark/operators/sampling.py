@@ -98,3 +98,77 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor((prefix - F.col(token_col)) / F.lit(budget))
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """First-fit-decreasing bin packing per stratum: documents sorted by
+    (tokens desc, id asc) are placed into the first open pack with room —
+    the classic near-optimal (≤ 11/9 OPT + 1) packing that cuts padding
+    waste vs ``pack_sequences``' greedy sequential split. Oversized
+    documents (> budget) get singleton packs, like the greedy form.
+
+    Scale shape: ONE shuffle on the stratum key, then each stratum packs
+    independently inside an ``applyInPandas`` cell — bin state never
+    crosses strata, so parallelism is the stratum count (callers at scale
+    pass a stratum/shard column, exactly as for pack_sequences). The
+    in-cell first-fit scan short-circuits on a running max remainder
+    (documents that open a new pack skip the scan entirely); worst case
+    is O(n·packs) — strata bound n. Deterministic: same input ⇒ same
+    packs, any arrival order
+    (the in-cell sort is total). Iterative state makes this inherently
+    non-SQL-expressible — exactness is pinned in tests/test_curation.py
+    against invariants + an independent reference implementation.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, _stratum string, {token_col} long, pack_id long"
+
+    def pack_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        toks = pdf[token_col].to_numpy()
+        # open packs as a sorted list of (remaining, pack_id); first-fit =
+        # smallest remaining that still fits? NO — true FFD takes the
+        # FIRST-OPENED pack that fits. Keep packs in open order and scan;
+        # a best-fit variant (bisect on remainder) is provided by the
+        # sorted list — we implement FIRST-fit faithfully but accelerate
+        # the common miss case with a running max of remainders.
+        remaining: list[int] = []  # remainder per pack, in open order
+        max_rem = -1
+        assign = []
+        for t in toks:
+            t = int(t)
+            placed = -1
+            if t <= max_rem:
+                for j, r in enumerate(remaining):
+                    if r >= t:
+                        placed = j
+                        break
+            if placed < 0:
+                remaining.append(budget - t)
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= t
+            assign.append(placed)
+            max_rem = max(remaining)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "_stratum": pdf["_stratum"].to_numpy(),
+                token_col: toks,
+                "pack_id": assign,
+            }
+        )
+
+    staged = df.withColumn(
+        "_stratum",
+        F.col(strata_col).cast("string") if strata_col else F.lit("all"),
+    ).select(id_col, "_stratum", F.col(token_col).cast("long").alias(token_col))
+    return staged.groupBy("_stratum").applyInPandas(pack_cell, out_schema)

@@ -1179,3 +1179,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_freq bigint",
     )
+
+
+@query(
+    "sequence_packing_ffd",
+    oracle=None,  # first-fit-decreasing is iterative bin-packing state —
+    # not SQL-expressible (rows-only driver check); exactness vs an
+    # independent reference FFD + pack-count/budget invariants pinned in
+    # tests/test_curation.py, padding win vs greedy measured there too
+    tags=("pipeline", "packing", "beyond-reference"),
+)
+def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing (operators/sampling.py): near-optimal
+    (≤ 11/9·OPT + 1 bins) batch construction. Unlike pack_sequences'
+    floor form (whose packs may OVERFLOW the budget by one document), FFD
+    packs never exceed the budget (oversized singletons aside) — and it
+    still uses fewer packs than the budget-respecting sequential split
+    (pinned in test_curation.py). Identical shuffle cost: one stratum
+    exchange; the bin loop runs inside the stratum's applyInPandas cell."""
+    t = tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias(
+            "tokens"
+        ),
+    )
+    packed = sampling.pack_sequences_ffd(toks, "doc_id", "tokens", 256, "lang")
+    return packed.groupBy(F.col("_stratum").alias("lang"), "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+    )
