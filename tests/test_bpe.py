@@ -58,7 +58,10 @@ def test_first_merge_matches_gated_pair_counts(spark):
     from velostream_spark.session import load_tables
 
     docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
-    merges = bpe_train(docs, "text", n_merges=1, vocab_cap=10**9)
+    # vocab_cap=None = uncapped (NEVER fake it with a huge limit: Spark's
+    # takeOrdered allocates a 2k-slot selector per partition — a 10**9 cap
+    # OOM-killed the whole JVM in the full-suite run)
+    merges = bpe_train(docs, "text", n_merges=1, vocab_cap=None)
     top = all_queries()["bpe_pair_counts"].fn(spark, SF_SMOKE).first()
     assert merges[0][0] + merges[0][1] == top["pair"]
     assert merges[0][2] == top["n"]

@@ -35,20 +35,26 @@ __all__ = ["word_counts", "bpe_merges_from_counts", "bpe_train"]
 
 
 def word_counts(
-    docs: DataFrame, text_col: str = "text", vocab_cap: int = 50000
+    docs: DataFrame, text_col: str = "text", vocab_cap: int | None = 50000
 ) -> DataFrame:
     """(word, n) for the ``vocab_cap`` most frequent whitespace words of the
-    normalized text. Deterministic: ties broken on the word itself. The
-    only shuffle carries (word, partial_count)."""
+    normalized text (``None`` = uncapped). Deterministic: ties broken on
+    the word itself; the only shuffle carries (word, partial_count).
+
+    The cap must stay a MODEST TopK: Spark's takeOrdered allocates a
+    2k-slot selector per partition, so "disable the cap" via a huge limit
+    (10**9) eagerly allocates ~16 GB per task and OOMs the machine
+    (observed) — pass None instead, which skips the TopK entirely."""
     w = F.explode(textops.words(F.col(text_col))).alias("word")
-    return (
+    counts = (
         docs.select(w)
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "word")
-        .limit(vocab_cap)
     )
+    if vocab_cap is None:
+        return counts
+    return counts.orderBy(F.col("n").desc(), "word").limit(vocab_cap)
 
 
 def bpe_merges_from_counts(
@@ -96,7 +102,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
-    vocab_cap: int = 50000,
+    vocab_cap: int | None = 50000,
 ) -> list[tuple[str, str, int]]:
     """Full BPE training: one distributed corpus pass → driver merge loop.
     Only the capped dictionary (≤ vocab_cap rows) reaches the driver."""
