@@ -681,3 +681,55 @@ def test_streaming_curation_dedups_across_micro_batches(spark, tmp_path):
     # dropped by cross-batch state
     assert len(out) == 2, out
     assert len({r["fp"] for r in out}) == 2
+
+
+def test_bounded_dedup_state_with_watermark(spark, tmp_path):
+    """The streaming_curation/streaming_dedup docstrings point to
+    dropDuplicatesWithinWatermark as the production state bound — pin its
+    lifecycle: a duplicate arriving within the watermark delay is DROPPED
+    (cross-batch state), one arriving after its key was evicted (event
+    time beyond ts + delay behind the watermark) re-emits."""
+    import os as _os
+
+    src = str(tmp_path / "ev_stream")
+    _os.makedirs(src)
+    t0 = 1_700_000_000  # epoch seconds
+    rows1 = [
+        (1, t0, "A"),
+        (2, t0 + 60, "A"),        # duplicate 60s later: within 10m -> drop
+        (3, t0 + 1800, "filler"),  # advances watermark to t0+1800-600
+    ]
+    # state cleanup runs at END of batch N with the watermark computed
+    # from batch N-1, so eviction of A (expiry t0+660 < t0+1200) happens
+    # at the end of THIS intermediate batch:
+    rows2 = [(6, t0 + 1900, "filler2")]
+    rows3 = [
+        (4, t0 + 1500, "A"),  # A's state evicted -> re-emit
+        (5, t0 + 1500, "B"),
+    ]
+    for sub, rows, ts in (("f1", rows1, 100), ("f2", rows2, 200), ("f3", rows3, 300)):
+        df = spark.createDataFrame(rows, "event_id long, sec long, k string")
+        df = df.select("event_id", F.timestamp_seconds("sec").alias("ts"), "k")
+        d = f"{src}/{sub}"
+        df.coalesce(1).write.parquet(d)
+        now = time.time()
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now - 1000 + ts, now - 1000 + ts))
+
+    from velostream_spark.streaming.runner import run_available_now
+
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    dd = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
+    out = run_available_now(dd, "append", "wm_dedup").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["event_id"])
+    assert sorted(by_key["A"]) == [1, 4], by_key  # 2 dropped, 4 re-emitted
+    assert by_key["B"] == [5]
+    assert by_key["filler"] == [3]
+    assert by_key["filler2"] == [6]
