@@ -63,6 +63,7 @@ HEADLINE = [
     "session_window",
     "text_analysis",
     "bpe_pair_counts",
+    "bpe_encode",
     "pii_scrub",
     "repetition_filter",
     "gopher_quality_filter",
@@ -391,30 +392,49 @@ def main() -> None:
         shutil.rmtree(pool_root, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Full derive-wall table goes to stderr (the driver captures only a
-    # 2000-char stdout tail — round 5's verbose line overflowed it and
-    # the round had no parsed official record).
-    print(
-        json.dumps({"derive_walls_sec": derive}, separators=(",", ":")),
-        file=sys.stderr,
-    )
-    # ONE compact stdout JSON line, well under the 2000-char tail capture:
-    # 3-decimal walls, amortized as {query: replication_factor} (replicated
-    # table lists are documented in AMORTIZED above and PERF.md).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full verbose record (per-query walls, derive walls, amortization map)
+    # goes to stderr — the driver captures only the LAST 2000 chars of
+    # stdout, and the round-8 52-entry line outgrew that tail, truncating
+    # its head and nulling the official parse. stderr carries everything;
+    # stdout carries one budget-checked compact line, printed LAST.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
+                "derive_walls_sec": derive,
                 "queries": times,
                 "amortized": {q: r for q, (_t, r) in amortized.items()},
                 "derive_flagged": flagged,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),
-        )
+        ),
+        file=sys.stderr,
     )
+    # ONE compact stdout JSON line, hard-budgeted under the driver's
+    # 2000-char tail. The per-query walls STAY on stdout in every variant
+    # (the driver's contract); the amortized replication-factor map lives
+    # on stderr (previous line) with only its entry count here —
+    # "amortized_n" > 0 says "see AMORTIZED in bench.py / the stderr
+    # record". Degrade 3-decimal walls to 2-decimal if the catalog ever
+    # outgrows the budget anyway.
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "derive_flagged": flagged,
+        "amortized_n": len(amortized),
+        "sf": sf_val,
+        "n_queries": len(times),
+    }
+    candidates = [
+        {**base, "queries": times},
+        {**base, "queries": {q: round(t, 2) for q, t in times.items()}},
+    ]
+    for cand in candidates:
+        line = json.dumps(cand, separators=(",", ":"))
+        if len(line) <= 1800:
+            break
+    print(line)
     spark.stop()
 
 

@@ -86,3 +86,78 @@ def test_merges_stop_when_no_pairs_remain():
     assert bpe_merges_from_counts([("a", 5), ("b", 3)], 10) == []
     # one two-char word: exactly one merge possible
     assert bpe_merges_from_counts([("ab", 2)], 10) == [("a", "b", 2)]
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode: distributed application of a trained merge table
+
+
+def test_encode_matches_tuple_walk_reference(spark):
+    """The sentinel-wrap + string-replace encoding must produce the SAME
+    segmentation as the independent tuple-walk greedy merge (the scan the
+    training loop uses) — per word, for the pinned table and for adversarial
+    tables (overlap runs, symbol-substring-of-symbol)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators import bpe
+
+    cases = [
+        ("the cat sat on the mat", None),
+        ("aaaa aaa aa a", [("a", "a"), ("aa", "aa")]),  # overlap runs
+        ("gab ab c ab", [("a", "b"), ("ab", "c")]),  # substring symbol
+        ("join partition hash merge", None),
+        ("", None),
+    ]
+    for text, merges in cases:
+        df = spark.createDataFrame([(text,)], "text string")
+        enc = df.select(bpe.bpe_encode_expr(F.col("text"), merges).alias("e")).first()["e"]
+        got = [
+            sym for sym in enc.replace("\x02", "").split("\x01") if sym
+        ]
+        want: list[str] = []
+        for w in text.split():
+            if want:
+                want.append(" ")
+            want.extend(bpe.bpe_encode_ref(w, merges))
+        if not text:
+            want = []
+        assert got == want, (text, got, want)
+
+
+def test_encode_null_text_consistent(spark):
+    """NULL text coalesces to '' (empty encoding) on both twins."""
+    import duckdb
+    import pandas as pd
+
+    from velostream_spark.operators import bpe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None), (2, "lower newest")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", bpe.bpe_encode_expr(F.col("text")).alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": [1, 2], "text": [None, "lower newest"]}))
+    want = dict(con.execute(f"SELECT doc_id, {bpe.bpe_encode_sql('text')} FROM d").fetchall())
+    assert got == want
+    assert got[1] == ""
+
+
+def test_encode_plan_zero_shuffle_codegen(spark):
+    """bpe_encode is scan-side: no Exchange, no Python stage — one
+    whole-stage-codegen span over the parquet scan."""
+    import contextlib
+    import io
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.registry import all_queries
+
+    df = all_queries()["bpe_encode"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "[codegen id : 1]" in plan, plan  # one whole-stage span
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan

@@ -95,3 +95,31 @@ def test_delta_without_over_maps_reference_contexts():
     assert "(MAX(value) - MIN(value))" in grouped
     ungrouped = translate_select("SELECT DELTA(value) AS d FROM events")[0]
     assert "(value - value)" in ungrouped
+
+
+def test_delta_grouping_is_scoped_per_occurrence():
+    """Aggregate-vs-per-record DELTA is decided by the SELECT scope
+    ENCLOSING each occurrence, not one statement-level GROUP BY probe
+    (round-8 advice, medium): a grouped subquery under an ungrouped outer
+    aggregates; an ungrouped subquery under a grouped outer does not."""
+    # grouped subquery, ungrouped outer → inner DELTA must aggregate
+    sql = translate_select(
+        "SELECT d FROM (SELECT k, DELTA(value) AS d FROM events GROUP BY k) t"
+    )[0]
+    assert "(MAX(value) - MIN(value))" in sql
+    assert "(value - value)" not in sql
+    # ungrouped scalar subquery inside a grouped outer → per-record zero
+    sql2 = translate_select(
+        "SELECT k, MAX(value) AS m, "
+        "(SELECT DELTA(price) FROM quotes LIMIT 1) AS z "
+        "FROM events GROUP BY k"
+    )[0]
+    assert "(price - price)" in sql2
+    assert "MAX(price)" not in sql2
+    # outer-scope DELTA in a grouped outer still aggregates, even with an
+    # ungrouped subquery present in the same statement
+    sql3 = translate_select(
+        "SELECT k, DELTA(value) AS d, "
+        "(SELECT COUNT(*) FROM quotes) AS n FROM events GROUP BY k"
+    )[0]
+    assert "(MAX(value) - MIN(value))" in sql3

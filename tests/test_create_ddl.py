@@ -169,3 +169,25 @@ def test_show_streams_lists_registration_only(engine):
     rows = engine.execute("SHOW STREAMS 'pending%'")
     names = [r["stream_name"] for r in rows]
     assert names == ["pending_redis"]
+
+
+def test_show_classifies_registration_only_table_as_table(engine):
+    """A registration-only CREATE TABLE ... WITH (connector cfg, no schema)
+    is a TABLE in the registry: SHOW TABLES lists it, SHOW STREAMS must not
+    (round-8 advice — the old probe keyed on the '_source' cfg suffix and
+    misfiled it as a STREAM)."""
+    engine.execute(
+        "CREATE TABLE pending_dim FROM redis://localhost:6379?fmt=json"
+    )
+    stream_names = [r["stream_name"] for r in engine.execute("SHOW STREAMS")]
+    assert "pending_dim" not in stream_names
+    table_rows = {r["table_name"]: r for r in engine.execute("SHOW TABLES")}
+    assert "pending_dim" in table_rows
+    assert table_rows["pending_dim"]["type"] == "TABLE"
+    # the stream twin still files under SHOW STREAMS
+    engine.execute(
+        "CREATE STREAM pending_str FROM redis://localhost:6379?fmt=json"
+    )
+    assert "pending_str" in [
+        r["stream_name"] for r in engine.execute("SHOW STREAMS")
+    ]

@@ -162,6 +162,31 @@ def test_span_dedup_survivor_rule(spark):
     assert removed == dup_excess
 
 
+def test_span_dedup_null_and_empty_text_match_oracle(spark):
+    """NULL text coalesces to '' in BOTH twins (round-8 advice): a NULL or
+    empty doc flows through as one empty span on Spark AND DuckDB — neither
+    engine drops the row, and duplicate empty docs dedup like any span."""
+    import duckdb
+    import pandas as pd
+
+    from velostream_spark.operators.curation import span_dedup, span_dedup_sql
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j x y"),  # shares first span with doc 1
+        (3, None),
+        (4, None),  # duplicate NULL doc → its empty span is removed
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in span_dedup(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(span_dedup_sql()).fetchall())
+    assert got == want
+    assert (3, "", 1, 0) in got  # NULL doc present, not dropped
+
+
 # ---------------------------------------------------------------------------
 # Plan pins (100-TB shapes)
 
@@ -318,3 +343,21 @@ def test_ffd_packing_exact_and_beats_greedy(spark):
         greedy_packs += packs
     ffd_total = len({(lg, p) for (lg, _i), p in got.items()})
     assert ffd_total < greedy_packs  # strict win on this corpus
+
+
+def test_ffd_packing_string_ids(spark):
+    """Non-integral id columns (string/uuid doc ids) pass through the Arrow
+    boundary unchanged — the output schema derives the id type from the
+    input instead of hardcoding long (round-8 advice)."""
+    from velostream_spark.operators import sampling
+
+    rows = [(f"doc-{i:03d}", (i * 37) % 90 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens long")
+    out = sampling.pack_sequences_ffd(df, "doc_id", "tokens", 128)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = out.collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(i for i, _ in rows)
+    fill: dict = {}
+    for r in got:
+        fill[r["pack_id"]] = fill.get(r["pack_id"], 0) + r["tokens"]
+    assert all(v <= 128 for v in fill.values())

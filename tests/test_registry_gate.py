@@ -17,14 +17,14 @@ from velostream_spark.registry import GATE_ORDER, all_queries
 #: (updated per rotation batch — displaced near-twins move to the mirror,
 #: their coverage carried by the entries noted in registry.GATE_ORDER).
 FLAGSHIPS = {
-    "dedup_exact",
+    "span_dedup",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "simhash",
     "dedup_canonical",
     "pii_scrub",
-    "sequence_packing",
-    "stratified_sample",
+    "curation_pipeline",
+    "corpus_mix",
     "ann_ivf_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
@@ -32,27 +32,21 @@ FLAGSHIPS = {
     "streaming_rows_window",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 5 (round 8,
-#: the two entries added in round 7) PLUS batch 4's nine — the round-7
-#: driver run recorded no CORRECTNESS_r07.json, so batch 4 keeps its slots
-#: until an official record exists. Earlier batches' entrants are recorded
-#: in registry.GATE_ORDER's rotation notes and CORRECTNESS_r*.json
-#: history; they are asserted present-in-catalog below, not
-#: present-in-gate (later batches legitimately displace them).
+#: THIS round's first-time-official entrants: rotation batch 6 (round 9) —
+#: the round-8 curation suite, all exact-oracle. Every displaced near-twin
+#: holds an official record (batch 4+5 entrants got theirs in
+#: CORRECTNESS_r08, 49/50 green) and stays in the catalog + parity mirror.
+#: ann_ivf_trained_topk's slot was a dead gate slot (err: "no_oracle" —
+#: the driver verifies nothing for oracle-less entries); semdedup runs the
+#: same deterministic-IVF machinery WITH an exact oracle.
 ROTATED_IN = {
-    # batch 5 (round 8)
-    "dialect_cast_multiformat",
-    "pii_scrub",
-    # batch 4 (round 7; no official record yet — retained)
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "dialect_quantified_comparisons",
-    "minhash_signature",
-    "multimodal_audio_energy",
-    "simhash",
-    "streaming_session_final",
-    "streaming_sliding_final",
-    "streaming_tumbling_changes",
+    "span_dedup",
+    "corpus_mix",
+    "global_shuffle",
+    "curation_pipeline",
+    "semdedup",
+    "streaming_curation",
+    "bpe_pair_counts",
 }
 
 
@@ -72,10 +66,13 @@ def test_flagship_pipeline_entries_hold_official_slots():
     assert FLAGSHIPS <= first50
 
 
-#: Gate entries whose oracle is rows-only BY DESIGN (documented in their
-#: docstrings): k-means training is not SQL-expressible, so the trained-IVF
-#: entry cannot have an exact DuckDB oracle.
-ROWS_ONLY_BY_DESIGN = {"ann_ivf_trained_topk"}
+#: Gate entries whose oracle is rows-only BY DESIGN: none since batch 6 —
+#: the round-8 verdict established that an oracle-less gate slot gives the
+#: driver zero signal (err: "no_oracle"), so rows-only entries
+#: (ann_ivf_trained_topk, bpe_train_merges, sequence_packing_ffd,
+#: approx_count_distinct) live in the parity mirror + their pinned-exactness
+#: tests instead of the official 50.
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_every_gate_entry_has_an_oracle():
@@ -146,5 +143,13 @@ def test_displaced_entries_still_registered():
         # rotated out in round-8 batch 5 (official r6)
         "cast_semantics",
         "text_analysis",
+        # rotated out in round-9 batch 6 (all official r8)
+        "dedup_exact",
+        "stratified_sample",
+        "sequence_packing",
+        "ann_ivf_trained_topk",
+        "streaming_group_by_final",
+        "collection_functions",
+        "embedding_near_dup",
     ):
         assert kept in names

@@ -111,6 +111,16 @@ def main() -> None:
         "global_shuffle",
         "streaming_curation",
     ]
+    # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
+    # composed-pipeline run, where re-timing every 1x-flat entry would
+    # dominate the wall for no information). "semdedup" selects the
+    # K-scaled semdedup block.
+    sel = os.environ.get("SCALE_SPOT_ENTRIES")
+    run_semdedup = True
+    if sel:
+        chosen = [s.strip() for s in sel.split(",") if s.strip()]
+        run_semdedup = "semdedup" in chosen
+        entries = [e for e in entries if e in chosen]
     try:
         dirs = {r: replicate_docs(spark, sf_dir, r, root) for r in reps}
         print(f"{'query':24s} " + " ".join(f"{r:>2d}x_wall" for r in reps))
@@ -118,6 +128,8 @@ def main() -> None:
             walls = [steady_min(lambda d=dirs[r]: qs[name].fn(spark, d)) for r in reps]
             print(f"{name:24s} " + " ".join(f"{w:7.3f}" for w in walls))
         # semdedup with K scaled alongside the corpus (see module doc)
+        if not run_semdedup:
+            return
         walls = []
         for r in reps:
             from velostream_spark.session import load_tables

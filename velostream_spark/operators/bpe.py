@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 
 from velostream_spark.operators import textops
 
-__all__ = ["word_counts", "bpe_merges_from_counts", "bpe_train"]
+__all__ = [
+    "word_counts",
+    "bpe_merges_from_counts",
+    "bpe_train",
+    "ENCODE_MERGES",
+    "bpe_encode_expr",
+    "bpe_encode_sql",
+    "bpe_encode_ref",
+]
 
 
 def word_counts(
@@ -108,3 +116,99 @@ def bpe_train(
     Only the capped dictionary (≤ vocab_cap rows) reaches the driver."""
     counts = [(r["word"], r["n"]) for r in word_counts(docs, text_col, vocab_cap).collect()]
     return bpe_merges_from_counts(counts, n_merges)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE ENCODE: apply a trained merge table to a corpus
+# ---------------------------------------------------------------------------
+
+#: The pinned fixture merge table for the catalog entry — the output of
+#: ``bpe_train(documents@sf0.01, n_merges=16)``, frozen as constants so the
+#: DuckDB oracle can replay the identical chain (SF-independent: encode is
+#: parameterized by a FIXED table; which table is a caller choice).
+ENCODE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]
+
+#: Symbol sentinels: every symbol is wrapped \x01sym\x02, so a merge
+#: pattern \x01a\x02\x01b\x02 can only match two ADJACENT WHOLE symbols —
+#: never a substring of a longer symbol, and never across the wrapped
+#: space that separates words (no merge pair contains a space: training
+#: splits on whitespace first). Plain string replace is left-to-right
+#: non-overlapping on Spark, DuckDB, and Python alike, which is exactly
+#: the reference merge walk's greedy scan — and because each match
+#: consumes BOTH sentinels, consecutive matches never share a character
+#: (the classic " a b "-style delimiter bug this encoding avoids).
+_SYM_OPEN = "\x01"
+_SYM_CLOSE = "\x02"
+
+
+def _wrap(sym: str) -> str:
+    return f"{_SYM_OPEN}{sym}{_SYM_CLOSE}"
+
+
+def bpe_encode_expr(col, merges: list[tuple[str, str]] | None = None):
+    """Column expression: the sentinel-wrapped BPE encoding of ``col``'s
+    normalized text under ``merges`` (rank order). Pure Catalyst codegen —
+    one regexp wrap + one string replace per merge, zero shuffles, zero
+    Python; a 100-TB corpus encodes scan-side. (A production-sized merge
+    table — tens of thousands of ranks — would switch to one mapInPandas
+    stage applying the same greedy walk with the table broadcast; the
+    nested-replace form is the exact-oracle-checkable fixture shape.)"""
+    merges = ENCODE_MERGES if merges is None else merges
+    s = F.regexp_replace(
+        F.coalesce(textops.normalize(col), F.lit("")),
+        "(.)",
+        f"{_SYM_OPEN}$1{_SYM_CLOSE}",
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(_wrap(a) + _wrap(b)), F.lit(_wrap(a + b)))
+    return s
+
+
+def bpe_encode_sql(expr: str, merges: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB twin of :func:`bpe_encode_expr` — the same chain generated
+    from the same constants (the ``*_sql`` twin pattern)."""
+    merges = ENCODE_MERGES if merges is None else merges
+
+    def lit(s: str) -> str:
+        out = "''"
+        for ch in s:
+            if ch == _SYM_OPEN:
+                out += " || chr(1)"
+            elif ch == _SYM_CLOSE:
+                out += " || chr(2)"
+            else:
+                out += " || '" + ch.replace("'", "''") + "'"
+        return "(" + out + ")"
+
+    s = (
+        f"regexp_replace(COALESCE({textops.normalize_sql(expr)}, ''), '(.)', "
+        "chr(1) || '\\1' || chr(2), 'g')"
+    )
+    for a, b in merges:
+        s = f"replace({s}, {lit(_wrap(a) + _wrap(b))}, {lit(_wrap(a + b))})"
+    return s
+
+
+def bpe_encode_ref(word: str, merges: list[tuple[str, str]] | None = None) -> list[str]:
+    """Independent pure-Python reference: the tuple-walk greedy merge
+    (the same scan ``bpe_merges_from_counts`` trains with), for pinning
+    the string-replace encoding against in tests."""
+    merges = ENCODE_MERGES if merges is None else merges
+    sym = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym

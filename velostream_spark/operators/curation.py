@@ -87,7 +87,12 @@ def span_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     drop-in fallback — both shapes shuffle only (hash, id, idx) triples.
     """
     s = SPAN_WORDS
-    ws = textops.words(F.col(text_col))
+    # NULL text coalesces to '' in BOTH twins: words('') is [''] under
+    # Spark's split and DuckDB's string_split alike, so a NULL-text doc
+    # flows through as a one-empty-span doc on both engines. Without
+    # this, Spark's left join emitted the doc with NULL clean_text while
+    # the oracle's generate_series-over-NULL dropped it entirely.
+    ws = textops.words(F.coalesce(F.col(text_col), F.lit("")))
     n = F.ceil(F.size(ws) / s).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -136,7 +141,7 @@ def span_dedup_sql(table: str = "documents", text: str = "text", id_: str = "doc
     s = SPAN_WORDS
     return f"""
 WITH ws AS (
-  SELECT {id_}, {textops.words_sql(text)} AS w FROM {table}
+  SELECT {id_}, {textops.words_sql(f"COALESCE({text}, '')")} AS w FROM {table}
 ), sized AS (
   SELECT {id_}, w, CAST(ceil(len(w) / {s}.0) AS INT) AS n_spans FROM ws
 ), idx AS (

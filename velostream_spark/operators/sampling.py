@@ -127,7 +127,13 @@ def pack_sequences_ffd(
     """
     import pandas as pd
 
-    out_schema = f"{id_col} long, _stratum string, {token_col} long, pack_id long"
+    # Derive the id column's type from the input schema (as semdedup does)
+    # rather than hardcoding long: string/uuid doc ids must pass through
+    # the Arrow boundary unchanged (round-8 advice).
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, _stratum string, {token_col} long, pack_id long"
+    )
 
     def pack_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(

@@ -1181,6 +1181,78 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle() -> str:
+    from velostream_spark.operators import bpe
+
+    enc = bpe.bpe_encode_sql("text")
+    return f"""
+WITH e AS (
+  SELECT doc_id, {enc} AS enc FROM documents
+)
+SELECT doc_id,
+       CAST(length(replace(COALESCE({textops.normalize_sql('text')}, ''), ' ', ''))
+            AS BIGINT) AS n_chars,
+       CAST((length(e.enc) - length(replace(e.enc, chr(1), '')))
+            - (length(e.enc) - length(replace(e.enc, chr(1) || ' ' || chr(2), ''))) / 3
+            AS BIGINT) AS n_tokens,
+       md5(e.enc) AS enc_md5
+FROM documents JOIN e USING (doc_id)
+"""
+
+
+@query(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("pipeline", "tokenizer", "encode", "beyond-reference"),
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE: apply a trained merge table to the corpus as
+    a scan-side operator (operators/bpe.py::bpe_encode_expr) — the natural
+    complement of bpe_train_merges, closing the tokenizer pipeline. For a
+    FIXED merge table (ENCODE_MERGES: bpe_train's sf0.01 output, pinned)
+    the segmentation is deterministic, so the DuckDB oracle replays the
+    identical sentinel-wrap + replace chain generated from the SAME
+    constants. Emits per doc: pre-merge char count, encoded token count,
+    and md5 of the full encoded string — the hash pins the exact
+    segmentation, not just its size.
+
+    Scale shape: zero shuffles — one regexp wrap + 16 string replaces +
+    counting arithmetic, all whole-stage codegen (plan-pinned in
+    tests/test_bpe.py); the merge table rides in the plan as literals.
+    At production vocab sizes (tens of thousands of merges) the same
+    greedy walk moves to ONE mapInPandas stage with the rank table
+    broadcast — the fixture shape is the oracle-checkable twin."""
+    from velostream_spark.operators import bpe
+
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    enc = bpe.bpe_encode_expr(txt)
+    n_sym = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit("\x01")))
+    n_space = (
+        F.length("enc")
+        - F.length(F.replace(F.col("enc"), F.lit("\x01 \x02")))
+    ) / 3
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.length(
+                F.replace(
+                    F.coalesce(textops.normalize(txt), F.lit("")),
+                    F.lit(" "),
+                )
+            ).cast("long").alias("n_chars"),
+            enc.alias("enc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            (n_sym - n_space).cast("long").alias("n_tokens"),
+            F.md5("enc").alias("enc_md5"),
+        )
+    )
+
+
 @query(
     "sequence_packing_ffd",
     oracle=None,  # first-fit-decreasing is iterative bin-packing state —

@@ -511,7 +511,7 @@ def _streaming_curation_oracle() -> str:
     norm = textops.normalize_sql("text")
     return f"""
     SELECT DISTINCT lang,
-           md5(lang || '#' || ({norm}))     AS fp,
+           md5(COALESCE(lang, '') || '#' || ({norm})) AS fp,
            {textops.token_count_sql('text')} AS n_tokens
     FROM documents
     WHERE ({gf['n_words']} BETWEEN {textops.GOPHER_MIN_WORDS} AND {textops.GOPHER_MAX_WORDS})
@@ -547,11 +547,17 @@ def curation_stream(sdf: DataFrame) -> DataFrame:
         & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
         & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
     )
+    # fp key: coalesce(lang,'') on BOTH engines (concat_ws would silently
+    # skip a NULL lang while the oracle's || propagated it — round-8
+    # advice), and lang joins the dedup key so a '#' inside lang can never
+    # merge two (lang, norm) pairs that collide on the joined string.
     return q.select(
         "lang",
-        F.md5(F.concat_ws("#", F.col("lang"), F.col("_norm"))).alias("fp"),
+        F.md5(
+            F.concat(F.coalesce(F.col("lang"), F.lit("")), F.lit("#"), F.col("_norm"))
+        ).alias("fp"),
         textops.token_count_from(F.col("_norm"), F.col("_words")).alias("n_tokens"),
-    ).dropDuplicates(["fp"])
+    ).dropDuplicates(["lang", "fp"])
 
 
 @query(

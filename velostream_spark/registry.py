@@ -209,14 +209,31 @@ _LOADED = False
 #: pure-Catalyst text family, its token/quality scoring also exercised by
 #: lm_quality_score in the parity mirror.
 #:
-#: ROTATION batch 6 (planned for round 9, once batches 4+5 hold their
-#: first official record in CORRECTNESS_r08): rotate in the round-8
-#: entries span_dedup, corpus_mix, global_shuffle, curation_pipeline,
-#: semdedup, streaming_curation, bpe_pair_counts (displacing near-twins
-#: whose coverage the parity mirror carries: candidates dedup_exact ->
-#: span_dedup family, stratified_sample -> corpus_mix, sequence_packing
-#: -> curation_pipeline which composes it, streaming_dedup-family twin ->
-#: streaming_curation, a scalar-function twin -> bpe_pair_counts).
+#: ROTATION batch 6 (round 9 — executed; batches 4+5 hold their first
+#: official records in CORRECTNESS_r08, 49/50 green). Rotated in (all
+#: exact-oracle, all parity-green in the round-8 independent verdict run)
+#: → displaced (coverage carried by):
+#: span_dedup ← dedup_exact (exact hash-dedup is the first stage of
+#: span-level dedup, and dedup_canonical stays official carrying the
+#: dedup survivor semantics; dedup_exact stays a bench headline);
+#: corpus_mix ← stratified_sample (corpus_mix IS weighted stratified
+#: sampling with integer milli-weights, strictly stronger);
+#: curation_pipeline ← sequence_packing (the pipeline composes packing
+#: as its final stage; the standalone entry stays in the mirror);
+#: semdedup ← ann_ivf_trained_topk (the round-8 gate slot the driver
+#: could not verify — err: "no_oracle", zero signal; semdedup runs the
+#: same deterministic-IVF machinery WITH an exact oracle. The trained
+#: path keeps its parity-mirror slot and construction pins,
+#: tests/test_multimodal_ivf.py);
+#: streaming_curation ← streaming_group_by_final (EMIT FINAL stays
+#: officially covered by streaming_sliding_final + streaming_session_final;
+#: grouped streaming agg by streaming_tumbling_changes);
+#: bpe_pair_counts ← collection_functions (the 89-name conformance sweep
+#: + dialect_functions_select + json_functions carry collection coverage;
+#: bpe_pair_counts exercises split/explode/window/agg end-to-end);
+#: global_shuffle ← embedding_near_dup (embedding near-dup carried by
+#: semdedup — rotating in, cluster-bounded cosine dedup — and
+#: ann_ivf_topk, staying).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -233,7 +250,8 @@ GATE_ORDER = [
     "string_functions",
     "date_functions",
     "json_functions",
-    "collection_functions",
+    # batch 6: collection_functions → conformance sweep + dialect/json twins
+    "bpe_pair_counts",
     "dialect_functions_select",
     # §2.4 aggregate families
     "statistical_aggs",
@@ -262,17 +280,20 @@ GATE_ORDER = [
     # Phase-4 pipeline operators (LLM-scale curation; batch-4 rotation:
     # minhash_lsh_pairs/rolling_fingerprint/ann_brute_force/ann_lsh/
     # multimodal_frame_sample → their never-gated family twins)
-    "dedup_exact",
+    # batch 6: dedup_exact/sequence_packing/stratified_sample/
+    # ann_ivf_trained_topk/embedding_near_dup → the round-8 curation suite
+    # (displacement rationale in the ROTATION batch 6 block above)
+    "span_dedup",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "simhash",
     "dedup_canonical",
     "pii_scrub",
-    "sequence_packing",
-    "stratified_sample",
+    "curation_pipeline",
+    "corpus_mix",
     "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "embedding_near_dup",
+    "semdedup",
+    "global_shuffle",
     "multimodal_image_stats",
     "multimodal_audio_energy",
     # codecs / SQL dialect / streaming
@@ -285,7 +306,8 @@ GATE_ORDER = [
     "streaming_tumbling_changes",
     "streaming_sliding_final",
     "streaming_session_final",
-    "streaming_group_by_final",
+    # batch 6: streaming_group_by_final → sliding/session EMIT FINAL twins
+    "streaming_curation",
     "streaming_rows_window",
     "streaming_session_join",
 ]

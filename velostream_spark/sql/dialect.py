@@ -1541,6 +1541,32 @@ def _rewrite_now_diff(sql: str) -> str:
 _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
 
 
+def _scope_grouped(sql: str, pos: int) -> bool:
+    """True if the innermost SELECT scope enclosing ``pos`` has its OWN
+    GROUP BY (at that scope's top paren depth). A statement-level probe
+    misclassifies DELTA inside subqueries both ways: a grouped subquery
+    under an ungrouped outer statement needs the aggregate form, and an
+    ungrouped subquery under a grouped outer statement needs the
+    per-record form (round-8 advice, medium)."""
+    blanked = _blank_strings(sql)
+    stack: list[int] = []
+    for i in range(pos):
+        ch = blanked[i]
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")" and stack:
+            stack.pop()
+    # Walk outward to the innermost enclosing paren that opens a SELECT
+    # (a subquery scope); intermediate parens — function args, arithmetic
+    # grouping — don't form a grouping scope.
+    for open_i in reversed(stack):
+        if re.match(r"\s*SELECT\b", blanked[open_i + 1 :], re.IGNORECASE):
+            close = _match_paren(sql, open_i + 1)
+            seg = sql[open_i + 1 : close - 1]
+            return re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(seg)) is not None
+    return re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(sql)) is not None
+
+
 def _rewrite_delta(sql: str) -> str:
     """DELTA in its three reference contexts:
 
@@ -1553,8 +1579,12 @@ def _rewrite_delta(sql: str) -> str:
     - Per-record with no grouping: ``(x - x)`` — the expression-level
       handler returns a typed zero for a single value and NULL for NULL
       (functions.rs:1809-1828); ``x - x`` reproduces both.
+
+    Aggregate-vs-per-record is decided PER OCCURRENCE from the grouping of
+    the SELECT scope enclosing that occurrence (``_scope_grouped``), so a
+    DELTA inside a grouped subquery aggregates even when the outer
+    statement is ungrouped, and vice versa.
     """
-    grouped = re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(sql)) is not None
     while True:
         m = _DELTA_RE.search(sql)
         if not m:
@@ -1564,7 +1594,9 @@ def _rewrite_delta(sql: str) -> str:
         om = re.match(r"(?is)\s*OVER\s*\(", sql[j:])
         if not om:
             repl = (
-                f"(MAX({arg}) - MIN({arg}))" if grouped else f"({arg} - {arg})"
+                f"(MAX({arg}) - MIN({arg}))"
+                if _scope_grouped(sql, m.start())
+                else f"({arg} - {arg})"
             )
             sql = sql[: m.start()] + repl + sql[j:]
             continue

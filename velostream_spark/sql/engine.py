@@ -242,6 +242,11 @@ class SqlEngine:
         #: SHOW TOPICS (show.rs:155: topics of REGISTERED streams, no
         #: broker I/O involved).
         self.source_cfgs: dict[str, dict[str, str]] = {}
+        #: created name → "create_stream" | "create_table" for
+        #: registration-only CREATEs: SHOW STREAMS must not list a
+        #: registration-only CREATE TABLE (it isn't in self.tables when
+        #: schema-less, but it is a TABLE — show.rs lists by created kind).
+        self.created_kinds: dict[str, str] = {}
         self._jobs = None  # lazy StreamJobManager (streaming CSAS + JOB stmts)
 
     @property
@@ -423,6 +428,7 @@ class SqlEngine:
         exists = st.name in self.streams or st.name in self.tables
         if exists and st.if_not_exists:
             return self.streams.get(st.name) or self.tables[st.name].df
+        self.created_kinds[st.name] = st.kind
         # record config: prefixed props under their own names, bare props
         # (topic = ..., config_file = ...) under the created name
         bare = {k: v for k, v in st.with_props.items() if "." not in k}
@@ -1224,10 +1230,15 @@ class SqlEngine:
             # registration-only streams (CREATE ... WITH / FROM <uri> with
             # an unwired connector) are REGISTERED, so they list too —
             # show.rs lists the registry, not readability
+            # registration-only CREATE TABLE ... WITH is a TABLE (listed by
+            # SHOW TABLES below), not a stream, even though its connector
+            # cfg sits in source_cfgs — filter by the created kind.
             names = set(self.streams) | {
                 n
                 for n, c in self.source_cfgs.items()
-                if c.get("type", "").endswith("_source") and n not in self.tables
+                if c.get("type", "").endswith("_source")
+                and n not in self.tables
+                and self.created_kinds.get(n) != "create_table"
             }
             return [
                 {
@@ -1239,11 +1250,22 @@ class SqlEngine:
                 if self._like_match(n, pat)
             ]
         if what.startswith("TABLES"):
-            return [
+            rows = [
                 {"table_name": n, "key_field": t.key_field, "type": "TABLE"}
                 for n, t in sorted(self.tables.items())
                 if self._like_match(n, pat)
             ]
+            # registration-only CREATE TABLE ... WITH (connector cfg, no
+            # schema): registered, so it lists here — with no key yet.
+            rows += [
+                {"table_name": n, "key_field": None, "type": "TABLE"}
+                for n, k in sorted(self.created_kinds.items())
+                if k == "create_table"
+                and n not in self.tables
+                and n in self.source_cfgs
+                and self._like_match(n, pat)
+            ]
+            return rows
         if what.startswith("JOBS"):
             return self.jobs.show_jobs()
         if what.startswith(("VERSIONS", "JOB VERSIONS")):
