@@ -80,6 +80,9 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "pq_encode",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
     "avro_roundtrip",
     "protobuf_roundtrip",
     "multimodal_image_stats",
@@ -173,7 +176,17 @@ AMORTIZED = {
 #:  - ann_ivf_topk: IVF centroid selection (K ids via min/max agg +
 #:    argmin groupBy) is the one-time index build; the reference's ANN
 #:    benchmarks likewise query a prebuilt index.
-EAGER_DERIVE = {"minhash_lsh_pairs", "ann_ivf_topk", "semdedup"}
+#:  - pq_encode / ann_pq_adc_topk: the ntile-anchor codebook selection
+#:    (PQ_K ids + their vectors) is the one-time PQ index training —
+#:    same class as ann_ivf_topk's centroid build.
+EAGER_DERIVE = {
+    "minhash_lsh_pairs",
+    "ann_ivf_topk",
+    "semdedup",
+    "pq_encode",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+}
 
 #: per-table key columns shifted per replica so joins/window partitions stay
 #: within-replica (more keys, same per-key history — work scales linearly)

@@ -161,3 +161,76 @@ def test_encode_plan_zero_shuffle_codegen(spark):
     assert "Exchange" not in plan, plan
     assert "[codegen id : 1]" in plan, plan  # one whole-stage span
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_encode_map_path_matches_expr_path(spark):
+    """The production mapInPandas encode (rank-priority scan, table-size-
+    independent) is bit-equal to the exact-oracle-gated replace chain on
+    training-produced tables — over the real corpus, fixture table."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators import bpe
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    both = bpe.bpe_encode_map(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "enc",
+        bpe.bpe_encode_expr(F.col("text")).alias("enc_chain"),
+    )
+    diff = both.where(~F.col("enc").eqNullSafe(F.col("enc_chain"))).count()
+    assert diff == 0
+    assert both.count() > 0
+
+    # trained-table precondition holds for the pinned fixture: every
+    # merged pair's constituents are single chars or earlier-rank outputs
+    produced = set()
+    for a, b in bpe.ENCODE_MERGES:
+        assert (len(a) == 1 or a in produced) and (len(b) == 1 or b in produced)
+        produced.add(a + b)
+
+
+def test_encode_roundtrip_property():
+    """Lossless segmentation: concatenating the encoded symbols of any
+    word reproduces the word — for the fixture table and for freshly
+    trained tables over hypothesis-generated corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from velostream_spark.operators import bpe
+
+    WORD = st.text(alphabet="abcdeft h", min_size=0, max_size=24)
+
+    @settings(max_examples=150, deadline=None)
+    @given(words=st.lists(WORD, min_size=1, max_size=8))
+    def check(words):
+        corpus = [(w.replace(" ", ""), 1 + i % 3) for i, w in enumerate(words)]
+        corpus = [(w, c) for w, c in corpus if w]
+        trained = [(a, b) for a, b, _n in bpe.bpe_merges_from_counts(corpus, 6)]
+        for table in (None, trained):
+            for w, _c in corpus:
+                assert "".join(bpe.bpe_encode_ref(w, table)) == w
+
+    check()
+
+
+def test_encode_map_plan_single_python_stage(spark):
+    """bpe_encode_map is ONE mapInPandas stage over the scan — no shuffle,
+    no extra Python stages (the rank table rides in the function closure)."""
+    import contextlib
+    import io
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators import bpe
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    df = bpe.bpe_encode_map(docs.select("doc_id", "text"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    # formatted mode names each node twice (tree line + detail header)
+    assert plan.count("MapInPandas") == 2, plan

@@ -1,0 +1,168 @@
+"""Product-quantization pins (operators/pq.py — Jégou et al. 2011).
+
+Exact value correctness is oracle-gated (pq_encode / ann_pq_adc_topk in the
+parity mirror: both engines evaluate identical left-associative distance
+chains, so codes, errors, distances, and even tie ranks hash-match). These
+tests pin the operator CONTRACTS: code range/shape, quantization-error
+sanity, retrieval quality above chance, and the 100-TB plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _emb(spark):
+    from velostream_spark.session import load_tables
+
+    return load_tables(spark, SF_SMOKE, register_views=False)["embeddings"]
+
+
+def test_pq_encode_codes_in_range_and_qerr_nonneg(spark):
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    import functools
+
+    out = pq.pq_encode(emb, pq.pq_codebook(emb)).cache()
+    try:
+        assert out.count() == emb.count()
+        conds = [
+            (F.col(f"code_{s + 1}") < 0) | (F.col(f"code_{s + 1}") >= pq.PQ_K)
+            for s in range(pq.PQ_M)
+        ]
+        pred = functools.reduce(lambda a, b: a | b, conds) | (F.col("qerr") < 0)
+        assert out.where(pred).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_pq_anchor_rows_encode_to_their_own_code_with_zero_error(spark):
+    """An anchor vector's nearest centroid in every subspace is itself:
+    codes == its anchor rank, qerr == 0 (exactness smoke test)."""
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    ids = pq.pq_anchor_ids(emb)
+    out = pq.pq_encode(emb.where(F.col("vec_id").isin(ids)), pq.pq_codebook(emb))
+    for r in out.collect():
+        j = sorted(ids).index(r["vec_id"])
+        assert r["qerr"] == 0.0, r
+        for s in range(pq.PQ_M):
+            assert r[f"code_{s + 1}"] == j, (r, j)
+
+
+def test_pq_adc_recall_beats_chance(spark):
+    """ADC top-10 with the ntile fixture codebook recalls well above the
+    10/N chance floor on the random test corpus (measured ~0.22 mean;
+    chance = 0.02). Production k-means codebooks only improve this — the
+    fixture bound is deliberately loose."""
+    from collections import defaultdict
+
+    from velostream_spark.operators import pq, similarity
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    cb = pq.pq_codebook(emb)
+    adc = defaultdict(set)
+    for r in pq.pq_adc_topk(emb, q, cb).collect():
+        adc[r["query_id"]].add(r["neighbor_id"])
+    exact = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, "embedding", "vec_id", k=10).collect():
+        exact[r["query_id"]].add(r["neighbor_id"])
+    recalls = [len(adc[k] & exact[k]) / 10 for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.08, recalls
+
+
+def test_pq_encode_plan_one_arrow_stage_zero_shuffle(spark):
+    """Encode is ONE Arrow stage over the scan (codebook in the closure) —
+    no Exchange; the corpus never moves. (The pure-Catalyst expression
+    form was measured into Janino's 64 KB codegen wall + interpreted-mode
+    execution — operators/pq.py module doc — so MapInPandas is the pinned
+    shape, as for ivf_topk.)"""
+    import contextlib
+    import io
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    df = pq.pq_encode(emb, pq.pq_codebook(emb))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 2, plan  # one node (tree + detail)
+
+
+def test_pq_adc_plan_single_topk_exchange(spark):
+    """ADC top-k: encode + lookup fuse into chained Arrow stages with NO
+    shuffle between them; the only exchange in the whole plan is the TopK
+    window's partitioning on query_id."""
+    import contextlib
+    import io
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    df = pq.pq_adc_topk(emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count(") Exchange") == 1, plan  # one Exchange detail header
+    assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_ivf_pq_results_subset_of_full_adc_candidates(spark):
+    """IVF-PQ == plain ADC restricted to probed cells: every IVF-PQ hit
+    must carry the same rounded ADC distance the un-pruned ADC path
+    assigns to that (query, neighbor) pair, and recall vs full ADC top-10
+    is positive (cells prune, they don't rescore)."""
+    from collections import defaultdict
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    cb = pq.pq_codebook(emb)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq.pq_adc_topk(emb, q, cb, k=500).collect()
+    }
+    ivfpq = pq.ivf_pq_topk(emb, q, cb).collect()
+    assert ivfpq
+    hits = defaultdict(set)
+    for r in ivfpq:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_dist"], r
+        hits[r["query_id"]].add(r["neighbor_id"])
+    # probed-cell top-10 overlaps the global ADC top-10 for most queries
+    top = defaultdict(set)
+    for (qid, nid), d in full.items():
+        top[qid].add((d, nid))
+    overlap = 0
+    for qid, pairs in top.items():
+        best10 = {nid for _d, nid in sorted(pairs)[:10]}
+        overlap += len(best10 & hits[qid])
+    assert overlap > 0
+
+
+def test_ivf_pq_plan_one_arrow_pass_one_topk_exchange(spark):
+    """The composition stays ONE Arrow pass over the corpus (cells + codes
+    + ADC in-stage) with the TopK window's exchange as the only shuffle."""
+    import contextlib
+    import io
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    df = pq.ivf_pq_topk(emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("MapInPandas") == 2, plan  # ONE node (tree + detail)
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(query_id" in plan, plan

@@ -212,3 +212,78 @@ def bpe_encode_ref(word: str, merges: list[tuple[str, str]] | None = None) -> li
                 i += 1
         sym = out
     return sym
+
+
+def bpe_encode_map(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "enc",
+):
+    """Production-scale ENCODE twin of :func:`bpe_encode_expr`: ONE
+    mapInPandas stage applying the same greedy left-to-right merge walk
+    with the rank table shipped once per executor (a Python closure over
+    the merge list — broadcast semantics without a JVM broadcast, since
+    the table is part of the serialized function). This is the path for
+    production vocabularies (tens of thousands of ranks), where a
+    nested-replace Catalyst expression would be unanalyzably large; the
+    fixture-sized replace chain remains the exact-oracle-checkable twin,
+    and the two paths are pinned bit-equal in tests/test_bpe.py.
+
+    Per batch: encode via a rank dict {(a,b): rank}; each word repeatedly
+    merges its best-ranked adjacent pair (the standard applied-BPE scan,
+    O(len²) worst case per word but rank-table-size-independent — the
+    reason production tokenizers use it over per-rank passes). On any
+    table PRODUCED BY BPE TRAINING the result is bit-equal to the
+    rank-ordered replace chain, because a pair's constituent symbols
+    always carry earlier ranks than the pair itself, so the best-rank
+    scan reconstructs symbols in the same order the chain does (pinned in
+    tests/test_bpe.py; an adversarial table ranking (ab,c) BEFORE (a,b)
+    can legitimately differ — training can never emit one). Output
+    schema = input + ``out_col`` string (sentinel-wrapped, same format
+    as the expr twin).
+    """
+    import re
+
+    from pyspark.sql import types as T
+
+    merges = ENCODE_MERGES if merges is None else merges
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    # JVM \s (textops.normalize's regexp) — mirrored exactly, and trim()
+    # strips SPACES only (Spark semantics), not all whitespace.
+    _jvm_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode_word(word: str) -> str:
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return "".join(_wrap(s) for s in sym)
+
+    def encode_text(text) -> str:
+        if text is None:
+            text = ""
+        norm = _jvm_ws.sub(" ", str(text).strip(" ").lower())
+        if not norm:
+            return ""
+        return _wrap(" ").join(encode_word(w) for w in norm.split(" "))
+
+    in_schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(encode_text)
+            yield pdf
+
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,353 @@
+"""Product quantization for ANN (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search" — public).
+
+PQ is the memory-bounded member of the similarity-search family: a D-dim
+float vector becomes M small integer codes (here 8 codes over 16-centroid
+subspace codebooks), so a 100-TB embedding corpus's index fits in RAM
+(8 bytes/vector instead of 256) and candidate scanning is a table lookup
+per subspace (ADC — asymmetric distance computation) instead of a D-dim
+float op. Complements the IVF family (`operators/similarity`): production
+systems compose them as IVF-PQ (coarse cells, PQ codes inside each cell).
+
+Determinism contract (what makes the exact DuckDB oracle possible):
+
+- **Codebook**: 16 anchor vectors chosen by a deterministic, SQL-expressible
+  rule — ``MIN(vec_id)`` per ``NTILE(16) OVER (ORDER BY vec_id)`` — and the
+  per-subspace codebook is simply the anchors' subvectors. Production would
+  train per-subspace k-means with the same grouped-Arrow machinery as
+  `ivf_trained` (training is one-time index-build work); the ntile rule is
+  the exact-oracle fixture, spread across the id domain.
+- **Distances**: every squared-L2 is an explicitly LEFT-ASSOCIATIVE 8-term
+  chain of ``(x_i - c_i) * (x_i - c_i)`` in float64 — numpy evaluates it as
+  8 in-place vector adds in term order, the oracle writes the identical
+  literal chain, and IEEE-754 +,-,* are exactly rounded on both, so the
+  doubles are BIT-EQUAL (never np.sum/np.dot — pairwise summation would
+  reassociate; never POWER in SQL — libm pow need not equal x*x).
+- **Ties**: argmin tie → smallest code index (np.argmin's first-occurrence
+  rule == the oracle's ``ORDER BY dist, j LIMIT 1``); top-k tie → smallest
+  neighbor id (the ANN family convention). Rounding happens ONCE, in
+  Catalyst (`F.round`, matching the oracle's ROUND) — never in numpy,
+  whose rint is half-to-even.
+
+Why Arrow and not pure Catalyst: the expression form of 8 subspaces × 16
+codes × 8 terms is a ~10k-node tree that blows whole-stage codegen's 64 KB
+method limit (Janino "Code grows beyond 64 KB", measured: 24 s analysis +
+interpreted-mode execution 3.7-6.7 s on 500 rows). One mapInPandas stage
+with the codebook in the closure runs the same arithmetic vectorized, keeps
+the corpus un-shuffled, and is the exact shape `ivf_topk` already uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+__all__ = [
+    "PQ_M",
+    "PQ_K",
+    "PQ_SUBDIM",
+    "pq_anchor_ids",
+    "pq_codebook",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+]
+
+PQ_M = 8  #: number of subspaces
+PQ_K = 16  #: centroids per subspace
+PQ_SUBDIM = 8  #: dims per subspace (PQ_M * PQ_SUBDIM = 64, the corpus dim)
+
+
+def pq_anchor_ids(emb: DataFrame, id_col: str = "vec_id") -> list[int]:
+    """The deterministic codebook rule: MIN(id) of each NTILE(PQ_K) bucket
+    over the id order. One tiny one-time job (index training — the ntile
+    global window is bounded by the training sample, never a data path);
+    the result is PQ_K ids."""
+    w = W.orderBy(F.col(id_col))
+    rows = (
+        emb.select(id_col, F.ntile(PQ_K).over(w).alias("_b"))
+        .groupBy("_b")
+        .agg(F.min(id_col).alias("aid"))
+        .orderBy("_b")
+        .collect()
+    )
+    return [r["aid"] for r in rows]
+
+
+def pq_codebook(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """PQ_K anchor vectors (full 64-dim, float32-exact as Python floats),
+    ordered by anchor id — row j is code j's centroid in every subspace."""
+    ids = pq_anchor_ids(emb, id_col)
+    got = {
+        r["i"]: list(r["v"])
+        for r in emb.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .collect()
+    }
+    return [got[i] for i in sorted(got)]
+
+
+def _subspace_dists(E, codebook, s: int):
+    """(N, PQ_K) float64 squared-L2 of every row's subspace ``s`` against
+    every centroid — each column built as the left-associative 8-term
+    chain (one vectorized in-place add per term, in term order)."""
+    import numpy as np
+
+    lo = s * PQ_SUBDIM
+    out = np.empty((E.shape[0], PQ_K), dtype=np.float64)
+    for j in range(PQ_K):
+        acc = None
+        for i in range(lo, lo + PQ_SUBDIM):
+            d = E[:, i] - codebook[j][i]
+            term = d * d
+            if acc is None:
+                acc = term
+            else:
+                acc += term
+        out[:, j] = acc
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code_1..code_M, qerr): per-subspace nearest-centroid codes and
+    the rounded total quantization error. ONE Arrow stage over the scan —
+    no shuffle, codebook in the closure; codes are exact ints, and qerr's
+    single rounding happens in Catalyst so it matches the oracle's ROUND."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [list(map(float, row)) for row in codebook]
+
+    def run(batches):
+        for pdf in batches:
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            qerr = None
+            for s in range(PQ_M):
+                dist = _subspace_dists(E, cb, s)
+                code = dist.argmin(axis=1)  # first occurrence = smallest j
+                out[f"code_{s + 1}"] = code.astype(np.int32)
+                best = dist[np.arange(len(code)), code]
+                qerr = best if qerr is None else qerr + best
+            out["_qerr_raw"] = qerr
+            yield pd.DataFrame(out)
+
+    id_type = emb.schema[id_col].dataType
+    fields = [T.StructField(id_col, id_type)]
+    fields += [T.StructField(f"code_{s + 1}", T.IntegerType()) for s in range(PQ_M)]
+    fields.append(T.StructField("_qerr_raw", T.DoubleType()))
+    coded = emb.select(id_col, vec_col).mapInPandas(run, T.StructType(fields))
+    return coded.select(
+        id_col,
+        *[f"code_{s + 1}" for s in range(PQ_M)],
+        F.round("_qerr_raw", 6).alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: corpus vectors participate ONLY through
+    their PQ codes (the 100-TB memory shape). Each query's (M × PQ_K)
+    distance lookup table is precomputed ONCE driver-side in plain-Python
+    left-associative float64 (queries are a bounded set, like the
+    codebook) and shipped in the closure; a corpus row's ADC distance is
+    M table lookups summed left-associatively, vectorized per Arrow
+    batch. The only exchange is the TopK window on query_id."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [list(map(float, row)) for row in codebook]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    # lut[q][s][j]: left-assoc 8-term chain in plain Python floats —
+    # bit-identical to the oracle's literal chain.
+    lut = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        per_s = []
+        for s in range(PQ_M):
+            lo = s * PQ_SUBDIM
+            row = []
+            for j in range(PQ_K):
+                acc = None
+                for i in range(lo, lo + PQ_SUBDIM):
+                    d = qv[i] - cb[j][i]
+                    term = d * d
+                    acc = term if acc is None else acc + term
+                row.append(acc)
+            per_s.append(row)
+        lut.append(per_s)
+    lut_np = np.array(lut, dtype=np.float64)  # (Q, M, K)
+
+    coded = pq_encode(emb, codebook, vec_col, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.stack(
+                [pdf[f"code_{s + 1}"].to_numpy() for s in range(PQ_M)], axis=1
+            )  # (N, M)
+            nid = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                adc = None
+                for s in range(PQ_M):
+                    term = lut_np[qi, s][codes[:, s]]
+                    adc = term.copy() if adc is None else adc + term
+                keep = nid != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qid),
+                        "neighbor_id": nid[keep],
+                        "_adc_raw": adc[keep],
+                    }
+                )
+
+    id_type = emb.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("_adc_raw", T.DoubleType()),
+        ]
+    )
+    scored = coded.drop("qerr").mapInPandas(run, schema)
+    w = W.partitionBy("query_id").orderBy(F.col("_adc_raw").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_adc_raw", 6).alias("adc_dist"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the production composition — coarse even-spaced IVF cells
+    (similarity.ivf_centroids, the deterministic fixture index) prune the
+    corpus to each query's ``nprobe`` probed cells, and ADC over PQ codes
+    scores the survivors. ONE Arrow pass over the corpus computes cell
+    assignment (one BLAS matmul per batch, argmax of the 6-rounded cosine
+    — identical to ivf_assign) AND the PQ codes, emits (query, neighbor,
+    adc) only for in-probed-cell candidates; the only exchange is the
+    TopK window. At 100 TB: corpus scanned once, nothing but id/score
+    pairs for ~nprobe/K of the corpus leaves the stage, and the scoring
+    payload is the 8-int code tuple.
+
+    Queries and their probed cells are driver-side (bounded set): probe
+    selection replicates ivf_assign's rounded stable argsort exactly, and
+    the ADC lookup tables are the same left-associative chains as
+    pq_adc_topk, so the DuckDB oracle composes the two existing CTE sets
+    verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    from velostream_spark.operators.similarity import _round6, ivf_centroids
+
+    cents = ivf_centroids(emb, vec_col, id_col, n_centroids)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    cnT = cn.T.copy()
+
+    cb = [list(map(float, row)) for row in codebook]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+    qscores = _round6(qmat @ cnT)
+    probed = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+
+    lut = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        per_s = []
+        for s in range(PQ_M):
+            lo = s * PQ_SUBDIM
+            row = []
+            for j in range(PQ_K):
+                acc = None
+                for i in range(lo, lo + PQ_SUBDIM):
+                    d = qv[i] - cb[j][i]
+                    term = d * d
+                    acc = term if acc is None else acc + term
+                row.append(acc)
+            per_s.append(row)
+        lut.append(per_s)
+    lut_np = np.array(lut, dtype=np.float64)  # (Q, M, K)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nid = pdf[id_col].to_numpy()
+            cell = np.argmax(_round6(E @ cnT), axis=1)  # nprobe=1, ties → low j
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                codes[:, s] = _subspace_dists(E, cb, s).argmin(axis=1)
+            for qi, qid in enumerate(qids):
+                keep = np.isin(cell, probed[qi]) & (nid != qid)
+                if not keep.any():
+                    continue
+                adc = None
+                for s in range(PQ_M):
+                    term = lut_np[qi, s][codes[keep, s]]
+                    adc = term.copy() if adc is None else adc + term
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qid),
+                        "neighbor_id": nid[keep],
+                        "_adc_raw": adc,
+                    }
+                )
+
+    id_type = emb.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("_adc_raw", T.DoubleType()),
+        ]
+    )
+    scored = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    w = W.partitionBy("query_id").orderBy(F.col("_adc_raw").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_adc_raw", 6).alias("adc_dist"),
+        )
+    )

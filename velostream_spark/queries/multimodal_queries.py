@@ -302,3 +302,234 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=10, n_centroids=8, nprobe=4, centroids=cents
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py — Jégou et al. 2011)
+
+
+def _pq_chain_sql(vec: str, anch: str, s: int) -> str:
+    """Left-associative 8-term squared-L2 chain for subspace ``s`` —
+    IDENTICAL evaluation order to pq._sq_dist, so the doubles are
+    bit-equal ((x)*(x), never POWER: libm pow need not equal x*x)."""
+    from velostream_spark.operators.pq import PQ_SUBDIM
+
+    lo = s * PQ_SUBDIM
+    terms = [
+        f"((CAST({vec}[{i + 1}] AS DOUBLE) - CAST({anch}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({vec}[{i + 1}] AS DOUBLE) - CAST({anch}[{i + 1}] AS DOUBLE)))"
+        for i in range(lo, lo + PQ_SUBDIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_ctes() -> str:
+    """Anchor selection + per-vector/anchor subspace distances + argmin
+    codes: the deterministic codebook rule (MIN(vec_id) per NTILE bucket)
+    and the same tie rules as the Spark side (argmin ties → smallest code)."""
+    from velostream_spark.operators.pq import PQ_K, PQ_M
+
+    d_cols = ", ".join(
+        f"{_pq_chain_sql('e.embedding', 'a.av', s)} AS d{s + 1}" for s in range(PQ_M)
+    )
+    code_cols = ", ".join(
+        f"(list(j ORDER BY d{s + 1}, j))[1] AS code_{s + 1}, MIN(d{s + 1}) AS e{s + 1}"
+        for s in range(PQ_M)
+    )
+    return f"""
+b AS (
+  SELECT vec_id, NTILE({PQ_K}) OVER (ORDER BY vec_id) AS _b FROM embeddings
+),
+aid AS (SELECT _b, MIN(vec_id) AS aid FROM b GROUP BY _b),
+anch AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY aid.aid) - 1 AS INT) AS j,
+         e.embedding AS av
+  FROM aid JOIN embeddings e ON e.vec_id = aid.aid
+),
+dists AS (
+  SELECT e.vec_id, a.j, {d_cols}
+  FROM embeddings e CROSS JOIN anch a
+),
+codes AS (
+  SELECT vec_id, {code_cols}
+  FROM dists GROUP BY vec_id
+)"""
+
+
+def _pq_encode_oracle() -> str:
+    from velostream_spark.operators.pq import PQ_M
+
+    code_sel = ", ".join(f"code_{s + 1}" for s in range(PQ_M))
+    err_chain = " + ".join(f"e{s + 1}" for s in range(PQ_M))
+    return f"""
+WITH {_pq_ctes()}
+SELECT vec_id, {code_sel}, ROUND({err_chain}, 6) AS qerr
+FROM codes
+"""
+
+
+@query(
+    "pq_encode",
+    oracle=_pq_encode_oracle(),
+    tags=("pipeline", "similarity", "ann", "pq", "beyond-reference"),
+)
+def pq_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: every 64-dim vector → 8 nearest-centroid
+    codes (16 centroids per subspace, deterministic ntile-anchor codebook)
+    + rounded total quantization error. The 100-TB memory shape for ANN:
+    8 small ints replace 256 bytes of floats. ONE Arrow stage over the
+    scan (codebook in the closure, vectorized left-associative chains —
+    bit-equal to the oracle's literal SQL chains, operators/pq.py module
+    doc), NO shuffle; the pure-Catalyst expression form was measured into
+    the 64 KB codegen wall (Janino) and interpreted-mode walls, so Arrow
+    IS the right shape here, exactly as for ivf_topk. Production trains
+    per-subspace k-means with the grouped-Arrow machinery of
+    `ivf_trained`; the ntile rule is the exact-oracle fixture."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("pq_encode", sf_dir),
+        lambda: pq.pq_encode(emb, pq.pq_codebook(emb)),
+    )
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    from velostream_spark.operators.pq import PQ_M
+
+    lut_joins = "\n  ".join(
+        f"JOIN anch a{s + 1} ON a{s + 1}.j = c.code_{s + 1}" for s in range(PQ_M)
+    )
+    adc_chain = " + ".join(
+        _pq_chain_sql("q.qv", f"a{s + 1}.av", s) for s in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_ctes()},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {adc_chain} AS _adc
+  FROM codes c
+  {lut_joins}
+  CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _adc, neighbor_id)
+              AS INTEGER) AS rank,
+         _adc
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(_adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("pipeline", "similarity", "ann", "pq", "beyond-reference"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: corpus vectors participate ONLY through
+    their 8 codes — each query's (8 × 16)-entry distance lookup table is
+    precomputed once from its raw vector (bounded query set, like the
+    codebook) and resolved per code vectorized in the same Arrow pass.
+    The corpus is never shuffled (the only exchange is the TopK window on
+    query_id), and at 100 TB the scanned candidate payload is the 8-int
+    code tuple, not the vector. Exactness: both engines evaluate the
+    identical left-associative chains (operators/pq.py module doc), so
+    even distance TIES rank identically."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("ann_pq_adc_topk", sf_dir),
+        lambda: pq.pq_adc_topk(
+            emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
+        ),
+    )
+
+
+def _ivf_pq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """IVF-PQ oracle: the IVF cell CTEs (deterministic even-spaced index,
+    6-rounded cosine assignment) composed with the PQ code CTEs (ntile
+    anchors, left-associative chains) — candidates are the probed cells'
+    members, scored by ADC over their codes. CTE name sets are disjoint
+    by construction."""
+    from velostream_spark.operators.pq import PQ_M
+
+    lut_joins = "\n  ".join(
+        f"JOIN anch a{s + 1} ON a{s + 1}.j = c.code_{s + 1}" for s in range(PQ_M)
+    )
+    adc_chain = " + ".join(
+        _pq_chain_sql("q.qv", f"a{s + 1}.av", s) for s in range(PQ_M)
+    )
+    return f"""
+WITH {_ivf_cell_ctes(n_centroids)},
+{_pq_ctes().lstrip()},
+q AS (SELECT vec_id AS query_id, embedding AS qv, embedding::DOUBLE[] AS qvd
+      FROM embeddings WHERE vec_id < 5),
+q_cells AS (
+  SELECT query_id, qv, j AS cell FROM (
+    SELECT q.query_id, q.qv, ct.j,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_dot_product(q.qvd, ct.cv)
+                                             / ct.cnorm, 6) DESC, ct.j)
+               AS rn
+    FROM q CROSS JOIN cents ct
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {adc_chain} AS _adc
+  FROM codes c
+  JOIN corpus_cell cc ON cc.vec_id = c.vec_id
+  JOIN q_cells q ON q.cell = cc.cell
+  {lut_joins}
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _adc, neighbor_id)
+              AS INTEGER) AS rank,
+         _adc
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(_adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(),
+    tags=("pipeline", "similarity", "ann", "ivf", "pq", "beyond-reference"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the production ANN composition (FAISS's default
+    shape): coarse IVF cells prune the corpus to each query's nprobe
+    probed cells, ADC over PQ codes scores the survivors. ONE Arrow pass
+    over the corpus computes cell + codes and emits (query, neighbor,
+    adc) only for in-cell candidates; the only exchange is the TopK
+    window (operators/pq.py::ivf_pq_topk). At 100 TB the scan's output
+    is ~nprobe/K of the corpus as id/score pairs — both the index
+    (8 B/vector) and the traffic are memory-shaped. Exact oracle: the
+    deterministic IVF CTEs and the PQ chains compose verbatim."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("ann_ivf_pq_topk", sf_dir),
+        lambda: pq.ivf_pq_topk(
+            emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
+        ),
+    )
