@@ -62,6 +62,7 @@ HEADLINE = [
     "sliding_window",
     "session_window",
     "text_analysis",
+    "corpus_stats",
     "bpe_pair_counts",
     "bpe_encode",
     "pii_scrub",

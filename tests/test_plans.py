@@ -475,3 +475,16 @@ def test_ffd_packing_single_stratum_exchange(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("hashpartitioning(_stratum") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_stats_single_scan_rollup_no_join(spark):
+    # dataset-card rollup: one corpus scan, Expand + partial agg map-side,
+    # no join, no window, no Python; the only exchanges are the rollup
+    # aggregation's (incl. the COUNT DISTINCT two-phase expansion)
+    plan = plan_of(spark, "corpus_stats")
+    assert "Expand" in plan, plan  # grouping-sets expansion
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # ONE node (tree + detail)

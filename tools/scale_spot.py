@@ -112,6 +112,13 @@ def main() -> None:
         "dedup_exact",
         "global_shuffle",
         "streaming_curation",
+        # PQ family: fixed 16-centroid codebook/cells, corpus R× — work is
+        # one Arrow pass ∝ R with a constant-size index, so the expected
+        # curve is flat-until-floor-amortizes then linear, like the
+        # single-stage curation ops.
+        "pq_encode",
+        "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -1282,3 +1282,75 @@ def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: corpus statistics rollup
+
+_CORPUS_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT lang, source,
+         {textops.token_count_sql('text')} AS toks,
+         md5({textops.normalize_sql('text')}) AS fp,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END AS is_empty
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*)                                         AS n_docs,
+       CAST(SUM(toks) AS BIGINT)                        AS total_tokens,
+       ROUND(AVG(CAST(toks AS DOUBLE)), 6)              AS avg_tokens,
+       ROUND(quantile_cont(CAST(toks AS DOUBLE), 0.5), 6)  AS p50_tokens,
+       ROUND(quantile_cont(CAST(toks AS DOUBLE), 0.95), 6) AS p95_tokens,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+       ROUND(AVG(CAST(is_empty AS DOUBLE)), 6)          AS empty_rate
+FROM d
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+@query(
+    "corpus_stats",
+    oracle=_CORPUS_STATS_ORACLE,
+    tags=("pipeline", "stats", "dataset-card", "beyond-reference"),
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics rollup: per (lang, source) stratum — and the
+    lang and grand-total rollup levels — document counts, token totals,
+    mean/median/p95 token lengths, exact-duplicate rate (distinct content
+    fingerprints vs docs), and empty-document rate. The report every
+    curation run ships next to its corpus.
+
+    Scale shape: ONE corpus scan computing (toks, fp, is_empty) scan-side,
+    then a single rollup aggregation — Spark expands the three grouping
+    sets map-side, so the shuffle carries one partial-agg row per
+    (grouping set × stratum), kilobytes at 100 TB; COUNT(DISTINCT fp) adds
+    the standard two-phase distinct expansion, still keyed on the same
+    strata. No joins, no window, no Python."""
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    d = t["documents"].select(
+        "lang",
+        "source",
+        textops.token_count(txt).alias("toks"),
+        F.md5(textops.normalize(txt)).alias("fp"),
+        F.when(
+            txt.isNull() | (F.length(F.trim(txt)) == 0), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_empty"),
+    )
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("toks").cast("double")), 6).alias("avg_tokens"),
+        F.round(F.percentile(F.col("toks").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_tokens"
+        ),
+        F.round(F.percentile(F.col("toks").cast("double"), F.lit(0.95)), 6).alias(
+            "p95_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.avg(F.col("is_empty").cast("double")), 6).alias("empty_rate"),
+    )
