@@ -191,3 +191,36 @@ def test_show_classifies_registration_only_table_as_table(engine):
     assert "pending_str" in [
         r["stream_name"] for r in engine.execute("SHOW STREAMS")
     ]
+
+
+def test_wired_create_table_registers_as_table_not_stream(engine, tmp_path):
+    """A WIRED registration-only CREATE TABLE (readable file source) must
+    land in self.tables, list under SHOW TABLES only, and be queryable —
+    the round-9 review found _wire_sources registered every wired source
+    as a STREAM regardless of created kind, double-listing it."""
+    import json
+
+    p = tmp_path / "dim.jsonl"
+    p.write_text(
+        "\n".join(json.dumps({"k": i, "v": f"x{i}"}) for i in range(3))
+    )
+    engine.execute(
+        f"CREATE TABLE wired_dim WITH ("
+        f"'wired_dim.type' = 'file_source', "
+        f"'wired_dim.path' = '{p}', "
+        f"'wired_dim.format' = 'jsonl')"
+    )
+    assert "wired_dim" in engine.tables and "wired_dim" not in engine.streams
+    stream_names = [r["stream_name"] for r in engine.execute("SHOW STREAMS")]
+    assert "wired_dim" not in stream_names
+    table_rows = [r["table_name"] for r in engine.execute("SHOW TABLES")]
+    assert table_rows.count("wired_dim") == 1  # listed once, not twice
+    assert engine.execute("SELECT COUNT(*) AS n FROM wired_dim").first()["n"] == 3
+    # the STREAM twin of the same cfg still wires as a stream
+    engine.execute(
+        f"CREATE STREAM wired_str WITH ("
+        f"'wired_str.type' = 'file_source', "
+        f"'wired_str.path' = '{p}', "
+        f"'wired_str.format' = 'jsonl')"
+    )
+    assert "wired_str" in engine.streams and "wired_str" not in engine.tables

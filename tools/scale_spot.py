@@ -129,6 +129,14 @@ def main() -> None:
     if sel:
         chosen = [s.strip() for s in sel.split(",") if s.strip()]
         run_semdedup = "semdedup" in chosen
+        known = set(entries) | {"semdedup"}
+        unknown = [c for c in chosen if c not in known]
+        if unknown:
+            # a typo'd sweep must not read as "nothing regressed"
+            raise SystemExit(
+                f"SCALE_SPOT_ENTRIES names not in the preset list: {unknown} "
+                f"(known: {sorted(known)})"
+            )
         entries = [e for e in entries if e in chosen]
     try:
         dirs = {r: replicate_docs(spark, sf_dir, r, root) for r in reps}

@@ -117,11 +117,15 @@ def pq_encode(
     codebook: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    compute_qerr: bool = True,
 ) -> DataFrame:
-    """(id, code_1..code_M, qerr): per-subspace nearest-centroid codes and
-    the rounded total quantization error. ONE Arrow stage over the scan —
-    no shuffle, codebook in the closure; codes are exact ints, and qerr's
-    single rounding happens in Catalyst so it matches the oracle's ROUND."""
+    """(id, code_1..code_M[, qerr]): per-subspace nearest-centroid codes
+    and (optionally) the rounded total quantization error. ONE Arrow stage
+    over the scan — no shuffle, codebook in the closure; codes are exact
+    ints, and qerr's single rounding happens in Catalyst so it matches the
+    oracle's ROUND. ``compute_qerr=False`` skips the per-batch error
+    gather entirely — Catalyst can't prune work out of a Python stage, so
+    the ADC path (which never reads qerr) must opt out here."""
     import numpy as np
     import pandas as pd
 
@@ -129,6 +133,8 @@ def pq_encode(
 
     def run(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             out = {id_col: pdf[id_col].to_numpy()}
             qerr = None
@@ -136,21 +142,53 @@ def pq_encode(
                 dist = _subspace_dists(E, cb, s)
                 code = dist.argmin(axis=1)  # first occurrence = smallest j
                 out[f"code_{s + 1}"] = code.astype(np.int32)
-                best = dist[np.arange(len(code)), code]
-                qerr = best if qerr is None else qerr + best
-            out["_qerr_raw"] = qerr
+                if compute_qerr:
+                    best = dist[np.arange(len(code)), code]
+                    qerr = best if qerr is None else qerr + best
+            if compute_qerr:
+                out["_qerr_raw"] = qerr
             yield pd.DataFrame(out)
 
     id_type = emb.schema[id_col].dataType
     fields = [T.StructField(id_col, id_type)]
     fields += [T.StructField(f"code_{s + 1}", T.IntegerType()) for s in range(PQ_M)]
-    fields.append(T.StructField("_qerr_raw", T.DoubleType()))
+    if compute_qerr:
+        fields.append(T.StructField("_qerr_raw", T.DoubleType()))
     coded = emb.select(id_col, vec_col).mapInPandas(run, T.StructType(fields))
+    if not compute_qerr:
+        return coded
     return coded.select(
         id_col,
         *[f"code_{s + 1}" for s in range(PQ_M)],
         F.round("_qerr_raw", 6).alias("qerr"),
     )
+
+
+def _query_luts(qrows, cb) -> "object":
+    """(Q, M, K) float64 ADC lookup tables: per query, per subspace, the
+    squared-L2 to every centroid — each as the left-associative 8-term
+    chain in PLAIN PYTHON floats, bit-identical to the oracle's literal
+    chain. Shared by pq_adc_topk and ivf_pq_topk (and mirrored by the
+    lut_joins/adc_chain SQL both oracles generate from the same builder)."""
+    import numpy as np
+
+    lut = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        per_s = []
+        for s in range(PQ_M):
+            lo = s * PQ_SUBDIM
+            row = []
+            for j in range(PQ_K):
+                acc = None
+                for i in range(lo, lo + PQ_SUBDIM):
+                    d = qv[i] - cb[j][i]
+                    term = d * d
+                    acc = term if acc is None else acc + term
+                row.append(acc)
+            per_s.append(row)
+        lut.append(per_s)
+    return np.array(lut, dtype=np.float64).reshape(len(lut), PQ_M, PQ_K)
 
 
 def pq_adc_topk(
@@ -176,27 +214,9 @@ def pq_adc_topk(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
     qids = [r["qid"] for r in qrows]
-    # lut[q][s][j]: left-assoc 8-term chain in plain Python floats —
-    # bit-identical to the oracle's literal chain.
-    lut = []
-    for r in qrows:
-        qv = [float(x) for x in r["qv"]]
-        per_s = []
-        for s in range(PQ_M):
-            lo = s * PQ_SUBDIM
-            row = []
-            for j in range(PQ_K):
-                acc = None
-                for i in range(lo, lo + PQ_SUBDIM):
-                    d = qv[i] - cb[j][i]
-                    term = d * d
-                    acc = term if acc is None else acc + term
-                row.append(acc)
-            per_s.append(row)
-        lut.append(per_s)
-    lut_np = np.array(lut, dtype=np.float64)  # (Q, M, K)
+    lut_np = _query_luts(qrows, cb)  # (Q, M, K)
 
-    coded = pq_encode(emb, codebook, vec_col, id_col)
+    coded = pq_encode(emb, codebook, vec_col, id_col, compute_qerr=False)
 
     def run(batches):
         for pdf in batches:
@@ -229,7 +249,7 @@ def pq_adc_topk(
             T.StructField("_adc_raw", T.DoubleType()),
         ]
     )
-    scored = coded.drop("qerr").mapInPandas(run, schema)
+    scored = coded.mapInPandas(run, schema)
     w = W.partitionBy("query_id").orderBy(F.col("_adc_raw").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -286,24 +306,7 @@ def ivf_pq_topk(
     qmat = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
     qscores = _round6(qmat @ cnT)
     probed = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
-
-    lut = []
-    for r in qrows:
-        qv = [float(x) for x in r["qv"]]
-        per_s = []
-        for s in range(PQ_M):
-            lo = s * PQ_SUBDIM
-            row = []
-            for j in range(PQ_K):
-                acc = None
-                for i in range(lo, lo + PQ_SUBDIM):
-                    d = qv[i] - cb[j][i]
-                    term = d * d
-                    acc = term if acc is None else acc + term
-                row.append(acc)
-            per_s.append(row)
-        lut.append(per_s)
-    lut_np = np.array(lut, dtype=np.float64)  # (Q, M, K)
+    lut_np = _query_luts(qrows, cb)  # (Q, M, K)
 
     def run(batches):
         for pdf in batches:

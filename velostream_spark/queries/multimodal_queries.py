@@ -397,7 +397,11 @@ def pq_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle(k: int = 10) -> str:
+def _pq_adc_fragments() -> tuple[str, str]:
+    """(lut_joins, adc_chain): the shared per-subspace anchor joins and the
+    left-associative ADC sum — the SQL mirror of pq._query_luts, used by
+    both the plain-ADC and IVF-PQ oracles so the chain can never drift
+    between them."""
     from velostream_spark.operators.pq import PQ_M
 
     lut_joins = "\n  ".join(
@@ -406,6 +410,11 @@ def _pq_adc_oracle(k: int = 10) -> str:
     adc_chain = " + ".join(
         _pq_chain_sql("q.qv", f"a{s + 1}.av", s) for s in range(PQ_M)
     )
+    return lut_joins, adc_chain
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    lut_joins, adc_chain = _pq_adc_fragments()
     return f"""
 WITH {_pq_ctes()},
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -463,14 +472,7 @@ def _ivf_pq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
     anchors, left-associative chains) — candidates are the probed cells'
     members, scored by ADC over their codes. CTE name sets are disjoint
     by construction."""
-    from velostream_spark.operators.pq import PQ_M
-
-    lut_joins = "\n  ".join(
-        f"JOIN anch a{s + 1} ON a{s + 1}.j = c.code_{s + 1}" for s in range(PQ_M)
-    )
-    adc_chain = " + ".join(
-        _pq_chain_sql("q.qv", f"a{s + 1}.av", s) for s in range(PQ_M)
-    )
+    lut_joins, adc_chain = _pq_adc_fragments()
     return f"""
 WITH {_ivf_cell_ctes(n_centroids)},
 {_pq_ctes().lstrip()},

@@ -453,6 +453,8 @@ class SqlEngine:
                 self._wire_sources(st)
             if st.name in self.streams:
                 return self.streams[st.name]
+            if st.name in self.tables:
+                return self.tables[st.name].df
             return self.spark.createDataFrame(
                 [(st.name, st.kind, True)],
                 "name string, kind string, registered boolean",
@@ -466,6 +468,8 @@ class SqlEngine:
             self._wire_sources(st)
         if st.name in self.streams:
             return self.streams[st.name]
+        if st.name in self.tables:
+            return self.tables[st.name].df
         if st.schema_columns:
             fields = ", ".join(
                 f"`{name}` {self._ddl_type_to_spark(ts)}"
@@ -482,6 +486,16 @@ class SqlEngine:
         )
 
     def _wire_sources(self, st: Statement) -> None:
+        def register(name: str, df: DataFrame) -> None:
+            # register by CREATED KIND: a `CREATE TABLE x FROM <uri>` /
+            # WITH-config wires as a TABLE (keyless until declared), not a
+            # stream — otherwise SHOW STREAMS and SHOW TABLES both list it
+            # (round-9 review finding; the SHOW arms rely on this split)
+            if self.created_kinds.get(name) == "create_table":
+                self.register_table(name, df, None)
+            else:
+                self.register_stream(name, df)
+
         for name, cfg in self._resolve_config_files(st).items():
             typ = cfg.get("type", "")
             if not typ.endswith("_source") and not typ.startswith("file_source"):
@@ -492,11 +506,11 @@ class SqlEngine:
             if typ in ("file_source", "file_source_mmap"):
                 # mmap is the reference's fast path (reader_mmap.rs); Spark's
                 # vectorized reader plays that role — same config accepted.
-                self.register_stream(name, self._read_file_source(cfg))
+                register(name, self._read_file_source(cfg))
             elif typ == "kafka_source":
                 from velostream_spark.sources.kafka import read_batch
 
-                self.register_stream(name, read_batch(self.spark, cfg))
+                register(name, read_batch(self.spark, cfg))
             elif typ == "jdbc_source":
                 # FR-047 postgresql:// / mysql:// URI sources → Spark's
                 # built-in JDBC reader (partitioned reads via the standard
@@ -507,7 +521,7 @@ class SqlEngine:
                 for k, v in cfg.items():
                     if k != "type":
                         reader = reader.option(k, v)
-                self.register_stream(name, reader.load())
+                register(name, reader.load())
             else:
                 raise ValueError(f"unknown source type {typ!r} for {name!r}")
 
