@@ -84,6 +84,7 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "pq_code_dedup",
     "avro_roundtrip",
     "protobuf_roundtrip",
     "multimodal_image_stats",
@@ -187,6 +188,7 @@ EAGER_DERIVE = {
     "pq_encode",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "pq_code_dedup",
 }
 
 #: per-table key columns shifted per replica so joins/window partitions stay

@@ -166,3 +166,28 @@ def test_ivf_pq_plan_one_arrow_pass_one_topk_exchange(spark):
     assert plan.count("MapInPandas") == 2, plan  # ONE node (tree + detail)
     assert plan.count(") Exchange") == 1, plan
     assert "hashpartitioning(query_id" in plan, plan
+
+
+def test_pq_code_dedup_blocks_are_code_prefix_groups(spark):
+    """Every emitted block's size equals the number of corpus vectors
+    sharing that code prefix, and keep_id is the block's min id."""
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators import pq
+    from velostream_spark.queries.multimodal_queries import PQ_BLOCK_PREFIX
+    from velostream_spark.registry import all_queries
+
+    emb = _emb(spark)
+    codes = [f"code_{s + 1}" for s in range(PQ_BLOCK_PREFIX)]
+    coded = {
+        tuple(r[c] for c in codes): r
+        for r in pq.pq_encode(emb, pq.pq_codebook(emb), compute_qerr=False)
+        .groupBy(*codes)
+        .agg(F.min("vec_id").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    blocks = all_queries()["pq_code_dedup"].fn(spark, SF_SMOKE).collect()
+    assert blocks  # non-trivial on the test corpus (prefix chosen for that)
+    for b in blocks:
+        key = tuple(b[c] for c in codes)
+        assert b["group_size"] == coded[key]["n"] > 1
+        assert b["keep_id"] == coded[key]["mn"]

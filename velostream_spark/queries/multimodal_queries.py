@@ -535,3 +535,63 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
         ),
     )
+
+
+#: Blocking prefix: group on the first N subspace codes. The full 8-code
+#: tuple is the near-exact block (empty on the random test corpus — real
+#: boilerplate-heavy corpora collide there); a 4-code prefix (16^4 = 65536
+#: blocks over the leading 32 dims) is the candidate-blocking tradeoff
+#: production pipelines tune, and yields verifiable blocks at every SF.
+PQ_BLOCK_PREFIX = 4
+
+
+def _pq_code_dedup_oracle() -> str:
+    codes = ", ".join(f"code_{s + 1}" for s in range(PQ_BLOCK_PREFIX))
+    return f"""
+WITH {_pq_ctes()}
+SELECT {codes},
+       MIN(vec_id) AS keep_id,
+       COUNT(*)    AS group_size
+FROM codes
+GROUP BY {codes}
+HAVING COUNT(*) > 1
+"""
+
+
+@query(
+    "pq_code_dedup",
+    oracle=_pq_code_dedup_oracle(),
+    tags=("pipeline", "similarity", "pq", "dedup", "beyond-reference"),
+)
+def pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocking by PQ code-prefix equality: vectors
+    whose first PQ_BLOCK_PREFIX subspace codes coincide quantize to the
+    same cell product over the leading dims — a cheap, transitive
+    near-dup prefilter (the blocking step production embedding-dedup
+    runs before an exact re-check like semdedup's cluster-bounded
+    cosine; the prefix length is the recall/cost knob). Emits one row
+    per collision block with the min-id survivor and block size.
+
+    Scale shape: the encode Arrow stage (no shuffle) then ONE groupBy on
+    the 8-int code tuple — the dedup exchange carries ~40 bytes/vector,
+    never the embedding. At 100 TB this is the same shape as dedup_exact
+    with codes in place of content hashes."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+
+    def build() -> DataFrame:
+        codes = [f"code_{s + 1}" for s in range(PQ_BLOCK_PREFIX)]
+        return (
+            pq.pq_encode(emb, pq.pq_codebook(emb), compute_qerr=False)
+            .groupBy(*codes)
+            .agg(
+                F.min("vec_id").alias("keep_id"),
+                F.count(F.lit(1)).alias("group_size"),
+            )
+            .where(F.col("group_size") > 1)
+        )
+
+    return memo_plan(spark, ("pq_code_dedup", sf_dir), build)

@@ -234,6 +234,21 @@ _LOADED = False
 #: global_shuffle ← embedding_near_dup (embedding near-dup carried by
 #: semdedup — rotating in, cluster-bounded cosine dedup — and
 #: ann_ivf_topk, staying).
+#:
+#: ROTATION batch 7 (planned for round 10, once batch 6 holds its first
+#: official record in CORRECTNESS_r09): rotate in the round-9 entries —
+#: all exact-oracle, all already green in the sf0.01 parity mirror —
+#: bpe_encode, pq_encode, ann_pq_adc_topk, ann_ivf_pq_topk,
+#: pq_code_dedup, corpus_stats. Displacement candidates (coverage carried
+#: by): bpe_pair_counts -> bpe_encode (the encode chain exercises the
+#: same split/normalize machinery END-to-end and bpe_pair_counts stays a
+#: bench headline + mirror entry); ann_ivf_topk -> ann_ivf_pq_topk (the
+#: composed path contains cell assignment; ivf stays in mirror + bench);
+#: simhash -> pq_code_dedup (hash-blocking dedup family; simhash_pairs
+#: already mirror-covered); minhash_signature -> pq_encode (signature
+#: computation family); json_functions or date_functions -> corpus_stats
+#: (scalar-function coverage carried by the 89-name conformance sweep +
+#: dialect_functions_select); one multimodal twin -> ann_pq_adc_topk.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
