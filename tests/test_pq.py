@@ -191,3 +191,31 @@ def test_pq_code_dedup_blocks_are_code_prefix_groups(spark):
         key = tuple(b[c] for c in codes)
         assert b["group_size"] == coded[key]["n"] > 1
         assert b["keep_id"] == coded[key]["mn"]
+
+
+def test_pq_trained_codebook_beats_fixture_recall(spark):
+    """pq_train_codebook (per-subspace MLlib k-means, Jégou §III) must
+    beat the ntile fixture codebook's recall@10 — the quality knob the
+    module doc promises (measured 0.30 vs 0.12 at sf0.001/sf0.01)."""
+    from collections import defaultdict
+
+    from velostream_spark.operators import pq, similarity
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    exact = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=10).collect():
+        exact[r["query_id"]].add(r["neighbor_id"])
+
+    def recall(cb):
+        got = defaultdict(set)
+        for r in pq.pq_adc_topk(emb, q, cb).collect():
+            got[r["query_id"]].add(r["neighbor_id"])
+        return sum(len(got[k] & exact[k]) / 10 for k in exact) / len(exact)
+
+    fixture = recall(pq.pq_codebook(emb))
+    trained = recall(pq.pq_train_codebook(emb))
+    assert trained > fixture, (trained, fixture)
+    # the trained codebook keeps the drop-in layout contract
+    cb = pq.pq_train_codebook(emb)
+    assert len(cb) == pq.PQ_K and len(cb[0]) == pq.PQ_M * pq.PQ_SUBDIM

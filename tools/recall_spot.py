@@ -52,6 +52,9 @@ def main() -> None:
             emb, q, k=10, n_centroids=16, nprobe=4, centroids=trained
         ),
         "pq adc (8x16 codes)": lambda: pq.pq_adc_topk(emb, q, cb, k=10),
+        "pq adc trained (k-means)": lambda: pq.pq_adc_topk(
+            emb, q, pq.pq_train_codebook(emb), k=10
+        ),
         "ivf-pq (nprobe 4)": lambda: pq.ivf_pq_topk(
             emb, q, cb, k=10, n_centroids=16, nprobe=4
         ),
