@@ -219,3 +219,51 @@ def test_pq_trained_codebook_beats_fixture_recall(spark):
     # the trained codebook keeps the drop-in layout contract
     cb = pq.pq_train_codebook(emb)
     assert len(cb) == pq.PQ_K and len(cb[0]) == pq.PQ_M * pq.PQ_SUBDIM
+
+
+def test_pq_encode_matches_pure_python_reference(spark):
+    """The vectorized Arrow encode is bit-equal to a PLAIN-PYTHON reference
+    (scalar left-associative chains + manual argmin with first-occurrence
+    ties) on seeded random corpora — guards against numpy reassociation
+    creeping into the distance chains. Adversarial case included: vectors
+    DUPLICATING anchors force exact distance ties."""
+    import random
+    import struct
+
+    from velostream_spark.operators import pq
+
+    dim = pq.PQ_M * pq.PQ_SUBDIM
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = pq.PQ_K + 4 + seed
+        vecs = [[f32(rng.uniform(-2, 2)) for _ in range(dim)] for _ in range(n)]
+        if seed % 2:  # duplicate an anchor-to-be: exact-tie stress
+            vecs[-1] = list(vecs[0])
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cb = pq.pq_codebook(df)
+        got = {
+            r["vec_id"]: [r[f"code_{s + 1}"] for s in range(pq.PQ_M)]
+            for r in pq.pq_encode(df, cb, compute_qerr=False).collect()
+        }
+        for vid, v in rows:
+            want = []
+            for s in range(pq.PQ_M):
+                lo = s * pq.PQ_SUBDIM
+                best = None
+                best_j = -1
+                for j in range(pq.PQ_K):
+                    acc = None
+                    for i in range(lo, lo + pq.PQ_SUBDIM):
+                        d = v[i] - cb[j][i]
+                        term = d * d
+                        acc = term if acc is None else acc + term
+                    if best is None or acc < best:
+                        best = acc
+                        best_j = j
+                want.append(best_j)
+            assert got[vid] == want, (seed, vid, got[vid], want)
