@@ -234,3 +234,29 @@ def test_encode_map_plan_single_python_stage(spark):
     assert "Exchange" not in plan, plan
     # formatted mode names each node twice (tree line + detail header)
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_encode_paths_equal_on_large_trained_table(spark):
+    """Chain and map paths stay bit-equal on a LARGE freshly-trained table
+    (128 merges over the corpus) — the trained-table equivalence claim,
+    exercised far past the 16-rank fixture (the measured chain-vs-map
+    crossover sits at ~64 merges, PERF.md)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators import bpe
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"].select(
+        "doc_id", "text"
+    )
+    merges = [(a, b) for a, b, _n in bpe.bpe_train(docs, "text", n_merges=128)]
+    # the sf0.001 corpus exhausts its pair statistics before 128 merges;
+    # anything past the measured ~64-merge crossover exercises the claim
+    assert len(merges) >= 64, len(merges)
+    both = bpe.bpe_encode_map(docs, "text", merges).select(
+        "doc_id",
+        "enc",
+        bpe.bpe_encode_expr(F.col("text"), merges).alias("enc_chain"),
+    )
+    assert both.where(~F.col("enc").eqNullSafe(F.col("enc_chain"))).count() == 0
