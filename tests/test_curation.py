@@ -361,3 +361,41 @@ def test_ffd_packing_string_ids(spark):
     for r in got:
         fill[r["pack_id"]] = fill.get(r["pack_id"], 0) + r["tokens"]
     assert all(v <= 128 for v in fill.values())
+
+
+def test_corpus_stats_null_and_empty_text_parity(spark):
+    """corpus_stats' empty_rate / token arithmetic handles NULL and
+    empty-string docs identically on both engines (the bundled corpus has
+    neither, so the mirror can't exercise this arm)."""
+    import duckdb
+    import pandas as pd
+
+    from velostream_spark.queries import pipeline
+    from velostream_spark.queries.pipeline import _CORPUS_STATS_ORACLE, corpus_stats
+
+    rows = [
+        (1, "en", "web", "alpha beta gamma"),
+        (2, "en", "web", None),
+        (3, "de", "book", ""),
+        (4, "de", "book", "   "),  # whitespace-only = empty after trim
+        (5, "en", "book", "alpha beta gamma"),  # dup of doc 1's content
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    df = spark.createDataFrame(pdf)
+    # swap the module-level table loader for a toy-frame stand-in
+    # (pipeline.py binds `tables` at import, so patch ITS binding)
+    orig = pipeline.tables
+    try:
+        pipeline.tables = lambda _s, _d: {"documents": df}
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        got = sorted(
+            (tuple(r) for r in corpus_stats(spark, "unused").collect()), key=key
+        )
+    finally:
+        pipeline.tables = orig
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (tuple(r) for r in con.execute(_CORPUS_STATS_ORACLE).fetchall()), key=key
+    )
+    assert got == want, (got, want)
