@@ -48,8 +48,18 @@ def token_count(col: Column) -> Column:
 
 
 def token_count_from(norm: Column, w: Column) -> Column:
-    """token_count from pre-staged normalized-text / words columns."""
-    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(w)).cast("long")
+    """token_count from pre-staged normalized-text / words columns.
+
+    NULL text → NULL count, explicitly: Spark's ``size(NULL)`` is -1 with
+    ANSI off (``spark.sql.legacy.sizeOfNull``, the tuned-session default)
+    and NULL with ANSI on, while DuckDB's ``len(NULL)`` is always NULL —
+    the guard makes the twins agree in EVERY session."""
+    return (
+        F.when(norm.isNull(), F.lit(None))
+        .when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(w))
+        .cast("long")
+    )
 
 
 def token_count_sql(expr: str) -> str:
