@@ -399,3 +399,49 @@ def test_corpus_stats_null_and_empty_text_parity(spark):
         (tuple(r) for r in con.execute(_CORPUS_STATS_ORACLE).fetchall()), key=key
     )
     assert got == want, (got, want)
+
+
+def test_text_entries_null_text_parity_under_tuned_session(spark):
+    """Round-9 NULL convention: every per-document text entry agrees with
+    its oracle on NULL/empty text IN ANY SESSION. Before this pin, Spark's
+    size(NULL)=-1 (ANSI off) leaked -1 token counts, explode(words(NULL))
+    silently DROPPED the simhash row, and array_join over an all-NULL
+    minhash array emitted '' where the oracle gave NULL."""
+    import duckdb
+    import pandas as pd
+
+    from velostream_spark.queries import pipeline
+
+    rows = [
+        (1, "en", "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "en", "web", None),
+        (3, "de", "book", ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    orig = pipeline.tables
+    try:
+        pipeline.tables = lambda _s, _d: {"documents": df}
+        for name in (
+            "text_analysis",
+            "minhash_signature",
+            "simhash",
+            "gopher_quality_filter",
+            "doc_chunking",
+            "rolling_fingerprint",
+            "dedup_exact",
+            "pii_scrub",
+            "lm_quality_score",
+            "bpe_encode",
+        ):
+            e = all_queries()[name]
+            got = sorted((tuple(r) for r in e.fn(spark, "x").collect()), key=key)
+            want = sorted(
+                (tuple(r) for r in con.execute(e.oracle).fetchall()), key=key
+            )
+            assert got == want, (name, got, want)
+    finally:
+        pipeline.tables = orig

@@ -385,10 +385,15 @@ def simhash_signatures(
     bit j = (hex_nibble[j//4] >> (j%4)) & 1 of md5(word).
     """
     assert bits <= 64
+    # NULL text coalesces to '' (round-9 convention, as span_dedup): an
+    # exploded NULL word array would silently DROP the document, while the
+    # SQL oracle emits a row for it.
     w = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(textops.words(F.col(text_col))).alias("_w"),
+            F.explode(
+                textops.words(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_w"),
         )
         # stage the md5 once per word — inlining it into both halves would
         # hash every word twice

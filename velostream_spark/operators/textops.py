@@ -70,8 +70,15 @@ def token_count_sql(expr: str) -> str:
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Regex-token count approximating BPE granularity (LongType)."""
-    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), F.lit(0))).cast("long")
+    """Regex-token count approximating BPE granularity (LongType).
+
+    NULL text → NULL, explicitly (size(NULL) is -1 with ANSI off;
+    DuckDB's len(regexp_extract_all(NULL)) is NULL — see token_count_from)."""
+    return (
+        F.when(col.isNull(), F.lit(None))
+        .otherwise(F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), F.lit(0))))
+        .cast("long")
+    )
 
 
 def bpe_token_count_sql(expr: str) -> str:

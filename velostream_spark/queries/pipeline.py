@@ -99,9 +99,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
+# COALESCE(text, '') on BOTH twins: a NULL-text doc signs like an empty
+# doc on both engines (Spark's array_join over an all-NULL min array gave
+# '' while DuckDB's array_to_string(NULL) gave NULL — the span_dedup
+# NULL convention, applied here in round 9).
 _MINHASH_SIG_ORACLE = f"""
 SELECT doc_id,
-       array_to_string({dedup.minhash_signature_sql("text", 8, 3)}, ',') AS minhash_sig
+       array_to_string({dedup.minhash_signature_sql("COALESCE(text, '')", 8, 3)}, ',') AS minhash_sig
 FROM documents
 """
 
@@ -113,9 +117,9 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id",
-        F.array_join(dedup.minhash_signature(F.col("text"), 8, 3), ",").alias(
-            "minhash_sig"
-        ),
+        F.array_join(
+            dedup.minhash_signature(F.coalesce(F.col("text"), F.lit("")), 8, 3), ","
+        ).alias("minhash_sig"),
     )
 
 
@@ -202,8 +206,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE on both twins: Spark's explode(words(NULL)) DROPPED NULL-text
+# docs while the oracle emitted an all-zeros row — with '' both engines
+# emit the empty-doc signature (round-9 NULL convention).
 _SIMHASH_ORACLE = f"""
-SELECT doc_id, {dedup.simhash_bits_sql("text", 64)} AS simhash
+SELECT doc_id, {dedup.simhash_bits_sql("COALESCE(text, '')", 64)} AS simhash
 FROM documents
 """
 
@@ -821,7 +828,9 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Gopher-style composite quality rules
 
-_GF = textops.gopher_features_sql("text")
+# COALESCE on both twins (round-9 NULL convention): NULL text scores like
+# an empty doc — n_words 1, zero-length word, passes=false — identically.
+_GF = textops.gopher_features_sql("COALESCE(text, '')")
 _GOPHER_ORACLE = f"""
 SELECT doc_id,
        {_GF['n_words']}                    AS n_words,
@@ -849,7 +858,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB filter pass is map-only and the verdict predicate pushes into
     downstream scans when materialized as a partition column."""
     t = tables(spark, sf_dir)
-    txt = F.col("text")
+    txt = F.coalesce(F.col("text"), F.lit(""))  # round-9 NULL convention
     staged = t["documents"].select(
         "doc_id",
         txt.alias("text"),
@@ -879,7 +888,9 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Document chunking (context-window prep with overlap)
 
-_CHUNK_W = f"({textops.words_sql('text')})"
+# COALESCE on both twins (round-9 NULL convention): a NULL doc chunks
+# like an empty doc (one empty chunk), with exact token counts not -1.
+_CHUNK_W = f"""({textops.words_sql("COALESCE(text, '')")})"""
 _CHUNK_ORACLE = f"""
 SELECT doc_id,
        CAST((s.start - 1) / {textops.CHUNK_STRIDE} AS BIGINT)  AS chunk_id,
@@ -900,7 +911,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generate, zero shuffles; at 100 TB chunking is a pure scan transform
     whose output feeds tokenize/pack stages without a repartition."""
     t = tables(spark, sf_dir)
-    w = textops.words(F.col("text"))
+    w = textops.words(F.coalesce(F.col("text"), F.lit("")))  # NULL convention
     staged = t["documents"].select("doc_id", w.alias("_w"))
     starts = textops.chunk_starts(F.size(F.col("_w")))
     return staged.select(
