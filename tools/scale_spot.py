@@ -83,12 +83,21 @@ def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
     return d
 
 
+def _materialize(df) -> None:
+    # noop write, like bench.py: materializes EVERY output column.
+    # A count() here would let Catalyst prune projection-only work (e.g.
+    # bpe_encode's replace chain, corpus_stats' percentile buffers) and
+    # time a bare row-count scan instead — measured 0.19 s vs the real
+    # 3.9 s at 128× for bpe_encode.
+    df.write.format("noop").mode("overwrite").save()
+
+
 def steady_min(build, runs: int = 3) -> float:
-    build().count()  # warm (also pays one-time memo/index derivation)
+    _materialize(build())  # warm (also pays one-time memo/index derivation)
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        build().count()
+        _materialize(build())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -119,6 +128,10 @@ def main() -> None:
         "pq_encode",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "pq_code_dedup",
+        # round-9 text entries (documents-table scaling)
+        "bpe_encode",
+        "corpus_stats",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would
