@@ -18,35 +18,32 @@ from velostream_spark.registry import GATE_ORDER, all_queries
 #: their coverage carried by the entries noted in registry.GATE_ORDER).
 FLAGSHIPS = {
     "span_dedup",
-    "minhash_signature",
+    "pq_encode",
     "ngram_jaccard_pairs",
-    "simhash",
+    "pq_code_dedup",
     "dedup_canonical",
     "pii_scrub",
     "curation_pipeline",
     "corpus_mix",
-    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
     "streaming_tumbling_changes",
     "streaming_rows_window",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 6 (round 9) —
-#: the round-8 curation suite, all exact-oracle. Every displaced near-twin
-#: holds an official record (batch 4+5 entrants got theirs in
-#: CORRECTNESS_r08, 49/50 green) and stays in the catalog + parity mirror.
-#: ann_ivf_trained_topk's slot was a dead gate slot (err: "no_oracle" —
-#: the driver verifies nothing for oracle-less entries); semdedup runs the
-#: same deterministic-IVF machinery WITH an exact oracle.
+#: THIS round's first-time-official entrants: rotation batch 7 (round 10) —
+#: the round-9 PQ/BPE/corpus-stats suite, all exact-oracle. Every displaced
+#: near-twin holds an official r9 record (CORRECTNESS_r09 was 50/50 green)
+#: and stays in the catalog + parity mirror; displacement map in
+#: registry.GATE_ORDER's ROTATION batch 7 block.
 ROTATED_IN = {
-    "span_dedup",
-    "corpus_mix",
-    "global_shuffle",
-    "curation_pipeline",
-    "semdedup",
-    "streaming_curation",
-    "bpe_pair_counts",
+    "bpe_encode",
+    "pq_encode",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "pq_code_dedup",
+    "corpus_stats",
 }
 
 

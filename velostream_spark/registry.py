@@ -235,20 +235,38 @@ _LOADED = False
 #: semdedup — rotating in, cluster-bounded cosine dedup — and
 #: ann_ivf_topk, staying).
 #:
-#: ROTATION batch 7 (planned for round 10, once batch 6 holds its first
-#: official record in CORRECTNESS_r09): rotate in the round-9 entries —
-#: all exact-oracle, all already green in the sf0.01 parity mirror —
-#: bpe_encode, pq_encode, ann_pq_adc_topk, ann_ivf_pq_topk,
-#: pq_code_dedup, corpus_stats. Displacement candidates (coverage carried
-#: by): bpe_pair_counts -> bpe_encode (the encode chain exercises the
-#: same split/normalize machinery END-to-end and bpe_pair_counts stays a
-#: bench headline + mirror entry); ann_ivf_topk -> ann_ivf_pq_topk (the
-#: composed path contains cell assignment; ivf stays in mirror + bench);
-#: simhash -> pq_code_dedup (hash-blocking dedup family; simhash_pairs
-#: already mirror-covered); minhash_signature -> pq_encode (signature
-#: computation family); json_functions or date_functions -> corpus_stats
-#: (scalar-function coverage carried by the 89-name conformance sweep +
-#: dialect_functions_select); one multimodal twin -> ann_pq_adc_topk.
+#: ROTATION batch 7 (round 10 — EXECUTED; precondition met: batch 6 holds
+#: its first official record in CORRECTNESS_r09, 50/50 green). Rotated in
+#: (all exact-oracle, all green in the sf0.01 parity mirror since round 9)
+#: → displaced (coverage carried by):
+#: bpe_encode ← bpe_pair_counts (the encode chain exercises the same
+#: split/normalize machinery END-to-end; bpe_pair_counts holds its
+#: official r9 record and stays a bench headline + mirror entry);
+#: ann_ivf_pq_topk ← ann_ivf_topk (the composed path contains IVF cell
+#: assignment; ivf stays in mirror + bench with its official r9 record);
+#: pq_code_dedup ← simhash (hash-blocking dedup family; simhash_pairs
+#: already mirror-covered, simhash stays a bench headline);
+#: pq_encode ← minhash_signature (signature-computation family;
+#: minhash official r9, stays in mirror + bench);
+#: corpus_stats ← date_functions (temporal coverage carried officially
+#: by dialect_cast_multiformat, staying, + the 89-name conformance
+#: sweep + dialect_functions_select; date_functions official r9);
+#: ann_pq_adc_topk ← multimodal_audio_energy (Arrow-batched binary
+#: decode family carried by multimodal_image_stats, staying official;
+#: audio_energy official r9, stays in mirror).
+#:
+#: ROTATION batch 8 (planned for round 11+, only if new entries are
+#: built): every catalog entry with an exact oracle has now held an
+#: official slot at least once (batches 1-7 complete the program).
+#: No-oracle entries stay deliberately ungated: bpe_train_merges and
+#: pq_train_codebook (iterative training, not SQL-expressible — pinned
+#: by construction/recall tests instead), sequence_packing (bin-packing,
+#: exactness-pinned pytest). If round 11+ adds new exact-oracle entries,
+#: they enter by displacing the batch-7 near-twins above in the same
+#: style (e.g. a new dedup entry displaces pq_code_dedup, whose family
+#: is then carried by span_dedup + dedup_canonical). If no new entries
+#: are built, GATE_ORDER holds steady — swap-backs (e.g. corpus_mix →
+#: stratified_sample) only if a gated entry's oracle breaks.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -263,11 +281,14 @@ GATE_ORDER = [
     # §2.9 scalar function catalog (math_functions → batch-3 rotation:
     # dialect_functions_select + the function-catalog conformance sweep)
     "string_functions",
-    "date_functions",
+    # batch 7: date_functions → dialect_cast_multiformat + conformance sweep
     "json_functions",
     # batch 6: collection_functions → conformance sweep + dialect/json twins
-    "bpe_pair_counts",
+    # batch 7: bpe_pair_counts → bpe_encode (same split/normalize machinery)
+    "bpe_encode",
     "dialect_functions_select",
+    # batch 7: corpus_stats takes date_functions' freed scalar slot
+    "corpus_stats",
     # §2.4 aggregate families
     "statistical_aggs",
     "percentile_aggs",
@@ -299,18 +320,23 @@ GATE_ORDER = [
     # ann_ivf_trained_topk/embedding_near_dup → the round-8 curation suite
     # (displacement rationale in the ROTATION batch 6 block above)
     "span_dedup",
-    "minhash_signature",
+    # batch 7: minhash_signature → pq_encode (signature family)
+    "pq_encode",
     "ngram_jaccard_pairs",
-    "simhash",
+    # batch 7: simhash → pq_code_dedup (hash-blocking dedup family)
+    "pq_code_dedup",
     "dedup_canonical",
     "pii_scrub",
     "curation_pipeline",
     "corpus_mix",
-    "ann_ivf_topk",
+    # batch 7: ann_ivf_topk → ann_ivf_pq_topk (composed IVF+PQ path)
+    "ann_ivf_pq_topk",
     "semdedup",
     "global_shuffle",
     "multimodal_image_stats",
-    "multimodal_audio_energy",
+    # batch 7: multimodal_audio_energy → ann_pq_adc_topk (decode family
+    # carried by image_stats, staying official)
+    "ann_pq_adc_topk",
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
