@@ -488,3 +488,24 @@ def test_corpus_stats_single_scan_rollup_no_join(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
     assert plan.count("Scan parquet") == 2, plan  # ONE node (tree + detail)
+
+
+def test_ann_topk_windows_keep_partial_group_limit(spark):
+    # The four window-based ANN top-k entries rely on Spark's
+    # InferWindowGroupLimit rule: a `WindowGroupLimit ... Partial` BEFORE
+    # the query_id exchange caps the shuffle at <=k rows per query per
+    # partition. The rule only fires for a literal-k row_number rank
+    # filter directly over the window — an innocent refactor (filtering a
+    # derived rank column, non-literal k, a changed window spec) silently
+    # drops it and the top-k shuffle becomes corpus-sized. Pin both the
+    # Partial (pre-exchange) and Final (post-exchange) nodes.
+    for name in (
+        "ann_brute_force_topk",
+        "ann_lsh_topk",
+        "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("WindowGroupLimit") >= 2, (name, plan)
+        assert "row_number(), 10, Partial" in plan, (name, plan)
+        assert "row_number(), 10, Final" in plan, (name, plan)

@@ -194,6 +194,26 @@ def _query_luts(qrows, cb) -> "object":
     return np.array(lut, dtype=np.float64).reshape(len(lut), PQ_M, PQ_K)
 
 
+def _batch_topk(dist, nid, kk: int):
+    """EXACT per-batch top-``kk`` under the family tie-break (dist asc,
+    neighbor_id asc). Partition on dist alone prunes everything strictly
+    worse than the kth distance (such rows can never enter the top-k under
+    any tie-break); a lexsort over the survivors — which keeps ALL rows
+    tied at the kth distance, so equal-distance/smaller-id rows are never
+    lost — applies the full (dist, neighbor_id) order. Global top-k of
+    per-batch top-ks with the same total order IS the global top-k, so
+    trimming here changes the downstream TopK window's *input volume*
+    (Q×k×n_batches rows through Arrow instead of Q×N), never its output."""
+    import numpy as np
+
+    if dist.shape[0] > kk:
+        kth = np.partition(dist, kk - 1)[kk - 1]
+        mask = dist <= kth
+        dist, nid = dist[mask], nid[mask]
+    order = np.lexsort((nid, dist))[:kk]
+    return dist[order], nid[order]
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -208,7 +228,9 @@ def pq_adc_topk(
     left-associative float64 (queries are a bounded set, like the
     codebook) and shipped in the closure; a corpus row's ADC distance is
     M table lookups summed left-associatively, vectorized per Arrow
-    batch. The only exchange is the TopK window on query_id."""
+    batch, then reduced to the batch's exact top-k (``_batch_topk``)
+    BEFORE leaving Python — the Arrow transfer carries Q×k rows per batch,
+    not Q×N. The only exchange is the TopK window on query_id."""
     import numpy as np
     import pandas as pd
 
@@ -230,19 +252,25 @@ def pq_adc_topk(
                 [pdf[f"code_{s + 1}"].to_numpy() for s in range(PQ_M)], axis=1
             )  # (N, M)
             nid = pdf[id_col].to_numpy()
+            parts = []
             for qi, qid in enumerate(qids):
                 adc = None
                 for s in range(PQ_M):
                     term = lut_np[qi, s][codes[:, s]]
                     adc = term.copy() if adc is None else adc + term
                 keep = nid != qid
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(int(keep.sum()), qid),
-                        "neighbor_id": nid[keep],
-                        "_adc_raw": adc[keep],
-                    }
+                top_d, top_n = _batch_topk(adc[keep], nid[keep], k)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(top_n.shape[0], qid),
+                            "neighbor_id": top_n,
+                            "_adc_raw": top_d,
+                        }
+                    )
                 )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     id_type = emb.schema[id_col].dataType
     schema = T.StructType(
@@ -281,11 +309,11 @@ def ivf_pq_topk(
     corpus to each query's ``nprobe`` probed cells, and ADC over PQ codes
     scores the survivors. ONE Arrow pass over the corpus computes cell
     assignment (one BLAS matmul per batch, argmax of the 6-rounded cosine
-    — identical to ivf_assign) AND the PQ codes, emits (query, neighbor,
-    adc) only for in-probed-cell candidates; the only exchange is the
-    TopK window. At 100 TB: corpus scanned once, nothing but id/score
-    pairs for ~nprobe/K of the corpus leaves the stage, and the scoring
-    payload is the 8-int code tuple.
+    — identical to ivf_assign) AND the PQ codes, scores only
+    in-probed-cell candidates, and emits each batch's exact top-k per
+    query (``_batch_topk``); the only exchange is the TopK window. At
+    100 TB: corpus scanned once, Q×k×n_batches id/score rows leave the
+    stage, and the scoring payload is the 8-int code tuple.
 
     Queries and their probed cells are driver-side (bounded set): probe
     selection replicates ivf_assign's rounded stable argsort exactly, and
@@ -321,6 +349,7 @@ def ivf_pq_topk(
             codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
             for s in range(PQ_M):
                 codes[:, s] = _subspace_dists(E, cb, s).argmin(axis=1)
+            parts = []
             for qi, qid in enumerate(qids):
                 keep = np.isin(cell, probed[qi]) & (nid != qid)
                 if not keep.any():
@@ -329,13 +358,18 @@ def ivf_pq_topk(
                 for s in range(PQ_M):
                     term = lut_np[qi, s][codes[keep, s]]
                     adc = term.copy() if adc is None else adc + term
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(int(keep.sum()), qid),
-                        "neighbor_id": nid[keep],
-                        "_adc_raw": adc,
-                    }
+                top_d, top_n = _batch_topk(adc, nid[keep], k)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(top_n.shape[0], qid),
+                            "neighbor_id": top_n,
+                            "_adc_raw": top_d,
+                        }
+                    )
                 )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     id_type = emb.schema[id_col].dataType
     schema = T.StructType(
