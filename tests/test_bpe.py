@@ -260,3 +260,29 @@ def test_encode_paths_equal_on_large_trained_table(spark):
         bpe.bpe_encode_expr(F.col("text"), merges).alias("enc_chain"),
     )
     assert both.where(~F.col("enc").eqNullSafe(F.col("enc_chain"))).count() == 0
+
+
+def test_encode_map_memo_bit_equal_to_unmemoized(spark, monkeypatch):
+    """The per-task word→encoding memo must be a pure transparency: the
+    memoized run (normal cap, repeats served from the dict) is bit-equal
+    to a fully-unmemoized run (cap forced to 0, every occurrence re-runs
+    the merge scan) over the real corpus — which is Zipf enough that the
+    memo path actually fires on most occurrences."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators import bpe
+    from velostream_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, register_views=False)["documents"]
+    memoized = bpe.bpe_encode_map(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("enc").alias("enc_memo")
+    )
+    monkeypatch.setattr(bpe, "ENCODE_MEMO_CAP", 0)
+    plain = bpe.bpe_encode_map(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("enc").alias("enc_plain")
+    )
+    both = memoized.join(plain, "doc_id")
+    diff = both.where(~F.col("enc_memo").eqNullSafe(F.col("enc_plain"))).count()
+    assert diff == 0
+    assert both.count() > 0

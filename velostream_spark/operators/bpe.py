@@ -39,7 +39,15 @@ __all__ = [
     "bpe_encode_expr",
     "bpe_encode_sql",
     "bpe_encode_ref",
+    "bpe_encode_map",
 ]
+
+#: Per-task cap on the bpe_encode_map word→encoding memo: corpora are
+#: Zipf, so a bounded dict serves the overwhelmingly-repeated head while
+#: keeping executor memory independent of a task's distinct-word count
+#: (2^18 entries ≈ tens of MB worst case; misses past the cap simply
+#: re-run the scan).
+ENCODE_MEMO_CAP = 1 << 18
 
 
 def word_counts(
@@ -230,10 +238,13 @@ def bpe_encode_map(
     fixture-sized replace chain remains the exact-oracle-checkable twin,
     and the two paths are pinned bit-equal in tests/test_bpe.py.
 
-    Per batch: encode via a rank dict {(a,b): rank}; each word repeatedly
-    merges its best-ranked adjacent pair (the standard applied-BPE scan,
-    O(len²) worst case per word but rank-table-size-independent — the
-    reason production tokenizers use it over per-rank passes). On any
+    Per task: encode via a rank dict {(a,b): rank}; each DISTINCT word
+    runs the standard applied-BPE scan (repeatedly merge the best-ranked
+    adjacent pair, O(len²) worst case per word but
+    rank-table-size-independent — the reason production tokenizers use it
+    over per-rank passes) ONCE, then a word→encoding memo (bounded by
+    ``ENCODE_MEMO_CAP``) serves repeats — on Zipf corpora ~90% of word
+    occurrences — with a bit-identical cached string. On any
     table PRODUCED BY BPE TRAINING the result is bit-equal to the
     rank-ordered replace chain, because a pair's constituent symbols
     always carry earlier ranks than the pair itself, so the best-rank
@@ -268,17 +279,32 @@ def bpe_encode_map(
             sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
         return "".join(_wrap(s) for s in sym)
 
-    def encode_text(text) -> str:
-        if text is None:
-            text = ""
-        norm = _jvm_ws.sub(" ", str(text).strip(" ").lower())
-        if not norm:
-            return ""
-        return _wrap(" ").join(encode_word(w) for w in norm.split(" "))
-
     in_schema = df.schema
 
     def run(batches):
+        # Word→encoding memo, shared across the task's batches: encoding is
+        # a pure function of the word (the rank table is fixed for the
+        # stage), so a cache hit is bit-identical to re-running the scan —
+        # and Zipf corpora repeat ~90% of word occurrences, skipping the
+        # O(len²) merge scan for the head. Bounded by ENCODE_MEMO_CAP.
+        memo: dict[str, str] = {}
+
+        def encode_word_memo(word: str) -> str:
+            enc = memo.get(word)
+            if enc is None:
+                enc = encode_word(word)
+                if len(memo) < ENCODE_MEMO_CAP:
+                    memo[word] = enc
+            return enc
+
+        def encode_text(text) -> str:
+            if text is None:
+                text = ""
+            norm = _jvm_ws.sub(" ", str(text).strip(" ").lower())
+            if not norm:
+                return ""
+            return _wrap(" ").join(encode_word_memo(w) for w in norm.split(" "))
+
         for pdf in batches:
             pdf[out_col] = pdf[text_col].map(encode_text)
             yield pdf
