@@ -445,3 +445,37 @@ def test_text_entries_null_text_parity_under_tuned_session(spark):
             assert got == want, (name, got, want)
     finally:
         pipeline.tables = orig
+
+
+def test_corpus_stats_approx_within_hll_tolerance(spark):
+    """The HLL twin must agree with the exact dataset card: identical
+    plain aggregates (they share the plan scan-side), and dup_rate_approx
+    within the rsd=0.01 sketch's error band of the exact dup_rate on
+    every rollup row (loose 5-sigma bound on the distinct count, mapped
+    through the rate formula)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in qs["corpus_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in qs["corpus_stats_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 0
+    for key, e in exact.items():
+        a = approx[key]
+        for col in ("n_docs", "total_tokens", "avg_tokens", "p50_tokens",
+                    "p95_tokens", "empty_rate"):
+            assert a[col] == e[col], (key, col, a[col], e[col])
+        n = e["n_docs"]
+        exact_distinct = n * (1.0 - e["dup_rate"])
+        approx_distinct = n * (1.0 - a["dup_rate_approx"])
+        assert abs(approx_distinct - exact_distinct) <= 0.05 * exact_distinct + 1, (
+            key, exact_distinct, approx_distinct,
+        )

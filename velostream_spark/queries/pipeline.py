@@ -1333,10 +1333,14 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus scan computing (toks, fp, is_empty) scan-side,
     then a single rollup aggregation — Spark expands the three grouping
-    sets map-side, so the shuffle carries one partial-agg row per
-    (grouping set × stratum), kilobytes at 100 TB; COUNT(DISTINCT fp) adds
-    the standard two-phase distinct expansion, still keyed on the same
-    strata. No joins, no window, no Python."""
+    sets map-side. For the plain aggregates the shuffle carries one
+    partial-agg row per (grouping set × stratum) — kilobytes at 100 TB —
+    but COUNT(DISTINCT fp)'s two-phase expansion shuffles ~one row per
+    DISTINCT FINGERPRINT per grouping set, i.e. corpus-scale (the right
+    exact plan: partial dedup map-side, keyed on (grouping set, stratum,
+    fp), never wider than ~50 B/row). This exact form is the oracle
+    entry; at 100 TB run :func:`corpus_stats_approx`, whose HLL sketch
+    shuffle is back to kilobytes. No joins, no window, no Python."""
     t = tables(spark, sf_dir)
     txt = F.col("text")
     d = t["documents"].select(
@@ -1363,5 +1367,53 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
             6,
         ).alias("dup_rate"),
+        F.round(F.avg(F.col("is_empty").cast("double")), 6).alias("empty_rate"),
+    )
+
+
+@query(
+    "corpus_stats_approx",
+    oracle=None,  # HLL sketches have no cross-engine oracle; the exact
+    # twin (corpus_stats) is the gated entry, and the approx dup rate is
+    # tolerance-pinned against it in tests/test_curation.py
+    tags=("pipeline", "stats", "dataset-card", "beyond-reference", "approx"),
+)
+def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB production twin of :func:`corpus_stats`: identical
+    report, but the duplicate rate uses ``approx_count_distinct``
+    (HyperLogLog++, relative standard deviation 0.01 here — error is
+    ~1/sqrt(2^p), tunable by the rsd argument) so the distinct shuffle
+    carries ONE fixed-size HLL sketch per (grouping set × stratum) —
+    kilobytes — instead of the exact form's one row per distinct
+    fingerprint per grouping set (corpus-scale). Exact twin stays the
+    oracle entry; this entry's dup_rate_approx is tolerance-pinned
+    against it in pytest."""
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    d = t["documents"].select(
+        "lang",
+        "source",
+        textops.token_count(txt).alias("toks"),
+        F.md5(textops.normalize(txt)).alias("fp"),
+        F.when(
+            txt.isNull() | (F.length(F.trim(txt)) == 0), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_empty"),
+    )
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("toks").cast("double")), 6).alias("avg_tokens"),
+        F.round(F.percentile(F.col("toks").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_tokens"
+        ),
+        F.round(F.percentile(F.col("toks").cast("double"), F.lit(0.95)), 6).alias(
+            "p95_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.approx_count_distinct("fp", rsd=0.01).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate_approx"),
         F.round(F.avg(F.col("is_empty").cast("double")), 6).alias("empty_rate"),
     )
