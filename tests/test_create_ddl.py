@@ -224,3 +224,20 @@ def test_wired_create_table_registers_as_table_not_stream(engine, tmp_path):
         f"'wired_str.format' = 'jsonl')"
     )
     assert "wired_str" in engine.streams and "wired_str" not in engine.tables
+
+
+def test_show_tables_lists_configless_registration_only_table(engine):
+    """A schema-less CREATE TABLE whose WITH props resolve to no source
+    cfg of its own (here: props prefixed for its sink) is still a
+    registration (created_kinds records it) — it must list under SHOW
+    TABLES, not vanish from both SHOW arms (round-9 advice: the TABLES
+    arm required source_cfgs membership)."""
+    engine.execute(
+        "CREATE TABLE pending_cfgless WITH "
+        "('out_sink.type' = 'file_sink', 'out_sink.path' = '/tmp/x.json')"
+    )
+    stream_names = [r["stream_name"] for r in engine.execute("SHOW STREAMS")]
+    assert "pending_cfgless" not in stream_names
+    table_rows = {r["table_name"]: r for r in engine.execute("SHOW TABLES")}
+    assert "pending_cfgless" in table_rows
+    assert table_rows["pending_cfgless"]["type"] == "TABLE"

@@ -373,3 +373,41 @@ def test_with_props_roundtrip(props, quote):
     body, got, _into = dialect._extract_with_props(sql)
     assert got == props, (sql, got)
     assert "WITH" not in body.upper()
+
+
+def test_delta_scope_truncated_at_set_op_boundaries():
+    """A GROUP BY in a SIBLING set-operation branch must not classify
+    this branch's DELTA as aggregate (ADVICE r9): each SELECT of a
+    UNION/INTERSECT/EXCEPT is its own grouping scope."""
+    from velostream_spark.sql.dialect import _rewrite_delta
+
+    # ungrouped branch BEFORE a grouped sibling → per-record form
+    out = _rewrite_delta(
+        "SELECT DELTA(x) FROM a UNION ALL SELECT MAX(y) FROM b GROUP BY y"
+    )
+    assert "(x - x)" in out and "MAX(x)" not in out, out
+
+    # ungrouped branch AFTER a grouped sibling → per-record form
+    out = _rewrite_delta(
+        "SELECT MAX(y) FROM b GROUP BY y UNION ALL SELECT DELTA(x) FROM a"
+    )
+    assert "(x - x)" in out and "MAX(x)" not in out, out
+
+    # grouped branch keeps the aggregate form even with ungrouped siblings
+    out = _rewrite_delta(
+        "SELECT y FROM b UNION ALL SELECT DELTA(x) FROM a GROUP BY k"
+    )
+    assert "(MAX(x) - MIN(x))" in out, out
+
+    # parenthesized set-op scope: sibling GROUP BY still must not leak
+    out = _rewrite_delta(
+        "SELECT * FROM (SELECT DELTA(x) AS d FROM a UNION ALL "
+        "SELECT MAX(y) FROM b GROUP BY y) s"
+    )
+    assert "(x - x)" in out and "MAX(x)" not in out, out
+
+    # both branches grouped: both DELTAs aggregate
+    out = _rewrite_delta(
+        "SELECT DELTA(x) FROM a GROUP BY k UNION SELECT DELTA(z) FROM b GROUP BY j"
+    )
+    assert "(MAX(x) - MIN(x))" in out and "(MAX(z) - MIN(z))" in out, out

@@ -429,6 +429,13 @@ def pq_train_codebook(
         cents = np.array(
             [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
+        if cents.shape[0] < PQ_K:
+            # Degenerate subspace (< PQ_K distinct subvectors): k-means can
+            # return fewer centers. Pad by repeating the first centroid —
+            # encoding stays correct (argmin just never picks a pad code)
+            # and the codebook keeps the fixed (PQ_K, D) layout.
+            pad = np.repeat(cents[:1], PQ_K - cents.shape[0], axis=0)
+            cents = np.concatenate([cents, pad], axis=0)
         # deterministic code order: sort centroids lexicographically so the
         # code assignment is independent of MLlib's internal cluster order
         order = np.lexsort(cents.T[::-1])

@@ -1541,13 +1541,36 @@ def _rewrite_now_diff(sql: str) -> str:
 _DELTA_RE = re.compile(r"(?is)\bDELTA\s*\(")
 
 
+_SET_OP_RE = re.compile(r"(?i)\b(?:UNION(?:\s+ALL)?|INTERSECT|EXCEPT)\b")
+
+
+def _set_op_branch(seg: str, rel: int) -> str:
+    """The set-operation branch of ``seg`` containing offset ``rel``:
+    ``seg`` truncated at the nearest top-depth UNION/UNION ALL/INTERSECT/
+    EXCEPT keywords on either side. A sibling branch's GROUP BY must not
+    classify this branch's DELTA (each SELECT of a set operation is its
+    own grouping scope)."""
+    blanked = _blank_nested(seg)
+    start, end = 0, len(seg)
+    for m in _SET_OP_RE.finditer(blanked):
+        if m.end() <= rel:
+            start = m.end()
+        elif m.start() >= rel:
+            end = m.start()
+            break
+    return seg[start:end]
+
+
 def _scope_grouped(sql: str, pos: int) -> bool:
     """True if the innermost SELECT scope enclosing ``pos`` has its OWN
-    GROUP BY (at that scope's top paren depth). A statement-level probe
-    misclassifies DELTA inside subqueries both ways: a grouped subquery
-    under an ungrouped outer statement needs the aggregate form, and an
-    ungrouped subquery under a grouped outer statement needs the
-    per-record form (round-8 advice, medium)."""
+    GROUP BY (at that scope's top paren depth, within the same set-op
+    branch). A statement-level probe misclassifies DELTA inside
+    subqueries both ways: a grouped subquery under an ungrouped outer
+    statement needs the aggregate form, and an ungrouped subquery under a
+    grouped outer statement needs the per-record form (round-8 advice,
+    medium). The scope segment is truncated at top-depth UNION/INTERSECT/
+    EXCEPT boundaries around the occurrence, so a GROUP BY in a sibling
+    set-op branch never leaks in (round-9 advice)."""
     blanked = _blank_strings(sql)
     stack: list[int] = []
     for i in range(pos):
@@ -1562,9 +1585,10 @@ def _scope_grouped(sql: str, pos: int) -> bool:
     for open_i in reversed(stack):
         if re.match(r"\s*SELECT\b", blanked[open_i + 1 :], re.IGNORECASE):
             close = _match_paren(sql, open_i + 1)
-            seg = sql[open_i + 1 : close - 1]
+            seg = _set_op_branch(sql[open_i + 1 : close - 1], pos - (open_i + 1))
             return re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(seg)) is not None
-    return re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(sql)) is not None
+    branch = _set_op_branch(sql, pos)
+    return re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(branch)) is not None
 
 
 def _rewrite_delta(sql: str) -> str:

@@ -1269,14 +1269,16 @@ class SqlEngine:
                 for n, t in sorted(self.tables.items())
                 if self._like_match(n, pat)
             ]
-            # registration-only CREATE TABLE ... WITH (connector cfg, no
-            # schema): registered, so it lists here — with no key yet.
+            # registration-only CREATE TABLE (connector cfg and/or no
+            # schema): recorded as a table, so it lists here — with no key
+            # yet — whether or not it carried WITH props (ADVICE r9: a
+            # schema-less, props-less CREATE TABLE must not vanish from
+            # both SHOW STREAMS and SHOW TABLES).
             rows += [
                 {"table_name": n, "key_field": None, "type": "TABLE"}
                 for n, k in sorted(self.created_kinds.items())
                 if k == "create_table"
                 and n not in self.tables
-                and n in self.source_cfgs
                 and self._like_match(n, pat)
             ]
             return rows
