@@ -84,6 +84,7 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
     "pq_code_dedup",
     "avro_roundtrip",
     "protobuf_roundtrip",
@@ -188,6 +189,7 @@ EAGER_DERIVE = {
     "pq_encode",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
     "pq_code_dedup",
 }
 

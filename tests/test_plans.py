@@ -504,6 +504,7 @@ def test_ann_topk_windows_keep_partial_group_limit(spark):
         "ann_lsh_topk",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",
     ):
         plan = plan_of(spark, name)
         assert plan.count("WindowGroupLimit") >= 2, (name, plan)

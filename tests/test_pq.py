@@ -267,3 +267,79 @@ def test_pq_encode_matches_pure_python_reference(spark):
                         best_j = j
                 want.append(best_j)
             assert got[vid] == want, (seed, vid, got[vid], want)
+
+
+def test_residual_encoding_and_8bit_codes_lift_clustered_recall(spark):
+    """The clustered-corpus recall ladder (all paths seeded/deterministic,
+    so these are exact pins, not statistical ones):
+
+    1. residual encoding >= raw-vector encoding at the fixture codebook —
+       raw PQ re-describes the coarse cell location with its 16 codes, so
+       tight clusters collapse to identical code tuples;
+    2. 8-bit trained residual codes beat BOTH 4-bit forms by a wide
+       margin — within-cluster ranking is quantization-limited, and 256
+       codes/subspace (FAISS's default, still 8 B/vector) is the knob.
+
+    Mirrors tools/recall_spot.py's clustered table at a smaller n."""
+    from collections import defaultdict
+
+    from tools.recall_spot import clustered_embeddings
+    from velostream_spark.operators import pq, similarity
+
+    emb = clustered_embeddings(spark, n=1000, k=16, dim=64, seed=7)
+    emb = emb.repartition(8).cache()
+    emb.count()
+    q = emb.orderBy("vec_id").limit(20)
+
+    exact = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=10).collect():
+        exact[r["query_id"]].add(r["neighbor_id"])
+
+    def recall(df):
+        got = defaultdict(set)
+        for r in df.collect():
+            got[r["query_id"]].add(r["neighbor_id"])
+        return sum(len(got[k] & exact[k]) / 10 for k in exact) / len(exact)
+
+    cb = pq.pq_codebook(emb)
+    raw_fixture = recall(pq.ivf_pq_topk(emb, q, cb, k=10))
+    res_anchors = recall(pq.ivf_pq_residual_topk(emb, q, cb, k=10))
+    res_8bit = recall(
+        pq.ivf_pq_residual_topk(
+            emb,
+            q,
+            k=10,
+            residual_codebook=pq.pq_train_residual_codebook(
+                emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
+            ),
+        )
+    )
+    emb.unpersist()
+    assert res_anchors >= raw_fixture, (res_anchors, raw_fixture)
+    assert res_8bit >= raw_fixture + 0.15, (res_8bit, raw_fixture)
+    assert res_8bit >= res_anchors + 0.15, (res_8bit, res_anchors)
+
+
+def test_ivf_pq_residual_plan_one_arrow_pass_one_topk_exchange(spark):
+    """The residual composition keeps the family plan shape: ONE Arrow
+    pass over the corpus (cell + residual codes + per-cell ADC + batch
+    top-k in-stage), the TopK window's exchange the only shuffle, and the
+    WindowGroupLimit Partial/Final pair capping it."""
+    import contextlib
+    import io
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    df = pq.ivf_pq_residual_topk(
+        emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("MapInPandas") == 2, plan  # ONE node (tree + detail)
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(query_id" in plan, plan
+    assert "row_number(), 10, Partial" in plan, plan
+    assert "row_number(), 10, Final" in plan, plan

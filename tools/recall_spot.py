@@ -1,9 +1,17 @@
 """ANN quality/cost spot check: recall@10 vs brute force, and steady wall,
 for every ANN path in the catalog family — LSH, IVF (fixture + k-means
-trained), PQ-ADC, IVF-PQ — over the same query set. The numbers land in
-PERF.md's tradeoff table; correctness of each path is oracle-gated
-elsewhere (this tool measures QUALITY of the approximation, which no
-exact oracle can: recall is a property of the index design).
+trained), PQ-ADC, IVF-PQ — over the same query set, on TWO corpora:
+
+- the driver's parquet embeddings (random gaussian — the designed WORST
+  case for any clustering index: there are no clusters to find, so a
+  trained codebook can only tighten quantization, not discover structure);
+- a seeded mixture-of-gaussians set (``clustered_embeddings``) — the
+  realistic case, where real corpora live: k-means recovers the mixture
+  components and the trained-vs-fixture gap shows the index's true value.
+
+The numbers land in PERF.md's tradeoff table; correctness of each path is
+oracle-gated elsewhere (this tool measures QUALITY of the approximation,
+which no exact oracle can: recall is a property of the index design).
 
 Usage: python tools/recall_spot.py [n_queries]   (default 50, sf from
 $SPARK_GRAFT_SF_DIR)
@@ -21,15 +29,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def main() -> None:
-    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def clustered_embeddings(spark, n: int = 2000, k: int = 16, dim: int = 64,
+                         seed: int = 7):
+    """Seeded mixture-of-gaussians corpus in the embeddings-table schema
+    (vec_id long, embedding array<float>, label int). Centers ~ N(0, I)
+    (expected pairwise separation ~sqrt(2·dim)), points ~ N(center,
+    0.15² I) — well-separated clusters, the structure k-means indexes are
+    built for. Deterministic for a given seed, so pytest pins and the
+    spot table see the same corpus."""
+    import numpy as np
+    import pandas as pd
 
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (k, dim))
+    label = rng.integers(0, k, n)
+    pts = centers[label] + rng.normal(0.0, 0.15, (n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in pts],
+            "label": label.astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def report(spark, emb, corpus_label: str, n_queries: int) -> None:
     from velostream_spark.operators import pq, similarity
-    from velostream_spark.session import get_session, load_tables
 
-    spark = get_session("recall-spot")
-    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
     q = emb.orderBy("vec_id").limit(n_queries)
 
     def truth():
@@ -58,9 +87,40 @@ def main() -> None:
         "ivf-pq (nprobe 4)": lambda: pq.ivf_pq_topk(
             emb, q, cb, k=10, n_centroids=16, nprobe=4
         ),
+        "ivf-pq residual (anchors)": lambda: pq.ivf_pq_residual_topk(
+            emb, q, cb, k=10, n_centroids=16, nprobe=4
+        ),
+        "ivf-pq residual trained": lambda: pq.ivf_pq_residual_topk(
+            emb,
+            q,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            residual_codebook=pq.pq_train_residual_codebook(
+                emb, similarity.ivf_centroids(emb, n_centroids=16)
+            ),
+        ),
+        # FAISS's production default: 8-bit sub-quantizers (256 codes per
+        # subspace) — still 8 B of code per vector, 16x the resolution
+        "pq adc trained (8-bit)": lambda: pq.pq_adc_topk(
+            emb, q, pq.pq_train_codebook(emb, n_codes=256), k=10
+        ),
+        "ivf-pq res trained (8-bit)": lambda: pq.ivf_pq_residual_topk(
+            emb,
+            q,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            residual_codebook=pq.pq_train_residual_codebook(
+                emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
+            ),
+        ),
     }
     exact = truth()
-    print(f"{'method':28s} {'recall@10':>9s} {'wall_s':>7s}   (n_queries={n_queries}, {sf_dir})")
+    print(
+        f"\n== {corpus_label} ==\n"
+        f"{'method':28s} {'recall@10':>9s} {'wall_s':>7s}   (n_queries={n_queries})"
+    )
     for name, build in methods.items():
         df = build()
         df.write.format("noop").mode("overwrite").save()  # warm
@@ -74,6 +134,29 @@ def main() -> None:
             got[r["query_id"]].add(r["neighbor_id"])
         recalls = [len(got[k] & exact[k]) / 10 for k in exact]
         print(f"{name:28s} {sum(recalls) / len(recalls):9.3f} {best:7.3f}")
+
+
+def main() -> None:
+    import tempfile
+
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from velostream_spark.session import get_session, load_tables
+
+    spark = get_session("recall-spot")
+    emb = load_tables(spark, sf_dir, register_views=False)["embeddings"]
+    report(spark, emb, f"random gaussian ({sf_dir})", n_queries)
+
+    # clustered twin, same row count, parquet-backed so scan cost matches
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="vs-recall-clustered-", dir=shm)
+    n = emb.count()
+    clustered_embeddings(spark, n=n).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "embeddings.parquet"))
+    cl = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+    report(spark, cl, f"clustered MoG (k=16, n={n}, seed=7)", n_queries)
     spark.stop()
 
 

@@ -128,6 +128,7 @@ def main() -> None:
         "pq_encode",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",
         "pq_code_dedup",
         # round-9 text entries (documents-table scaling)
         "bpe_encode",

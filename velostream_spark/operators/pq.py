@@ -37,6 +37,18 @@ method limit (Janino "Code grows beyond 64 KB", measured: 24 s analysis +
 interpreted-mode execution 3.7-6.7 s on 500 rows). One mapInPandas stage
 with the codebook in the closure runs the same arithmetic vectorized, keeps
 the corpus un-shuffled, and is the exact shape `ivf_topk` already uses.
+
+RESIDUAL encoding (``ivf_pq_residual_topk``, Jégou §IV.A / FAISS
+IndexIVFPQ): quantize ``vec - centroid(cell)`` instead of the raw vector.
+The clustered-corpus fixture (tools/recall_spot.py) measured why this is
+the production form: raw-vector PQ spends its codes re-describing the
+coarse cell location, collapsing tight clusters to identical code tuples
+(trained raw codebook recall@10 0.076 on the MoG corpus — WORSE than the
+fixture's 0.126); residuals + 8-bit sub-quantizers (``n_codes=256``,
+FAISS's default, still 8 B of code per vector) reach 0.456 vs 0.408 for
+raw 8-bit. On structureless random data residuals HURT (0.236 vs 0.370 —
+the "cells" are arbitrary, so subtracting them adds noise): residual
+encoding helps exactly when the coarse quantizer captures real structure.
 """
 
 from __future__ import annotations
@@ -55,7 +67,10 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ivf_pq_residual_topk",
+    "residual_codebook_from_anchors",
     "pq_train_codebook",
+    "pq_train_residual_codebook",
 ]
 
 PQ_M = 8  #: number of subspaces
@@ -95,14 +110,16 @@ def pq_codebook(
 
 
 def _subspace_dists(E, codebook, s: int):
-    """(N, PQ_K) float64 squared-L2 of every row's subspace ``s`` against
-    every centroid — each column built as the left-associative 8-term
-    chain (one vectorized in-place add per term, in term order)."""
+    """(N, n_codes) float64 squared-L2 of every row's subspace ``s``
+    against every centroid — each column built as the left-associative
+    8-term chain (one vectorized in-place add per term, in term order).
+    The code count is the codebook's row count: PQ_K for the exact-oracle
+    fixture, free for trained codebooks (256 = FAISS's 8-bit default)."""
     import numpy as np
 
     lo = s * PQ_SUBDIM
-    out = np.empty((E.shape[0], PQ_K), dtype=np.float64)
-    for j in range(PQ_K):
+    out = np.empty((E.shape[0], len(codebook)), dtype=np.float64)
+    for j in range(len(codebook)):
         acc = None
         for i in range(lo, lo + PQ_SUBDIM):
             d = E[:, i] - codebook[j][i]
@@ -167,31 +184,34 @@ def pq_encode(
     )
 
 
-def _query_luts(qrows, cb) -> "object":
-    """(Q, M, K) float64 ADC lookup tables: per query, per subspace, the
+def _lut_for_vec(qv: list[float], cb) -> list[list[float]]:
+    """(M, K) ADC lookup table for ONE query vector: per subspace, the
     squared-L2 to every centroid — each as the left-associative 8-term
     chain in PLAIN PYTHON floats, bit-identical to the oracle's literal
-    chain. Shared by pq_adc_topk and ivf_pq_topk (and mirrored by the
+    chain."""
+    per_s = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM
+        row = []
+        for j in range(len(cb)):
+            acc = None
+            for i in range(lo, lo + PQ_SUBDIM):
+                d = qv[i] - cb[j][i]
+                term = d * d
+                acc = term if acc is None else acc + term
+            row.append(acc)
+        per_s.append(row)
+    return per_s
+
+
+def _query_luts(qrows, cb) -> "object":
+    """(Q, M, n_codes) float64 ADC lookup tables (``_lut_for_vec`` per
+    query). Shared by pq_adc_topk and ivf_pq_topk (and mirrored by the
     lut_joins/adc_chain SQL both oracles generate from the same builder)."""
     import numpy as np
 
-    lut = []
-    for r in qrows:
-        qv = [float(x) for x in r["qv"]]
-        per_s = []
-        for s in range(PQ_M):
-            lo = s * PQ_SUBDIM
-            row = []
-            for j in range(PQ_K):
-                acc = None
-                for i in range(lo, lo + PQ_SUBDIM):
-                    d = qv[i] - cb[j][i]
-                    term = d * d
-                    acc = term if acc is None else acc + term
-                row.append(acc)
-            per_s.append(row)
-        lut.append(per_s)
-    return np.array(lut, dtype=np.float64).reshape(len(lut), PQ_M, PQ_K)
+    lut = [_lut_for_vec([float(x) for x in r["qv"]], cb) for r in qrows]
+    return np.array(lut, dtype=np.float64).reshape(len(lut), PQ_M, len(cb))
 
 
 def _batch_topk(dist, nid, kk: int):
@@ -398,6 +418,7 @@ def pq_train_codebook(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    n_codes: int = PQ_K,
 ) -> list[list[float]]:
     """K-means-TRAINED PQ codebook: PQ_M independent MLlib k-means fits,
     one per subspace over that subspace's subvectors — the real PQ
@@ -408,6 +429,9 @@ def pq_train_codebook(
     driver. Seeded → reproducible. Returns the same full-vector layout
     pq_encode/pq_adc_topk consume (row j = code j's centroid in every
     subspace), so trained and fixture codebooks are drop-in swaps.
+    ``n_codes`` is the per-subspace code count — PQ_K (=16, 4-bit) for
+    drop-in fixture parity, 256 for FAISS's 8-bit production default
+    (codes still one small int, the index still n_codes·dim floats).
 
     Approximate by design (k-means is not SQL-expressible) → no DuckDB
     oracle; quality is measured in tools/recall_spot.py and the recall
@@ -417,7 +441,7 @@ def pq_train_codebook(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    cb = np.zeros((PQ_K, PQ_M * PQ_SUBDIM), dtype=np.float64)
+    cb = np.zeros((n_codes, PQ_M * PQ_SUBDIM), dtype=np.float64)
     for s in range(PQ_M):
         lo = s * PQ_SUBDIM
         feat = emb.select(
@@ -425,19 +449,240 @@ def pq_train_codebook(
                 F.slice(F.col(vec_col).cast("array<double>"), lo + 1, PQ_SUBDIM)
             ).alias("features")
         )
-        model = KMeans(k=PQ_K, seed=seed + s, maxIter=max_iter).fit(feat)
+        model = KMeans(k=n_codes, seed=seed + s, maxIter=max_iter).fit(feat)
         cents = np.array(
             [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
-        if cents.shape[0] < PQ_K:
-            # Degenerate subspace (< PQ_K distinct subvectors): k-means can
-            # return fewer centers. Pad by repeating the first centroid —
-            # encoding stays correct (argmin just never picks a pad code)
-            # and the codebook keeps the fixed (PQ_K, D) layout.
-            pad = np.repeat(cents[:1], PQ_K - cents.shape[0], axis=0)
+        if cents.shape[0] < n_codes:
+            # Degenerate subspace (< n_codes distinct subvectors): k-means
+            # can return fewer centers. Pad by repeating the first centroid
+            # — encoding stays correct (argmin just never picks a pad code)
+            # and the codebook keeps the fixed (n_codes, D) layout.
+            pad = np.repeat(cents[:1], n_codes - cents.shape[0], axis=0)
             cents = np.concatenate([cents, pad], axis=0)
         # deterministic code order: sort centroids lexicographically so the
         # code assignment is independent of MLlib's internal cluster order
         order = np.lexsort(cents.T[::-1])
         cb[:, lo : lo + PQ_SUBDIM] = cents[order]
     return [list(map(float, row)) for row in cb]
+
+
+def residual_codebook_from_anchors(
+    codebook: list[list[float]], centroids
+) -> list[list[float]]:
+    """Residual fixture codebook: each ntile anchor's residual against its
+    OWN argmax-cosine IVF cell (the anchors are corpus rows, so they carry
+    cells like any vector). PLAIN PYTHON floats, so the per-element
+    subtraction is the identical exactly-rounded IEEE op the oracle's
+    ``(a.av[i] - a.acv[i])`` performs — residual chains stay bit-equal."""
+    import numpy as np
+
+    from velostream_spark.operators.similarity import _round6
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    A = np.array([[float(x) for x in row] for row in codebook], dtype=np.float64)
+    acell = np.argmax(_round6(A @ cn.T), axis=1)  # ties → lower j (argmax rule)
+    dim = A.shape[1]
+    return [
+        [float(codebook[j][i]) - float(cents[acell[j]][i]) for i in range(dim)]
+        for j in range(len(codebook))
+    ]
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, residual array<double>, cell): one Arrow pass assigning each
+    vector to its argmax-cosine IVF cell and subtracting that cell's RAW
+    centroid — the residual space IVF-PQ quantizes (Jégou §IV.A). Used by
+    the trained-residual-codebook path; the topk operator fuses this into
+    its own single pass instead of materializing residuals."""
+    import numpy as np
+    import pandas as pd
+
+    from velostream_spark.operators.similarity import _round6
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    cnT = cn.T.copy()
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = np.argmax(_round6(E @ cnT), axis=1)
+            R = E - cents[cell]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "residual": list(R),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    id_type = emb.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("residual", T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    return emb.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def pq_train_residual_codebook(
+    emb: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 10,
+    n_codes: int = PQ_K,
+) -> list[list[float]]:
+    """K-means-trained codebook over IVF RESIDUALS — the production IVF-PQ
+    index build: quantize ``vec - cell_centroid``, not the raw vector.
+    On clustered corpora raw-vector PQ collapses (per-subspace centers sit
+    on the cluster centers, so every within-cluster vector gets the same
+    code tuple and ADC cannot rank inside a cluster — measured in
+    tools/recall_spot.py); residuals remove the cluster mean first, so the
+    16 codes/subspace spend their resolution on the WITHIN-cluster
+    structure top-k actually ranks. Distributed: one Arrow residual pass +
+    the same per-subspace MLlib fits as pq_train_codebook."""
+    return pq_train_codebook(
+        ivf_residuals(emb, centroids, vec_col, id_col),
+        vec_col="residual",
+        seed=seed,
+        max_iter=max_iter,
+        n_codes=n_codes,
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    residual_codebook: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the production composition exactly
+    as Jégou et al. §IV.A / FAISS's IndexIVFPQ: each vector's PQ codes
+    quantize ``vec - centroid(cell)``, and a query's ADC lookup tables are
+    built per PROBED CELL from ``query - centroid(cell)``. Raw-vector PQ
+    wastes its 16 codes/subspace re-describing the coarse cell location —
+    on clustered corpora every member of a tight cluster collapses to the
+    same code tuple (measured: recall@10 0.126 raw vs this path's, see
+    PERF.md). Same scale shape as ivf_pq_topk: ONE Arrow pass computes
+    cell + residual codes and emits each batch's exact per-query top-k;
+    the only exchange is the TopK window.
+
+    ``residual_codebook`` (PQ_K × dim, residual space) is used directly
+    when given — the trained path (``pq_train_residual_codebook``);
+    otherwise it derives from the ntile ``codebook`` anchors' own
+    residuals (``residual_codebook_from_anchors``) — the deterministic
+    fixture with an exact DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from velostream_spark.operators.similarity import _round6, ivf_centroids
+
+    cents = ivf_centroids(emb, vec_col, id_col, n_centroids)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    cnT = cn.T.copy()
+
+    if residual_codebook is None:
+        if codebook is None:
+            raise ValueError("need codebook or residual_codebook")
+        residual_codebook = residual_codebook_from_anchors(codebook, cents)
+    ra = [list(map(float, row)) for row in residual_codebook]
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+    qscores = _round6(qmat @ cnT)
+    probed = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+
+    # Per (query, probed slot) residual LUTs — plain-Python chains over
+    # (query - probed_cell_centroid) vs the residual codebook, mirroring
+    # the oracle's ((q.qvd[i] - qct.cv[i]) - ranch-residual) literally.
+    dim = qmat.shape[1]
+    lut = np.empty((len(qrows), nprobe, PQ_M, len(ra)), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = [float(x) for x in r["qv"]]
+        for p in range(nprobe):
+            c = cents[probed[qi, p]]
+            qr = [qv[i] - float(c[i]) for i in range(dim)]
+            lut[qi, p] = _lut_for_vec(qr, ra)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nid = pdf[id_col].to_numpy()
+            cell = np.argmax(_round6(E @ cnT), axis=1)
+            R = E - cents[cell]  # one exactly-rounded subtraction per elem
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                codes[:, s] = _subspace_dists(R, ra, s).argmin(axis=1)
+            parts = []
+            for qi, qid in enumerate(qids):
+                ds, ns = [], []
+                for p in range(nprobe):
+                    keep = (cell == probed[qi, p]) & (nid != qid)
+                    if not keep.any():
+                        continue
+                    adc = None
+                    for s in range(PQ_M):
+                        term = lut[qi, p, s][codes[keep, s]]
+                        adc = term.copy() if adc is None else adc + term
+                    ds.append(adc)
+                    ns.append(nid[keep])
+                if not ds:
+                    continue
+                top_d, top_n = _batch_topk(
+                    np.concatenate(ds), np.concatenate(ns), k
+                )
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(top_n.shape[0], qid),
+                            "neighbor_id": top_n,
+                            "_adc_raw": top_d,
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    id_type = emb.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("_adc_raw", T.DoubleType()),
+        ]
+    )
+    scored = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    w = W.partitionBy("query_id").orderBy(F.col("_adc_raw").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_adc_raw", 6).alias("adc_dist"),
+        )
+    )

@@ -595,3 +595,130 @@ def pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return memo_plan(spark, ("pq_code_dedup", sf_dir), build)
+
+
+def _pq_res_chain_sql(vec: str, vcent: str, anch: str, acent: str, s: int) -> str:
+    """Left-associative 8-term RESIDUAL squared-L2 chain for subspace
+    ``s``: each term is ``((v[i]-vc[i]) - (a[i]-ac[i]))²`` — the vector's
+    and the anchor's residuals against their own cell centroids, every
+    subtraction exactly rounded in the same order numpy performs them
+    (``R = E - cents[cell]`` then ``R[i] - ra[j][i]``), so the doubles
+    stay bit-equal to operators/pq.py's residual path."""
+    from velostream_spark.operators.pq import PQ_SUBDIM
+
+    lo = s * PQ_SUBDIM
+    terms = []
+    for i in range(lo, lo + PQ_SUBDIM):
+        r = (
+            f"(({vec}[{i + 1}] - {vcent}[{i + 1}])"
+            f" - (CAST({anch}[{i + 1}] AS DOUBLE) - {acent}[{i + 1}]))"
+        )
+        terms.append(f"({r} * {r})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_pq_res_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """Residual IVF-PQ oracle: the IVF cell CTEs provide every vector's
+    cell (anchors included — they are corpus rows), the residual codes
+    CTE quantizes ``vec - centroid(cell)`` against the anchors' own
+    residuals, and ADC scores candidates with the per-probed-cell query
+    residual chains. All names disjoint from the raw-PQ CTEs."""
+    from velostream_spark.operators.pq import PQ_K, PQ_M
+
+    d_cols = ", ".join(
+        f"{_pq_res_chain_sql('e.v', 'ec.cv', 'a.av', 'a.acv', s)} AS d{s + 1}"
+        for s in range(PQ_M)
+    )
+    code_cols = ", ".join(
+        f"(list(j ORDER BY d{s + 1}, j))[1] AS code_{s + 1}" for s in range(PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN ranch a{s + 1} ON a{s + 1}.j = c.code_{s + 1}" for s in range(PQ_M)
+    )
+    adc_chain = " + ".join(
+        _pq_res_chain_sql("q.qvd", "qct.cv", f"a{s + 1}.av", f"a{s + 1}.acv", s)
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH {_ivf_cell_ctes(n_centroids)},
+rb AS (SELECT vec_id, NTILE({PQ_K}) OVER (ORDER BY vec_id) AS _b FROM embeddings),
+raid AS (SELECT _b, MIN(vec_id) AS aid FROM rb GROUP BY _b),
+ranch AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY raid.aid) - 1 AS INT) AS j,
+         e.embedding AS av, ct.cv AS acv
+  FROM raid
+  JOIN embeddings e ON e.vec_id = raid.aid
+  JOIN corpus_cell cc ON cc.vec_id = raid.aid
+  JOIN cents ct ON ct.j = cc.cell
+),
+rdists AS (
+  SELECT e.vec_id, a.j, {d_cols}
+  FROM corpus_cell e
+  JOIN cents ec ON ec.j = e.cell
+  CROSS JOIN ranch a
+),
+rcodes AS (SELECT vec_id, {code_cols} FROM rdists GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvd
+      FROM embeddings WHERE vec_id < 5),
+q_cells AS (
+  SELECT query_id, qvd, j AS cell FROM (
+    SELECT q.query_id, q.qvd, ct.j,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_dot_product(q.qvd, ct.cv)
+                                             / ct.cnorm, 6) DESC, ct.j)
+               AS rn
+    FROM q CROSS JOIN cents ct
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {adc_chain} AS _adc
+  FROM rcodes c
+  JOIN corpus_cell cc ON cc.vec_id = c.vec_id
+  JOIN q_cells q ON q.cell = cc.cell
+  JOIN cents qct ON qct.j = q.cell
+  {lut_joins}
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _adc, neighbor_id)
+              AS INTEGER) AS rank,
+         _adc
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(_adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_ivf_pq_residual_topk",
+    oracle=_ivf_pq_res_oracle(),
+    tags=("pipeline", "similarity", "ann", "ivf", "pq", "beyond-reference"),
+)
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (Jégou §IV.A / FAISS IndexIVFPQ):
+    PQ codes quantize ``vec - centroid(cell)`` and ADC tables are built
+    per probed cell from the query's residual. The clustered-corpus
+    recall fixture (tools/recall_spot.py) showed WHY this is the
+    production form: raw-vector PQ collapses every member of a tight
+    cluster to the same code tuple (16 codes/subspace re-describe the
+    coarse location), recall@10 0.126 — residual encoding spends those
+    codes on within-cluster structure. Same 100-TB shape as
+    ann_ivf_pq_topk: ONE Arrow pass (cell + residual codes + per-batch
+    exact top-k), TopK window the only exchange. Exact oracle: residual
+    chains are the same exactly-rounded left-associative arithmetic,
+    composed from the IVF cell CTEs and the ntile anchors' own
+    residuals."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("ann_ivf_pq_residual_topk", sf_dir),
+        lambda: pq.ivf_pq_residual_topk(
+            emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
+        ),
+    )
