@@ -85,6 +85,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_refine_topk",
     "pq_code_dedup",
     "avro_roundtrip",
     "protobuf_roundtrip",
@@ -190,6 +191,7 @@ EAGER_DERIVE = {
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_refine_topk",
     "pq_code_dedup",
 }
 

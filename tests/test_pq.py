@@ -302,22 +302,32 @@ def test_residual_encoding_and_8bit_codes_lift_clustered_recall(spark):
         return sum(len(got[k] & exact[k]) / 10 for k in exact) / len(exact)
 
     cb = pq.pq_codebook(emb)
+    rcb8 = pq.pq_train_residual_codebook(
+        emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
+    )
     raw_fixture = recall(pq.ivf_pq_topk(emb, q, cb, k=10))
     res_anchors = recall(pq.ivf_pq_residual_topk(emb, q, cb, k=10))
     res_8bit = recall(
+        pq.ivf_pq_residual_topk(emb, q, k=10, residual_codebook=rcb8)
+    )
+    refine_anchors = recall(
+        pq.ivf_pq_residual_topk(emb, q, cb, k=10, refine_r=50)
+    )
+    refine_8bit = recall(
         pq.ivf_pq_residual_topk(
-            emb,
-            q,
-            k=10,
-            residual_codebook=pq.pq_train_residual_codebook(
-                emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
-            ),
+            emb, q, k=10, residual_codebook=rcb8, refine_r=50
         )
     )
     emb.unpersist()
     assert res_anchors >= raw_fixture, (res_anchors, raw_fixture)
     assert res_8bit >= raw_fixture + 0.15, (res_8bit, raw_fixture)
     assert res_8bit >= res_anchors + 0.15, (res_8bit, res_anchors)
+    # 3. refine (exact re-rank of the ADC top-50) recovers most of the
+    #    quantization loss — the FAISS IndexRefineFlat effect; its ceiling
+    #    is IVF's probed-cell coverage, not PQ resolution
+    assert refine_anchors >= res_anchors + 0.2, (refine_anchors, res_anchors)
+    assert refine_8bit >= res_8bit + 0.2, (refine_8bit, res_8bit)
+    assert refine_8bit >= 0.8, refine_8bit
 
 
 def test_ivf_pq_residual_plan_one_arrow_pass_one_topk_exchange(spark):
@@ -343,3 +353,28 @@ def test_ivf_pq_residual_plan_one_arrow_pass_one_topk_exchange(spark):
     assert "hashpartitioning(query_id" in plan, plan
     assert "row_number(), 10, Partial" in plan, plan
     assert "row_number(), 10, Final" in plan, plan
+
+
+def test_ivf_pq_refine_plan_single_exchange_double_window(spark):
+    """The refine path keeps ONE query_id exchange (both ranking windows
+    share its partitioning) and the ADC window's Partial/Final
+    WindowGroupLimit pair at r=50 — the refine re-rank adds a window,
+    never a shuffle, and no second corpus scan appears."""
+    import contextlib
+    import io
+
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    df = pq.ivf_pq_residual_topk(
+        emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb), refine_r=50
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("MapInPandas") == 2, plan  # ONE node (tree + detail)
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan  # ONE scan (tree + detail)
+    assert "row_number(), 50, Partial" in plan, plan
+    assert "row_number(), 50, Final" in plan, plan

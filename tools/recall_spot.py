@@ -115,6 +115,22 @@ def report(spark, emb, corpus_label: str, n_queries: int) -> None:
                 emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
             ),
         ),
+        # refine (FAISS IndexRefineFlat): ADC keeps top-50, exact cosine
+        # re-ranks — recall ceiling is IVF's probed-cell coverage
+        "ivf-pq refine r=50 (anchors)": lambda: pq.ivf_pq_residual_topk(
+            emb, q, cb, k=10, n_centroids=16, nprobe=4, refine_r=50
+        ),
+        "ivf-pq refine trained (8-bit)": lambda: pq.ivf_pq_residual_topk(
+            emb,
+            q,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            refine_r=50,
+            residual_codebook=pq.pq_train_residual_codebook(
+                emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
+            ),
+        ),
     }
     exact = truth()
     print(

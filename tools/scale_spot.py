@@ -129,6 +129,7 @@ def main() -> None:
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_residual_topk",
+        "ann_ivf_pq_refine_topk",
         "pq_code_dedup",
         # round-9 text entries (documents-table scaling)
         "bpe_encode",

@@ -226,12 +226,24 @@ def _batch_topk(dist, nid, kk: int):
     (Q×k×n_batches rows through Arrow instead of Q×N), never its output."""
     import numpy as np
 
+    pos = _batch_topk_pos(dist, nid, kk)
+    return dist[pos], nid[pos]
+
+
+def _batch_topk_pos(dist, nid, kk: int):
+    """``_batch_topk`` returning POSITIONS into the input arrays instead
+    of values — for callers that must gather sibling arrays (the refine
+    stage fetches the selected candidates' raw vectors)."""
+    import numpy as np
+
     if dist.shape[0] > kk:
         kth = np.partition(dist, kk - 1)[kk - 1]
-        mask = dist <= kth
-        dist, nid = dist[mask], nid[mask]
+        keep = np.flatnonzero(dist <= kth)
+        dist, nid = dist[keep], nid[keep]
+    else:
+        keep = np.arange(dist.shape[0])
     order = np.lexsort((nid, dist))[:kk]
-    return dist[order], nid[order]
+    return keep[order]
 
 
 def pq_adc_topk(
@@ -573,6 +585,7 @@ def ivf_pq_residual_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     residual_codebook: list[list[float]] | None = None,
+    refine_r: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the production composition exactly
     as Jégou et al. §IV.A / FAISS's IndexIVFPQ: each vector's PQ codes
@@ -589,7 +602,17 @@ def ivf_pq_residual_topk(
     when given — the trained path (``pq_train_residual_codebook``);
     otherwise it derives from the ntile ``codebook`` anchors' own
     residuals (``residual_codebook_from_anchors``) — the deterministic
-    fixture with an exact DuckDB oracle."""
+    fixture with an exact DuckDB oracle.
+
+    ``refine_r`` enables the REFINE stage (FAISS IndexRefineFlat): the
+    ADC pass keeps top-``refine_r`` candidates per query, their EXACT
+    rounded cosines are computed in the same Arrow pass (the raw batch
+    rows are already in memory — no second corpus scan, no vectors in
+    any shuffle, just one extra double per emitted row), and the final
+    top-``k`` re-ranks by exact cosine. Output columns switch to the
+    brute-force convention (rank by cos_sim desc) so refine quality is
+    directly comparable; still exactly one exchange — both windows
+    partition on query_id, so Catalyst reuses the single hash exchange."""
     import numpy as np
     import pandas as pd
 
@@ -625,6 +648,9 @@ def ivf_pq_residual_topk(
             qr = [qv[i] - float(c[i]) for i in range(dim)]
             lut[qi, p] = _lut_for_vec(qr, ra)
 
+    per_batch = refine_r if refine_r is not None else k
+    qnorm = np.linalg.norm(qmat, axis=1)
+
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -638,7 +664,7 @@ def ivf_pq_residual_topk(
                 codes[:, s] = _subspace_dists(R, ra, s).argmin(axis=1)
             parts = []
             for qi, qid in enumerate(qids):
-                ds, ns = [], []
+                ds, ns, rows = [], [], []
                 for p in range(nprobe):
                     keep = (cell == probed[qi, p]) & (nid != qid)
                     if not keep.any():
@@ -649,40 +675,59 @@ def ivf_pq_residual_topk(
                         adc = term.copy() if adc is None else adc + term
                     ds.append(adc)
                     ns.append(nid[keep])
+                    rows.append(np.flatnonzero(keep))
                 if not ds:
                     continue
-                top_d, top_n = _batch_topk(
-                    np.concatenate(ds), np.concatenate(ns), k
-                )
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(top_n.shape[0], qid),
-                            "neighbor_id": top_n,
-                            "_adc_raw": top_d,
-                        }
+                cat_d = np.concatenate(ds)
+                cat_n = np.concatenate(ns)
+                pos = _batch_topk_pos(cat_d, cat_n, per_batch)
+                out = {
+                    "query_id": np.full(pos.shape[0], qid),
+                    "neighbor_id": cat_n[pos],
+                    "_adc_raw": cat_d[pos],
+                }
+                if refine_r is not None:
+                    # exact rounded cosine for the batch's ADC survivors —
+                    # same formula/rounding as ivf_topk's re-rank, so the
+                    # oracle's ROUND(list_dot_product/...) agrees
+                    v = E[np.concatenate(rows)[pos]]
+                    dot = v @ qmat[qi]
+                    nv = np.linalg.norm(v, axis=1) * qnorm[qi]
+                    out["cos_sim"] = _round6(
+                        np.where(nv > 0, dot / np.maximum(nv, 1e-30), 0.0)
                     )
-                )
+                parts.append(pd.DataFrame(out))
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
     id_type = emb.schema[id_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField("query_id", id_type),
-            T.StructField("neighbor_id", id_type),
-            T.StructField("_adc_raw", T.DoubleType()),
-        ]
-    )
-    scored = emb.select(id_col, vec_col).mapInPandas(run, schema)
+    fields = [
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("_adc_raw", T.DoubleType()),
+    ]
+    if refine_r is not None:
+        fields.append(T.StructField("cos_sim", T.DoubleType()))
+    scored = emb.select(id_col, vec_col).mapInPandas(run, T.StructType(fields))
     w = W.partitionBy("query_id").orderBy(F.col("_adc_raw").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("_adc_raw", 6).alias("adc_dist"),
+    if refine_r is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                F.round("_adc_raw", 6).alias("adc_dist"),
+            )
         )
+    w_cos = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_r_adc", F.row_number().over(w))
+        .where(F.col("_r_adc") <= refine_r)
+        .withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

@@ -617,8 +617,8 @@ def _pq_res_chain_sql(vec: str, vcent: str, anch: str, acent: str, s: int) -> st
     return "(" + " + ".join(terms) + ")"
 
 
-def _ivf_pq_res_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
-    """Residual IVF-PQ oracle: the IVF cell CTEs provide every vector's
+def _ivf_pq_res_with_block(n_centroids: int = 16, nprobe: int = 4) -> str:
+    """Residual IVF-PQ oracle WITH-block (through the ADC ``ranked`` CTE): the IVF cell CTEs provide every vector's
     cell (anchors included — they are corpus rows), the residual codes
     CTE quantizes ``vec - centroid(cell)`` against the anchors' own
     residuals, and ADC scores candidates with the per-probed-cell query
@@ -685,15 +685,23 @@ ranked AS (
               AS INTEGER) AS rank,
          _adc
   FROM scored
-)
+)"""
+
+
+def _ivf_pq_res_oracle_final(n_centroids: int = 16, nprobe: int = 4,
+                             k: int = 10) -> str:
+    return (
+        _ivf_pq_res_with_block(n_centroids, nprobe)
+        + f"""
 SELECT query_id, neighbor_id, rank, ROUND(_adc, 6) AS adc_dist
 FROM ranked WHERE rank <= {k}
 """
+    )
 
 
 @query(
     "ann_ivf_pq_residual_topk",
-    oracle=_ivf_pq_res_oracle(),
+    oracle=_ivf_pq_res_oracle_final(),
     tags=("pipeline", "similarity", "ann", "ivf", "pq", "beyond-reference"),
 )
 def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,5 +728,76 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ann_ivf_pq_residual_topk", sf_dir),
         lambda: pq.ivf_pq_residual_topk(
             emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb)
+        ),
+    )
+
+
+def _ivf_pq_refine_oracle(n_centroids: int = 16, nprobe: int = 4,
+                          r: int = 50, k: int = 10) -> str:
+    """Refine oracle: the residual ADC ``ranked`` CTE keeps top-``r`` per
+    query, then the exact rounded-cosine re-rank over their RAW vectors —
+    the identical CASE/GREATEST/ROUND formula the ivf_topk oracle uses
+    (both engines round to 6 digits BEFORE ordering, so summation-order
+    ulps can't flip a rank)."""
+    return (
+        _ivf_pq_res_with_block(n_centroids, nprobe)
+        + f""",
+refine AS (
+  SELECT rk.query_id, rk.neighbor_id,
+         ROUND(CASE WHEN sqrt(list_dot_product(nv.v, nv.v))
+                         * sqrt(list_dot_product(qq.qvd, qq.qvd)) > 0
+                    THEN list_dot_product(nv.v, qq.qvd)
+                         / GREATEST(sqrt(list_dot_product(nv.v, nv.v))
+                                    * sqrt(list_dot_product(qq.qvd, qq.qvd)),
+                                    1e-30)
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM ranked rk
+  JOIN corpus nv ON nv.vec_id = rk.neighbor_id
+  JOIN q qq ON qq.query_id = rk.query_id
+  WHERE rk.rank <= {r}
+),
+refined AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+              AS INTEGER) AS rank,
+         cos_sim
+  FROM refine
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM refined WHERE rank <= {k}
+"""
+    )
+
+
+@query(
+    "ann_ivf_pq_refine_topk",
+    oracle=_ivf_pq_refine_oracle(),
+    tags=("pipeline", "similarity", "ann", "ivf", "pq", "refine",
+          "beyond-reference"),
+)
+def ann_ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + REFINE (FAISS IndexRefineFlat): residual-ADC keeps the
+    top-50 candidates per query, their exact rounded cosines re-rank to
+    the final top-10. The refine cosines are computed INSIDE the same
+    single Arrow pass (the raw batch rows are already in memory — no
+    second corpus scan, no vectors in any exchange; the shuffle carries
+    one extra double per candidate row), and both ranking windows share
+    the one query_id exchange. This is how production ANN closes the
+    PQ-quantization recall gap: ADC does the cheap 8-byte-code scan,
+    exact math touches only Q x r survivors. Exact oracle end-to-end —
+    the ADC stage composes the residual CTEs, the re-rank uses the
+    ivf_topk oracle's rounded-cosine formula."""
+    from velostream_spark.operators import pq
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return memo_plan(
+        spark,
+        ("ann_ivf_pq_refine_topk", sf_dir),
+        lambda: pq.ivf_pq_residual_topk(
+            emb, emb.where(F.col("vec_id") < 5), pq.pq_codebook(emb),
+            refine_r=50,
         ),
     )

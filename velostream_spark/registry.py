@@ -255,17 +255,23 @@ _LOADED = False
 #: decode family carried by multimodal_image_stats, staying official;
 #: audio_energy official r9, stays in mirror).
 #:
-#: ROTATION batch 8 (planned for round 11+, only if new entries are
-#: built): every catalog entry with an exact oracle has now held an
-#: official slot at least once (batches 1-7 complete the program).
-#: No-oracle entries stay deliberately ungated: bpe_train_merges and
-#: pq_train_codebook (iterative training, not SQL-expressible — pinned
-#: by construction/recall tests instead), sequence_packing (bin-packing,
-#: exactness-pinned pytest). If round 11+ adds new exact-oracle entries,
-#: they enter by displacing the batch-7 near-twins above in the same
-#: style (e.g. a new dedup entry displaces pq_code_dedup, whose family
-#: is then carried by span_dedup + dedup_canonical). If no new entries
-#: are built, GATE_ORDER holds steady — swap-backs (e.g. corpus_mix →
+#: ROTATION batch 8 (planned for round 11, once batch 7 holds its first
+#: official record in CORRECTNESS_r10): rotate in the round-10 entries —
+#: both exact-oracle, both parity-green at the gate scale since round 10:
+#: ann_ivf_pq_residual_topk ← ann_ivf_pq_topk (the residual form is the
+#: strictly-stronger production composition — same one-Arrow-pass shape,
+#: same CTE family, plus residual encoding; raw IVF-PQ keeps its official
+#: r10 record and stays in mirror + bench);
+#: ann_ivf_pq_refine_topk ← ann_pq_adc_topk (refine CONTAINS the ADC
+#: scan as its first stage; plain ADC keeps its official r10 record and
+#: stays in mirror + bench).
+#: After batch 8, no-oracle entries remain deliberately ungated:
+#: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
+#: (iterative training, not SQL-expressible — construction/recall-pinned
+#: in pytest), sequence_packing (bin-packing, exactness-pinned),
+#: corpus_stats_approx (HLL sketches have no cross-engine oracle —
+#: tolerance-pinned against the exact gated twin). If no new entries are
+#: built, GATE_ORDER holds steady — swap-backs (e.g. corpus_mix →
 #: stratified_sample) only if a gated entry's oracle breaks.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
