@@ -76,6 +76,7 @@ HEADLINE = [
     "curation_pipeline",
     "semdedup",
     "dedup_exact",
+    "cross_dedup_bloom",
     "minhash_lsh_pairs",
     "simhash",
     "ann_brute_force_topk",
@@ -184,6 +185,7 @@ AMORTIZED = {
 #:    (PQ_K ids + their vectors) is the one-time PQ index training —
 #:    same class as ann_ivf_topk's centroid build.
 EAGER_DERIVE = {
+    "cross_dedup_bloom",
     "minhash_lsh_pairs",
     "ann_ivf_topk",
     "semdedup",

@@ -119,6 +119,7 @@ def main() -> None:
         "pii_scrub",
         "gopher_quality_filter",
         "dedup_exact",
+        "cross_dedup_bloom",
         "global_shuffle",
         "streaming_curation",
         # PQ family: fixed 16-centroid codebook/cells, corpus R× — work is

@@ -1,0 +1,125 @@
+"""Catalyst-native Bloom filter: distributed build, codegen probe.
+
+The cross-corpus dedup / decontamination shuffle problem: ``A ANTI JOIN B``
+on a fingerprint shuffles ALL of A when B is too big to broadcast — at
+100 TB that is the pipeline's dominant exchange. A Bloom filter of B's
+keys splits A scan-side instead (the classic runtime-filter pattern,
+which Spark applies to equi-joins but NOT to the anti-joins dedup needs —
+pruning an anti-join's left side would prune exactly the kept rows):
+
+- **bloom-negative rows are definitely not in B** — they bypass the join
+  entirely (pure whole-stage-codegen filter over the pushdown scan);
+- **bloom-positive rows** (true matches + fpp false positives) take the
+  exact confirm anti-join, whose shuffle is now ``|A∩B| + fpp·|A|``
+  instead of ``|A|``.
+
+The result is EXACTLY ``A \\ B`` — our bloom cannot have false negatives
+by construction (every B key sets its k bits through the same JVM
+``xxhash64`` the probe evaluates), so correctness never depends on the
+sketch and the DuckDB oracle is a plain ``NOT EXISTS``.
+
+Spark-first mechanics (no JVM sketch API needed, everything is columnar):
+
+- **build**: k ``xxhash64(key, seed_i) mod m`` positions per key,
+  ``bit_or`` of ``1 << (pos % 64)`` grouped by word index — ONE tiny
+  aggregation whose shuffle is ≤ m/64 longs regardless of |B|; only the
+  bitmap words reach the driver (m = 2^20 bits → 16 KB).
+- **probe**: the bitmap is an ``array<long>`` LITERAL in the filter
+  expression — it ships with the task closure like a broadcast and the
+  k membership tests are pure codegen (element_at + bitwiseAND), zero
+  Python, zero extra scan. For multi-GB bitmaps (≥ ~10^9 keys) swap the
+  literal for the same bitmap in a mapInPandas closure with the hash
+  columns computed JVM-side — the build stays identical.
+
+Sizing: fpp ≈ (1 - e^(-k·n/m))^k; the defaults (k=5) want m ≈ 10 bits
+per distinct key for fpp ≈ 0.9%.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_build", "bloom_might_contain", "bloom_anti_join"]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of ``key``: pmod(xxhash64(key, i), m). Seeding
+    with a literal second column gives k independent 64-bit hashes from
+    the one JVM implementation, so build and probe can never drift."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> list[int]:
+    """Build the bitmap distributed and return its ``m_bits/64`` words.
+
+    One explode (k positions per key, map-side) + one groupBy(word) with
+    a ``bit_or`` partial aggregate: the only shuffle carries at most
+    m/64 (word, partial_bits) rows per map task — independent of |B|."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = df.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
+    )
+    rows = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("pos"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k: int = 5
+) -> Column:
+    """Pure-codegen membership test against the literal bitmap: true iff
+    ALL k bits are set (possibly-in-B); false means definitely-not-in-B."""
+    bitmap = F.lit(words)
+    conds = []
+    for p in _positions(key, m_bits, k):
+        word = F.element_at(bitmap, (F.shiftright(p, 6) + 1).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        conds.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, conds)
+
+
+def bloom_anti_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT ``A \\ B`` on ``key_col`` (NOT EXISTS semantics: NULL keys in
+    A are kept, like a regular anti-join) with the bloom prefilter
+    bounding the confirm join. Bloom-negative rows flow straight from the
+    scan; bloom-positive rows anti-join B's distinct keys. The two
+    branches are scans of the same source with complementary pushable
+    filters — two cheap columnar reads in place of shuffling all of A."""
+    words = bloom_build(b, key_col, m_bits, k)
+    hit = bloom_might_contain(F.col(key_col), words, m_bits, k)
+    keys = b.select(key_col).distinct()
+    kept_neg = a.where(~hit | F.col(key_col).isNull())
+    confirmed = a.where(hit & F.col(key_col).isNotNull()).join(
+        keys, key_col, "left_anti"
+    )
+    return kept_neg.unionByName(confirmed)

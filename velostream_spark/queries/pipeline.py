@@ -1417,3 +1417,46 @@ def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_approx"),
         F.round(F.avg(F.col("is_empty").cast("double")), 6).alias("empty_rate"),
     )
+
+
+_CROSS_DEDUP_BLOOM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5({textops.normalize_sql('text')}) AS fp FROM documents
+),
+a AS (SELECT doc_id, fp FROM d WHERE doc_id % 7 <> 0),
+b AS (SELECT fp FROM d WHERE doc_id % 7 = 0)
+SELECT a.doc_id, a.fp
+FROM a
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = a.fp)
+"""
+
+
+@query(
+    "cross_dedup_bloom",
+    oracle=_CROSS_DEDUP_BLOOM_ORACLE,
+    tags=("pipeline", "dedup", "bloom", "beyond-reference"),
+)
+def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup with a Catalyst-native Bloom prefilter:
+    keep the documents of corpus A (here doc_id % 7 != 0) whose content
+    fingerprint does NOT appear in reference corpus B (doc_id % 7 == 0) —
+    the "dedup the crawl against last year's crawl" / "drop benchmark
+    docs" operation, where at 100 TB NEITHER side broadcasts and a plain
+    anti-join shuffles all of A.
+
+    Scale shape (operators/bloom.py): B's keys build an m-bit bitmap via
+    ONE bit_or aggregation whose shuffle is <= m/64 longs regardless of
+    |B|; the probe is a pure-codegen literal-bitmap filter on A's scan.
+    Bloom-negative rows bypass the join entirely; only |A-intersect-B| +
+    fpp*|A| rows reach the exact confirm anti-join. EXACT result (the
+    bloom has no false negatives by construction — build and probe
+    evaluate the same JVM xxhash64), hence the plain NOT-EXISTS oracle."""
+    from velostream_spark.operators import bloom
+
+    t = tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", F.md5(textops.normalize(F.col("text"))).alias("fp")
+    )
+    a = d.where(F.col("doc_id") % 7 != 0)
+    b = d.where(F.col("doc_id") % 7 == 0)
+    return bloom.bloom_anti_join(a, b, "fp", m_bits=1 << 17, k=5)
