@@ -55,13 +55,24 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 
 
 def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+    df: DataFrame, key_col: str, m_bits: int | None = None, k: int = 5
 ) -> list[int]:
     """Build the bitmap distributed and return its ``m_bits/64`` words.
 
     One explode (k positions per key, map-side) + one groupBy(word) with
     a ``bit_or`` partial aggregate: the only shuffle carries at most
-    m/64 (word, partial_bits) rows per map task — independent of |B|."""
+    m/64 (word, partial_bits) rows per map task — independent of |B|.
+
+    ``m_bits=None`` AUTO-SIZES at ~10 bits per build-side row (one count
+    aggregate, rounded up to a power of two) — a fixed m silently
+    degenerates as B grows (at 1 bit/key every probe is positive and the
+    confirm join is back to full size), so sizing belongs to build time,
+    exactly like choosing a broadcast threshold."""
+    import math
+
+    if m_bits is None:
+        n = df.count()
+        m_bits = 1 << max(6, math.ceil(math.log2(10 * n + 1)))
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     pos = df.select(
@@ -106,7 +117,7 @@ def bloom_anti_join(
     a: DataFrame,
     b: DataFrame,
     key_col: str,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """EXACT ``A \\ B`` on ``key_col`` (NOT EXISTS semantics: NULL keys in
@@ -116,7 +127,7 @@ def bloom_anti_join(
     branches are scans of the same source with complementary pushable
     filters — two cheap columnar reads in place of shuffling all of A."""
     words = bloom_build(b, key_col, m_bits, k)
-    hit = bloom_might_contain(F.col(key_col), words, m_bits, k)
+    hit = bloom_might_contain(F.col(key_col), words, len(words) * 64, k)
     keys = b.select(key_col).distinct()
     kept_neg = a.where(~hit | F.col(key_col).isNull())
     confirmed = a.where(hit & F.col(key_col).isNotNull()).join(

