@@ -77,6 +77,7 @@ HEADLINE = [
     "semdedup",
     "dedup_exact",
     "cross_dedup_bloom",
+    "tfidf_topk_terms",
     "minhash_lsh_pairs",
     "simhash",
     "ann_brute_force_topk",
@@ -186,6 +187,7 @@ AMORTIZED = {
 #:    same class as ann_ivf_topk's centroid build.
 EAGER_DERIVE = {
     "cross_dedup_bloom",
+    "tfidf_topk_terms",
     "minhash_lsh_pairs",
     "ann_ivf_topk",
     "semdedup",

@@ -510,3 +510,21 @@ def test_ann_topk_windows_keep_partial_group_limit(spark):
         assert plan.count("WindowGroupLimit") >= 2, (name, plan)
         assert "row_number(), 10, Partial" in plan, (name, plan)
         assert "row_number(), 10, Final" in plan, (name, plan)
+
+
+def test_tfidf_plan_codegen_partial_aggs_group_limit(spark):
+    # explode + three aggregations, all with map-side partials; no Python
+    # anywhere; the final top-3 window keeps its WindowGroupLimit pair so
+    # the last exchange carries <=3 rows per doc per partition
+    plan = plan_of(spark, "tfidf_topk_terms")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per agg
+    assert "row_number(), 3, Partial" in plan, plan
+    assert "row_number(), 3, Final" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the doc-term shuffles carry ids/words/counts, never the text column
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if first.startswith("(") and "Exchange" in first:
+            assert "text#" not in seg, seg

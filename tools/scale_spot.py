@@ -135,6 +135,7 @@ def main() -> None:
         # round-9 text entries (documents-table scaling)
         "bpe_encode",
         "corpus_stats",
+        "tfidf_topk_terms",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

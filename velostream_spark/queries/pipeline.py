@@ -1467,3 +1467,88 @@ def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cross_dedup_bloom", sf_dir),
         lambda: bloom.bloom_anti_join(a, b, "fp", k=5),
     )
+
+
+_TFIDF_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest({textops.words_sql('text')}) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+scored AS (
+  SELECT t.doc_id, t.word,
+         ROUND(CAST(t.tf AS DOUBLE)
+               * ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS score
+  FROM tf t JOIN dfq d USING (word) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word)
+              AS INTEGER) AS rank,
+         score
+  FROM scored
+)
+SELECT doc_id, word, rank, score FROM ranked WHERE rank <= 3
+"""
+
+
+@query(
+    "tfidf_topk_terms",
+    oracle=_TFIDF_ORACLE,
+    tags=("pipeline", "text", "tfidf", "beyond-reference"),
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword/topic signal
+    curation pipelines attach to documents (and the deterministic core of
+    quality classifiers). tf = raw in-document term count, idf = ln(N/df)
+    over documents with >= 1 token; both engines ROUND the score to 6
+    digits BEFORE ranking (the ANN-family convention), so a last-ulp libm
+    ln() difference can never flip a rank.
+
+    Scale shape: ONE explode feeding the (doc_id, word) count, then df
+    comes FREE from tf's own rows — tf is distinct on (doc_id, word), so
+    ``COUNT(*) OVER (PARTITION BY word)`` IS the document frequency,
+    replacing the naive distinct + vocab join (two extra corpus-sized
+    shuffles) with one word-keyed window over the already-aggregated
+    rows. Exchanges: (doc_id, word) partial agg -> word window -> doc_id
+    top-3 window (WindowGroupLimit bounds it at 3 rows per doc per
+    partition); every one carries ids/words/counts, never text. N is a
+    one-row broadcast."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    w = (
+        t["documents"]
+        .select("doc_id", F.explode(textops.words(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    nd = w.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "rank", "score")
+    )
