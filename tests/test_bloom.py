@@ -93,3 +93,38 @@ def test_cross_dedup_bloom_plan_codegen_probe_no_python(spark):
     assert "Union" in plan, plan
     assert plan.count("LeftAnti") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_anti_join_property_random_corpora(spark):
+    """Property: for randomized overlap patterns, bloom_anti_join equals
+    the plain anti-join exactly. Hypothesis drives the overlap modulus and
+    corpus sizes; one Spark job per example is slow, so examples are few —
+    the fixed tests above cover the edges (NULLs, duplicates)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        na=st.integers(50, 300),
+        nb=st.integers(10, 120),
+        mod=st.integers(3, 60),
+    )
+    def run(na, nb, mod):
+        a = spark.range(na).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), (F.col("id") % mod)).alias("fp"),
+        )
+        b = spark.range(nb).select(
+            F.concat(F.lit("t"), (F.col("id") * 3 % mod)).alias("fp")
+        )
+        got = {
+            (r["doc_id"], r["fp"])
+            for r in bloom.bloom_anti_join(a, b, "fp", m_bits=1 << 10).collect()
+        }
+        want = {
+            (r["doc_id"], r["fp"])
+            for r in a.join(b.distinct(), "fp", "left_anti").collect()
+        }
+        assert got == want
+
+    run()

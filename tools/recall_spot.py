@@ -131,6 +131,20 @@ def report(spark, emb, corpus_label: str, n_queries: int) -> None:
                 emb, similarity.ivf_centroids(emb, n_centroids=16), n_codes=256
             ),
         ),
+        # fully-trained production stack: k-means coarse cells + k-means
+        # residual 8-bit codebook + refine
+        "ivf-pq full trained + refine": lambda: pq.ivf_pq_residual_topk(
+            emb,
+            q,
+            k=10,
+            n_centroids=16,
+            nprobe=4,
+            refine_r=50,
+            centroids=trained,
+            residual_codebook=pq.pq_train_residual_codebook(
+                emb, trained, n_codes=256
+            ),
+        ),
     }
     exact = truth()
     print(

@@ -68,6 +68,7 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "ivf_pq_residual_topk",
+    "ivf_residuals",
     "residual_codebook_from_anchors",
     "pq_train_codebook",
     "pq_train_residual_codebook",
@@ -586,6 +587,7 @@ def ivf_pq_residual_topk(
     nprobe: int = 4,
     residual_codebook: list[list[float]] | None = None,
     refine_r: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the production composition exactly
     as Jégou et al. §IV.A / FAISS's IndexIVFPQ: each vector's PQ codes
@@ -618,7 +620,14 @@ def ivf_pq_residual_topk(
 
     from velostream_spark.operators.similarity import _round6, ivf_centroids
 
-    cents = ivf_centroids(emb, vec_col, id_col, n_centroids)
+    # ``centroids`` overrides the deterministic even-spaced coarse index
+    # (pass ivf_train_centroids(...) for the fully-trained production
+    # stack: k-means cells + k-means residual codebook + refine)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_centroids(emb, vec_col, id_col, n_centroids)
+    )
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     cnT = cn.T.copy()
 

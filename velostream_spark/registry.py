@@ -268,7 +268,11 @@ _LOADED = False
 #: cross_dedup_bloom ← pq_code_dedup (hash-keyed dedup family — exact
 #: fingerprint dedup officially carried by span_dedup + dedup_canonical,
 #: staying; pq_code_dedup keeps its official r10 record and stays in
-#: mirror + bench).
+#: mirror + bench);
+#: tfidf_topk_terms ← json_functions (scalar-function coverage carried
+#: by the 89-name conformance sweep + dialect_functions_select +
+#: string_functions, all staying; json_functions holds official r9+r10
+#: records and stays in mirror + bench).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
