@@ -1514,11 +1514,20 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes FREE from tf's own rows — tf is distinct on (doc_id, word), so
     ``COUNT(*) OVER (PARTITION BY word)`` IS the document frequency,
     replacing the naive distinct + vocab join (two extra corpus-sized
-    shuffles) with one word-keyed window over the already-aggregated
-    rows. Exchanges: (doc_id, word) partial agg -> word window -> doc_id
-    top-3 window (WindowGroupLimit bounds it at 3 rows per doc per
-    partition); every one carries ids/words/counts, never text. N is a
-    one-row broadcast."""
+    shuffles; measured 1.7× slower at the 128× spot because the join
+    form re-executes the tf subplan). Exchanges: (doc_id, word) partial
+    agg -> word window -> doc_id top-3 window (WindowGroupLimit bounds
+    it at 3 rows per doc per partition); every one carries
+    ids/words/counts, never text. N is a one-row broadcast.
+
+    Known ceiling, documented deliberately: the word window has no
+    partial aggregation, so a stopword's full posting (~one 30 B row per
+    containing doc) lands in ONE task — fine into the billions of rows,
+    but at extreme doc counts switch df to ``tf.groupBy("word").count()``
+    + an AQE-skew-handled join (the measured 1.7× recompute cost buys
+    unbounded-skew safety), or pre-drop a stopword list before the
+    window — at that corpus size ln(N/df)≈0 makes their scores 0
+    anyway."""
     from pyspark.sql.window import Window
 
     t = tables(spark, sf_dir)
