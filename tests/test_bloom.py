@@ -128,3 +128,17 @@ def test_bloom_anti_join_property_random_corpora(spark):
         assert got == want
 
     run()
+
+
+def test_bloom_anti_join_empty_sides(spark):
+    """Edge contracts: empty B keeps all of A (all-zero bitmap, every
+    probe negative — and auto-sizing must not die on n=0); empty A yields
+    empty output."""
+    a = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("fp"),
+    )
+    empty_b = a.where(F.lit(False)).select("fp")
+    assert bloom.bloom_anti_join(a, empty_b, "fp").count() == 50
+    empty_a = a.where(F.lit(False))
+    assert bloom.bloom_anti_join(empty_a, a.select("fp"), "fp").count() == 0
