@@ -123,12 +123,16 @@ def bloom_anti_join(
     """EXACT ``A \\ B`` on ``key_col`` (NOT EXISTS semantics: NULL keys in
     A are kept, like a regular anti-join) with the bloom prefilter
     bounding the confirm join. Bloom-negative rows flow straight from the
-    scan; bloom-positive rows anti-join B's distinct keys. The two
+    scan; bloom-positive rows anti-join B's keys (the anti join's own
+    hash build dedupes them). The two
     branches are scans of the same source with complementary pushable
     filters — two cheap columnar reads in place of shuffling all of A."""
     words = bloom_build(b, key_col, m_bits, k)
     hit = bloom_might_contain(F.col(key_col), words, len(words) * 64, k)
-    keys = b.select(key_col).distinct()
+    # no .distinct() on the build side: LEFT ANTI is a membership test, so
+    # the join's own hash build dedupes — an explicit distinct would add a
+    # full |B| exchange for nothing
+    keys = b.select(key_col)
     kept_neg = a.where(~hit | F.col(key_col).isNull())
     confirmed = a.where(hit & F.col(key_col).isNotNull()).join(
         keys, key_col, "left_anti"

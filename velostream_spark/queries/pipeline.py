@@ -1537,7 +1537,15 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("word") > 0)
     )
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    nd = w.agg(F.countDistinct("doc_id").alias("n"))
+    # N = docs with >=1 token, computed SCAN-SIDE (token_count > 0 is
+    # equivalent to having a nonempty word after normalization) — a
+    # countDistinct over the exploded words would re-run the explode and
+    # add a two-phase distinct for the same number
+    nd = (
+        t["documents"]
+        .where(textops.token_count(F.col("text")) > 0)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     scored = (
         tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
