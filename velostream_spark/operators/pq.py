@@ -185,34 +185,30 @@ def pq_encode(
     )
 
 
-def _lut_for_vec(qv: list[float], cb) -> list[list[float]]:
-    """(M, K) ADC lookup table for ONE query vector: per subspace, the
-    squared-L2 to every centroid — each as the left-associative 8-term
-    chain in PLAIN PYTHON floats, bit-identical to the oracle's literal
-    chain."""
-    per_s = []
-    for s in range(PQ_M):
-        lo = s * PQ_SUBDIM
-        row = []
-        for j in range(len(cb)):
-            acc = None
-            for i in range(lo, lo + PQ_SUBDIM):
-                d = qv[i] - cb[j][i]
-                term = d * d
-                acc = term if acc is None else acc + term
-            row.append(acc)
-        per_s.append(row)
-    return per_s
+def _luts_for_mat(qmat, cb) -> "object":
+    """(Q, M, n_codes) float64 ADC lookup tables for a matrix of query
+    (or query-residual) vectors — ``_subspace_dists`` per subspace, i.e.
+    the SAME left-associative term order as the oracle's literal chain
+    evaluated as vectorized in-place float64 adds (IEEE ops are
+    elementwise, so this is BIT-IDENTICAL to the scalar Python chain it
+    replaced, just not O(Q·M·n_codes·8) interpreter ops — which mattered
+    once 8-bit trained codebooks made n_codes 256)."""
+    import numpy as np
+
+    per_s = [_subspace_dists(qmat, cb, s) for s in range(PQ_M)]
+    return np.stack(per_s, axis=1)  # (Q, M, n_codes)
 
 
 def _query_luts(qrows, cb) -> "object":
-    """(Q, M, n_codes) float64 ADC lookup tables (``_lut_for_vec`` per
-    query). Shared by pq_adc_topk and ivf_pq_topk (and mirrored by the
+    """(Q, M, n_codes) float64 ADC lookup tables from collected query
+    rows. Shared by pq_adc_topk and ivf_pq_topk (and mirrored by the
     lut_joins/adc_chain SQL both oracles generate from the same builder)."""
     import numpy as np
 
-    lut = [_lut_for_vec([float(x) for x in r["qv"]], cb) for r in qrows]
-    return np.array(lut, dtype=np.float64).reshape(len(lut), PQ_M, len(cb))
+    qmat = np.array(
+        [[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64
+    )
+    return _luts_for_mat(qmat, cb)
 
 
 def _batch_topk(dist, nid, kk: int):
@@ -645,17 +641,16 @@ def ivf_pq_residual_topk(
     qscores = _round6(qmat @ cnT)
     probed = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
 
-    # Per (query, probed slot) residual LUTs — plain-Python chains over
-    # (query - probed_cell_centroid) vs the residual codebook, mirroring
-    # the oracle's ((q.qvd[i] - qct.cv[i]) - ranch-residual) literally.
-    dim = qmat.shape[1]
-    lut = np.empty((len(qrows), nprobe, PQ_M, len(ra)), dtype=np.float64)
-    for qi, r in enumerate(qrows):
-        qv = [float(x) for x in r["qv"]]
-        for p in range(nprobe):
-            c = cents[probed[qi, p]]
-            qr = [qv[i] - float(c[i]) for i in range(dim)]
-            lut[qi, p] = _lut_for_vec(qr, ra)
+    # Per (query, probed slot) residual LUTs: the (Q·nprobe, dim) residual
+    # matrix (query − probed cell centroid, one exactly-rounded subtraction
+    # per element) through the same vectorized left-associative chains the
+    # oracle's ((q.qvd[i] - qct.cv[i]) - ranch-residual) SQL writes.
+    qr_mat = (
+        qmat[:, None, :] - cents[probed]
+    ).reshape(len(qrows) * nprobe, qmat.shape[1])
+    lut = _luts_for_mat(qr_mat, ra).reshape(
+        len(qrows), nprobe, PQ_M, len(ra)
+    )
 
     per_batch = refine_r if refine_r is not None else k
     qnorm = np.linalg.norm(qmat, axis=1)
