@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_exact",
     "cross_dedup_bloom",
     "tfidf_topk_terms",
+    "bigram_lm_score",
     "minhash_lsh_pairs",
     "simhash",
     "ann_brute_force_topk",
@@ -188,6 +189,7 @@ AMORTIZED = {
 EAGER_DERIVE = {
     "cross_dedup_bloom",
     "tfidf_topk_terms",
+    "bigram_lm_score",
     "minhash_lsh_pairs",
     "ann_ivf_topk",
     "semdedup",

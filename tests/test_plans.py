@@ -528,3 +528,20 @@ def test_tfidf_plan_codegen_partial_aggs_group_limit(spark):
         first = seg.lstrip().splitlines()[0] if seg.strip() else ""
         if first.startswith("(") and "Exchange" in first:
             assert "text#" not in seg, seg
+
+
+def test_bigram_lm_plan_zero_joins_three_keyed_exchanges(spark):
+    # the tfidf shape: windows over the exploded bigram rows replace the
+    # count-table joins — no keyed join nodes (the one BNLJ is the
+    # intended 1-row broadcast of V), no Python, exchanges carry
+    # (doc_id, prev, cur) (+window counts), never the text column
+    plan = plan_of(spark, "bigram_lm_score")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if first.startswith("(") and "Exchange" in first:
+            assert "text#" not in seg, seg

@@ -136,6 +136,7 @@ def main() -> None:
         "bpe_encode",
         "corpus_stats",
         "tfidf_topk_terms",
+        "bigram_lm_score",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

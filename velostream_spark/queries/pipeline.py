@@ -1569,3 +1569,111 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "word", "rank", "score")
     )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {textops.words_sql('text')} AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+tfb AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS cnt FROM bg GROUP BY doc_id, prev, cur
+),
+v AS (SELECT COUNT(DISTINCT cur) AS v FROM tfb),
+counted AS (
+  SELECT doc_id, cnt,
+         SUM(cnt) OVER (PARTITION BY prev, cur) AS cb,
+         SUM(cnt) OVER (PARTITION BY prev) AS cp
+  FROM tfb
+),
+scored AS (
+  SELECT c.doc_id, c.cnt,
+         ln((CAST(c.cb AS DOUBLE) + 0.5)
+            / (CAST(c.cp AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+  FROM counted c CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CAST(cnt AS DOUBLE) * lp) / CAST(SUM(cnt) AS DOUBLE), 6)
+           AS logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query(
+    "bigram_lm_score",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("pipeline", "text", "lm", "quality", "beyond-reference"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality score (the CCNet-style signal): each
+    document's mean log-probability under an add-0.5-smoothed bigram
+    model trained on the corpus itself — p(w|prev) = (c(prev,w) + 0.5)
+    / (c(prev) + 0.5·V), V = distinct continuation vocabulary.
+    Low-probability documents are gibberish/boilerplate candidates;
+    complements the heuristic lm_quality_score ratios with an actual
+    probabilistic model.
+
+    Scale shape: ONE explode collapses IMMEDIATELY into per-doc
+    (prev, cur) counts — a map-side-combined aggregation, so the windows
+    and every later exchange move one row per DISTINCT in-doc bigram,
+    not one per occurrence (the per-occurrence form measured 67 s at the
+    128× spot vs this form's; Zipf repeats are the whole difference).
+    Corpus counts then come free from windows over those rows
+    (SUM(cnt) OVER (prev, cur) and OVER (prev)), zero joins — the tfidf
+    shape, with the same documented stopword-skew ceiling on the prev
+    window (switch to grouped aggs + AQE skew joins at extreme corpus
+    sizes). V is a one-row broadcast. The per-doc mean is the weighted
+    form SUM(cnt·lp)/SUM(cnt), written identically in both engines and
+    rounded once to 6 digits — summation-order error is ~1e-12, far
+    under the rounding grain."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(textops.token_count(F.col("text")) >= 2)
+    # STAGE the words array before the lambda: an expression inside a
+    # higher-order function's lambda is re-evaluated per element (no CSE
+    # across the lambda boundary), so element_at(split(text), i) would
+    # re-split the whole text once per bigram — O(len²) per document
+    staged = docs.select(
+        "doc_id", textops.words(F.col("text")).alias("ws")
+    )
+    bg = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("prev"),
+                    F.element_at(F.col("ws"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    tfb = bg.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    v = tfb.agg(F.countDistinct("cur").alias("v"))
+    counted = tfb.withColumn(
+        "cb", F.sum("cnt").over(Window.partitionBy("prev", "cur"))
+    ).withColumn("cp", F.sum("cnt").over(Window.partitionBy("prev")))
+    scored = counted.crossJoin(F.broadcast(v)).select(
+        "doc_id",
+        "cnt",
+        F.log(
+            (F.col("cb").cast("double") + F.lit(0.5))
+            / (F.col("cp").cast("double") + F.lit(0.5) * F.col("v").cast("double"))
+        ).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("cnt").cast("double") * F.col("lp"))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("logprob"),
+    )
