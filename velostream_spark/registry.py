@@ -272,7 +272,11 @@ _LOADED = False
 #: tfidf_topk_terms ← json_functions (scalar-function coverage carried
 #: by the 89-name conformance sweep + dialect_functions_select +
 #: string_functions, all staying; json_functions holds official r9+r10
-#: records and stays in mirror + bench).
+#: records and stays in mirror + bench);
+#: bigram_lm_score ← pii_scrub (pure-Catalyst text-quality family —
+#: pii_scrub holds official r8-r10 records and its redaction coverage
+#: stays in the mirror + text_analysis/lm_quality_score twins; the
+#: statistical LM scorer is the strictly-newer quality signal).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
