@@ -378,3 +378,29 @@ def test_ivf_pq_refine_plan_single_exchange_double_window(spark):
     assert plan.count("Scan parquet") == 2, plan  # ONE scan (tree + detail)
     assert "row_number(), 50, Partial" in plan, plan
     assert "row_number(), 50, Final" in plan, plan
+
+
+def test_ivf_residuals_reconstruct_exactly(spark):
+    """residual + centroid(cell) reproduces the float64 cast of the
+    original vector bit-exactly on this corpus. (v − c) + c == v is not
+    an IEEE identity in general, but it holds whenever v and c share
+    magnitude (Sterbenz-style) — true for unit-scale embeddings vs their
+    own cell centroids — so any failure here means the Arrow stage
+    subtracted something OTHER than the raw float64 centroid matrix the
+    oracle's cents CTE carries (a normalized or re-rounded copy would
+    miss by ~1e-7, many orders beyond ulp effects)."""
+    import numpy as np
+
+    from velostream_spark.operators import pq, similarity
+
+    emb = _emb(spark)
+    cents = similarity.ivf_centroids(emb, n_centroids=16)
+    out = pq.ivf_residuals(emb, cents).collect()
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert len(out) == len(orig) > 0
+    for r in out:
+        rec = np.array(r["residual"], dtype=np.float64) + cents[r["cell"]]
+        assert np.array_equal(rec, orig[r["vec_id"]]), r["vec_id"]
