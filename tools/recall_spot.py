@@ -147,12 +147,8 @@ def report(spark, emb, corpus_label: str, n_queries: int) -> None:
         ),
     }
     exact = truth()
-    print(
-        f"\n== {corpus_label} ==\n"
-        f"{'method':28s} {'recall@10':>9s} {'wall_s':>7s}   (n_queries={n_queries})"
-    )
-    for name, build in methods.items():
-        df = build()
+
+    def measure(df):
         df.write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
         for _ in range(3):
@@ -162,8 +158,36 @@ def report(spark, emb, corpus_label: str, n_queries: int) -> None:
         got = defaultdict(set)
         for r in df.collect():
             got[r["query_id"]].add(r["neighbor_id"])
-        recalls = [len(got[k] & exact[k]) / 10 for k in exact]
-        print(f"{name:28s} {sum(recalls) / len(recalls):9.3f} {best:7.3f}")
+        recall = sum(len(got[k] & exact[k]) / 10 for k in exact) / len(exact)
+        return recall, best
+
+    print(
+        f"\n== {corpus_label} ==\n"
+        f"{'method':28s} {'recall@10':>9s} {'wall_s':>7s}   (n_queries={n_queries})"
+    )
+    for name, build in methods.items():
+        recall, best = measure(build())
+        print(f"{name:28s} {recall:9.3f} {best:7.3f}")
+
+    # nprobe sweep on the fully-trained stack — THE production knob: each
+    # +nprobe step scans nprobe/16 more of the corpus and raises the
+    # probed-cell recall ceiling; the sweep shows where it saturates
+    rcb8 = pq.pq_train_residual_codebook(emb, trained, n_codes=256)
+    print(f"{'nprobe sweep (full trained + refine r=50)':42s}")
+    for np_ in (1, 2, 4, 8, 16):
+        recall, best = measure(
+            pq.ivf_pq_residual_topk(
+                emb,
+                q,
+                k=10,
+                n_centroids=16,
+                nprobe=np_,
+                refine_r=50,
+                centroids=trained,
+                residual_codebook=rcb8,
+            )
+        )
+        print(f"  nprobe={np_:<3d} {recall:9.3f} {best:7.3f}")
 
 
 def main() -> None:
