@@ -318,6 +318,11 @@ def test_residual_encoding_and_8bit_codes_lift_clustered_recall(spark):
             emb, q, k=10, residual_codebook=rcb8, refine_r=50
         )
     )
+    refine_deep = recall(
+        pq.ivf_pq_residual_topk(
+            emb, q, k=10, residual_codebook=rcb8, refine_r=100
+        )
+    )
     emb.unpersist()
     assert res_anchors >= raw_fixture, (res_anchors, raw_fixture)
     assert res_8bit >= raw_fixture + 0.15, (res_8bit, raw_fixture)
@@ -328,6 +333,10 @@ def test_residual_encoding_and_8bit_codes_lift_clustered_recall(spark):
     assert refine_anchors >= res_anchors + 0.2, (refine_anchors, res_anchors)
     assert refine_8bit >= res_8bit + 0.2, (refine_8bit, res_8bit)
     assert refine_8bit >= 0.8, refine_8bit
+    # 4. refine depth is the second knob: doubling r closes the ranking
+    #    gap (measured 1.000 at r=100 on the 2000-row fixture corpus)
+    assert refine_deep >= refine_8bit, (refine_deep, refine_8bit)
+    assert refine_deep >= 0.9, refine_deep
 
 
 def test_ivf_pq_residual_plan_one_arrow_pass_one_topk_exchange(spark):
