@@ -45,6 +45,7 @@ HEADLINE = [
     "order_by_limit",
     "stream_table_join",
     "interval_join",
+    "asof_join",
     "windowed_join",
     "exists_subquery",
     "in_subquery",

@@ -133,3 +133,28 @@ def test_simhash_pairs_hamming_is_correct(spark, docs):
             sa[k * 16 : (k + 1) * 16] == sb[k * 16 : (k + 1) * 16]
             for k in range(4)
         )
+
+
+def test_asof_join_semantics(spark):
+    """Operator contract: inclusive rt <= t match, latest-wins, NULLs
+    when nothing precedes, left rows always preserved."""
+    from velostream_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 4, "early"), (2, 3, "c")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 7, 20.0), (2, 8, 30.0)],
+        "k int, rt int, v double",
+    )
+    got = {
+        (r["k"], r["t"]): r["asof_v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    assert got == {
+        (1, 5): 10.0,   # inclusive: rt == t matches
+        (1, 9): 20.0,   # latest preceding wins
+        (1, 4): None,   # nothing precedes
+        (2, 3): None,
+    }

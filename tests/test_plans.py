@@ -545,3 +545,18 @@ def test_bigram_lm_plan_zero_joins_three_keyed_exchanges(spark):
         first = seg.lstrip().splitlines()[0] if seg.strip() else ""
         if first.startswith("(") and "Exchange" in first:
             assert "text#" not in seg, seg
+
+
+def test_asof_join_one_exchange_no_nested_loop(spark):
+    # as-of = union + fill-forward window: ONE keyed exchange + sort,
+    # never a range-condition BroadcastNestedLoop/cartesian
+    plan = plan_of(spark, "asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    # exchanges: the union's window key + the snapshot dedup agg — both
+    # hash exchanges, no range join anywhere
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if first.startswith("(") and "Exchange" in first:
+            assert "hashpartitioning" in seg, seg

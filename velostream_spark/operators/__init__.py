@@ -25,7 +25,8 @@ Modules:
 - ``multimodal``— binary media columns: typed metadata, decode/feature
                   plumbing via mapInPandas (decode kernels stubbed — the
                   image/audio libs aren't in this container).
-- ``asof``      — as-of joins (composition of window + union, no UDF).
+- ``asof``      — LEFT as-of join: union + fill-forward window, one keyed
+                  exchange (oracle: DuckDB's native ASOF LEFT JOIN).
 
 None of these exist in the reference (SURVEY §7 Phase 4 — 'beyond the
 reference'); they are the Phase-4 extensions the north star asks for.

@@ -330,3 +330,58 @@ def session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("user_id") == F.col("b_user")) & (F.col("sid") == F.col("b_sid")),
     ).select("click_id", "view_id", "user_id", "session_start")
+
+
+_ASOF_JOIN_ORACLE = """
+WITH snaps AS (
+  SELECT user_id, ts,
+         max_by(value, event_id) AS snap_value,
+         MAX(event_id)           AS snap_event_id
+  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+SELECT l.event_id, l.user_id, l.ts,
+       s.snap_value    AS asof_snap_value,
+       s.snap_event_id AS asof_snap_event_id
+FROM l ASOF LEFT JOIN snaps s
+  ON l.user_id = s.user_id AND l.ts >= s.ts
+"""
+
+
+@query(
+    "asof_join",
+    oracle=_ASOF_JOIN_ORACLE,
+    tags=("join", "asof", "time-series", "beyond-reference"),
+)
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT AS-OF join (operators/asof.py): every event gets the latest
+    preceding snapshot (every 10th event, deduped to one row per
+    (user, ts) with max_by) for its user — the time-series enrichment
+    join Spark lacks as a native operator (DuckDB/Pandas/kdb have it;
+    the task brief names it as the canonical missing operator).
+
+    Spark-first shape: union both sides on the (user, ts) spine and
+    fill-forward with ONE window — a single keyed exchange + sort, never
+    a range-condition nested-loop join. The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN``, so the semantics (inclusive rt <= t, NULLs when
+    nothing precedes) are cross-checked against an independent
+    first-class implementation."""
+    from velostream_spark.operators.asof import asof_join
+
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    snaps = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        )
+    )
+    left = ev.where(F.col("event_id") % 10 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        left, snaps, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["snap_value", "snap_event_id"],
+    )

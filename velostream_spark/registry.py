@@ -276,7 +276,11 @@ _LOADED = False
 #: bigram_lm_score ← pii_scrub (pure-Catalyst text-quality family —
 #: pii_scrub holds official r8-r10 records and its redaction coverage
 #: stays in the mirror + text_analysis/lm_quality_score twins; the
-#: statistical LM scorer is the strictly-newer quality signal).
+#: statistical LM scorer is the strictly-newer quality signal);
+#: asof_join ← interval_join (time-conditioned join family — the
+#: interval form holds official r9-r10 records and both its batch and
+#: streaming twins stay; as-of is the family's new member with the
+#: strongest oracle, DuckDB's NATIVE ASOF LEFT JOIN).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
