@@ -46,6 +46,7 @@ HEADLINE = [
     "stream_table_join",
     "interval_join",
     "asof_join",
+    "range_join",
     "windowed_join",
     "exists_subquery",
     "in_subquery",

@@ -158,3 +158,34 @@ def test_asof_join_semantics(spark):
         (1, 4): None,   # nothing precedes
         (2, 3): None,
     }
+
+
+def test_range_join_exact_and_duplicate_free(spark):
+    """Bucketized range join == naive BETWEEN join exactly: overlapping
+    ranges multi-match, boundary values respect inclusivity, and no
+    (point, range) pair is emitted twice even when a range spans many
+    buckets."""
+    from velostream_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 25.0), (4, 99.5), (5, -3.0)],
+        "pid int, v double",
+    )
+    rng = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 30.0), (300, -50.0, 100.0)],
+        "rid int, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["rid"])
+        for r in range_join(pts, rng, "v", "lo", "hi", bucket_width=7.0).collect()
+    )
+    want = sorted(
+        (r["pid"], r["rid"])
+        for r in pts.crossJoin(rng)
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # duplicate-free
+    assert (2, 100) in got and (2, 200) in got  # overlapping multi-match
+    assert (1, 100) in got  # inclusive boundaries

@@ -560,3 +560,13 @@ def test_asof_join_one_exchange_no_nested_loop(spark):
         first = seg.lstrip().splitlines()[0] if seg.strip() else ""
         if first.startswith("(") and "Exchange" in first:
             assert "hashpartitioning" in seg, seg
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # the BETWEEN predicate must ride an EQUI-join on the bucket id (here
+    # broadcast-hash since the bands side is tiny; shuffled-hash/SMJ at
+    # scale) — never the nested-loop scan Spark plans for a raw BETWEEN
+    plan = plan_of(spark, "range_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

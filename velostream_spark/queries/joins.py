@@ -385,3 +385,46 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, snaps, key="user_id", left_ts="ts", right_ts="ts",
         payload=["snap_value", "snap_event_id"],
     )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH bands AS (
+  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+  FROM (SELECT UNNEST(range(0, 25)) AS i)
+)
+SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+FROM events e JOIN bands b
+  ON e.value >= b.lo AND e.value <= b.hi
+"""
+
+
+@query(
+    "range_join",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("join", "range", "beyond-reference"),
+)
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): every event
+    joined to each OVERLAPPING value band (25 bands, stride 20 width 30 —
+    deliberately overlapping so points multi-match, the case a simple
+    bucketing-by-assignment can't express). Spark plans a BETWEEN join as
+    a nested-loop scan; the bucketized form is a plain equi-join on
+    floor(v/w) with an exact re-check — each (point, band) pair meets on
+    exactly one bucket replica, so no dedup pass. Oracle: the naive
+    BETWEEN join, which DuckDB executes natively."""
+    from velostream_spark.operators.rangejoin import range_join
+
+    t = tables(spark, sf_dir)
+    bands = spark.range(0, 25).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 30.0).alias("hi"),
+    )
+    return range_join(
+        t["events"].select("event_id", "value"),
+        bands,
+        value_col="value",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=20.0,
+    ).select("event_id", "value", "band_id", "lo", "hi")

@@ -280,7 +280,11 @@ _LOADED = False
 #: asof_join ← interval_join (time-conditioned join family — the
 #: interval form holds official r9-r10 records and both its batch and
 #: streaming twins stay; as-of is the family's new member with the
-#: strongest oracle, DuckDB's NATIVE ASOF LEFT JOIN).
+#: strongest oracle, DuckDB's NATIVE ASOF LEFT JOIN);
+#: range_join ← dialect_quantified_comparisons (the comparison family's
+#: dialect form holds official r9-r10 records and in_not_in stays; the
+#: bucketized point-in-interval join is the new member Spark itself
+#: lacks an operator for).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
