@@ -47,6 +47,7 @@ HEADLINE = [
     "interval_join",
     "asof_join",
     "range_join",
+    "hypertable_rollup",
     "windowed_join",
     "exists_subquery",
     "in_subquery",

@@ -570,3 +570,15 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hypertable_rollup_expand_partial_agg(spark):
+    # one scan, map-side Expand for the grouping sets, partial aggs, no
+    # join/window/Python (the corpus_stats shape on the events table)
+    plan = plan_of(spark, "hypertable_rollup")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # ONE node (tree + detail)

@@ -428,3 +428,45 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi_col="hi",
         bucket_width=20.0,
     ).select("event_id", "value", "band_id", "lo", "hi")
+
+
+_HYPERTABLE_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+       event_type,
+       COUNT(*)                            AS n_events,
+       ROUND(SUM(value), 4)                AS total_value,
+       ROUND(AVG(value), 6)                AS avg_value,
+       COUNT(DISTINCT user_id)             AS n_users
+FROM events
+GROUP BY ROLLUP (bucket_hour, event_type)
+"""
+
+
+@query(
+    "hypertable_rollup",
+    oracle=_HYPERTABLE_ROLLUP_ORACLE,
+    tags=("aggregation", "time-window", "rollup", "beyond-reference"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup (the TimescaleDB
+    pattern): events bucketed to the hour, aggregated per
+    (bucket, event_type) PLUS the per-bucket and grand-total rollup
+    levels in one pass — the materialized summary a time-series store
+    keeps per chunk. Pure Catalyst: date_trunc is scan-side, the three
+    grouping sets expand map-side (Expand + partial agg), and the only
+    corpus-scale shuffle is COUNT(DISTINCT user_id)'s two-phase
+    expansion keyed on the same strata (the corpus_stats trade — swap in
+    approx_count_distinct for the 100-TB continuous aggregate)."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "event_type",
+        "value",
+        "user_id",
+    )
+    return ev.rollup("bucket_hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

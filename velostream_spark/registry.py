@@ -284,7 +284,11 @@ _LOADED = False
 #: range_join ← dialect_quantified_comparisons (the comparison family's
 #: dialect form holds official r9-r10 records and in_not_in stays; the
 #: bucketized point-in-interval join is the new member Spark itself
-#: lacks an operator for).
+#: lacks an operator for);
+#: hypertable_rollup ← window_with_having (time-window aggregation
+#: family — tumbling/session/dialect_tumbling stay official and HAVING
+#: semantics also live in the mirror's group_by_having; the rollup form
+#: adds the grouping-sets dimension the family lacked a gate slot for).
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
