@@ -150,3 +150,30 @@ def test_displaced_entries_still_registered():
         "embedding_near_dup",
     ):
         assert kept in names
+
+
+#: Batch-8 rotation plan (round 11, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+BATCH8_PLANNED = {
+    "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_refine_topk",
+    "cross_dedup_bloom",
+    "tfidf_topk_terms",
+    "bigram_lm_score",
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
+}
+
+
+def test_batch8_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH8_PLANNED if n not in catalog]
+    assert not missing, missing
+    no_oracle = [n for n in BATCH8_PLANNED if not catalog[n].oracle]
+    assert not no_oracle, no_oracle
+    # and none of them currently hold a gate slot (they are entrants)
+    first50 = set(GATE_ORDER)
+    assert not (BATCH8_PLANNED & first50), BATCH8_PLANNED & first50
