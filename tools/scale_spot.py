@@ -54,6 +54,22 @@ def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(d, "documents.parquet")
     )
+    # events ×rep: shift user_id and event_id per replica (keys stay
+    # within-replica — more users with the same per-user history, the
+    # bench AMORTIZED convention), timestamps unchanged so time windows
+    # and as-of spines carry rep× the rows per bucket
+    ev = dfs["events"]
+    max_eid, max_uid = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * (max_eid + 1)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * (max_uid + 1)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
     emb = dfs["embeddings"]
     max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
     # Perturb per replica so vectors are distinct ACROSS replicas —
@@ -78,7 +94,7 @@ def replicate_docs(spark, sf_dir: str, rep: int, root: str) -> str:
     )
     for t in TABLE_NAMES:
         src = os.path.join(sf_dir, f"{t}.parquet")
-        if t not in ("documents", "embeddings") and os.path.exists(src):
+        if t not in ("documents", "embeddings", "events") and os.path.exists(src):
             os.symlink(src, os.path.join(d, f"{t}.parquet"))
     return d
 
@@ -137,6 +153,11 @@ def main() -> None:
         "corpus_stats",
         "tfidf_topk_terms",
         "bigram_lm_score",
+        # time-series family (events-table scaling: rep× users, same
+        # per-user history — keys stay within-replica)
+        "asof_join",
+        "range_join",
+        "hypertable_rollup",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would
