@@ -1621,9 +1621,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE explode collapses IMMEDIATELY into per-doc
     (prev, cur) counts — a map-side-combined aggregation, so the windows
     and every later exchange move one row per DISTINCT in-doc bigram,
-    not one per occurrence (the per-occurrence form measured 67 s at the
-    128× spot vs this form's; Zipf repeats are the whole difference).
-    Corpus counts then come free from windows over those rows
+    not one per occurrence. (On THIS corpus the pre-aggregation measured
+    neutral — its bigrams are near-unique within docs; on a real Zipf
+    corpus it is the repeat-factor win. The entry's 67.9→10.96 s jump at
+    the 128× spot was the separate lambda-CSE fix: staging the words
+    array before the bigram lambda.) Corpus counts then come free from
+    windows over those rows
     (SUM(cnt) OVER (prev, cur) and OVER (prev)), zero joins — the tfidf
     shape, with the same documented stopword-skew ceiling on the prev
     window (switch to grouped aggs + AQE skew joins at extreme corpus
