@@ -189,3 +189,23 @@ def test_range_join_exact_and_duplicate_free(spark):
     assert len(got) == len(set(got))  # duplicate-free
     assert (2, 100) in got and (2, 200) in got  # overlapping multi-match
     assert (1, 100) in got  # inclusive boundaries
+
+
+def test_asof_and_range_join_null_and_inverted_edges(spark):
+    """asof: a NULL-timestamp right row must match nothing (SQL comparison
+    semantics), even though it would sort first in the fill-forward
+    window; range: inverted and NULL-bounded ranges match nothing."""
+    from velostream_spark.operators.asof import asof_join
+    from velostream_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, None, "nl"), (1, 3, "a")], "k int, t int, tag string")
+    right = spark.createDataFrame([(1, None, 99.0), (1, 2, 5.0)], "k int, rt int, v double")
+    got = {r["tag"]: r["asof_v"] for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()}
+    assert got == {"nl": None, "a": 5.0}
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid int, v double")
+    rng = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, None, 9.0), (3, 0.0, 9.0)], "rid int, lo double, hi double"
+    )
+    hits = sorted(r["rid"] for r in range_join(pts, rng, "v", "lo", "hi", 4.0).collect())
+    assert hits == [3]

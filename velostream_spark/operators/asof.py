@@ -50,7 +50,14 @@ def asof_join(
     ``right`` must be unique per (key, right_ts) — the same well-formed
     input DuckDB's ASOF JOIN assumes; dedupe with ``max_by`` first if it
     isn't. Left column names must not collide with the ``_k/_ts/_side``
-    spine (underscore-prefixed deliberately)."""
+    spine (underscore-prefixed deliberately).
+
+    NULL-timestamp right rows are dropped up front: under SQL comparison
+    semantics (``l.ts >= NULL`` is never true) they can match nothing,
+    but in the fill-forward window they would sort FIRST and leak their
+    payload into NULL-ts left rows — the one spot where the window trick
+    and the comparison semantics disagree without the guard."""
+    right = right.where(F.col(right_ts).isNotNull())
     lcols = left.columns
     l_side = left.select(
         F.col(key).alias("_k"),

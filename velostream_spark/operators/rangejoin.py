@@ -46,6 +46,10 @@ def range_join(
     p = points.withColumn(
         "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")
     )
+    # drop inverted/NULL-bounded ranges up front: they can never match
+    # (BETWEEN semantics), and Spark's sequence(a, b) DESCENDS when a > b,
+    # so an inverted range would otherwise explode into useless replicas
+    ranges = ranges.where(F.col(lo_col) <= F.col(hi_col))
     r = ranges.withColumn(
         "_bucket",
         F.explode(
