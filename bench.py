@@ -48,6 +48,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "hypertable_rollup",
+    "streaming_asof_join",
     "windowed_join",
     "exists_subquery",
     "in_subquery",

@@ -581,3 +581,70 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped) is pinned in tests/test_streaming.py."""
     rows = curation_stream(stream_table(spark, sf_dir, "documents"))
     return run_available_now(rows, "append", "streaming_curation")
+
+
+_STREAMING_ASOF_ORACLE = """
+WITH snaps AS (
+  SELECT user_id, ts,
+         max_by(value, event_id) AS snap_value,
+         MAX(event_id)           AS snap_event_id
+  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+SELECT l.event_id, l.user_id, l.ts,
+       s.snap_value    AS asof_snap_value,
+       s.snap_event_id AS asof_snap_event_id
+FROM l ASOF LEFT JOIN snaps s
+  ON l.user_id = s.user_id AND l.ts >= s.ts
+"""
+
+
+@query(
+    "streaming_asof_join",
+    oracle=_STREAMING_ASOF_ORACLE,
+    tags=("streaming", "join", "asof", "beyond-reference"),
+)
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC as-of enrichment: each micro-batch of events is
+    enriched with its user's latest preceding snapshot from the static
+    snapshot table via the batch as-of operator (operators/asof.py) in a
+    foreachBatch sink. With a static right side, per-batch application is
+    EXACT — the as-of result for a left row depends only on that row and
+    the static table, never on other stream rows — so the streaming run
+    over the whole backlog equals the batch entry bit-for-bit (same
+    oracle: DuckDB's native ASOF LEFT JOIN). This is the streaming
+    enrichment shape (tick stream vs reference-data table) that a raw
+    stream-static range join cannot express without a nested-loop per
+    batch."""
+    from velostream_spark.operators.asof import asof_join
+    from velostream_spark.streaming.runner import _scratch_dir, run_foreach_batch
+
+    t = tables(spark, sf_dir)
+    snaps = (
+        t["events"]
+        .where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        )
+    )
+    stream = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 != 0)
+        .select("event_id", "user_id", "ts")
+    )
+    out_dir = _scratch_dir("vs-out-asof-")
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        asof_join(
+            batch_df, snaps, key="user_id", left_ts="ts", right_ts="ts",
+            payload=["snap_value", "snap_event_id"],
+        ).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(stream, enrich, "append", "asof_stream")
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "asof_snap_value double, asof_snap_event_id long"
+    )
+    return spark.read.schema(schema).parquet(out_dir)

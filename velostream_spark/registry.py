@@ -289,6 +289,8 @@ _LOADED = False
 #: family — tumbling/session/dialect_tumbling stay official and HAVING
 #: semantics also live in the mirror's group_by_having; the rollup form
 #: adds the grouping-sets dimension the family lacked a gate slot for).
+#: (streaming_asof_join stays a mirror entry alongside its batch twin —
+#: one as-of gate slot is enough; the streaming form shares the oracle.)
 #: After batch 8, no-oracle entries remain deliberately ungated:
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
