@@ -255,9 +255,10 @@ _LOADED = False
 #: decode family carried by multimodal_image_stats, staying official;
 #: audio_energy official r9, stays in mirror).
 #:
-#: ROTATION batch 8 (planned for round 11, once batch 7 holds its first
-#: official record in CORRECTNESS_r10): rotate in the round-10 entries —
-#: both exact-oracle, both parity-green at the gate scale since round 10:
+#: ROTATION batch 8 (round 11 — EXECUTED; precondition met: batch 7 holds
+#: its first official record in CORRECTNESS_r10, 50/50 green). Rotated in
+#: the round-10 entries — all exact-oracle, all parity-green at the gate
+#: scale since round 10:
 #: ann_ivf_pq_residual_topk ← ann_ivf_pq_topk (the residual form is the
 #: strictly-stronger production composition — same one-Arrow-pass shape,
 #: same CTE family, plus residual encoding; raw IVF-PQ keeps its official
@@ -314,7 +315,9 @@ GATE_ORDER = [
     # dialect_functions_select + the function-catalog conformance sweep)
     "string_functions",
     # batch 7: date_functions → dialect_cast_multiformat + conformance sweep
-    "json_functions",
+    # batch 8: json_functions → tfidf_topk_terms (scalar coverage carried by
+    # the conformance sweep + dialect_functions_select + string_functions)
+    "tfidf_topk_terms",
     # batch 6: collection_functions → conformance sweep + dialect/json twins
     # batch 7: bpe_pair_counts → bpe_encode (same split/normalize machinery)
     "bpe_encode",
@@ -330,13 +333,17 @@ GATE_ORDER = [
     # §2.3 joins (full_outer/windowed → batch-3 rotation)
     "stream_table_join",
     "join_left_with_defaults",
-    "interval_join",
+    # batch 8: interval_join → asof_join (time-conditioned join family;
+    # interval holds official r9-r10 records, both twins stay in mirror)
+    "asof_join",
     "streaming_interval_join",
+    # batch 8: dialect_quantified_comparisons (official r9-r10) → range_join
+    # (bucketized point-in-interval join Spark lacks an operator for)
+    "range_join",
     # §2.7 subqueries (scalar/exists forms carried by the fused entry;
     # any_all → batch-4 rotation: dialect_quantified_comparisons)
     "scalar_exists_subquery",
     "in_not_in_subquery",
-    "dialect_quantified_comparisons",
     # §2.5 OVER-clause window functions
     "lag_lead",
     "ranking_functions",
@@ -344,7 +351,10 @@ GATE_ORDER = [
     # §2.6 time windows (sliding → batch-3 rotation)
     "tumbling_window",
     "session_window",
-    "window_with_having",
+    # batch 8: window_with_having → hypertable_rollup (grouping-sets
+    # dimension; HAVING semantics stay in mirror's group_by_having and
+    # window_with_having keeps its official r10 record)
+    "hypertable_rollup",
     # Phase-4 pipeline operators (LLM-scale curation; batch-4 rotation:
     # minhash_lsh_pairs/rolling_fingerprint/ann_brute_force/ann_lsh/
     # multimodal_frame_sample → their never-gated family twins)
@@ -355,20 +365,24 @@ GATE_ORDER = [
     # batch 7: minhash_signature → pq_encode (signature family)
     "pq_encode",
     "ngram_jaccard_pairs",
-    # batch 7: simhash → pq_code_dedup (hash-blocking dedup family)
-    "pq_code_dedup",
+    # batch 7: simhash → pq_code_dedup; batch 8: pq_code_dedup (official
+    # r10) → cross_dedup_bloom (hash-keyed dedup family)
+    "cross_dedup_bloom",
     "dedup_canonical",
-    "pii_scrub",
+    # batch 8: pii_scrub (official r8-r10) → bigram_lm_score (the newer
+    # pure-Catalyst text-quality signal)
+    "bigram_lm_score",
     "curation_pipeline",
     "corpus_mix",
-    # batch 7: ann_ivf_topk → ann_ivf_pq_topk (composed IVF+PQ path)
-    "ann_ivf_pq_topk",
+    # batch 7: ann_ivf_topk → ann_ivf_pq_topk; batch 8: ann_ivf_pq_topk
+    # (official r10) → the strictly-stronger residual production form
+    "ann_ivf_pq_residual_topk",
     "semdedup",
     "global_shuffle",
     "multimodal_image_stats",
-    # batch 7: multimodal_audio_energy → ann_pq_adc_topk (decode family
-    # carried by image_stats, staying official)
-    "ann_pq_adc_topk",
+    # batch 7: multimodal_audio_energy → ann_pq_adc_topk; batch 8:
+    # ann_pq_adc_topk (official r10) → refine (contains the ADC scan)
+    "ann_ivf_pq_refine_topk",
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
