@@ -440,54 +440,63 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
-    # ONE compact stdout JSON line, hard-budgeted under the driver's
-    # 2000-char tail. The per-query walls STAY on stdout in every variant
-    # (the driver's contract); the amortized replication-factor map lives
-    # on stderr (previous line) with only its entry count here —
-    # "amortized_n" > 0 says "see AMORTIZED in bench.py / the stderr
-    # record". Degrade 3-decimal walls to 2-decimal if the catalog ever
-    # outgrows the budget anyway.
+    print(compact_stdout_line(total, times, flagged, len(amortized), sf_val))
+    spark.stop()
+
+
+#: Stdout-line budget. The driver captures the LAST 2000 chars of stdout;
+#: 1700 leaves ≥300 chars of headroom so a stray trailing warning line (or
+#: the driver's own tail slicing) can never clip the JSON head.
+LINE_BUDGET = 1700
+
+
+def compact_stdout_line(total, times, flagged, amortized_n, sf_val):
+    """ONE compact stdout JSON line, hard-budgeted under the driver's
+    2000-char tail (LINE_BUDGET=1700 with headroom). Per-query walls stay
+    on stdout whenever they fit (the driver's contract); the amortized
+    replication-factor map lives on stderr with only its entry count here —
+    "amortized_n" > 0 says "see AMORTIZED in bench.py / the stderr record".
+    Degrade ladder: 3-decimal walls → 2-decimal → elide the SMALLEST
+    2-decimal walls (keeping the big rows the baseline comparison cares
+    about) with "queries_elided"/"n_queries" declaring the cut. The full
+    3-decimal map is always on stderr. "derive_flagged" appears only when
+    non-empty (it is the alarm; its absence IS the green reading)."""
     base = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
-        "derive_flagged": flagged,
-        "amortized_n": len(amortized),
+        "amortized_n": amortized_n,
         "sf": sf_val,
-        "n_queries": len(times),
     }
-    candidates = [
+    if flagged:
+        base["derive_flagged"] = flagged
+    times2 = {q: round(t, 2) for q, t in times.items()}
+    for cand in (
         {**base, "queries": times},
-        {**base, "queries": {q: round(t, 2) for q, t in times.items()}},
-    ]
-    line = None
-    for cand in candidates:
+        {**base, "queries": times2},
+    ):
         s = json.dumps(cand, separators=(",", ":"))
-        if len(s) <= 1800:
-            line = s
-            break
-    if line is None:
-        # Terminal fallback, GUARANTEED under budget (the r8 failure mode
-        # was an un-bounded fall-through): keep the LARGEST walls — the
-        # rows the baseline comparison cares about — and drop the smallest
-        # until the line fits, declaring how many were elided (the full
-        # map is always on stderr, previous line).
-        by_wall = sorted(times, key=lambda q: (-times[q], q))
-        keep = dict(times)
-        for q in reversed(by_wall):
-            cand = {**base, "queries": keep, "queries_elided": len(times) - len(keep)}
-            s = json.dumps(cand, separators=(",", ":"))
-            if len(s) <= 1800:
-                line = s
-                break
-            del keep[q]
-        else:
-            line = json.dumps(
-                {**base, "queries": {}, "queries_elided": len(times)},
-                separators=(",", ":"),
-            )
-    print(line)
-    spark.stop()
+        if len(s) <= LINE_BUDGET:
+            return s
+    # Elision fallback, GUARANTEED under budget (the r8 failure mode was
+    # an un-bounded fall-through): drop the smallest walls until it fits.
+    by_wall = sorted(times2, key=lambda q: (-times2[q], q))
+    keep = dict(times2)
+    for q in reversed(by_wall):
+        cand = {
+            **base,
+            "queries": keep,
+            "queries_elided": len(times2) - len(keep),
+            "n_queries": len(times2),
+        }
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= LINE_BUDGET:
+            return s
+        del keep[q]
+    return json.dumps(
+        {**base, "queries": {}, "queries_elided": len(times2), "n_queries": len(times2)},
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":
