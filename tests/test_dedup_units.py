@@ -198,10 +198,18 @@ def test_asof_and_range_join_null_and_inverted_edges(spark):
     from velostream_spark.operators.asof import asof_join
     from velostream_spark.operators.rangejoin import range_join
 
-    left = spark.createDataFrame([(1, None, "nl"), (1, 3, "a")], "k int, t int, tag string")
-    right = spark.createDataFrame([(1, None, 99.0), (1, 2, 5.0)], "k int, rt int, v double")
+    left = spark.createDataFrame(
+        [(1, None, "nl"), (1, 3, "a"), (None, 3, "nk")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 2, 5.0), (None, 1, 77.0)], "k int, rt int, v double"
+    )
     got = {r["tag"]: r["asof_v"] for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()}
-    assert got == {"nl": None, "a": 5.0}
+    # "nk": NULL = NULL never matches in SQL — a NULL-key left row must get
+    # NULL payload even though a NULL-key right row (77.0) precedes it,
+    # matching DuckDB ASOF LEFT JOIN (Window.partitionBy would otherwise
+    # group the NULL keys together and fill-forward 77.0).
+    assert got == {"nl": None, "a": 5.0, "nk": None}
 
     pts = spark.createDataFrame([(1, 5.0)], "pid int, v double")
     rng = spark.createDataFrame(

@@ -413,3 +413,40 @@ def test_ivf_residuals_reconstruct_exactly(spark):
     for r in out:
         rec = np.array(r["residual"], dtype=np.float64) + cents[r["cell"]]
         assert np.array_equal(rec, orig[r["vec_id"]]), r["vec_id"]
+
+
+def test_residual_nprobe_clamps_to_exhaustive_probe(spark):
+    """nprobe > n_centroids degrades to probing EVERY cell (FAISS
+    semantics) instead of crashing in the lut reshape — and probing all
+    cells of an exhaustive index must agree with the generous-but-legal
+    nprobe == n_centroids form exactly."""
+    from velostream_spark.operators import pq
+
+    emb = _emb(spark)
+    q = emb.orderBy("vec_id").limit(3)
+    cb = pq.pq_codebook(emb)
+    want = sorted(
+        map(tuple, pq.ivf_pq_residual_topk(
+            emb, q, cb, k=5, n_centroids=8, nprobe=8
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, pq.ivf_pq_residual_topk(
+            emb, q, cb, k=5, n_centroids=8, nprobe=999
+        ).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_join_rejects_nonpositive_bucket_width(spark):
+    """w <= 0 (or NaN) silently empties the bucketized equi-join — the
+    guard turns the degenerate config into an immediate ValueError."""
+    import pytest
+
+    from velostream_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid int, v double")
+    rng = spark.createDataFrame([(1, 0.0, 9.0)], "rid int, lo double, hi double")
+    for bad in (0.0, -4.0, float("nan")):
+        with pytest.raises(ValueError, match="bucket_width"):
+            range_join(pts, rng, "v", "lo", "hi", bad)

@@ -52,12 +52,15 @@ def asof_join(
     isn't. Left column names must not collide with the ``_k/_ts/_side``
     spine (underscore-prefixed deliberately).
 
-    NULL-timestamp right rows are dropped up front: under SQL comparison
-    semantics (``l.ts >= NULL`` is never true) they can match nothing,
-    but in the fill-forward window they would sort FIRST and leak their
-    payload into NULL-ts left rows — the one spot where the window trick
-    and the comparison semantics disagree without the guard."""
-    right = right.where(F.col(right_ts).isNotNull())
+    NULL-timestamp and NULL-key right rows are dropped up front: under
+    SQL comparison semantics (``l.ts >= NULL`` is never true, ``l.key =
+    NULL`` never matches) they can match nothing, but the fill-forward
+    window would group NULL keys together / sort NULL ts FIRST and leak
+    their payload — the two spots where the window trick and the
+    comparison semantics disagree without the guard. NULL-key LEFT rows
+    then land in a partition with no right rows and correctly get NULL
+    payload, matching DuckDB's ASOF LEFT JOIN."""
+    right = right.where(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     lcols = left.columns
     l_side = left.select(
         F.col(key).alias("_k"),

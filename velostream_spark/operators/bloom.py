@@ -67,7 +67,12 @@ def bloom_build(
     aggregate, rounded up to a power of two) — a fixed m silently
     degenerates as B grows (at 1 bit/key every probe is positive and the
     confirm join is back to full size), so sizing belongs to build time,
-    exactly like choosing a broadcast threshold."""
+    exactly like choosing a broadcast threshold. The sizing count IS a
+    second pass over B's source — but a cheap one: ``count()`` needs no
+    columns, so Catalyst prunes every projection (including a derived
+    key expression like md5(normalize(text))) out of that scan; pass an
+    explicit ``m_bits`` (or an upstream-known row count via
+    ``1 << ceil(log2(10*n))``) to make the build strictly single-pass."""
     import math
 
     if m_bits is None:
@@ -119,6 +124,7 @@ def bloom_anti_join(
     key_col: str,
     m_bits: int | None = None,
     k: int = 5,
+    stage_a: bool = False,
 ) -> DataFrame:
     """EXACT ``A \\ B`` on ``key_col`` (NOT EXISTS semantics: NULL keys in
     A are kept, like a regular anti-join) with the bloom prefilter
@@ -126,7 +132,18 @@ def bloom_anti_join(
     scan; bloom-positive rows anti-join B's keys (the anti join's own
     hash build dedupes them). The two
     branches are scans of the same source with complementary pushable
-    filters — two cheap columnar reads in place of shuffling all of A."""
+    filters — two cheap columnar reads in place of shuffling all of A.
+
+    ``stage_a`` is the fast path for a DERIVED key column (e.g.
+    md5(normalize(text))): the two output branches each re-evaluate A's
+    projection from the scan, so an expensive key expression is computed
+    twice. ``stage_a=True`` materializes A's rows once (localCheckpoint)
+    and both branches read the staged partitions. Leave False when the
+    key is a STORED column (the 100-TB shape — fingerprints land in the
+    table) or A's projection is cheap: two pushdown scans of stored
+    columns beat a checkpoint write. Measured crossover in PERF.md."""
+    if stage_a:
+        a = a.localCheckpoint(eager=False)
     words = bloom_build(b, key_col, m_bits, k)
     hit = bloom_might_contain(F.col(key_col), words, len(words) * 64, k)
     # no .distinct() on the build side: LEFT ANTI is a membership test, so

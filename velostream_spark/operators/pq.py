@@ -639,6 +639,10 @@ def ivf_pq_residual_topk(
     qids = [r["qid"] for r in qrows]
     qmat = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
     qscores = _round6(qmat @ cnT)
+    # nprobe > n_centroids degrades gracefully to probing EVERY cell —
+    # unclamped, argsort slices fewer than nprobe columns and the lut
+    # reshape below raises instead of behaving like exhaustive probe
+    nprobe = min(nprobe, len(cents))
     probed = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
 
     # Per (query, probed slot) residual LUTs: the (Q·nprobe, dim) residual

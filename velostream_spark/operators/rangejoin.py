@@ -43,6 +43,10 @@ def range_join(
     point's value. NULL values/bounds never match (standard comparison
     semantics). Output = point columns + range columns."""
     w = float(bucket_width)
+    # guard, not silent degeneration: w<=0 (or NaN) makes value/w
+    # NULL-or-infinite, every bucket NULL, and the equi-join EMPTY
+    if not w > 0.0:  # catches 0, negatives, and NaN in one comparison
+        raise ValueError(f"bucket_width must be a positive number, got {bucket_width!r}")
     p = points.withColumn(
         "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")
     )
