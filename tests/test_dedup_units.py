@@ -217,3 +217,30 @@ def test_asof_and_range_join_null_and_inverted_edges(spark):
     )
     hits = sorted(r["rid"] for r in range_join(pts, rng, "v", "lo", "hi", 4.0).collect())
     assert hits == [3]
+
+
+def test_hypertable_rollup_approx_within_hll_tolerance(spark):
+    """The HLL continuous-aggregate twin must agree with the exact rollup:
+    identical plain aggregates on every grouping-set row, and
+    n_users_approx within a loose 5-sigma band of the exact per-stratum
+    user cardinality (rsd=0.01 sketch)."""
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["bucket_hour"], r["event_type"]): r.asDict()
+        for r in qs["hypertable_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["bucket_hour"], r["event_type"]): r.asDict()
+        for r in qs["hypertable_rollup_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 2
+    for key, e in exact.items():
+        a = approx[key]
+        for col in ("n_events", "total_value", "avg_value"):
+            assert a[col] == e[col], (key, col, a[col], e[col])
+        assert abs(a["n_users_approx"] - e["n_users"]) <= 0.05 * e["n_users"] + 1, (
+            key, e["n_users"], a["n_users_approx"],
+        )

@@ -1,0 +1,190 @@
+"""Dialect surface for the time-series joins: DuckDB-syntax ASOF JOIN
+(sql/dialect.py parse_asof_join + engine._rewrite_asof_joins routed to
+operators/asof.py) — value semantics, inner/left forms, compound keys,
+qualifier remapping, and the parse-error contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from velostream_spark.sql.dialect import parse_asof_join
+from velostream_spark.sql.engine import SqlEngine
+
+
+@pytest.fixture()
+def eng(spark):
+    e = SqlEngine(spark, time_col="t")
+    l = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 4, "early"), (2, 3, "c")],
+        "k int, t int, tag string",
+    )
+    r = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 7, 20.0), (2, 8, 30.0)],
+        "k int, rt int, v double",
+    )
+    e.register_stream("lt", l)
+    e.register_stream("rt_tbl", r)
+    return e
+
+
+def test_asof_left_join_from_sql(eng):
+    got = {
+        (x["tag"]): x["v"]
+        for x in eng.execute(
+            "SELECT a.tag, b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+            "ON a.k = b.k AND a.t >= b.rt"
+        ).collect()
+    }
+    assert got == {"a": 10.0, "b": 20.0, "early": None, "c": None}
+
+
+def test_asof_inner_join_drops_unmatched(eng):
+    # DuckDB's plain ASOF JOIN is inner: rows with no preceding right row
+    # disappear; the matched row's own columns (b.rt) are addressable
+    rows = eng.execute(
+        "SELECT a.tag, b.v, b.rt FROM lt a ASOF JOIN rt_tbl b "
+        "ON a.k = b.k AND a.t >= b.rt ORDER BY a.tag"
+    ).collect()
+    assert [(x["tag"], x["v"], x["rt"]) for x in rows] == [
+        ("a", 10.0, 5),
+        ("b", 20.0, 7),
+    ]
+
+
+def test_asof_inner_join_keeps_null_payload_match(spark):
+    # inner-form match detection uses the fill-forward MARKER, not payload
+    # NULL-ness: a right row whose payload IS NULL still counts as a match
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "ll", spark.createDataFrame([(1, 5, "a")], "k int, t int, tag string")
+    )
+    e.register_stream(
+        "rr", spark.createDataFrame([(1, 2, None)], "k int, rt int, v double")
+    )
+    rows = e.execute(
+        "SELECT ll.tag, rr.v FROM ll ASOF JOIN rr ON ll.k = rr.k AND ll.t >= rr.rt"
+    ).collect()
+    assert [(x["tag"], x["v"]) for x in rows] == [("a", None)]
+
+
+def test_asof_join_compound_keys_and_where(spark):
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "ll",
+        spark.createDataFrame(
+            [(1, "x", 5), (1, "y", 5), (2, "x", 5)], "k int, g string, t int"
+        ),
+    )
+    e.register_stream(
+        "rr",
+        spark.createDataFrame(
+            [(1, "x", 1, 10.0), (1, "y", 1, 20.0), (2, "x", 9, 30.0)],
+            "k int, g string, rt int, v double",
+        ),
+    )
+    rows = e.execute(
+        "SELECT ll.k, ll.g, rr.v FROM ll ASOF LEFT JOIN rr "
+        "ON ll.k = rr.k AND ll.g = rr.g AND ll.t >= rr.rt "
+        "WHERE ll.k = 1 ORDER BY ll.g"
+    ).collect()
+    assert [(x["k"], x["g"], x["v"]) for x in rows] == [
+        (1, "x", 10.0),
+        (1, "y", 20.0),
+    ]
+
+
+def test_asof_join_colliding_payload_keeps_prefix(spark):
+    # the right side's `t` collides with the left's `t`: it stays
+    # addressable as the operator's asof_t via the qualified reference
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "ll", spark.createDataFrame([(1, 5)], "k int, t int")
+    )
+    e.register_stream(
+        "rr", spark.createDataFrame([(1, 3, 7.0)], "k int, t int, v double")
+    )
+    rows = e.execute(
+        "SELECT ll.t, rr.t, rr.v FROM ll ASOF LEFT JOIN rr "
+        "ON ll.k = rr.k AND ll.t >= rr.t"
+    ).collect()
+    assert [(x["t"], x["asof_t"], x["v"]) for x in rows] == [(5, 3, 7.0)]
+
+
+def test_asof_parse_contract():
+    spec = parse_asof_join(
+        "SELECT * FROM a x ASOF LEFT JOIN b y ON x.k = y.k2 AND x.t >= y.rt WHERE x.k > 0"
+    )
+    assert spec is not None and not spec.inner
+    assert spec.keys == [("k", "k2")] and (spec.left_ts, spec.right_ts) == ("t", "rt")
+    assert parse_asof_join("SELECT 1 FROM a JOIN b ON a.k = b.k") is None
+    with pytest.raises(ValueError, match="timestamp inequality"):
+        parse_asof_join("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+    with pytest.raises(ValueError, match="condition term"):
+        parse_asof_join("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.rt + 1")
+    with pytest.raises(ValueError, match="exactly one timestamp"):
+        parse_asof_join(
+            "SELECT * FROM a ASOF JOIN b ON a.t >= b.rt AND a.u >= b.ru"
+        )
+
+
+# --- range-join routing (parse_range_join + engine._rewrite_range_joins) ---
+
+
+def test_range_join_from_sql_matches_naive_and_avoids_bnlj(spark):
+    from velostream_spark.sql.dialect import parse_range_join
+
+    e = SqlEngine(spark, time_col="t")
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 25.0), (4, 99.5), (5, -3.0)],
+        "pid int, v double",
+    )
+    rng = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 30.0), (300, -50.0, 100.0)],
+        "rid int, lo double, hi double",
+    )
+    e.register_stream("pts", pts)
+    e.register_stream("rng", rng)
+    df = e.execute(
+        "SELECT p.pid, r.rid FROM pts p JOIN rng r ON p.v BETWEEN r.lo AND r.hi"
+    )
+    got = sorted((x["pid"], x["rid"]) for x in df.collect())
+    want = sorted(
+        (x["pid"], x["rid"])
+        for x in pts.crossJoin(rng)
+        .where((pts.v >= rng.lo) & (pts.v <= rng.hi))
+        .collect()
+    )
+    assert got == want and len(got) == len(set(got))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the >=/<= spelling parses to the same spec
+    spec = parse_range_join(
+        "SELECT 1 FROM pts p JOIN rng r ON p.v >= r.lo AND p.v <= r.hi"
+    )
+    assert spec is not None and (spec.lo_col, spec.hi_col) == ("lo", "hi")
+    assert spec.inclusive_hi
+
+
+def test_range_join_rewrite_leaves_equi_joins_alone(spark):
+    from velostream_spark.sql.dialect import parse_range_join
+
+    # any equality conjunct -> Catalyst's hash join is already right
+    assert parse_range_join(
+        "SELECT 1 FROM a JOIN b ON a.k = b.k AND a.v >= b.lo AND a.v <= b.hi"
+    ) is None
+    assert parse_range_join("SELECT 1 FROM a JOIN b ON a.k = b.k") is None
+    # strict < upper bound is honored (exclusive hi)
+    spec = parse_range_join("SELECT 1 FROM a JOIN b ON a.v >= b.lo AND a.v < b.hi")
+    assert spec is not None and not spec.inclusive_hi
+
+
+def test_range_join_colliding_names_exposed_with_prefix(spark):
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream("pp", spark.createDataFrame([(1, 5.0)], "id int, v double"))
+    e.register_stream(
+        "bb", spark.createDataFrame([(9, 0.0, 9.0)], "id int, lo double, hi double")
+    )
+    rows = e.execute(
+        "SELECT pp.id, bb.id FROM pp JOIN bb ON pp.v BETWEEN bb.lo AND bb.hi"
+    ).collect()
+    assert [(x["id"], x["right_id"]) for x in rows] == [(1, 9)]

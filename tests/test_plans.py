@@ -582,3 +582,37 @@ def test_hypertable_rollup_expand_partial_agg(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
     assert plan.count("Scan parquet") == 2, plan  # ONE node (tree + detail)
+
+
+def test_bigram_grouped_plan_partial_aggs_no_corpus_window(spark):
+    # the skew-safe production twin (skewagg.py join strategy): the model
+    # counts are map-side combined (partial_sum before every count
+    # exchange), attached via equi-joins — NO corpus window anywhere, so
+    # a stopword's posting never lands in one task; still zero Python and
+    # text never in a shuffle
+    plan = plan_of(spark, "bigram_lm_grouped")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine on the model aggs
+    assert "CartesianProduct" not in plan, plan
+    for seg in plan.split("\n\n"):
+        first = seg.lstrip().splitlines()[0] if seg.strip() else ""
+        if first.startswith("(") and "Exchange" in first:
+            assert "text#" not in seg, seg
+
+
+def test_tfidf_join_plan_partial_aggs_df_join(spark):
+    # join-strategy tfidf: df counts are map-side combined and attached
+    # by an equi-join; the only Window left is the per-doc top-3 ranking
+    # (which keeps its WindowGroupLimit pair)
+    plan = plan_of(spark, "tfidf_topk_terms_join")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "row_number(), 3, Partial" in plan, plan
+    # exactly one Window spec family: the doc ranking — the word-df
+    # window is GONE (count it via the Window node's partition key)
+    win_segs = [
+        seg for seg in plan.split("\n\n")
+        if seg.lstrip().splitlines() and "Window" in seg.lstrip().splitlines()[0]
+    ]
+    assert all("word#" not in seg.splitlines()[0] for seg in win_segs), win_segs

@@ -152,7 +152,9 @@ def main() -> None:
         "bpe_encode",
         "corpus_stats",
         "tfidf_topk_terms",
+        "tfidf_topk_terms_join",
         "bigram_lm_score",
+        "bigram_lm_grouped",
         # time-series family (events-table scaling: rep× users, same
         # per-user history — keys stay within-replica)
         "asof_join",

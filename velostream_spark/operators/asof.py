@@ -28,6 +28,8 @@ SQL re-statement of the same trick.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -38,18 +40,20 @@ __all__ = ["asof_join"]
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     left_ts: str,
     right_ts: str,
     payload: list[str],
 ) -> DataFrame:
     """LEFT AS-OF join: every ``left`` row + the latest ``right`` payload
     columns at-or-before its timestamp (NULLs when no right row precedes),
-    as ``asof_<payload>`` columns appended to the left schema.
+    as ``asof_<payload>`` columns appended to the left schema. ``key``
+    may be one column name or a sequence (compound-key as-of; all key
+    columns must exist under the same names on both sides).
 
     ``right`` must be unique per (key, right_ts) — the same well-formed
     input DuckDB's ASOF JOIN assumes; dedupe with ``max_by`` first if it
-    isn't. Left column names must not collide with the ``_k/_ts/_side``
+    isn't. Left column names must not collide with the ``_k*/_ts/_side``
     spine (underscore-prefixed deliberately).
 
     NULL-timestamp and NULL-key right rows are dropped up front: under
@@ -60,10 +64,15 @@ def asof_join(
     comparison semantics disagree without the guard. NULL-key LEFT rows
     then land in a partition with no right rows and correctly get NULL
     payload, matching DuckDB's ASOF LEFT JOIN."""
-    right = right.where(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
+    keys = [key] if isinstance(key, str) else list(key)
+    guard = F.col(right_ts).isNotNull()
+    for kc in keys:
+        guard = guard & F.col(kc).isNotNull()
+    right = right.where(guard)
     lcols = left.columns
+    spine = [f"_k{i}" for i in range(len(keys))]
     l_side = left.select(
-        F.col(key).alias("_k"),
+        *[F.col(kc).alias(s) for kc, s in zip(keys, spine)],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
@@ -73,7 +82,7 @@ def asof_join(
         ],
     )
     r_side = right.select(
-        F.col(key).alias("_k"),
+        *[F.col(kc).alias(s) for kc, s in zip(keys, spine)],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
@@ -81,7 +90,7 @@ def asof_join(
     )
     u = l_side.unionByName(r_side)
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*spine)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -296,3 +296,60 @@ def dialect_cast_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY fmt
         """
     )
+
+
+@query(
+    "dialect_asof_select",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS snap_value,
+             MAX(event_id)           AS snap_event_id
+      FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+    SELECT l.event_id, l.user_id, l.ts,
+           s.snap_value    AS asof_snap_value,
+           s.snap_event_id AS asof_snap_event_id
+    FROM l ASOF LEFT JOIN snaps s
+      ON l.user_id = s.user_id AND l.ts >= s.ts
+    """,
+    tags=("dialect", "join", "asof", "time-series", "beyond-reference"),
+)
+def dialect_asof_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-syntax ``ASOF LEFT JOIN`` executed from SQL TEXT through the
+    engine: the dialect recognizes the clause (dialect.parse_asof_join),
+    routes it to operators/asof.py (union + fill-forward window — ONE
+    keyed exchange, never a per-key nested loop), registers the joined
+    view, and runs the surrounding SELECT unchanged. The oracle runs the
+    IDENTICAL ASOF LEFT JOIN syntax natively in DuckDB — the strongest
+    possible cross-check: same text, two independent first-class
+    implementations. Inner ``ASOF JOIN`` (unmatched rows dropped) and
+    compound-key conjunctions are covered in tests/test_dialect_asof.py."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    eng.register_stream(
+        "snaps",
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        ),
+    )
+    eng.register_stream(
+        "ev_l",
+        ev.where(F.col("event_id") % 10 != 0).select("event_id", "user_id", "ts"),
+    )
+    return eng.execute(
+        """
+        SELECT l.event_id, l.user_id, l.ts,
+               s.snap_value    AS asof_snap_value,
+               s.snap_event_id AS asof_snap_event_id
+        FROM ev_l l ASOF LEFT JOIN snaps s
+          ON l.user_id = s.user_id AND l.ts >= s.ts
+        """
+    )

@@ -470,3 +470,36 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "hypertable_rollup_approx",
+    oracle=None,  # HLL sketches have no cross-engine oracle; the exact
+    # twin (hypertable_rollup) is the gated entry, and the approx user
+    # counts are tolerance-pinned against it in tests/test_dedup_units.py
+    tags=("aggregation", "time-window", "rollup", "beyond-reference", "approx"),
+)
+def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB continuous-aggregate twin of :func:`hypertable_rollup`:
+    identical rollup, but the per-stratum user cardinality uses
+    ``approx_count_distinct`` (HyperLogLog++, rsd 0.01) so the distinct
+    term — the exact form's ONLY corpus-scale shuffle, one row per
+    distinct (stratum, user) per grouping set, measured as the dominant
+    growing term at the 512x spot — carries ONE fixed-size sketch per
+    (grouping set x stratum) instead. That is exactly what a time-series
+    store materializes per chunk: sketches merge across chunks, exact
+    distincts don't. The corpus_stats_approx pattern; n_users_approx is
+    tolerance-pinned against the exact gated twin in pytest."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "event_type",
+        "value",
+        "user_id",
+    )
+    return ev.rollup("bucket_hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+    )

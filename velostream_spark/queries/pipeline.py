@@ -1523,12 +1523,34 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Known ceiling, documented deliberately: the word window has no
     partial aggregation, so a stopword's full posting (~one 30 B row per
     containing doc) lands in ONE task — fine into the billions of rows,
-    but at extreme doc counts switch df to ``tf.groupBy("word").count()``
-    + an AQE-skew-handled join (the measured 1.7× recompute cost buys
+    but at extreme doc counts switch to ``tfidf_topk_terms_join`` (the
+    ``strategy="join"`` twin below: map-side-combined df counts + an
+    AQE-skew-handled join — the measured recompute cost buys
     unbounded-skew safety), or pre-drop a stopword list before the
     window — at that corpus size ln(N/df)≈0 makes their scores 0
-    anyway."""
+    anyway. Strategy mechanics: operators/skewagg.py."""
+    return _tfidf_topk_terms(spark, sf_dir, strategy="window")
+
+
+@query(
+    "tfidf_topk_terms_join",
+    oracle=_TFIDF_ORACLE,
+    tags=("pipeline", "text", "tfidf", "beyond-reference", "skew-safe"),
+)
+def tfidf_topk_terms_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-skew form of ``tfidf_topk_terms`` — identical result
+    (same oracle), df attached via a map-side-combined ``groupBy("word")``
+    + AQE-skew-splittable join instead of the word window, so a stopword's
+    posting never lands in one task. Costs one re-execution of the tf
+    subplan (measured 1.7x at the 128x spot) — the regime trade is
+    documented in operators/skewagg.py."""
+    return _tfidf_topk_terms(spark, sf_dir, strategy="join")
+
+
+def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from pyspark.sql.window import Window
+
+    from velostream_spark.operators.skewagg import attach_group_agg
 
     t = tables(spark, sf_dir)
     w = (
@@ -1546,10 +1568,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(textops.token_count(F.col("text")) > 0)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # df comes FREE from tf's own rows — tf is distinct on (doc_id, word),
+    # so counting rows per word IS the document frequency in BOTH
+    # strategies (window: COUNT OVER; join: groupBy + equi-join back)
     scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
-        )
+        attach_group_agg(tf, ["word"], F.count(F.lit(1)), "df", strategy)
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1628,13 +1651,54 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array before the bigram lambda.) Corpus counts then come free from
     windows over those rows
     (SUM(cnt) OVER (prev, cur) and OVER (prev)), zero joins — the tfidf
-    shape, with the same documented stopword-skew ceiling on the prev
-    window (switch to grouped aggs + AQE skew joins at extreme corpus
-    sizes). V is a one-row broadcast. The per-doc mean is the weighted
+    shape. V is a one-row broadcast. The per-doc mean is the weighted
     form SUM(cnt·lp)/SUM(cnt), written identically in both engines and
     rounded once to 6 digits — summation-order error is ~1e-12, far
-    under the rounding grain."""
-    from pyspark.sql.window import Window
+    under the rounding grain.
+
+    Regime boundary, MEASURED (PERF.md): the prev window has no partial
+    aggregation and the bigram vocabulary grows with the corpus, so this
+    form goes superlinear once a stopword's posting outgrows a task
+    (512x spot: 5.2x wall for the last 4x data). Past that boundary use
+    ``bigram_lm_grouped`` below — the grouped-agg + AQE-skew-join
+    production twin with the identical oracle."""
+    return _bigram_lm_score(spark, sf_dir, strategy="window")
+
+
+@query(
+    "bigram_lm_grouped",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("pipeline", "text", "lm", "quality", "beyond-reference", "skew-safe"),
+)
+def bigram_lm_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (unbounded-skew) form of ``bigram_lm_score`` —
+    identical result, identical oracle, grouped-agg model build instead
+    of corpus windows:
+
+    1. ``cbd = tfb.groupBy(prev, cur).agg(sum(cnt))`` — map-side combined
+       (the shuffle carries one row per distinct corpus bigram per map
+       task), localCheckpointed ONCE because three consumers read it;
+    2. ``cpd = cbd.groupBy(prev).agg(sum(cb))`` and
+       ``V = cbd.agg(countDistinct(cur))`` — both derived from the
+       checkpointed MODEL rows (vocabulary-sized), never re-scanning the
+       corpus;
+    3. ``model = cbd JOIN cpd ON prev`` (vocabulary-sized join) attaches
+       cb AND cp in ONE AQE-skew-splittable equi-join back to tfb on
+       (prev, cur) — a hot prev spreads across its distinct curs, and no
+       window ever owns a stopword's whole posting.
+
+    Exchanges on the corpus-sized path: tfb partial agg -> one (prev,cur)
+    join -> final doc_id agg; every one map-side combined or
+    skew-splittable. Costs one re-execution of the tfb subplan (the model
+    branch) — the skewagg.py trade, measured vs the window form at
+    1x/128x/512x in PERF.md."""
+    return _bigram_lm_score(spark, sf_dir, strategy="join")
+
+
+def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: F401  (window strategy)
+
+    from velostream_spark.operators.skewagg import attach_group_agg
 
     t = tables(spark, sf_dir)
     docs = t["documents"].where(textops.token_count(F.col("text")) >= 2)
@@ -1660,10 +1724,30 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfb = bg.groupBy("doc_id", "prev", "cur").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    v = tfb.agg(F.countDistinct("cur").alias("v"))
-    counted = tfb.withColumn(
-        "cb", F.sum("cnt").over(Window.partitionBy("prev", "cur"))
-    ).withColumn("cp", F.sum("cnt").over(Window.partitionBy("prev")))
+    if strategy == "join":
+        # Corpus bigram model, built ONCE: cbd is vocabulary-sized and has
+        # three consumers (cpd, V, the model join), so localCheckpoint
+        # severs the lineage — without it each consumer re-runs the whole
+        # explode + two aggregations. cp derives from cbd's own rows
+        # (sum of cb over prev == sum of cnt over prev), never re-reading
+        # the corpus; the merged model attaches cb AND cp in one join.
+        cbd = (
+            tfb.groupBy("prev", "cur")
+            .agg(F.sum("cnt").alias("cb"))
+            .localCheckpoint(eager=False)
+        )
+        cpd = cbd.groupBy("prev").agg(F.sum("cb").alias("cp"))
+        v = cbd.agg(F.countDistinct("cur").alias("v"))
+        model = cbd.join(cpd, "prev")
+        counted = attach_group_agg(
+            tfb, ["prev", "cur"], F.sum("cnt"), "cb", "join", totals=model
+        )
+    else:
+        v = tfb.agg(F.countDistinct("cur").alias("v"))
+        counted = attach_group_agg(
+            tfb, ["prev", "cur"], F.sum("cnt"), "cb", strategy
+        )
+        counted = attach_group_agg(counted, ["prev"], F.sum("cnt"), "cp", strategy)
     scored = counted.crossJoin(F.broadcast(v)).select(
         "doc_id",
         "cnt",

@@ -1710,6 +1710,219 @@ def _rewrite_join_within(sql: str, time_col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ASOF JOIN (DuckDB-style time-series join syntax, routed to
+# operators/asof.py by the engine — Spark SQL has no ASOF operator)
+# ---------------------------------------------------------------------------
+
+_ASOF_JOIN_RE = re.compile(
+    r"(?is)\bFROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?"
+    r"\s+ASOF\s+(?:(LEFT)\s+)?JOIN\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.*?)"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY)\b|\s*$|\s*\))"
+)
+
+_ASOF_EQ_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+_ASOF_GE_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*$")
+
+
+@dataclass
+class AsofJoinSpec:
+    """One parsed ``FROM l [la] ASOF [LEFT] JOIN r [ra] ON eqs AND ineq``."""
+
+    left_table: str
+    left_alias: str
+    right_table: str
+    right_alias: str
+    keys: list[tuple[str, str]]  # (left col, right col) per equality
+    left_ts: str
+    right_ts: str
+    inner: bool  # ASOF JOIN (no LEFT) drops unmatched left rows, DuckDB-style
+    span: tuple[int, int]  # [start, end) of the FROM..cond text to replace
+
+
+def parse_asof_join(sql: str) -> AsofJoinSpec | None:
+    """Recognize DuckDB-syntax ``ASOF [LEFT] JOIN`` between two named
+    relations. The ON clause must be a top-level conjunction of
+    alias-qualified equalities (the join keys, >= 1) plus exactly one
+    timestamp inequality ``l.ts >= r.ts`` (or the mirrored
+    ``r.ts <= l.ts``) — the DuckDB grammar's own requirement. Returns
+    None when no ASOF JOIN is present; raises on an ASOF JOIN whose ON
+    shape is outside this contract (silent misreads of a time-series
+    join are worse than a parse error)."""
+    m = _ASOF_JOIN_RE.search(sql)
+    if m is None:
+        if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", sql):
+            raise ValueError(
+                "ASOF JOIN must name two plain relations: "
+                "FROM l [alias] ASOF [LEFT] JOIN r [alias] ON ..."
+            )
+        return None
+    lt, la, left_kw, rt, ra, cond = m.groups()
+    la = la or lt
+    ra = ra or rt
+    keys: list[tuple[str, str]] = []
+    ts: tuple[str, str] | None = None
+    for conjunct in re.split(r"(?i)\s+AND\s+", cond):
+        eq = _ASOF_EQ_RE.match(conjunct)
+        if eq:
+            a, ac, b, bc = eq.groups()
+            if a.lower() == la.lower() and b.lower() == ra.lower():
+                keys.append((ac, bc))
+            elif a.lower() == ra.lower() and b.lower() == la.lower():
+                keys.append((bc, ac))
+            else:
+                raise ValueError(
+                    f"ASOF JOIN equality must relate the two join sides: {conjunct!r}"
+                )
+            continue
+        ge = _ASOF_GE_RE.match(conjunct)
+        if ge:
+            a, ac, op, b, bc = ge.groups()
+            fwd = op == ">=" and a.lower() == la.lower() and b.lower() == ra.lower()
+            rev = op == "<=" and a.lower() == ra.lower() and b.lower() == la.lower()
+            if not (fwd or rev):
+                raise ValueError(
+                    "ASOF JOIN inequality must be left.ts >= right.ts "
+                    f"(or right.ts <= left.ts): {conjunct!r}"
+                )
+            if ts is not None:
+                raise ValueError("ASOF JOIN takes exactly one timestamp inequality")
+            ts = (ac, bc) if fwd else (bc, ac)
+            continue
+        raise ValueError(f"unsupported ASOF JOIN condition term: {conjunct!r}")
+    if ts is None:
+        raise ValueError("ASOF JOIN requires a timestamp inequality (l.ts >= r.ts)")
+    return AsofJoinSpec(
+        left_table=lt,
+        left_alias=la,
+        right_table=rt,
+        right_alias=ra,
+        keys=keys,
+        left_ts=ts[0],
+        right_ts=ts[1],
+        inner=left_kw is None,
+        span=(m.start(), m.end()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (point-in-interval joins, routed to operators/rangejoin.py —
+# Spark plans an equality-free BETWEEN join as a BroadcastNestedLoopJoin)
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_RE = re.compile(
+    r"(?is)\bFROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|ASOF\b)(\w+))?"
+    r"\s+(?:INNER\s+)?JOIN\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.*?)"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY)\b|\s*$|\s*\))"
+)
+
+_RANGE_BETWEEN_RE = re.compile(
+    r"(?s)^\s*(\w+)\.(\w+)\s+BETWEEN\s+(\w+)\.(\w+)\s+AND\s+(\w+)\.(\w+)\s*$",
+    re.IGNORECASE,
+)
+_RANGE_INEQ_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*(>=|<=|<|>)\s*(\w+)\.(\w+)\s*$")
+
+
+@dataclass
+class RangeJoinSpec:
+    """``FROM l [a] JOIN r [b] ON a.v BETWEEN b.lo AND b.hi`` (or the
+    two-inequality spelling) — an EQUALITY-FREE interval containment
+    join, the shape Spark can only nested-loop."""
+
+    left_table: str
+    left_alias: str
+    right_table: str
+    right_alias: str
+    value_col: str
+    lo_col: str
+    hi_col: str
+    inclusive_hi: bool
+    span: tuple[int, int]
+
+
+def parse_range_join(sql: str) -> RangeJoinSpec | None:
+    """Recognize a point-in-interval join between two named relations:
+    the ON clause is exactly one BETWEEN (or a >=/<= pair) relating ONE
+    left column to two right columns. Joins with any equality conjunct
+    are left alone — Catalyst plans those as hash joins with the range
+    as a post-filter, which is already the right shape. Returns None
+    for anything else (unlike ASOF, plain JOIN text is never an error)."""
+    m = _RANGE_JOIN_RE.search(sql)
+    if m is None:
+        return None
+    lt, la, rt, ra, cond = m.groups()
+    la, ra = la or lt, ra or rt
+    bounds: dict[str, tuple[str, bool]] = {}  # "lo"/"hi" -> (col, inclusive)
+    value: str | None = None
+
+    def note(vcol: str, side: str, rcol: str, inclusive: bool) -> bool:
+        nonlocal value
+        if value is not None and value != vcol:
+            return False
+        value = vcol
+        if side in bounds:
+            return False
+        bounds[side] = (rcol, inclusive)
+        return True
+
+    # split top-level ANDs, re-joining the AND that belongs to a BETWEEN
+    pieces = re.split(r"(?i)\s+AND\s+", cond)
+    conjuncts: list[str] = []
+    for piece in pieces:
+        if conjuncts and re.search(r"(?i)\bBETWEEN\s+\S+\s*$", conjuncts[-1]):
+            conjuncts[-1] += " AND " + piece
+        else:
+            conjuncts.append(piece)
+    for conjunct in conjuncts:
+        b = _RANGE_BETWEEN_RE.match(conjunct)
+        if b:
+            a, ac, r1, r1c, r2, r2c = b.groups()
+            if not (
+                a.lower() == la.lower()
+                and r1.lower() == ra.lower()
+                and r2.lower() == ra.lower()
+                and note(ac, "lo", r1c, True)
+                and note(ac, "hi", r2c, True)
+            ):
+                return None
+            continue
+        q = _RANGE_INEQ_RE.match(conjunct)
+        if not q:
+            return None
+        a, ac, op, b2, bc = q.groups()
+        if a.lower() == la.lower() and b2.lower() == ra.lower():
+            side = "lo" if op in (">=", ">") else "hi"
+            ok = note(ac, side, bc, op in (">=", "<="))
+        elif a.lower() == ra.lower() and b2.lower() == la.lower():
+            side = "lo" if op in ("<=", "<") else "hi"
+            ok = note(bc, side, ac, op in (">=", "<="))
+        else:
+            return None
+        if not ok:
+            return None
+    if value is None or set(bounds) != {"lo", "hi"}:
+        return None
+    if not bounds["lo"][1]:
+        return None  # exclusive lo not supported by the operator; leave to Spark
+    return RangeJoinSpec(
+        left_table=lt,
+        left_alias=la,
+        right_table=rt,
+        right_alias=ra,
+        value_col=value,
+        lo_col=bounds["lo"][0],
+        hi_col=bounds["hi"][0],
+        inclusive_hi=bounds["hi"][1],
+        span=(m.start(), m.end()),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 

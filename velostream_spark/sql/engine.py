@@ -698,7 +698,7 @@ class SqlEngine:
         name in the SELECT list) and analysis retried."""
         from pyspark.errors import AnalysisException
 
-        cur = sql
+        cur = self._rewrite_range_joins(self._rewrite_asof_joins(sql))
         for _ in range(8):
             try:
                 return self.spark.sql(cur)
@@ -713,6 +713,136 @@ class SqlEngine:
                     raise
                 cur = rewritten
         return self.spark.sql(cur)
+
+    _asof_view_n = 0
+
+    def _rewrite_asof_joins(self, sql: str):
+        """DuckDB-syntax ``ASOF [LEFT] JOIN`` → operators/asof.py (Spark
+        SQL has no ASOF operator; planning the range condition naively is
+        a per-key nested loop). The joined result is registered as a temp
+        view and the FROM clause rewritten to it, so any SELECT / WHERE /
+        GROUP BY on top runs unchanged. Right-side payload columns keep
+        their own names unless they collide with a left column, in which
+        case they stay under the operator's ``asof_`` prefix; qualified
+        references (``alias.col``) are remapped accordingly. ``ASOF
+        JOIN`` without LEFT is DuckDB's inner form — unmatched left rows
+        are dropped (detected by a fill-forward marker, not by payload
+        NULLs, so a legitimately-NULL payload never drops a row)."""
+        from velostream_spark.sql.dialect import parse_asof_join
+
+        spec = parse_asof_join(sql)
+        if spec is None:
+            return sql
+        from pyspark.sql import functions as F
+
+        from velostream_spark.operators.asof import asof_join
+
+        left = self.spark.table(spec.left_table)
+        right = self.spark.table(spec.right_table)
+        for lk, rk in spec.keys:
+            if rk != lk:
+                right = right.withColumnRenamed(rk, lk)
+        right = right.withColumn("_matched", F.lit(True))
+        payload = [
+            c
+            for c in right.columns
+            if c not in {lk for lk, _ in spec.keys}
+        ]
+        out = asof_join(
+            left,
+            right,
+            key=[lk for lk, _ in spec.keys],
+            left_ts=spec.left_ts,
+            right_ts=spec.right_ts,
+            payload=payload,
+        )
+        if spec.inner:
+            out = out.where(F.col("asof__matched").isNotNull())
+        out = out.drop("asof__matched")
+        # expose right payload under its own name when collision-free
+        rename: dict[str, str] = {}
+        lset = set(left.columns)
+        for p in payload:
+            if p == "_matched":
+                continue
+            final = p if p not in lset else f"asof_{p}"
+            if final != f"asof_{p}":
+                out = out.withColumnRenamed(f"asof_{p}", final)
+            rename[p] = final
+        SqlEngine._asof_view_n += 1
+        view = f"_asof_join_{SqlEngine._asof_view_n}"
+        out.createOrReplaceTempView(view)
+        s, e = spec.span
+        rest_head, rest_tail = sql[:s], sql[e:]
+        # remap qualified references everywhere outside the FROM segment
+        def _requalify(text: str) -> str:
+            for alias in (spec.left_alias, spec.left_table):
+                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", r"\1", text)
+            for alias in (spec.right_alias, spec.right_table):
+                def sub_right(m):
+                    col = m.group(1)
+                    return rename.get(col, col)
+                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", sub_right, text)
+            return text
+
+        return _requalify(rest_head) + f"FROM {view}" + _requalify(rest_tail)
+
+    def _rewrite_range_joins(self, sql: str):
+        """Equality-free point-in-interval joins (``a.v BETWEEN b.lo AND
+        b.hi``) → operators/rangejoin.py. Spark plans that condition as a
+        BroadcastNestedLoopJoin — every point against every range; the
+        operator turns it into a bucketized equi-join. The bucket width
+        auto-sizes to the AVERAGE range width (one tiny aggregation over
+        the ranges side — each range then replicates to ~2 buckets, the
+        textbook choice), so the SQL surface needs no tuning knob.
+        Colliding right column names are exposed as ``right_<col>``."""
+        from velostream_spark.sql.dialect import parse_range_join
+
+        spec = parse_range_join(sql)
+        if spec is None:
+            return sql
+        from velostream_spark.operators.rangejoin import range_join
+
+        left = self.spark.table(spec.left_table)
+        right = self.spark.table(spec.right_table)
+        width_row = right.agg(
+            F.avg(F.col(spec.hi_col) - F.col(spec.lo_col)).alias("w")
+        ).first()
+        width = float(width_row["w"]) if width_row and width_row["w"] else 1.0
+        if not width > 0:
+            width = 1.0
+        rename = {}
+        lset = set(left.columns)
+        for c in right.columns:
+            if c in lset:
+                rename[c] = f"right_{c}"
+                right = right.withColumnRenamed(c, rename[c])
+        out = range_join(
+            left,
+            right,
+            value_col=spec.value_col,
+            lo_col=rename.get(spec.lo_col, spec.lo_col),
+            hi_col=rename.get(spec.hi_col, spec.hi_col),
+            bucket_width=width,
+            inclusive_hi=spec.inclusive_hi,
+        )
+        SqlEngine._asof_view_n += 1
+        view = f"_range_join_{SqlEngine._asof_view_n}"
+        out.createOrReplaceTempView(view)
+        s, e = spec.span
+
+        def _requalify(text: str) -> str:
+            for alias in (spec.left_alias, spec.left_table):
+                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", r"\1", text)
+            for alias in (spec.right_alias, spec.right_table):
+                text = re.sub(
+                    rf"(?i)\b{re.escape(alias)}\.(\w+)",
+                    lambda m: rename.get(m.group(1), m.group(1)),
+                    text,
+                )
+            return text
+
+        return _requalify(sql[:s]) + f"FROM {view}" + _requalify(sql[e:])
 
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
