@@ -83,6 +83,7 @@ HEADLINE = [
     "cross_dedup_bloom",
     "tfidf_topk_terms",
     "bigram_lm_score",
+    "bigram_lm_grouped",
     "minhash_lsh_pairs",
     "simhash",
     "ann_brute_force_topk",
@@ -99,6 +100,7 @@ HEADLINE = [
     "multimodal_image_stats",
     "multimodal_frame_sample",
     "dialect_tumbling_select",
+    "dialect_asof_select",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -194,6 +196,7 @@ EAGER_DERIVE = {
     "cross_dedup_bloom",
     "tfidf_topk_terms",
     "bigram_lm_score",
+    "bigram_lm_grouped",
     "minhash_lsh_pairs",
     "ann_ivf_topk",
     "semdedup",

@@ -141,7 +141,9 @@ def bloom_anti_join(
     and both branches read the staged partitions. Leave False when the
     key is a STORED column (the 100-TB shape — fingerprints land in the
     table) or A's projection is cheap: two pushdown scans of stored
-    columns beat a checkpoint write. Measured crossover in PERF.md."""
+    columns beat a checkpoint write. Measured (tools/bloom_spot.py, 128x/
+    512x): derived keys 13.90/53.2 s -> staged 11.62/49.3 s -> stored
+    column 10.29/42.7 s; full table in PERF.md."""
     if stage_a:
         a = a.localCheckpoint(eager=False)
     words = bloom_build(b, key_col, m_bits, k)

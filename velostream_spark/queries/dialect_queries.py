@@ -353,3 +353,46 @@ def dialect_asof_select(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON l.user_id = s.user_id AND l.ts >= s.ts
         """
     )
+
+
+@query(
+    "dialect_range_select",
+    oracle="""
+    WITH bands AS (
+      SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+      FROM (SELECT UNNEST(range(0, 25)) AS i)
+    )
+    SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+    FROM events e JOIN bands b
+      ON e.value BETWEEN b.lo AND b.hi
+    """,
+    tags=("dialect", "join", "range", "beyond-reference"),
+)
+def dialect_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-free BETWEEN join from SQL TEXT: the engine recognizes the
+    point-in-interval shape (dialect.parse_range_join — Spark itself would
+    plan it as a BroadcastNestedLoopJoin), auto-sizes the bucket width to
+    the average range width (one tiny aggregation), and routes to
+    operators/rangejoin.py's bucketized equi-join. The oracle runs the
+    IDENTICAL BETWEEN-join SQL natively in DuckDB (its IEJoin handles
+    inequality joins first-class). Joins carrying any equality conjunct
+    are deliberately left to Catalyst's hash join — tested in
+    tests/test_dialect_asof.py."""
+    from pyspark.sql import functions as F
+
+    eng = _engine(spark, sf_dir)
+    eng.register_stream(
+        "bands",
+        spark.range(0, 25).select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 20.0).alias("lo"),
+            (F.col("id") * 20.0 + 30.0).alias("hi"),
+        ),
+    )
+    return eng.execute(
+        """
+        SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+        FROM events e JOIN bands b
+          ON e.value BETWEEN b.lo AND b.hi
+        """
+    )

@@ -1450,7 +1450,14 @@ def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom-negative rows bypass the join entirely; only |A-intersect-B| +
     fpp*|A| rows reach the exact confirm anti-join. EXACT result (the
     bloom has no false negatives by construction — build and probe
-    evaluate the same JVM xxhash64), hence the plain NOT-EXISTS oracle."""
+    evaluate the same JVM xxhash64), hence the plain NOT-EXISTS oracle.
+
+    ``stage_a=True`` because the fingerprint is DERIVED here (md5 over a
+    regex-normalized text column — expensive to evaluate twice, once per
+    output branch): measured 13.90 -> 11.62 s at the 128x spot and
+    53.2 -> 49.3 s at 512x (tools/bloom_spot.py). A STORED fingerprint
+    column — the 100-TB shape — beats both (10.29 / 42.70 s) with
+    stage_a left False; table in PERF.md."""
     from velostream_spark.operators import bloom
     from velostream_spark.registry import memo_plan
 
@@ -1465,7 +1472,7 @@ def cross_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_plan(
         spark,
         ("cross_dedup_bloom", sf_dir),
-        lambda: bloom.bloom_anti_join(a, b, "fp", k=5),
+        lambda: bloom.bloom_anti_join(a, b, "fp", k=5, stage_a=True),
     )
 
 
