@@ -20,30 +20,32 @@ FLAGSHIPS = {
     "span_dedup",
     "pq_encode",
     "ngram_jaccard_pairs",
-    "pq_code_dedup",
+    "cross_dedup_bloom",
     "dedup_canonical",
-    "pii_scrub",
+    "bigram_lm_score",
     "curation_pipeline",
     "corpus_mix",
-    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
     "streaming_tumbling_changes",
     "streaming_rows_window",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 7 (round 10) —
-#: the round-9 PQ/BPE/corpus-stats suite, all exact-oracle. Every displaced
-#: near-twin holds an official r9 record (CORRECTNESS_r09 was 50/50 green)
-#: and stays in the catalog + parity mirror; displacement map in
-#: registry.GATE_ORDER's ROTATION batch 7 block.
+#: THIS round's first-time-official entrants: rotation batch 8 (round 11) —
+#: the round-10 time-series/bloom/tfidf/bigram/residual-ANN suite, all
+#: exact-oracle. Every displaced near-twin holds an official r10 record
+#: (CORRECTNESS_r10 was 50/50 green) and stays in the catalog + parity
+#: mirror; displacement map in registry.GATE_ORDER's ROTATION batch 8 block.
 ROTATED_IN = {
-    "bpe_encode",
-    "pq_encode",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "pq_code_dedup",
-    "corpus_stats",
+    "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_refine_topk",
+    "cross_dedup_bloom",
+    "tfidf_topk_terms",
+    "bigram_lm_score",
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
 }
 
 
@@ -152,28 +154,26 @@ def test_displaced_entries_still_registered():
         assert kept in names
 
 
-#: Batch-8 rotation plan (round 11, registry.GATE_ORDER doc): every
-#: planned entrant must already exist in the catalog WITH an exact oracle
-#: — this pin keeps the documented plan executable (a renamed or
-#: oracle-less entrant would silently break the next round's rotation).
-BATCH8_PLANNED = {
-    "ann_ivf_pq_residual_topk",
-    "ann_ivf_pq_refine_topk",
-    "cross_dedup_bloom",
-    "tfidf_topk_terms",
-    "bigram_lm_score",
-    "asof_join",
-    "range_join",
-    "hypertable_rollup",
+#: Batch-8 rotation (EXECUTED round 11): every entrant holds a gate slot,
+#: and every DISPLACED near-twin stays in the catalog + mirror with its
+#: exact oracle intact (their coverage map lives in registry.GATE_ORDER's
+#: ROTATION batch 8 block; each holds an official r9/r10 record).
+BATCH8_DISPLACED = {
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "pq_code_dedup",
+    "json_functions",
+    "pii_scrub",
+    "interval_join",
+    "dialect_quantified_comparisons",
+    "window_with_having",
 }
 
 
-def test_batch8_entrants_exist_with_oracles():
+def test_batch8_executed_and_displaced_stay_mirrored():
     catalog = all_queries()
-    missing = [n for n in BATCH8_PLANNED if n not in catalog]
-    assert not missing, missing
-    no_oracle = [n for n in BATCH8_PLANNED if not catalog[n].oracle]
-    assert not no_oracle, no_oracle
-    # and none of them currently hold a gate slot (they are entrants)
     first50 = set(GATE_ORDER)
-    assert not (BATCH8_PLANNED & first50), BATCH8_PLANNED & first50
+    assert ROTATED_IN <= first50
+    for n in BATCH8_DISPLACED:
+        assert n in catalog and catalog[n].oracle, n
+        assert n not in first50, n

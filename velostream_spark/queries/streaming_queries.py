@@ -648,3 +648,55 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_snap_value double, asof_snap_event_id long"
     )
     return spark.read.schema(schema).parquet(out_dir)
+
+
+_STREAMING_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+  FROM (SELECT UNNEST(range(0, 25)) AS i)
+)
+SELECT e.event_id, e.value, b.band_id
+FROM events e JOIN bands b
+  ON e.value >= b.lo AND e.value <= b.hi
+"""
+
+
+@query(
+    "streaming_range_join",
+    oracle=_STREAMING_RANGE_ORACLE,
+    tags=("streaming", "join", "range", "beyond-reference"),
+)
+def streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC point-in-interval classification: each micro-batch
+    of events joins to every OVERLAPPING static value band through the
+    bucketized range operator (operators/rangejoin.py) in a foreachBatch
+    sink — the streaming twin of range_join, completing the time-series
+    family's stream coverage alongside streaming_asof_join. Per-batch
+    application is EXACT (each output pair depends on one stream row and
+    the static bands only), so the streaming run over the backlog equals
+    the batch form — the naive-BETWEEN oracle. Spark's own stream-static
+    join would plan the equality-free BETWEEN condition as a per-batch
+    nested loop; the operator keeps it an equi-join on bucket ids."""
+    from velostream_spark.operators.rangejoin import range_join
+    from velostream_spark.streaming.runner import _scratch_dir, run_foreach_batch
+
+    bands = spark.range(0, 25).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 30.0).alias("hi"),
+    )
+    stream = stream_table(spark, sf_dir, "events").select("event_id", "value")
+    out_dir = _scratch_dir("vs-out-rangej-")
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        range_join(
+            batch_df, bands, value_col="value", lo_col="lo", hi_col="hi",
+            bucket_width=20.0,
+        ).select("event_id", "value", "band_id").write.mode("append").parquet(
+            out_dir
+        )
+
+    run_foreach_batch(stream, classify, "append", "range_stream")
+    return spark.read.schema("event_id long, value double, band_id long").parquet(
+        out_dir
+    )
