@@ -1,0 +1,92 @@
+"""Count-min sketch (operators/cms.py) and the sketch-twin pins:
+heavy_hitters_cms vs exact heavy_hitters, percentile_aggs_approx vs exact
+percentile_aggs. Sketch guarantees are one-sided (CMS only OVERestimates)
+or rank-bounded (GK), so the pins encode those contracts, not equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from velostream_spark.operators import cms
+
+
+def test_cms_estimate_overestimates_and_is_tight_at_low_collision(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 37 + [("c",)] * 5 + [(None,)],
+        "word string",
+    )
+    grid = cms.cms_build(df, "word", w=1024, d=5)
+    truth = {"a": 100, "b": 37, "c": 5}
+    est = {
+        r["word"]: r["e"]
+        for r in spark.createDataFrame([(w,) for w in truth], "word string")
+        .select("word", cms.cms_estimate(F.col("word"), grid, 1024).alias("e"))
+        .collect()
+    }
+    for w, t in truth.items():
+        assert est[w] >= t, (w, est[w], t)  # CMS never underestimates
+        assert est[w] <= t + 2 * 142 // 1024 + 1, (w, est[w], t)  # 2N/w bound
+    # NULL keys never enter the grid
+    assert sum(sum(row) for row in grid) == 5 * 142
+
+
+def test_cms_weighted_build(spark):
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], "k string, wt int")
+    grid = cms.cms_build(df, "k", weight_col="wt", w=256, d=3)
+    est = {
+        r["k"]: r["e"]
+        for r in spark.createDataFrame([("a",), ("b",)], "k string")
+        .select("k", cms.cms_estimate(F.col("k"), grid, 256).alias("e"))
+        .collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 2
+    assert sum(sum(row) for row in grid) == 3 * 17
+
+
+def test_heavy_hitters_cms_matches_exact_head(spark):
+    """At w=8192 on the smoke corpus, collisions are negligible: the CMS
+    ranking's head must contain the exact top-10, and every estimate is
+    >= its true count within the 2N/w bound."""
+    from velostream_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = qs["heavy_hitters"].fn(spark, SF_SMOKE).collect()
+    approx = qs["heavy_hitters_cms"].fn(spark, SF_SMOKE).collect()
+    assert len(exact) == len(approx) == 20
+    truth = {r["word"]: r["cnt"] for r in exact}
+    got = {r["word"]: r["cnt_est"] for r in approx}
+    exact_top10 = [r["word"] for r in exact[:10]]
+    assert set(exact_top10) <= set(got), set(exact_top10) - set(got)
+    for w in set(truth) & set(got):
+        assert got[w] >= truth[w], (w, got[w], truth[w])
+
+
+def test_percentile_approx_within_tolerance_of_exact(spark):
+    from velostream_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["l_returnflag"]: r.asDict()
+        for r in qs["percentile_aggs"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r.asDict()
+        for r in qs["percentile_aggs_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 0
+    for flag, e in exact.items():
+        a = approx[flag]
+        # GK returns observed values near the target rank: compare within
+        # 5% relative (smoke groups are small; accuracy 10000 is exact on
+        # them up to interpolation differences)
+        for ec, ac in (
+            ("med_price", "med_price_approx"),
+            ("p25", "p25_approx"),
+            ("p95", "p95_approx"),
+        ):
+            assert abs(a[ac] - e[ec]) <= 0.05 * abs(e[ec]) + 1e-6, (flag, ec, a[ac], e[ec])
+        assert abs(a["qty_p50_approx"] - e["qty_p50_disc"]) <= max(
+            1.0, 0.05 * e["qty_p50_disc"]
+        )

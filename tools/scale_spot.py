@@ -160,6 +160,7 @@ def main() -> None:
         "asof_join",
         "range_join",
         "hypertable_rollup",
+        "hypertable_rollup_approx",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -1,0 +1,97 @@
+"""Catalyst-native count-min sketch: distributed build, codegen estimate.
+
+The heavy-hitters problem at corpus scale: exact per-key counts need one
+row per distinct key through a shuffle (fine into the billions, but the
+count table itself is vocabulary-sized state). A count-min sketch
+(Cormode & Muthukrishnan 2005) replaces it with a FIXED d x w counter
+grid: each key increments one counter per row (position = hash_d(key)
+mod w), and the estimate is the MIN over the d counters — always an
+OVERESTIMATE (collisions only add), with error <= 2N/w at probability
+1 - (1/2)^d. Sketches merge by element-wise addition, so per-partition
+grids combine associatively — exactly what a continuous aggregate wants.
+
+Spark-first mechanics (the bloom.py pattern — no JVM sketch API needed):
+
+- **build**: one map-side-combined ``groupBy(key)`` collapses occurrences
+  to (key, cnt) per map task, then each distinct key explodes to its d
+  (depth, pos) cells and a ``groupBy(depth, pos).sum(cnt)`` reduces to
+  AT MOST d*w rows — the only full shuffle carries one row per distinct
+  key per map task, and the second is bounded by the grid size however
+  large the corpus. Only the d*w grid reaches the driver (5 x 8192
+  longs = 320 KB).
+- **estimate**: the grid ships as d ``array<long>`` literals; the lookup
+  is ``least(element_at(row_i, pmod(xxhash64(key, i), w) + 1), ...)`` —
+  pure whole-stage codegen, zero Python, usable in any projection or
+  filter (e.g. "keep rows whose key is estimated-frequent" scan-side).
+
+Hashing: ``xxhash64(key, seed=depth)`` — the same JVM hash family as
+bloom.py, so build and estimate can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_build", "cms_estimate"]
+
+
+def _pos(key: Column, depth: int, w: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(depth)), F.lit(w))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    w: int = 8192,
+    d: int = 5,
+) -> list[list[int]]:
+    """Build the d x w counter grid distributed; returns d rows of w longs.
+
+    ``weight_col`` aggregates a measure instead of occurrence counts
+    (e.g. bytes per key). Error bound: estimate - true <= 2 * total / w
+    with probability 1 - 2^-d; size w to ~10x the heavy-hitter count
+    you care about."""
+    cnt = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            (
+                F.sum(weight_col) if weight_col else F.count(F.lit(1))
+            ).alias("_cnt")
+        )
+    )
+    cells = cnt.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _pos(F.col(key_col), i, w).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+        "_cnt",
+    )
+    rows = (
+        cells.groupBy("cell.depth", "cell.pos")
+        .agg(F.sum("_cnt").alias("c"))
+        .collect()
+    )
+    grid = [[0] * w for _ in range(d)]
+    for r in rows:
+        grid[r["depth"]][r["pos"]] = r["c"]
+    return grid
+
+
+def cms_estimate(key: Column, grid: list[list[int]], w: int) -> Column:
+    """Pure-codegen frequency estimate: MIN over the d depth rows of the
+    key's counter — >= the true count ALWAYS (collisions only add)."""
+    lookups = [
+        F.element_at(F.lit(row), (_pos(key, i, w) + 1).cast("int"))
+        for i, row in enumerate(grid)
+    ]
+    return lookups[0] if len(lookups) == 1 else F.least(*lookups)

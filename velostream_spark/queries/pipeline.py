@@ -1771,3 +1771,112 @@ def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
             6,
         ).alias("logprob"),
     )
+
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({textops.words_sql('text')}) AS word FROM documents
+),
+counted AS (
+  SELECT word, COUNT(*) AS cnt FROM w WHERE length(word) > 0 GROUP BY word
+)
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank
+FROM counted
+ORDER BY cnt DESC, word
+LIMIT 20
+"""
+
+
+@query(
+    "heavy_hitters",
+    oracle=_HEAVY_HITTERS_ORACLE,
+    tags=("pipeline", "text", "stats", "beyond-reference"),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 most frequent words, EXACT — the vocabulary
+    head every tokenizer/stopword/quality decision starts from. Scale
+    shape: one explode into a map-side-combined ``groupBy(word)`` (the
+    shuffle carries one row per distinct word per map task), then a
+    TakeOrderedAndProject — the driver sees 20 rows, never the
+    vocabulary. Ties break lexicographically in both engines so ranks
+    hash-match. The sketch twin (heavy_hitters_cms) replaces the exact
+    count table with a fixed 5x8192 count-min grid for the 100-TB
+    continuous form."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    counted = (
+        t["documents"]
+        .select(F.explode(textops.words(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+        .select(
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "word"))
+            .alias("rank"),
+        )
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=None,  # count-min sketches have no cross-engine oracle; the
+    # exact twin (heavy_hitters) carries the oracle and the CMS estimates
+    # are overestimate+tolerance-pinned against it in tests/test_cms.py
+    tags=("pipeline", "text", "stats", "sketch", "beyond-reference", "approx"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch form of :func:`heavy_hitters`: word frequencies from a
+    Catalyst-native count-min sketch (operators/cms.py — d=5 x w=8192
+    longs, 320 KB) instead of the exact count table. The grid build's
+    only corpus-scale shuffle is the same map-side-combined distinct-word
+    pass; the per-candidate estimate is a pure-codegen literal lookup
+    (MIN of 5 element_at's), so scoring costs a projection, not a join.
+    CMS estimates are guaranteed OVERESTIMATES (collisions only add) with
+    error <= 2N/w whp — at w=8192 and this corpus the top of the ranking
+    is exact in practice (pinned in pytest). At 100 TB the grid replaces
+    vocabulary-sized state with a fixed-size mergeable aggregate — the
+    same exact-vs-sketch trade as corpus_stats_approx (HLL) and
+    cross_dedup_bloom (Bloom), completing the sketch family."""
+    from pyspark.sql.window import Window
+
+    from velostream_spark.operators import cms
+    from velostream_spark.registry import memo_plan
+
+    t = tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(textops.words(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+    )
+
+    def build() -> DataFrame:
+        grid = cms.cms_build(words, "word", w=8192, d=5)
+        # candidates = the distinct-word frame, carrying NO counts — the
+        # sketch supplies the frequencies scan-side
+        est = words.distinct().select(
+            "word",
+            cms.cms_estimate(F.col("word"), grid, 8192).alias("cnt_est"),
+        )
+        return (
+            est.orderBy(F.col("cnt_est").desc(), "word")
+            .limit(20)
+            .select(
+                "word",
+                F.col("cnt_est").cast("long").alias("cnt_est"),
+                F.row_number()
+                .over(Window.orderBy(F.col("cnt_est").desc(), "word"))
+                .alias("rank"),
+            )
+        )
+
+    # memo_plan: the grid build is one-time index work (bloom pattern)
+    return memo_plan(spark, ("heavy_hitters_cms", sf_dir), build)

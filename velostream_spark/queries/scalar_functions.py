@@ -320,6 +320,47 @@ def percentile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentile_aggs_approx",
+    oracle=None,  # Greenwald-Khanna sketches have no cross-engine oracle;
+    # the exact twin (percentile_aggs) is the gated entry and these
+    # estimates are tolerance-pinned against it in tests/test_cms.py
+    tags=("aggregation", "percentile", "sketch", "beyond-reference", "approx"),
+)
+def percentile_aggs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of :func:`percentile_aggs`: ``approx_percentile``
+    (Greenwald-Khanna, accuracy 10000 → error <= 1/10000 of rank) instead
+    of exact percentiles. The exact form BUFFERS every group's values in
+    the aggregation state — memory ∝ group size, the one aggregate in the
+    catalog that cannot stream; the sketch holds a fixed-size summary
+    per group and merges across partitions, so percentile dashboards at
+    corpus scale are one ordinary aggregation. Same exact-vs-sketch trade
+    as the HLL / Bloom / count-min twins. GK quantiles land on OBSERVED
+    values (no interpolation), so estimates are pinned against the exact
+    twin with a rank-error tolerance rather than equality."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("_pct"),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias(
+                "qty_p50_approx"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_pct")[1], 4).alias("med_price_approx"),
+            F.round(F.col("_pct")[0], 4).alias("p25_approx"),
+            F.round(F.col("_pct")[2], 4).alias("p95_approx"),
+            "qty_p50_approx",
+        )
+    )
+
+
+@query(
     "first_last_aggs",
     oracle="""
     SELECT user_id,
