@@ -81,6 +81,7 @@ HEADLINE = [
     "semdedup",
     "dedup_exact",
     "cross_dedup_bloom",
+    "heavy_hitters",
     "tfidf_topk_terms",
     "bigram_lm_score",
     "bigram_lm_grouped",

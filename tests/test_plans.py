@@ -616,3 +616,24 @@ def test_tfidf_join_plan_partial_aggs_df_join(spark):
         if seg.lstrip().splitlines() and "Window" in seg.lstrip().splitlines()[0]
     ]
     assert all("word#" not in seg.splitlines()[0] for seg in win_segs), win_segs
+
+
+def test_heavy_hitters_plan_takeordered_partial_agg(spark):
+    # exact top-20: map-side-combined word counts into a TakeOrdered —
+    # the driver sees 20 rows, never the vocabulary; the rank window runs
+    # AFTER the limit (20-row frame), so the global window is bounded
+    plan = plan_of(spark, "heavy_hitters")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_heavy_hitters_cms_plan_literal_lookup_no_join(spark):
+    # the sketch twin scores candidates with a pure-codegen literal-grid
+    # lookup: NO join between candidates and counts anywhere, no Python
+    plan = plan_of(spark, "heavy_hitters_cms")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -151,6 +151,8 @@ def main() -> None:
         # round-9 text entries (documents-table scaling)
         "bpe_encode",
         "corpus_stats",
+        "heavy_hitters",
+        "heavy_hitters_cms",
         "tfidf_topk_terms",
         "tfidf_topk_terms_join",
         "bigram_lm_score",
