@@ -90,3 +90,41 @@ def test_percentile_approx_within_tolerance_of_exact(spark):
         assert abs(a["qty_p50_approx"] - e["qty_p50_disc"]) <= max(
             1.0, 0.05 * e["qty_p50_disc"]
         )
+
+
+def test_classifier_bucket_parity_and_guards(spark):
+    """bucket_of (Spark conv) == bucket_of_sql (DuckDB strpos arithmetic)
+    on real words, and the power-of-16 guard rejects bad bucket counts."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.classify import (
+        bucket_of,
+        bucket_of_sql,
+        linear_text_score,
+    )
+
+    words = ["the", "quick", "brown", "fox", "a", "zebra-42", ""]
+    got = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", bucket_of(F.col("w"), 4096).alias("b"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        want = con.execute(
+            f"SELECT {bucket_of_sql(repr(r['w']), 4096)}"
+        ).fetchone()[0]
+        assert r["b"] == want, (r["w"], r["b"], want)
+        assert 0 <= r["b"] < 4096
+    for bad in (10, 17, 100, 1):
+        with pytest.raises(ValueError, match="power of 16"):
+            bucket_of(F.lit("x"), bad)
+    # empty words array -> NULL score (no division blow-up)
+    row = (
+        spark.createDataFrame([([],)], "ws array<string>")
+        .select(linear_text_score(F.col("ws"), [0.0] * 16))
+        .first()
+    )
+    assert row["score"] is None

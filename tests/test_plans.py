@@ -637,3 +637,14 @@ def test_heavy_hitters_cms_plan_literal_lookup_no_join(spark):
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_plan_zero_shuffle_pure_codegen(spark):
+    # model inference is ONE scan-side projection: the 32 KB weight
+    # literal rides the closure, featurize+lookup+mean run in codegen —
+    # no exchange, no join, no explode-generated rows, no Python
+    plan = plan_of(spark, "quality_classifier_score")
+    assert ") Exchange" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Generate", "Join"):
+        assert node not in plan, plan

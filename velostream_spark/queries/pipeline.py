@@ -1880,3 +1880,72 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # memo_plan: the grid build is one-time index work (bloom pattern)
     return memo_plan(spark, ("heavy_hitters_cms", sf_dir), build)
+
+
+def _fixture_weights(n: int = 4096) -> list[float]:
+    """Deterministic model weights both engines can re-derive EXACTLY:
+    w[j] = ((j * 2654435761) % 1000) / 1000 - 0.5 — multiples of 1e-3 in
+    [-0.5, 0.499], Knuth's multiplicative constant for spread. A real
+    deployment passes trained weights; the fixture makes the oracle an
+    exact value check instead of a tolerance."""
+    return [((j * 2654435761) % 1000) / 1000.0 - 0.5 for j in range(n)]
+
+
+def _classifier_oracle() -> str:
+    from velostream_spark.operators.classify import bucket_of_sql
+
+    bucket = bucket_of_sql("x", 4096)
+    w_of = f"((({bucket}) * 2654435761) % 1000) / 1000.0 - 0.5"
+    ws = textops.words_sql("text")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {ws} AS ws FROM documents
+  WHERE {textops.token_count_sql('text')} > 0
+),
+scored AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         list_sum(list_transform(ws, x -> {w_of})) / len(ws) AS m
+  FROM staged
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-m)), 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-m)), 6) >= 0.5 AS keep
+FROM scored
+"""
+
+
+@query(
+    "quality_classifier_score",
+    oracle=_classifier_oracle(),
+    tags=("pipeline", "text", "quality", "classifier", "beyond-reference"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/VW-style linear quality classifier INFERENCE over the
+    corpus (operators/classify.py): hash each word into a 4096-bucket
+    feature space (first 3 md5 nibbles), look up the bucket weight in the
+    model vector shipped as a 32 KB literal, score = sigmoid(mean
+    weight), keep = score >= 0.5 — the model-based curation gate that
+    complements the heuristic lm_quality_score / gopher filters.
+
+    THE PLAN IS THE POINT: featurize + lookup + mean run inside ONE
+    scan-side F.aggregate over the staged words array — no explode, no
+    join, no exchange, zero Python; scoring N documents is exactly one
+    embarrassingly-parallel projection pass however large N is
+    (plan-pinned zero-shuffle in tests/test_plans.py). The fixture
+    weights are re-derived identically in the DuckDB oracle, so the
+    check is exact-value, not tolerance."""
+    from velostream_spark.operators.classify import linear_text_score
+
+    t = tables(spark, sf_dir)
+    staged = (
+        t["documents"]
+        .where(textops.token_count(F.col("text")) > 0)
+        .select("doc_id", textops.words(F.col("text")).alias("ws"))
+    )
+    scored = staged.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        linear_text_score(F.col("ws"), _fixture_weights(4096), "score"),
+    )
+    return scored.withColumn("keep", F.col("score") >= 0.5)
