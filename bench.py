@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_exact",
     "cross_dedup_bloom",
     "heavy_hitters",
+    "quality_classifier_score",
     "tfidf_topk_terms",
     "bigram_lm_score",
     "bigram_lm_grouped",

@@ -1949,3 +1949,52 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_text_score(F.col("ws"), _fixture_weights(4096), "score"),
     )
     return scored.withColumn("keep", F.col("score") >= 0.5)
+
+
+_SPLIT_SALT = "vs-split-2026"
+
+
+def _split_oracle() -> str:
+    from velostream_spark.operators.classify import bucket_of_sql
+
+    key = f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+    pct = f"({bucket_of_sql(key, 16 ** 7)} % 100)"
+    return f"""
+SELECT doc_id,
+       CAST({pct} AS INTEGER) AS pct,
+       CASE WHEN {pct} < 80 THEN 'train'
+            WHEN {pct} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query(
+    "dataset_split",
+    oracle=_split_oracle(),
+    tags=("pipeline", "sampling", "split", "beyond-reference"),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and LEAK-FREE: the bucket
+    is a pure function of (salt, doc_id), so re-running over a grown or
+    re-partitioned corpus never migrates an old document across splits
+    (the property a row_number()-based split fatally lacks), and a new
+    salt draws an independent split. pct = first 7 md5 nibbles mod 100
+    (modulo bias ~4e-7 — negligible; both engines derive the identical
+    integer, so the oracle is exact). Plan: one scan-side projection —
+    zero shuffle, zero Python; splitting 100 TB costs one pass, and the
+    predicate ``split = 'train'`` pushes down to any downstream scan."""
+    from velostream_spark.operators.classify import bucket_of
+
+    t = tables(spark, sf_dir)
+    key = F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))
+    pct = (bucket_of(key, 16**7) % 100).cast("int")
+    return t["documents"].select(
+        "doc_id",
+        pct.alias("pct"),
+        F.when(F.col("pct") < 80, "train")
+        .when(F.col("pct") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
