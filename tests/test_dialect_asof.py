@@ -188,3 +188,55 @@ def test_range_join_colliding_names_exposed_with_prefix(spark):
         "SELECT pp.id, bb.id FROM pp JOIN bb ON pp.v BETWEEN bb.lo AND bb.hi"
     ).collect()
     assert [(x["id"], x["right_id"]) for x in rows] == [(1, 9)]
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    """Property pin: on seeded random (key, ts) data with duplicates-free
+    right side, the union+fill-forward operator equals the naive
+    per-left-row argmax formulation exactly (including NULL payload for
+    no-match rows and inclusive rt == t matches)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.asof import asof_join
+
+    rnd = random.Random(411)
+    left_rows = [
+        (rnd.randint(1, 6), rnd.randint(0, 50), i) for i in range(300)
+    ]
+    right_pairs = {(rnd.randint(1, 6), rnd.randint(0, 50)) for _ in range(120)}
+    right_rows = [(k, t, float(k * 1000 + t)) for k, t in right_pairs]
+    l = spark.createDataFrame(left_rows, "k int, t int, lid int")
+    r = spark.createDataFrame(right_rows, "k int, rt int, v double")
+
+    got = {
+        row["lid"]: row["asof_v"]
+        for row in asof_join(l, r, "k", "t", "rt", ["v"]).collect()
+    }
+    # naive: max rt <= t per key, then the payload at that rt
+    best = {}
+    for k, t, lid in left_rows:
+        cand = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        best[lid] = max(cand)[1] if cand else None
+    assert got == best
+    assert len(got) == 300
+
+
+def test_asof_join_works_inside_ctas(spark):
+    """ASOF JOIN through CREATE STREAM AS SELECT — the engine's CSAS path
+    routes its SELECT through the same rewrite, so the registered stream
+    carries the joined rows."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "lt2", spark.createDataFrame([(1, 5, "a"), (2, 3, "c")], "k int, t int, tag string")
+    )
+    e.register_stream(
+        "rt2", spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double")
+    )
+    e.execute(
+        "CREATE STREAM enriched AS SELECT a.tag, b.v FROM lt2 a "
+        "ASOF LEFT JOIN rt2 b ON a.k = b.k AND a.t >= b.rt"
+    )
+    rows = {(x["tag"], x["v"]) for x in e.execute("SELECT * FROM enriched").collect()}
+    assert rows == {("a", 9.0), ("c", None)}

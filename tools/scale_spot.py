@@ -153,6 +153,8 @@ def main() -> None:
         "corpus_stats",
         "heavy_hitters",
         "heavy_hitters_cms",
+        "quality_classifier_score",
+        "dataset_split",
         "tfidf_topk_terms",
         "tfidf_topk_terms_join",
         "bigram_lm_score",
