@@ -128,3 +128,17 @@ def test_classifier_bucket_parity_and_guards(spark):
         .first()
     )
     assert row["score"] is None
+
+
+def test_cms_grids_merge_by_elementwise_addition(spark):
+    """The mergeability claim the continuous-aggregate story rests on:
+    grid(A union B) == grid(A) + grid(B) elementwise — per-partition /
+    per-chunk sketches combine associatively with no rescan."""
+    a = spark.createDataFrame([("x",)] * 8 + [("y",)] * 3, "k string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 7, "k string")
+    w, d = 256, 3
+    ga = cms.cms_build(a, "k", w=w, d=d)
+    gb = cms.cms_build(b, "k", w=w, d=d)
+    gu = cms.cms_build(a.unionByName(b), "k", w=w, d=d)
+    merged = [[ga[i][j] + gb[i][j] for j in range(w)] for i in range(d)]
+    assert merged == gu

@@ -700,3 +700,46 @@ def streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id long, value double, band_id long").parquet(
         out_dir
     )
+
+
+def _streaming_classifier_oracle() -> str:
+    from velostream_spark.operators import textops
+    from velostream_spark.queries.pipeline import _classifier_oracle
+
+    # the stateless gate over the batch classifier: score, keep >= 0.5
+    return f"""
+WITH scored AS ({_classifier_oracle()})
+SELECT doc_id, n_tokens, score FROM scored WHERE keep
+"""
+
+
+@query(
+    "streaming_classifier_gate",
+    oracle=_streaming_classifier_oracle(),
+    tags=("streaming", "quality", "classifier", "beyond-reference"),
+)
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous model-based quality gating: documents stream in, each
+    micro-batch is scored by the hashing-trick linear classifier
+    (operators/classify.py — the 32 KB model literal rides every task)
+    and only keep-class documents flow to the sink. STATELESS, so
+    append-mode streaming equals the batch classifier exactly (the
+    oracle) regardless of micro-batch boundaries — the canonical
+    "filter the firehose through a trained model" deployment, running
+    the same zero-shuffle projection per batch with no state store at
+    all. The streaming twin of quality_classifier_score's gate."""
+    from velostream_spark.operators import textops
+    from velostream_spark.operators.classify import linear_text_score
+    from velostream_spark.queries.pipeline import _fixture_weights
+
+    sdf = stream_table(spark, sf_dir, "documents")
+    staged = (
+        sdf.where(textops.token_count(F.col("text")) > 0)
+        .select("doc_id", textops.words(F.col("text")).alias("ws"))
+    )
+    scored = staged.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        linear_text_score(F.col("ws"), _fixture_weights(4096), "score"),
+    ).where(F.col("score") >= 0.5)
+    return run_available_now(scored, "append", "streaming_classifier_gate")
