@@ -177,3 +177,29 @@ def test_batch8_executed_and_displaced_stay_mirrored():
     for n in BATCH8_DISPLACED:
         assert n in catalog and catalog[n].oracle, n
         assert n not in first50, n
+
+
+#: Batch-9 rotation plan (round 12, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+BATCH9_PLANNED = {
+    "quality_classifier_score",
+    "heavy_hitters",
+    "dialect_asof_select",
+    "dialect_range_select",
+    "dataset_split",
+    "streaming_classifier_gate",
+    "streaming_range_join",
+}
+
+
+def test_batch9_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH9_PLANNED if n not in catalog]
+    assert not missing, missing
+    no_oracle = [n for n in BATCH9_PLANNED if not catalog[n].oracle]
+    assert not no_oracle, no_oracle
+    # and none of them currently hold a gate slot (they are entrants)
+    first50 = set(GATE_ORDER)
+    assert not (BATCH9_PLANNED & first50), BATCH9_PLANNED & first50

@@ -296,10 +296,35 @@ _LOADED = False
 #: bpe_train_merges / pq_train_codebook / pq_train_residual_codebook
 #: (iterative training, not SQL-expressible — construction/recall-pinned
 #: in pytest), sequence_packing (bin-packing, exactness-pinned),
-#: corpus_stats_approx (HLL sketches have no cross-engine oracle —
-#: tolerance-pinned against the exact gated twin). If no new entries are
-#: built, GATE_ORDER holds steady — swap-backs (e.g. corpus_mix →
-#: stratified_sample) only if a gated entry's oracle breaks.
+#: corpus_stats_approx / hypertable_rollup_approx / heavy_hitters_cms /
+#: percentile_aggs_approx (sketches have no cross-engine oracle —
+#: tolerance/overestimate-pinned against their exact gated twins).
+#:
+#: ROTATION batch 9 (planned for round 12, once batch 8 holds its first
+#: official record in CORRECTNESS_r11): rotate in the round-11 entries —
+#: all exact-oracle, all parity-green at the gate scale since round 11:
+#: quality_classifier_score ← bigram_lm_score (pure-Catalyst text-quality
+#: family — the LM scorer will hold its official r11 record; the
+#: model-inference scorer is the family's zero-shuffle production form);
+#: heavy_hitters ← string_functions (scalar-function coverage carried by
+#: the conformance sweep + dialect_functions_select, both staying;
+#: string_functions holds official r8-r10 records);
+#: dialect_asof_select ← asof_join (same operator + the STRONGER
+#: identical-SQL-text oracle through the dialect; the batch operator
+#: keeps its official r11 record and stays a bench headline);
+#: dialect_range_select ← range_join (same displacement logic);
+#: dataset_split ← global_shuffle (deterministic-hash sampling family —
+#: corpus_mix stays official; global_shuffle holds official r9-r11);
+#: streaming_classifier_gate ← streaming_sliding_final (EMIT FINAL
+#: carried by streaming_session_final, staying; sliding holds official
+#: r8-r11 records);
+#: streaming_range_join ← streaming_interval_join (time-conditioned
+#: stream join family — interval holds official r9-r11 records, both
+#: twins stay in the mirror);
+#: bigram_lm_grouped / tfidf_topk_terms_join stay mirror-only by design:
+#: they share their window twins' oracles VERBATIM, so a gate slot would
+#: re-verify the same SQL — the strategy equality is pinned directly in
+#: tests/test_skewagg.py instead.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
