@@ -240,3 +240,61 @@ def test_asof_join_works_inside_ctas(spark):
     )
     rows = {(x["tag"], x["v"]) for x in e.execute("SELECT * FROM enriched").collect()}
     assert rows == {("a", 9.0), ("c", None)}
+
+
+def test_asof_join_strict_form_excludes_equal_ts(spark):
+    """inclusive=False (the stream-stream operator's semantics): an
+    equal-timestamp right row is invisible; only strictly-earlier rights
+    match. The inclusive default still sees it."""
+    from velostream_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 5, "a"), (1, 7, "b")], "k int, t int, tag string")
+    r = spark.createDataFrame([(1, 5, 50.0), (1, 6, 60.0)], "k int, rt int, v double")
+    strict = {
+        x["tag"]: x["asof_v"]
+        for x in asof_join(l, r, "k", "t", "rt", ["v"], inclusive=False).collect()
+    }
+    incl = {
+        x["tag"]: x["asof_v"]
+        for x in asof_join(l, r, "k", "t", "rt", ["v"]).collect()
+    }
+    assert strict == {"a": None, "b": 60.0}   # rt=5 not < 5; rt=6 < 7
+    assert incl == {"a": 50.0, "b": 60.0}
+
+
+def test_streaming_asof_ss_matches_strict_batch_operator(spark):
+    """The stateful stream-stream operator's bounded run equals the batch
+    STRICT as-of over the same (ms-truncated, deduped) inputs — the
+    operator-level twin of the DuckDB-oracle parity check."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.operators.asof import asof_join
+    from velostream_spark.registry import all_queries
+    from velostream_spark.session import load_tables
+
+    got = {
+        r["event_id"]: (r["asof_snap_value"], r["asof_snap_event_id"])
+        for r in all_queries()["streaming_asof_ss"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_tables(spark, SF_SMOKE, register_views=False)["events"].select(
+        "event_id", "user_id", "value",
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+    )
+    snaps = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        )
+    )
+    lefts = ev.where(F.col("event_id") % 10 != 0).select("event_id", "user_id", "ts")
+    want = {
+        r["event_id"]: (r["asof_snap_value"], r["asof_snap_event_id"])
+        for r in asof_join(
+            lefts, snaps, "user_id", "ts", "ts",
+            ["snap_value", "snap_event_id"], inclusive=False,
+        ).collect()
+    }
+    assert got == want and len(got) > 100

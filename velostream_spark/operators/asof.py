@@ -44,12 +44,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    inclusive: bool = True,
 ) -> DataFrame:
     """LEFT AS-OF join: every ``left`` row + the latest ``right`` payload
     columns at-or-before its timestamp (NULLs when no right row precedes),
     as ``asof_<payload>`` columns appended to the left schema. ``key``
     may be one column name or a sequence (compound-key as-of; all key
     columns must exist under the same names on both sides).
+    ``inclusive=False`` switches to the STRICT form (latest right
+    strictly before t — "the quote known when the trade printed"; in the
+    fill-forward union, right rows then sort AFTER left rows at equal
+    ts so an equal-ts right is invisible to that left row). The strict
+    form is what the stream-stream operator finalizes incrementally
+    (streaming/asof_stream.py).
 
     ``right`` must be unique per (key, right_ts) — the same well-formed
     input DuckDB's ASOF JOIN assumes; dedupe with ``max_by`` first if it
@@ -84,7 +91,7 @@ def asof_join(
     r_side = right.select(
         *[F.col(kc).alias(s) for kc, s in zip(keys, spine)],
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(0 if inclusive else 2).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(p).alias(f"_p_{p}") for p in payload],
     )

@@ -743,3 +743,77 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_text_score(F.col("ws"), _fixture_weights(4096), "score"),
     ).where(F.col("score") >= 0.5)
     return run_available_now(scored, "append", "streaming_classifier_gate")
+
+
+_STREAMING_ASOF_SS_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         make_timestamp(epoch_ms(ts) * 1000) AS ts
+  FROM events
+),
+snaps AS (
+  SELECT user_id, ts,
+         max_by(value, event_id) AS snap_value,
+         MAX(event_id)           AS snap_event_id
+  FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 <> 0)
+SELECT l.event_id, l.user_id, l.ts,
+       s.snap_value    AS asof_snap_value,
+       s.snap_event_id AS asof_snap_event_id
+FROM l ASOF LEFT JOIN snaps s
+  ON l.user_id = s.user_id AND l.ts > s.ts
+"""
+
+
+@query(
+    "streaming_asof_ss",
+    oracle=_STREAMING_ASOF_SS_ORACLE,
+    tags=("streaming", "join", "asof", "stream-stream", "stateful", "beyond-reference"),
+)
+def streaming_asof_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM as-of join — BOTH sides unbounded (the CDC/quote-
+    stream case streaming_asof_join's static right side cannot cover):
+    a custom stateful operator (streaming/asof_stream.py,
+    applyInPandasWithState) holds per-key pending lefts + pruned rights
+    and finalizes each left row when the watermark reaches its event
+    time, with event-time timeouts driving the flush (availableNow's
+    trailing batches fire them, so the bounded run emits every row).
+
+    STRICT semantics (latest right with rt < t — the quote known when
+    the trade printed): that is what makes watermark finalization
+    airtight, and DuckDB's native ASOF JOIN runs the identical `>`
+    condition as the oracle. Event times are truncated to the
+    watermark's own millisecond grain in BOTH engines (sub-ms as-of
+    ordering is not expressible against an ms watermark — documented in
+    the operator). Duplicate right timestamps resolve by max event_id,
+    the batch oracle's max_by convention, inside the operator's state
+    walk (a pre-aggregation would be a second stateful op in one query,
+    which Spark disallows)."""
+    from velostream_spark.streaming.asof_stream import asof_join_stream_stream
+
+    sdf = (
+        stream_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+            F.when(F.col("event_id") % 10 == 0, "snap").otherwise("trade").alias(
+                "side"
+            ),
+            F.col("value").alias("snap_value"),
+            F.col("event_id").alias("snap_event_id"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    out = asof_join_stream_stream(
+        sdf,
+        key_col="user_id",
+        time_col="ts",
+        side_col="side",
+        left_side="trade",
+        id_col="event_id",
+        payload_cols=["snap_value", "snap_event_id"],
+        tiebreak_col="snap_event_id",
+    )
+    return run_available_now(out, "append", "streaming_asof_ss")
