@@ -49,6 +49,7 @@ HEADLINE = [
     "range_join",
     "hypertable_rollup",
     "streaming_asof_join",
+    "streaming_asof_ss",
     "windowed_join",
     "exists_subquery",
     "in_subquery",

@@ -92,6 +92,13 @@ def asof_join_stream_stream(
         if state.exists:
             rights, pending = pickle.loads(state.get[0])
 
+        if state.hasTimedOut and not pending:
+            # the RETENTION timer (no pending lefts): the key saw no
+            # traffic for retention_minutes — drop its reference data
+            # instead of re-arming forever
+            state.remove()
+            return
+
         if not state.hasTimedOut:
             batch = pd.concat(list(pdfs), ignore_index=True)
             if len(batch):
