@@ -135,6 +135,10 @@ AMORTIZED = {
     "streaming_tumbling_final": (("events",), 48),
     "streaming_rows_window": (("events",), 48),
     "streaming_session_join": (("events",), 48),
+    # stream-stream as-of: same stateful floor (checkpoint/state init +
+    # availableNow's trailing timer batches, ~3 s with NO operator) —
+    # replicate 48x like the other stateful streaming entries
+    "streaming_asof_ss": (("events",), 48),
     "ranking_functions": (("orders",), 16),
     "session_window": (("events",), 16),
     # tumbling/sliding/having: same floor-dominated shape as session_window
