@@ -298,3 +298,41 @@ def test_streaming_asof_ss_matches_strict_batch_operator(spark):
         ).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_time_series_join_composes_with_regular_join(spark):
+    """An ASOF (or range) join followed by an ordinary equi-join in the
+    same FROM: the rewrite replaces the time-series pair with its view
+    and the remaining join runs on top through Catalyst."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "tr", spark.createDataFrame([(1, 5, 100), (2, 3, 200)], "k int, t int, acct int")
+    )
+    e.register_stream(
+        "qt", spark.createDataFrame([(1, 4, 9.5)], "k int, rt int, px double")
+    )
+    e.register_stream(
+        "accts", spark.createDataFrame([(100, "alice"), (200, "bo")], "acct int, owner string")
+    )
+    rows = sorted(
+        (x["owner"], x["px"])
+        for x in e.execute(
+            "SELECT a.owner, q.px FROM tr ASOF LEFT JOIN qt q "
+            "ON tr.k = q.k AND tr.t >= q.rt "
+            "JOIN accts a ON a.acct = tr.acct"
+        ).collect()
+    )
+    assert rows == [("alice", 9.5), ("bo", None)]
+
+    # range join + regular join in one FROM
+    e.register_stream("pts2", spark.createDataFrame([(1, 5.0, 100)], "pid int, v double, acct int"))
+    e.register_stream("rng2", spark.createDataFrame([(9, 0.0, 9.0)], "rid int, lo double, hi double"))
+    rows2 = [
+        (x["rid"], x["owner"])
+        for x in e.execute(
+            "SELECT r.rid, a.owner FROM pts2 p JOIN rng2 r "
+            "ON p.v BETWEEN r.lo AND r.hi "
+            "JOIN accts a ON a.acct = p.acct"
+        ).collect()
+    ]
+    assert rows2 == [(9, "alice")]

@@ -1720,7 +1720,8 @@ _ASOF_JOIN_RE = re.compile(
     r"\s+ASOF\s+(?:(LEFT)\s+)?JOIN\s+([\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
     r"\s+ON\s+(.*?)"
-    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY)\b|\s*$|\s*\))"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY|"
+    r"JOIN|INNER|LEFT|RIGHT|FULL|CROSS)\b|\s*$|\s*\))"
 )
 
 _ASOF_EQ_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
@@ -1818,7 +1819,8 @@ _RANGE_JOIN_RE = re.compile(
     r"\s+(?:INNER\s+)?JOIN\s+([\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
     r"\s+ON\s+(.*?)"
-    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY)\b|\s*$|\s*\))"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|EMIT|UNION|QUALIFY|"
+    r"JOIN|INNER|LEFT|RIGHT|FULL|CROSS)\b|\s*$|\s*\))"
 )
 
 _RANGE_BETWEEN_RE = re.compile(

@@ -698,7 +698,16 @@ class SqlEngine:
         name in the SELECT list) and analysis retried."""
         from pyspark.errors import AnalysisException
 
-        cur = self._rewrite_range_joins(self._rewrite_asof_joins(sql))
+        # iterate: a statement may chain several ASOF / range joins (each
+        # rewrite replaces one FROM..ON segment with its joined view and
+        # exposes the next); bounded so a non-converging pattern can never
+        # spin — 8 joins per statement is far beyond any real query
+        cur = sql
+        for _ in range(8):
+            nxt = self._rewrite_range_joins(self._rewrite_asof_joins(cur))
+            if nxt == cur:
+                break
+            cur = nxt
         for _ in range(8):
             try:
                 return self.spark.sql(cur)
@@ -774,14 +783,18 @@ class SqlEngine:
         out.createOrReplaceTempView(view)
         s, e = spec.span
         rest_head, rest_tail = sql[:s], sql[e:]
-        # remap qualified references everywhere outside the FROM segment
+        # remap qualified references everywhere outside the FROM segment —
+        # to VIEW-qualified names, so a later join's same-named columns
+        # (e.g. JOIN accts a ON a.acct = tr.acct) can never turn ambiguous
         def _requalify(text: str) -> str:
             for alias in (spec.left_alias, spec.left_table):
-                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", r"\1", text)
+                text = re.sub(
+                    rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", text
+                )
             for alias in (spec.right_alias, spec.right_table):
                 def sub_right(m):
                     col = m.group(1)
-                    return rename.get(col, col)
+                    return f"{view}.{rename.get(col, col)}"
                 text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", sub_right, text)
             return text
 
@@ -833,11 +846,13 @@ class SqlEngine:
 
         def _requalify(text: str) -> str:
             for alias in (spec.left_alias, spec.left_table):
-                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", r"\1", text)
+                text = re.sub(
+                    rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", text
+                )
             for alias in (spec.right_alias, spec.right_table):
                 text = re.sub(
                     rf"(?i)\b{re.escape(alias)}\.(\w+)",
-                    lambda m: rename.get(m.group(1), m.group(1)),
+                    lambda m: f"{view}.{rename.get(m.group(1), m.group(1))}",
                     text,
                 )
             return text
