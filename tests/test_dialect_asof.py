@@ -336,3 +336,22 @@ def test_time_series_join_composes_with_regular_join(spark):
         ).collect()
     ]
     assert rows2 == [(9, "alice")]
+
+
+def test_streaming_asof_sql_raises_with_alternatives(spark, tmp_path):
+    """ASOF JOIN through execute_streaming fails FAST with the documented
+    alternatives, not Spark's opaque window-on-streaming error."""
+    import pyspark.sql.functions as F
+
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, 5)], "k int, t int").write.parquet(src)
+    e.register_stream("quotes_t", spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double"))
+    with pytest.raises(NotImplementedError, match="foreachBatch"):
+        e.execute_streaming(
+            "CREATE STREAM out AS SELECT s.k, q.v FROM s ASOF LEFT JOIN quotes_t q "
+            "ON s.k = q.k AND s.t >= q.rt "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )

@@ -952,6 +952,20 @@ class SqlEngine:
                 # illegal on a streaming DF, so route to the stateful op.
                 df = self._build_rows_window_stream(st)
             else:
+                from velostream_spark.sql.dialect import parse_asof_join
+
+                if parse_asof_join(st.select_sql) is not None:
+                    # the batch rewrite's fill-forward window is illegal
+                    # on a streaming DF — fail with the alternatives
+                    # instead of Spark's opaque non-time-window error
+                    raise NotImplementedError(
+                        "ASOF JOIN in a streaming job is not expressible "
+                        "as a continuous SQL plan; use the batch engine "
+                        "(execute), a foreachBatch enrichment against a "
+                        "static table (queries streaming_asof_join), or "
+                        "the stateful stream-stream operator "
+                        "(streaming/asof_stream.py)"
+                    )
                 df = self.spark.sql(st.select_sql)
             return self._apply_partition_annotations(df, st)
 
