@@ -355,3 +355,61 @@ def test_streaming_asof_sql_raises_with_alternatives(spark, tmp_path):
             "'s.format' = 'parquet')",
             wait=False,
         )
+
+
+def test_range_join_matches_naive_on_random_data(spark):
+    """Property pin: bucketized range join == naive BETWEEN join on seeded
+    random points/ranges (inverted and NULL-bounded ranges included),
+    across bucket widths much smaller and larger than the range widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.rangejoin import range_join
+
+    rnd = random.Random(733)
+    pts = [(i, rnd.uniform(-100, 100)) for i in range(200)]
+    rngs = []
+    for i in range(60):
+        lo = rnd.uniform(-120, 120)
+        hi = lo + rnd.uniform(-10, 40)  # some inverted
+        rngs.append((i, lo, hi))
+    rngs.append((98, None, 50.0))
+    rngs.append((99, -5.0, None))
+    p = spark.createDataFrame(pts, "pid int, v double")
+    r = spark.createDataFrame(rngs, "rid int, lo double, hi double")
+    want = sorted(
+        (x["pid"], x["rid"])
+        for x in p.crossJoin(r)
+        .where((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .collect()
+    )
+    for w in (0.5, 7.0, 1000.0):
+        got = sorted(
+            (x["pid"], x["rid"])
+            for x in range_join(p, r, "v", "lo", "hi", bucket_width=w).collect()
+        )
+        assert got == want and len(got) == len(set(got)), w
+    assert len(want) > 50
+
+
+def test_asof_join_inside_cte(spark):
+    """ASOF JOIN in a WITH-clause subquery: the rewrite replaces the CTE's
+    FROM segment and the outer query runs over the CTE unchanged."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "lt3", spark.createDataFrame([(1, 5, "a"), (1, 9, "b")], "k int, t int, tag string")
+    )
+    e.register_stream(
+        "rt3", spark.createDataFrame([(1, 4, 2.0), (1, 8, 3.0)], "k int, rt int, v double")
+    )
+    rows = sorted(
+        (x["tag"], x["vv"])
+        for x in e.execute(
+            "WITH enriched AS ("
+            "  SELECT a.tag, b.v FROM lt3 a ASOF LEFT JOIN rt3 b "
+            "  ON a.k = b.k AND a.t >= b.rt"
+            ") SELECT tag, v * 10 AS vv FROM enriched"
+        ).collect()
+    )
+    assert rows == [("a", 20.0), ("b", 30.0)]
