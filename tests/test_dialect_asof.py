@@ -413,3 +413,44 @@ def test_asof_join_inside_cte(spark):
         ).collect()
     )
     assert rows == [("a", 20.0), ("b", 30.0)]
+
+
+def test_streaming_asof_ss_perkey_equals_bucketed(spark):
+    """The per-key and bucketed-state stateful forms share the same
+    ingest/flush helpers — equality pinned on real data."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from velostream_spark.streaming.asof_stream import asof_join_stream_stream
+    from velostream_spark.streaming.runner import run_available_now
+    from velostream_spark.streaming.source import stream_table
+
+    sdf = (
+        stream_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+            F.when(F.col("event_id") % 10 == 0, "snap").otherwise("trade").alias("side"),
+            F.col("value").alias("snap_value"),
+            F.col("event_id").alias("snap_event_id"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    perkey = run_available_now(
+        asof_join_stream_stream(
+            sdf, key_col="user_id", time_col="ts", side_col="side",
+            left_side="trade", id_col="event_id",
+            payload_cols=["snap_value", "snap_event_id"],
+            tiebreak_col="snap_event_id",
+        ),
+        "append",
+        "asof_ss_perkey_pin",
+    )
+    got_perkey = sorted(map(tuple, perkey.collect()))
+    from velostream_spark.registry import all_queries
+
+    got_bucketed = sorted(
+        map(tuple, all_queries()["streaming_asof_ss"].fn(spark, SF_SMOKE).collect())
+    )
+    assert got_perkey == got_bucketed and len(got_perkey) > 100

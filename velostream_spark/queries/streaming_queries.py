@@ -789,8 +789,14 @@ def streaming_asof_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator). Duplicate right timestamps resolve by max event_id,
     the batch oracle's max_by convention, inside the operator's state
     walk (a pre-aggregation would be a second stateful op in one query,
-    which Spark disallows)."""
-    from velostream_spark.streaming.asof_stream import asof_join_stream_stream
+    which Spark disallows). Bucketed-state form: Python is entered per
+    hash bucket per micro-batch, not per user (the session_join /
+    rows_window high-cardinality pattern — measured 8-9x on this entry);
+    the per-key twin shares the same ingest/flush helpers and is
+    equality-pinned in pytest."""
+    from velostream_spark.streaming.asof_stream import (
+        asof_join_stream_stream_bucketed,
+    )
 
     sdf = (
         stream_table(spark, sf_dir, "events")
@@ -806,7 +812,7 @@ def streaming_asof_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("ts", "0 seconds")
     )
-    out = asof_join_stream_stream(
+    out = asof_join_stream_stream_bucketed(
         sdf,
         key_col="user_id",
         time_col="ts",
