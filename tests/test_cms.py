@@ -142,3 +142,26 @@ def test_cms_grids_merge_by_elementwise_addition(spark):
     gu = cms.cms_build(a.unionByName(b), "k", w=w, d=d)
     merged = [[ga[i][j] + gb[i][j] for j in range(w)] for i in range(d)]
     assert merged == gu
+
+
+def test_classifier_empty_array_null_under_ansi(spark):
+    """ADVICE r11: the documented NULL for an empty words array must hold
+    under spark.sql.ansi.enabled too (a bare 0/0 would raise
+    DIVIDE_BY_ZERO there; the CaseWhen guard evaluates lazily)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.classify import linear_text_score
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = (
+            spark.createDataFrame([(1, []), (2, ["a", "b"])], "i int, ws array<string>")
+            .select("i", linear_text_score(F.col("ws"), [0.0] * 16))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    got = {r["i"]: r["score"] for r in rows}
+    assert got[1] is None
+    assert got[2] == 0.5

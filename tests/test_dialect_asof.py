@@ -454,3 +454,98 @@ def test_streaming_asof_ss_perkey_equals_bucketed(spark):
         map(tuple, all_queries()["streaming_asof_ss"].fn(spark, SF_SMOKE).collect())
     )
     assert got_perkey == got_bucketed and len(got_perkey) > 100
+
+
+def test_asof_right_key_name_collision_resolved(spark):
+    """ADVICE r11: ON l.uid = r.user_id where the RIGHT relation ALSO has
+    its own uid column — the key rename pre-moves right's uid aside
+    instead of silently creating two uid columns; r.uid and r.user_id
+    both stay addressable through the rewrite."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "lcol",
+        spark.createDataFrame([(1, 5, "a"), (2, 7, "b")], "uid int, t int, tag string"),
+    )
+    e.register_stream(
+        "rcol",
+        spark.createDataFrame(
+            [(99, 1, 4, 1.5), (88, 2, 6, 2.5)],
+            "uid int, user_id int, rt int, v double",
+        ),
+    )
+    rows = e.execute(
+        "SELECT l.tag, r.v, r.uid AS r_uid, r.user_id AS joined_key "
+        "FROM lcol l ASOF LEFT JOIN rcol r "
+        "ON l.uid = r.user_id AND l.t >= r.rt ORDER BY l.tag"
+    ).collect()
+    assert [(x["tag"], x["v"], x["r_uid"], x["joined_key"]) for x in rows] == [
+        ("a", 1.5, 99, 1),
+        ("b", 2.5, 88, 2),
+    ]
+
+
+def test_asof_requalify_skips_string_literals(eng):
+    """ADVICE/VERDICT r11: the alias→view remap after the rewrite must not
+    touch dotted names INSIDE string literals."""
+    rows = eng.execute(
+        "SELECT a.tag, b.v, 'see a.tag here' AS note FROM lt a "
+        "ASOF LEFT JOIN rt_tbl b ON a.k = b.k AND a.t >= b.rt "
+        "WHERE a.tag <> 'not b.v'"
+    ).collect()
+    assert len(rows) == 4
+    assert all(x["note"] == "see a.tag here" for x in rows)
+
+
+def test_range_join_requalify_skips_string_literals(spark):
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "pts", spark.createDataFrame([(1, 5.0), (2, 25.0)], "pid int, v double")
+    )
+    e.register_stream(
+        "bands2",
+        spark.createDataFrame([(10, 0.0, 10.0), (20, 20.0, 30.0)], "bid int, lo double, hi double"),
+    )
+    rows = e.execute(
+        "SELECT p.pid, r.bid, 'p.v stays' AS note FROM pts p JOIN bands2 r "
+        "ON p.v BETWEEN r.lo AND r.hi ORDER BY p.pid"
+    ).collect()
+    assert [(x["pid"], x["bid"], x["note"]) for x in rows] == [
+        (1, 10, "p.v stays"),
+        (2, 20, "p.v stays"),
+    ]
+
+
+def test_range_join_parse_tries_every_from_position():
+    """ADVICE r11: an earlier equi-join FROM (its own CTE) no longer
+    shadows a later range join — parse iterates FROM...JOIN positions."""
+    from velostream_spark.sql.dialect import parse_range_join
+
+    sql = (
+        "WITH j AS (SELECT a.x AS x FROM ta a JOIN tb b ON a.x = b.x) "
+        "SELECT * FROM j p JOIN bands r ON p.x BETWEEN r.lo AND r.hi"
+    )
+    spec = parse_range_join(sql)
+    assert spec is not None
+    assert (spec.left_table, spec.right_table) == ("j", "bands")
+    # and the caller can skip past a span it cannot route
+    assert parse_range_join(sql, spec.span[0] + 1) is None
+
+
+def test_range_join_over_cte_name_left_to_spark(spark):
+    """A range join whose LEFT is a CTE name (not a registered view) is
+    left to Spark — correct results via its own plan, no crash in the
+    rewrite's table resolution."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "pts3", spark.createDataFrame([(1, 5.0), (2, 25.0)], "pid int, v double")
+    )
+    e.register_stream(
+        "bands3",
+        spark.createDataFrame([(10, 0.0, 10.0), (20, 20.0, 30.0)], "bid int, lo double, hi double"),
+    )
+    rows = e.execute(
+        "WITH filt AS (SELECT pid, v FROM pts3 WHERE pid > 0) "
+        "SELECT f.pid, r.bid FROM filt f JOIN bands3 r "
+        "ON f.v BETWEEN r.lo AND r.hi ORDER BY f.pid"
+    ).collect()
+    assert [(x["pid"], x["bid"]) for x in rows] == [(1, 10), (2, 20)]

@@ -76,5 +76,9 @@ def linear_text_score(
         F.lit(0.0),
         lambda acc, word: acc + F.element_at(w, bucket_of(word, n) + 1),
     )
-    mean = total / F.size(words_array)
+    # the empty-array branch must be explicit: under spark.sql.ansi.enabled
+    # the bare 0/0 raises DIVIDE_BY_ZERO instead of yielding the documented
+    # NULL (CaseWhen evaluates the division branch lazily, so the guard
+    # holds in ANSI mode too)
+    mean = F.when(F.size(words_array) > 0, total / F.size(words_array))
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias(score_col)

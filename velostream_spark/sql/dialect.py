@@ -1847,16 +1847,33 @@ class RangeJoinSpec:
     span: tuple[int, int]
 
 
-def parse_range_join(sql: str) -> RangeJoinSpec | None:
+def parse_range_join(sql: str, pos: int = 0) -> RangeJoinSpec | None:
     """Recognize a point-in-interval join between two named relations:
     the ON clause is exactly one BETWEEN (or a >=/<= pair) relating ONE
     left column to two right columns. Joins with any equality conjunct
     are left alone — Catalyst plans those as hash joins with the range
     as a post-filter, which is already the right shape. Returns None
-    for anything else (unlike ASOF, plain JOIN text is never an error)."""
-    m = _RANGE_JOIN_RE.search(sql)
-    if m is None:
-        return None
+    for anything else (unlike ASOF, plain JOIN text is never an error).
+
+    Every ``FROM x JOIN y ON ...`` position at-or-after ``pos`` is tried
+    (subqueries/CTEs have their own FROM), so a non-range equi-join
+    earlier in the text never shadows a later range join; the caller can
+    pass ``pos`` past a span it could not route (e.g. a CTE-named
+    relation) to reach the next candidate. One documented limitation
+    remains: in a single multi-join FROM
+    (``FROM a JOIN b ON a.x=b.x JOIN c ON a.v BETWEEN c.lo AND c.hi``)
+    only the first JOIN segment follows the FROM keyword, so the trailing
+    range join is left to Spark (correct results via
+    BroadcastNestedLoopJoin, without the bucketized speedup) — split the
+    equi-join into a CTE to get the operator."""
+    for m in _RANGE_JOIN_RE.finditer(sql, pos):
+        spec = _try_range_spec(m)
+        if spec is not None:
+            return spec
+    return None
+
+
+def _try_range_spec(m: re.Match) -> RangeJoinSpec | None:
     lt, la, rt, ra, cond = m.groups()
     la, ra = la or lt, ra or rt
     bounds: dict[str, tuple[str, bool]] = {}  # "lo"/"hi" -> (col, inclusive)

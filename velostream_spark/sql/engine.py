@@ -725,6 +725,25 @@ class SqlEngine:
 
     _asof_view_n = 0
 
+    #: SQL string literals (doubled-quote escapes parse as two adjacent
+    #: literals, which is equally safe for masking purposes)
+    _SQL_LITERAL_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
+
+    @classmethod
+    def _sub_outside_literals(cls, text: str, fn) -> str:
+        """Apply ``fn`` (a str→str substitution) only to the segments of
+        ``text`` OUTSIDE string literals — alias requalification after an
+        ASOF/range rewrite must never rewrite a dotted name that happens
+        to appear inside a literal (``WHERE note = 'see l.value'``)."""
+        out: list[str] = []
+        last = 0
+        for m in cls._SQL_LITERAL_RE.finditer(text):
+            out.append(fn(text[last : m.start()]))
+            out.append(m.group(0))
+            last = m.end()
+        out.append(fn(text[last:]))
+        return "".join(out)
+
     def _rewrite_asof_joins(self, sql: str):
         """DuckDB-syntax ``ASOF [LEFT] JOIN`` → operators/asof.py (Spark
         SQL has no ASOF operator; planning the range condition naively is
@@ -748,8 +767,25 @@ class SqlEngine:
 
         left = self.spark.table(spec.left_table)
         right = self.spark.table(spec.right_table)
+        # key rename with a collision guard: ON l.uid = r.user_id where the
+        # right relation ALSO has its own uid column — a blind user_id→uid
+        # rename would leave TWO uid columns and an opaque AnalysisException
+        # downstream. Pre-move right's own column aside; r.uid references
+        # requalify to it below.
+        pre: dict[str, str] = {}
         for lk, rk in spec.keys:
             if rk != lk:
+                if lk in right.columns:
+                    moved = f"right_{lk}"
+                    if moved in right.columns:
+                        raise ValueError(
+                            f"ASOF JOIN: right relation {spec.right_table!r} "
+                            f"has both {lk!r} and {moved!r}; the join-key "
+                            f"rename {rk!r}→{lk!r} cannot be disambiguated — "
+                            "alias the columns apart in a subquery first"
+                        )
+                    pre[lk] = moved
+                    right = right.withColumnRenamed(lk, moved)
                 right = right.withColumnRenamed(rk, lk)
         right = right.withColumn("_matched", F.lit(True))
         payload = [
@@ -778,6 +814,13 @@ class SqlEngine:
             if final != f"asof_{p}":
                 out = out.withColumnRenamed(f"asof_{p}", final)
             rename[p] = final
+        # r.<right's own column that the key rename displaced> → its final
+        # exposed name; r.<original right key name> → the joint key column
+        for orig, moved in pre.items():
+            rename[orig] = rename.get(moved, moved)
+        for lk, rk in spec.keys:
+            if rk != lk:
+                rename.setdefault(rk, lk)
         SqlEngine._asof_view_n += 1
         view = f"_asof_join_{SqlEngine._asof_view_n}"
         out.createOrReplaceTempView(view)
@@ -785,18 +828,24 @@ class SqlEngine:
         rest_head, rest_tail = sql[:s], sql[e:]
         # remap qualified references everywhere outside the FROM segment —
         # to VIEW-qualified names, so a later join's same-named columns
-        # (e.g. JOIN accts a ON a.acct = tr.acct) can never turn ambiguous
+        # (e.g. JOIN accts a ON a.acct = tr.acct) can never turn ambiguous.
+        # Substitution skips string-literal contents ('see l.value' stays).
         def _requalify(text: str) -> str:
-            for alias in (spec.left_alias, spec.left_table):
-                text = re.sub(
-                    rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", text
-                )
-            for alias in (spec.right_alias, spec.right_table):
-                def sub_right(m):
-                    col = m.group(1)
-                    return f"{view}.{rename.get(col, col)}"
-                text = re.sub(rf"(?i)\b{re.escape(alias)}\.(\w+)", sub_right, text)
-            return text
+            def sub_segment(seg: str) -> str:
+                for alias in (spec.left_alias, spec.left_table):
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", seg
+                    )
+                for alias in (spec.right_alias, spec.right_table):
+                    def sub_right(m):
+                        col = m.group(1)
+                        return f"{view}.{rename.get(col, col)}"
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)", sub_right, seg
+                    )
+                return seg
+
+            return self._sub_outside_literals(text, sub_segment)
 
         return _requalify(rest_head) + f"FROM {view}" + _requalify(rest_tail)
 
@@ -809,15 +858,25 @@ class SqlEngine:
         the ranges side — each range then replicates to ~2 buckets, the
         textbook choice), so the SQL surface needs no tuning knob.
         Colliding right column names are exposed as ``right_<col>``."""
+        from pyspark.errors import AnalysisException
+
         from velostream_spark.sql.dialect import parse_range_join
 
-        spec = parse_range_join(sql)
-        if spec is None:
-            return sql
+        pos = 0
+        while True:
+            spec = parse_range_join(sql, pos)
+            if spec is None:
+                return sql
+            try:
+                left = self.spark.table(spec.left_table)
+                right = self.spark.table(spec.right_table)
+                break
+            except AnalysisException:
+                # a CTE/derived-table name, not a registered relation —
+                # leave that span to Spark (correct via nested loop,
+                # without the bucketized speedup) and try later positions
+                pos = spec.span[0] + 1
         from velostream_spark.operators.rangejoin import range_join
-
-        left = self.spark.table(spec.left_table)
-        right = self.spark.table(spec.right_table)
         width_row = right.agg(
             F.avg(F.col(spec.hi_col) - F.col(spec.lo_col)).alias("w")
         ).first()
@@ -845,17 +904,20 @@ class SqlEngine:
         s, e = spec.span
 
         def _requalify(text: str) -> str:
-            for alias in (spec.left_alias, spec.left_table):
-                text = re.sub(
-                    rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", text
-                )
-            for alias in (spec.right_alias, spec.right_table):
-                text = re.sub(
-                    rf"(?i)\b{re.escape(alias)}\.(\w+)",
-                    lambda m: f"{view}.{rename.get(m.group(1), m.group(1))}",
-                    text,
-                )
-            return text
+            def sub_segment(seg: str) -> str:
+                for alias in (spec.left_alias, spec.left_table):
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", seg
+                    )
+                for alias in (spec.right_alias, spec.right_table):
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)",
+                        lambda m: f"{view}.{rename.get(m.group(1), m.group(1))}",
+                        seg,
+                    )
+                return seg
+
+            return self._sub_outside_literals(text, sub_segment)
 
         return _requalify(sql[:s]) + f"FROM {view}" + _requalify(sql[e:])
 
