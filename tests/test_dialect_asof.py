@@ -549,3 +549,30 @@ def test_range_join_over_cte_name_left_to_spark(spark):
         "ON f.v BETWEEN r.lo AND r.hi ORDER BY f.pid"
     ).collect()
     assert [(x["pid"], x["bid"]) for x in rows] == [(1, 10), (2, 20)]
+
+
+def test_bucket_flush_per_key_retention():
+    """VERDICT r11: retention in the bucketed stream-stream as-of is per
+    KEY — a hot key cannot keep a dead neighbour key's reference state
+    alive in the same bucket (state would otherwise grow with
+    distinct-keys-ever under skewed traffic)."""
+    from velostream_spark.streaming.asof_stream import _bucket_flush
+
+    MIN_US = 60_000_000
+    retention_us = 10 * MIN_US
+    st = {
+        "dead": ([(0, (1.0,))], []),                              # idle since t=0
+        "hot": ([(95 * MIN_US, (2.0,))], [(99 * MIN_US, 7)]),     # live traffic
+        "fresh_idle": ([(95 * MIN_US, (3.0,))], []),              # idle, in-window
+    }
+    out, keys, earliest, newest = _bucket_flush(st, 96 * MIN_US, retention_us, 1)
+    assert "dead" not in st          # 0 + 10min <= wm=96min -> evicted
+    assert "hot" in st and "fresh_idle" in st
+    assert out == [] and earliest == 99 * MIN_US and newest == 95 * MIN_US
+
+    out, keys, earliest, newest = _bucket_flush(st, 100 * MIN_US, retention_us, 1)
+    assert keys == ["hot"] and out == [(7, 99 * MIN_US, (2.0,))]
+    assert "hot" in st and earliest is None   # rights kept until ITS retention
+
+    out, keys, earliest, newest = _bucket_flush(st, 106 * MIN_US, retention_us, 1)
+    assert not st and out == []               # 95 + 10 <= 106 -> all evicted

@@ -187,6 +187,43 @@ def _emit_frame(out_rows, key_vals, id_col, key_col, time_col, payload_cols):
     return pd.DataFrame(data)
 
 
+def _bucket_flush(st: dict, wm_us: int, retention_us: int, n_payload: int):
+    """Flush + retention walk over one bucket's ``{key: (rights, pending)}``
+    state dict, IN PLACE. Returns ``(out_rows, out_keys, earliest_pending,
+    newest_rt)`` for the caller's emission and timer re-arm.
+
+    Retention is per KEY, matching the per-key twin's contract: a key with
+    no pending lefts whose newest right saw no traffic for
+    ``retention_minutes`` is dead reference data and is evicted HERE, in
+    the walk — a hot neighbour key in the same bucket can never keep it
+    alive (r11 finding: a per-bucket timer alone grows state with
+    distinct-keys-ever under skewed traffic). The bucket-level timeout
+    stays purely a wake-up mechanism."""
+    all_out: list[tuple] = []
+    out_keys: list = []
+    earliest_pending = None
+    newest_rt = 0
+    for k in list(st):
+        rights, pending = st[k]
+        out_rows, rights, pending = _flush(rights, pending, wm_us, n_payload)
+        for r in out_rows:
+            all_out.append(r)
+            out_keys.append(k)
+        if not pending and (not rights or rights[-1][0] + retention_us <= wm_us):
+            del st[k]
+            continue
+        st[k] = (rights, pending)
+        if pending:
+            earliest_pending = (
+                pending[0][0]
+                if earliest_pending is None
+                else min(earliest_pending, pending[0][0])
+            )
+        if rights:
+            newest_rt = max(newest_rt, rights[-1][0])
+    return all_out, out_keys, earliest_pending, newest_rt
+
+
 def asof_join_stream_stream_bucketed(
     sdf: DataFrame,
     key_col: str,
@@ -262,28 +299,9 @@ def asof_join_stream_stream_bucketed(
                     st[k] = (rights, pending)
 
         wm_us = state.getCurrentWatermarkMs() * 1_000
-        all_out: list[tuple] = []
-        out_keys: list = []
-        earliest_pending = None
-        newest_rt = 0
-        for k in list(st):
-            rights, pending = st[k]
-            out_rows, rights, pending = _flush(rights, pending, wm_us, len(payload_cols))
-            for r in out_rows:
-                all_out.append(r)
-                out_keys.append(k)
-            if pending or rights:
-                st[k] = (rights, pending)
-                if pending:
-                    earliest_pending = (
-                        pending[0][0]
-                        if earliest_pending is None
-                        else min(earliest_pending, pending[0][0])
-                    )
-                if rights:
-                    newest_rt = max(newest_rt, rights[-1][0])
-            else:
-                del st[k]
+        all_out, out_keys, earliest_pending, newest_rt = _bucket_flush(
+            st, wm_us, retention_ms * 1_000, len(payload_cols)
+        )
 
         if st:
             state.update((pickle.dumps(st, protocol=4),))
