@@ -338,23 +338,139 @@ def test_time_series_join_composes_with_regular_join(spark):
     assert rows2 == [(9, "alice")]
 
 
-def test_streaming_asof_sql_raises_with_alternatives(spark, tmp_path):
-    """ASOF JOIN through execute_streaming fails FAST with the documented
-    alternatives, not Spark's opaque window-on-streaming error."""
-    import pyspark.sql.functions as F
-
+def test_streaming_asof_sql_static_right_routes_foreachbatch(spark, tmp_path):
+    """VERDICT r11 ask: a streaming CSAS whose SELECT carries an ASOF JOIN
+    against STATIC reference data ROUTES to the foreachBatch enrichment
+    (batch operator per micro-batch — exact for a static right side)
+    instead of failing fast."""
     e = SqlEngine(spark, time_col="t")
     src = str(tmp_path / "in")
-    spark.createDataFrame([(1, 5)], "k int, t int").write.parquet(src)
-    e.register_stream("quotes_t", spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double"))
-    with pytest.raises(NotImplementedError, match="foreachBatch"):
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 4, "early"), (2, 3, "c")],
+        "k int, t int, tag string",
+    ).write.parquet(src)
+    e.register_table(
+        "quotes_t",
+        spark.createDataFrame(
+            [(1, 5, 10.0), (1, 7, 20.0), (2, 8, 30.0)], "k int, rt int, v double"
+        ),
+    )
+    sink = str(tmp_path / "out")
+    e.execute_streaming(
+        "CREATE STREAM enriched AS SELECT s.tag, q.v "
+        "FROM s ASOF LEFT JOIN quotes_t q ON s.k = q.k AND s.t >= q.rt "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', 'enriched.type' = 'file_sink', "
+        f"'enriched.format' = 'parquet', 'enriched.path' = '{sink}')"
+    )
+    got = {r["tag"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert got == {"a": 10.0, "b": 20.0, "early": None, "c": None}
+
+
+def test_streaming_asof_sql_static_right_memory_sink(spark, tmp_path):
+    """Same routing with the default memory sink: the job name reads back
+    like a memory-sink table."""
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "in_mem")
+    spark.createDataFrame(
+        [(1, 9, "b"), (2, 3, "c")], "k int, t int, tag string"
+    ).write.parquet(src)
+    e.register_table(
+        "quotes_m",
+        spark.createDataFrame([(1, 7, 20.0)], "k int, rt int, v double"),
+    )
+    e.execute_streaming(
+        "CREATE STREAM enriched_mem AS SELECT s.tag, q.v "
+        "FROM s ASOF LEFT JOIN quotes_m q ON s.k = q.k AND s.t >= q.rt "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet')"
+    )
+    got = {r["tag"]: r["v"] for r in spark.table("enriched_mem").collect()}
+    assert got == {"b": 20.0, "c": None}
+
+
+def test_streaming_asof_sql_stream_stream_routes_stateful(spark, tmp_path):
+    """BOTH sides WITH-configured streams + the strict (>) form → the
+    stateful bucketed stream-stream operator; equals the batch strict
+    as-of on the same data (the surrounding SELECT addresses left columns
+    through the struct-id unpacking)."""
+    import datetime as dt
+
+    from velostream_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    trades = [(i, 1 + i % 2, base + dt.timedelta(seconds=i)) for i in range(20)]
+    quotes = [
+        (100 + j, 1 + j % 2, base + dt.timedelta(seconds=2 * j), float(j))
+        for j in range(10)
+    ]
+    tdf = spark.createDataFrame(trades, "trade_id int, k int, ts timestamp")
+    qdf = spark.createDataFrame(quotes, "qid int, k int, ts timestamp, px double")
+    tsrc, qsrc = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    tdf.write.parquet(tsrc)
+    qdf.write.parquet(qsrc)
+
+    e = SqlEngine(spark, time_col="ts")
+    e.execute_streaming(
+        "CREATE STREAM enriched_ss AS SELECT s.trade_id, s.ts, q.px "
+        "FROM s ASOF LEFT JOIN q ON s.k = q.k AND s.ts > q.ts "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{tsrc}', "
+        "'s.format' = 'parquet', "
+        f"'q.type' = 'file_source', 'q.path' = '{qsrc}', "
+        "'q.format' = 'parquet')"
+    )
+    got = sorted(
+        (r["trade_id"], r["ts"], r["px"])
+        for r in spark.table("enriched_ss").collect()
+    )
+    want = sorted(
+        (r["trade_id"], r["ts"], r["asof_px"])
+        for r in asof_join(
+            tdf, qdf, key="k", left_ts="ts", right_ts="ts",
+            payload=["px"], inclusive=False,
+        ).collect()
+    )
+    assert got == want and len(got) == 20
+
+
+def test_streaming_asof_sql_stream_stream_requires_strict(spark, tmp_path):
+    """The inclusive (>=) form cannot finalize against a watermark — the
+    stream-stream route fails fast naming the strict alternative."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src1 = str(tmp_path / "l1")
+    src2 = str(tmp_path / "r1")
+    spark.createDataFrame(
+        [(1, 1, base)], "trade_id int, k int, ts timestamp"
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(9, 1, base, 1.0)], "qid int, k int, ts timestamp, px double"
+    ).write.parquet(src2)
+    e = SqlEngine(spark, time_col="ts")
+    with pytest.raises(NotImplementedError, match="STRICT"):
         e.execute_streaming(
-            "CREATE STREAM out AS SELECT s.k, q.v FROM s ASOF LEFT JOIN quotes_t q "
-            "ON s.k = q.k AND s.t >= q.rt "
-            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
-            "'s.format' = 'parquet')",
+            "CREATE STREAM out_incl AS SELECT s.trade_id, q.px "
+            "FROM s ASOF LEFT JOIN q ON s.k = q.k AND s.ts >= q.ts "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src1}', "
+            "'s.format' = 'parquet', "
+            f"'q.type' = 'file_source', 'q.path' = '{src2}', "
+            "'q.format' = 'parquet')",
             wait=False,
         )
+
+
+def test_asof_strict_form_from_sql(eng):
+    """The dialect accepts the strict operator (l.ts > r.ts) and routes it
+    to the batch operator's inclusive=False form."""
+    got = {
+        x["tag"]: x["v"]
+        for x in eng.execute(
+            "SELECT a.tag, b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+            "ON a.k = b.k AND a.t > b.rt"
+        ).collect()
+    }
+    assert got == {"a": None, "b": 20.0, "early": None, "c": None}
 
 
 def test_range_join_matches_naive_on_random_data(spark):

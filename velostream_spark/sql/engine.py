@@ -744,6 +744,39 @@ class SqlEngine:
         out.append(fn(text[last:]))
         return "".join(out)
 
+    def _requalify_around_span(
+        self,
+        sql: str,
+        span: tuple[int, int],
+        view: str,
+        left_names: tuple[str, ...],
+        right_names: tuple[str, ...],
+        rename: dict[str, str],
+    ) -> str:
+        """Replace ``sql[span]`` with ``FROM view`` and remap every
+        qualified ``alias.col`` reference OUTSIDE the span to the view
+        (right-side columns through ``rename``), skipping string-literal
+        contents. Shared by the ASOF / range / stream-ASOF rewrites."""
+        s, e = span
+
+        def req(text: str) -> str:
+            def seg_fn(seg: str) -> str:
+                for alias in left_names:
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", seg
+                    )
+                for alias in right_names:
+                    seg = re.sub(
+                        rf"(?i)\b{re.escape(alias)}\.(\w+)",
+                        lambda m: f"{view}.{rename.get(m.group(1), m.group(1))}",
+                        seg,
+                    )
+                return seg
+
+            return self._sub_outside_literals(text, seg_fn)
+
+        return req(sql[:s]) + f"FROM {view}" + req(sql[e:])
+
     def _rewrite_asof_joins(self, sql: str):
         """DuckDB-syntax ``ASOF [LEFT] JOIN`` → operators/asof.py (Spark
         SQL has no ASOF operator; planning the range condition naively is
@@ -800,6 +833,7 @@ class SqlEngine:
             left_ts=spec.left_ts,
             right_ts=spec.right_ts,
             payload=payload,
+            inclusive=not spec.strict,
         )
         if spec.inner:
             out = out.where(F.col("asof__matched").isNotNull())
@@ -824,30 +858,18 @@ class SqlEngine:
         SqlEngine._asof_view_n += 1
         view = f"_asof_join_{SqlEngine._asof_view_n}"
         out.createOrReplaceTempView(view)
-        s, e = spec.span
-        rest_head, rest_tail = sql[:s], sql[e:]
         # remap qualified references everywhere outside the FROM segment —
         # to VIEW-qualified names, so a later join's same-named columns
         # (e.g. JOIN accts a ON a.acct = tr.acct) can never turn ambiguous.
         # Substitution skips string-literal contents ('see l.value' stays).
-        def _requalify(text: str) -> str:
-            def sub_segment(seg: str) -> str:
-                for alias in (spec.left_alias, spec.left_table):
-                    seg = re.sub(
-                        rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", seg
-                    )
-                for alias in (spec.right_alias, spec.right_table):
-                    def sub_right(m):
-                        col = m.group(1)
-                        return f"{view}.{rename.get(col, col)}"
-                    seg = re.sub(
-                        rf"(?i)\b{re.escape(alias)}\.(\w+)", sub_right, seg
-                    )
-                return seg
-
-            return self._sub_outside_literals(text, sub_segment)
-
-        return _requalify(rest_head) + f"FROM {view}" + _requalify(rest_tail)
+        return self._requalify_around_span(
+            sql,
+            spec.span,
+            view,
+            (spec.left_alias, spec.left_table),
+            (spec.right_alias, spec.right_table),
+            rename,
+        )
 
     def _rewrite_range_joins(self, sql: str):
         """Equality-free point-in-interval joins (``a.v BETWEEN b.lo AND
@@ -901,25 +923,14 @@ class SqlEngine:
         SqlEngine._asof_view_n += 1
         view = f"_range_join_{SqlEngine._asof_view_n}"
         out.createOrReplaceTempView(view)
-        s, e = spec.span
-
-        def _requalify(text: str) -> str:
-            def sub_segment(seg: str) -> str:
-                for alias in (spec.left_alias, spec.left_table):
-                    seg = re.sub(
-                        rf"(?i)\b{re.escape(alias)}\.(\w+)", rf"{view}.\1", seg
-                    )
-                for alias in (spec.right_alias, spec.right_table):
-                    seg = re.sub(
-                        rf"(?i)\b{re.escape(alias)}\.(\w+)",
-                        lambda m: f"{view}.{rename.get(m.group(1), m.group(1))}",
-                        seg,
-                    )
-                return seg
-
-            return self._sub_outside_literals(text, sub_segment)
-
-        return _requalify(sql[:s]) + f"FROM {view}" + _requalify(sql[e:])
+        return self._requalify_around_span(
+            sql,
+            spec.span,
+            view,
+            (spec.left_alias, spec.left_table),
+            (spec.right_alias, spec.right_table),
+            rename,
+        )
 
     def execute(self, sql: str):
         """Execute one statement; returns a DataFrame for queries/CSAS/CTAS,
@@ -1006,6 +1017,12 @@ class SqlEngine:
         cfgs = self._source_names(st.with_props)
         sink_cfg = cfgs.get(st.name, {})
 
+        asof_spec = None
+        if not st.rows_window_aggs:
+            from velostream_spark.sql.dialect import parse_asof_join
+
+            asof_spec = parse_asof_join(st.select_sql)
+
         def build() -> DataFrame:
             self._wire_sources_streaming(st)
             if st.rows_window_aggs:
@@ -1013,21 +1030,12 @@ class SqlEngine:
                 # reference (rows.rs) — ordinary window functions are
                 # illegal on a streaming DF, so route to the stateful op.
                 df = self._build_rows_window_stream(st)
+            elif asof_spec is not None:
+                # right side is a stream too (the static-right case routed
+                # to foreachBatch before build) — the stateful
+                # stream-stream operator
+                df = self._build_asof_stream_stream(st.select_sql, asof_spec)
             else:
-                from velostream_spark.sql.dialect import parse_asof_join
-
-                if parse_asof_join(st.select_sql) is not None:
-                    # the batch rewrite's fill-forward window is illegal
-                    # on a streaming DF — fail with the alternatives
-                    # instead of Spark's opaque non-time-window error
-                    raise NotImplementedError(
-                        "ASOF JOIN in a streaming job is not expressible "
-                        "as a continuous SQL plan; use the batch engine "
-                        "(execute), a foreachBatch enrichment against a "
-                        "static table (queries streaming_asof_join), or "
-                        "the stateful stream-stream operator "
-                        "(streaming/asof_stream.py)"
-                    )
                 df = self.spark.sql(st.select_sql)
             return self._apply_partition_annotations(df, st)
 
@@ -1046,6 +1054,25 @@ class SqlEngine:
             }
         else:
             sink_format, sink_options = "memory", {}
+
+        if asof_spec is not None and not self._asof_right_is_streaming(
+            asof_spec, cfgs
+        ):
+            # ASOF JOIN against STATIC reference data: per-batch application
+            # of the batch operator is exact — route to foreachBatch
+            # (reference analog: continuous queries run any parsed join
+            # shape, processors/stream_table_join.rs:22)
+            if st.kind != "create_stream":
+                raise NotImplementedError(
+                    "ASOF JOIN against a static table is supported in "
+                    "CREATE STREAM ... AS SELECT (foreachBatch enrichment); "
+                    "DEPLOY/START JOB versioned deployment does not carry "
+                    "the per-batch sink — use CREATE STREAM or the batch "
+                    "engine (execute)"
+                )
+            return self._deploy_asof_foreach_batch(
+                st, sql, asof_spec, sink_format, sink_options, wait
+            )
 
         if st.kind == "deploy_job":
             job = self.jobs.deploy_version(
@@ -1068,6 +1095,198 @@ class SqlEngine:
         if wait:
             self.jobs.wait(st.name)
         return job
+
+    def _asof_right_is_streaming(self, spec, cfgs: dict) -> bool:
+        """Route decision for a streaming-SQL ASOF JOIN: is the right
+        relation a stream (WITH-configured source or registered streaming
+        DF) or static reference data (registered TABLE / batch DF)?"""
+        if spec.right_table in self.tables:
+            return False
+        df = self.streams.get(spec.right_table)
+        if df is not None:
+            return df.isStreaming
+        cfg = cfgs.get(spec.right_table, {})
+        if cfg.get("type", "").endswith("_source"):
+            return True
+        raise NotImplementedError(
+            f"ASOF JOIN right side {spec.right_table!r} is not a registered "
+            "table/stream or a WITH-configured source"
+        )
+
+    def _deploy_asof_foreach_batch(
+        self, st: Statement, sql: str, spec, sink_format: str,
+        sink_options: dict, wait: bool,
+    ):
+        """CSAS whose SELECT carries an ASOF JOIN against STATIC reference
+        data: each micro-batch registers under a unique view spliced into
+        the statement's FROM segment, and the BATCH dialect rewrite
+        (operators/asof.py, union + fill-forward window) runs per batch —
+        exact for a static right side, since each output row depends on
+        one stream row plus the static table only. Inclusive (>=) and
+        strict (>) forms both work here; file and memory sinks supported
+        (Kafka needs broker transport, env-exempted)."""
+        SqlEngine._asof_view_n += 1
+        uview = f"_asof_fb_left_{SqlEngine._asof_view_n}"
+        s, e = spec.span
+        seg_re = re.compile(
+            rf"(?is)^FROM\s+{re.escape(spec.left_table)}"
+            rf"(?:\s+(?:AS\s+)?{re.escape(spec.left_alias)})?(?=\s)"
+        )
+        # a GLOBAL temp view: foreachBatch hands the batch to a cloned
+        # micro-batch session, and global_temp is the documented
+        # cross-session namespace within one SparkContext
+        new_seg = seg_re.sub(
+            f"FROM global_temp.{uview} AS {spec.left_alias}",
+            st.select_sql[s:e],
+            count=1,
+        )
+        per_batch_sql = st.select_sql[:s] + new_seg + st.select_sql[e:]
+
+        if sink_format == "kafka":
+            raise NotImplementedError(
+                "ASOF JOIN streaming jobs support file and memory sinks "
+                "(Kafka broker transport is environment-exempted)"
+            )
+        if sink_format == "memory":
+            from velostream_spark.streaming.runner import _scratch_dir
+
+            out_dir = _scratch_dir(f"vs-asoffb-{st.name}-")
+        else:
+            out_dir = sink_options["path"]
+
+        def fb(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.createOrReplaceGlobalTempView(uview)
+            out = self._sql(per_batch_sql)
+            if sink_format == "memory":
+                out.write.mode("append").parquet(out_dir)
+                # the job name reads like a memory-sink table would
+                self.spark.read.parquet(out_dir).createOrReplaceTempView(
+                    st.name
+                )
+            else:
+                w = out.write.mode("append").format(sink_format)
+                if sink_format == "csv":
+                    w = w.option("header", True)
+                w.save(out_dir)
+
+        def build() -> DataFrame:
+            self._wire_sources_streaming(st)
+            return self.spark.table(spec.left_table)
+
+        job = self.jobs.deploy(
+            st.name, build, sink_format=sink_format,
+            sink_options=dict(sink_options), output_mode="append",
+            foreach_batch=fb,
+        )
+        self._bind_metrics(st.name, sql)
+        if wait:
+            self.jobs.wait(st.name)
+        return job
+
+    def _build_asof_stream_stream(self, sql: str, spec) -> DataFrame:
+        """ASOF JOIN where BOTH sides are streams: routed to the stateful
+        stream-stream operator (streaming/asof_stream.py, bucketed-state
+        form — Python entered per hash bucket, watermark-finalized).
+        Contract: exactly ONE equality key; the STRICT form (l.ts > r.ts
+        — an inclusive as-of can never finalize its newest rows against a
+        watermark, a future right with rt == t stays admissible forever);
+        TIMESTAMP event-time columns; right unique per (key, rt) — the
+        batch operator's own well-formedness assumption (duplicates
+        resolve by max rt-payload, nondeterministically across batches
+        otherwise). Left row identity rides the operator's id slot as a
+        STRUCT of all left columns, so the surrounding SELECT addresses
+        them unchanged."""
+        from pyspark.sql.types import TimestampType
+
+        from velostream_spark.streaming.asof_stream import (
+            asof_join_stream_stream_bucketed,
+        )
+
+        if len(spec.keys) != 1:
+            raise NotImplementedError(
+                "stream-stream ASOF JOIN supports exactly one equality key "
+                f"(got {len(spec.keys)})"
+            )
+        if not spec.strict:
+            raise NotImplementedError(
+                "stream-stream ASOF JOIN requires the STRICT form "
+                "(l.ts > r.ts): an inclusive (>=) as-of cannot finalize "
+                "against a watermark — a future right row with rt == t "
+                "stays admissible forever. Use >, or register the right "
+                "side as a static TABLE for the inclusive foreachBatch "
+                "form."
+            )
+        left = self.spark.table(spec.left_table)
+        right = self.spark.table(spec.right_table)
+        lk, rk = spec.keys[0]
+        lts, rts = spec.left_ts, spec.right_ts
+        for df_, col_, side_ in ((left, lts, "left"), (right, rts, "right")):
+            if not isinstance(df_.schema[col_].dataType, TimestampType):
+                raise NotImplementedError(
+                    "stream-stream ASOF JOIN needs TIMESTAMP event-time "
+                    f"columns; {side_} column {col_!r} is "
+                    f"{df_.schema[col_].dataType.simpleString()}"
+                )
+        lcols = left.columns
+        pay = [c for c in right.columns if c != rk]
+        lid_type = left.select(F.struct(*lcols)).schema[0].dataType
+        l_side = left.select(
+            F.col(lk).alias("__velo_k"),
+            F.col(lts).alias("__velo_ts"),
+            F.lit("L").alias("__velo_side"),
+            F.struct(*lcols).alias("__velo_lid"),
+            *[
+                F.lit(None).cast(right.schema[p].dataType).alias(f"__velo_p_{p}")
+                for p in pay
+            ],
+            F.lit(None).cast("boolean").alias("__velo_p__m"),
+        )
+        r_side = right.where(
+            F.col(rk).isNotNull() & F.col(rts).isNotNull()
+        ).select(
+            F.col(rk).alias("__velo_k"),
+            F.col(rts).alias("__velo_ts"),
+            F.lit("R").alias("__velo_side"),
+            F.lit(None).cast(lid_type).alias("__velo_lid"),
+            *[F.col(p).alias(f"__velo_p_{p}") for p in pay],
+            F.lit(True).alias("__velo_p__m"),
+        )
+        u = l_side.unionByName(r_side).withWatermark("__velo_ts", "0 seconds")
+        out = asof_join_stream_stream_bucketed(
+            u,
+            key_col="__velo_k",
+            time_col="__velo_ts",
+            side_col="__velo_side",
+            left_side="L",
+            id_col="__velo_lid",
+            payload_cols=[f"__velo_p_{p}" for p in pay] + ["__velo_p__m"],
+            tiebreak_col=f"__velo_p_{rts}",
+        )
+        rename: dict[str, str] = {}
+        sel = [F.col(f"__velo_lid.{c}").alias(c) for c in lcols]
+        lset = set(lcols)
+        for p in pay:
+            final = p if p not in lset else f"asof_{p}"
+            rename[p] = final
+            sel.append(F.col(f"asof___velo_p_{p}").alias(final))
+        rename.setdefault(rk, lk)
+        res = out.select(*sel, F.col("asof___velo_p__m").alias("__velo_matched"))
+        if spec.inner:
+            res = res.where(F.col("__velo_matched").isNotNull())
+        res = res.drop("__velo_matched")
+        SqlEngine._asof_view_n += 1
+        view = f"_asof_stream_{SqlEngine._asof_view_n}"
+        res.createOrReplaceTempView(view)
+        return self.spark.sql(
+            self._requalify_around_span(
+                sql,
+                spec.span,
+                view,
+                (spec.left_alias, spec.left_table),
+                (spec.right_alias, spec.right_table),
+                rename,
+            )
+        )
 
     def _apply_partition_annotations(self, df: DataFrame, st: Statement) -> DataFrame:
         """Partitioning annotations (annotations.rs:6-14, strategy enum

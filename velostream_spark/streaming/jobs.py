@@ -42,6 +42,12 @@ class StreamJob:
     deployed_at: float = field(default_factory=time.time)
     #: STOP JOB name FORCE (ast.rs StopJob.force) — echoed like job.rs:103
     stop_forced: bool = False
+    #: per-micro-batch sink function (fn(batch_df, batch_id)); when set the
+    #: writer uses foreachBatch instead of the format sink — the route for
+    #: per-batch enrichments (e.g. the streaming-SQL ASOF JOIN against a
+    #: static table); sink_format/sink_options then describe the target the
+    #: function writes to, for SHOW JOBS only
+    foreach_batch: Callable[[DataFrame, int], None] | None = None
 
 
 @dataclass
@@ -84,6 +90,7 @@ class StreamJobManager:
         output_mode: str = "append",
         trigger: dict[str, Any] | None = None,
         start: bool = True,
+        foreach_batch: Callable[[DataFrame, int], None] | None = None,
     ) -> StreamJob:
         """DEPLOY JOB — register and (by default) start a named job."""
         if name in self.jobs and self.jobs[name].state == "running":
@@ -96,6 +103,7 @@ class StreamJobManager:
             output_mode=output_mode,
             checkpoint=os.path.join(self.checkpoint_root, name),
             trigger=dict(trigger or {"availableNow": True}),
+            foreach_batch=foreach_batch,
         )
         self.jobs[name] = job
         if start:
@@ -103,15 +111,18 @@ class StreamJobManager:
         return job
 
     def _start(self, job: StreamJob, query_name: str | None = None) -> None:
+        writer = job.build().writeStream
+        if job.foreach_batch is not None:
+            writer = writer.foreachBatch(job.foreach_batch)
+        else:
+            writer = writer.format(job.sink_format)
+            for k, v in job.sink_options.items():
+                writer = writer.option(k, v)
         writer = (
-            job.build()
-            .writeStream.format(job.sink_format)
-            .queryName(query_name or job.name)
+            writer.queryName(query_name or job.name)
             .outputMode(job.output_mode)
             .option("checkpointLocation", job.checkpoint)
         )
-        for k, v in job.sink_options.items():
-            writer = writer.option(k, v)
         if job.trigger:
             writer = writer.trigger(**job.trigger)
         job.query = writer.start()
