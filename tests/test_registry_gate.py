@@ -22,7 +22,7 @@ FLAGSHIPS = {
     "ngram_jaccard_pairs",
     "cross_dedup_bloom",
     "dedup_canonical",
-    "bigram_lm_score",
+    "quality_classifier_score",
     "curation_pipeline",
     "corpus_mix",
     "ann_ivf_pq_residual_topk",
@@ -32,20 +32,21 @@ FLAGSHIPS = {
     "streaming_rows_window",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 8 (round 11) —
-#: the round-10 time-series/bloom/tfidf/bigram/residual-ANN suite, all
-#: exact-oracle. Every displaced near-twin holds an official r10 record
-#: (CORRECTNESS_r10 was 50/50 green) and stays in the catalog + parity
-#: mirror; displacement map in registry.GATE_ORDER's ROTATION batch 8 block.
+#: THIS round's first-time-official entrants: rotation batch 9 (round 12)
+#: — the round-11 classifier/heavy-hitters/dialect-time-series/split/
+#: streaming suite plus the stream-stream as-of, all exact-oracle. Every
+#: displaced near-twin holds an official r11 record (CORRECTNESS_r11 was
+#: 50/50 green) and stays in the catalog + parity mirror; displacement
+#: map in registry.GATE_ORDER's ROTATION batch 9 block.
 ROTATED_IN = {
-    "ann_ivf_pq_residual_topk",
-    "ann_ivf_pq_refine_topk",
-    "cross_dedup_bloom",
-    "tfidf_topk_terms",
-    "bigram_lm_score",
-    "asof_join",
-    "range_join",
-    "hypertable_rollup",
+    "quality_classifier_score",
+    "heavy_hitters",
+    "dialect_asof_select",
+    "dialect_range_select",
+    "dataset_split",
+    "streaming_classifier_gate",
+    "streaming_range_join",
+    "streaming_asof_ss",
 }
 
 
@@ -179,27 +180,46 @@ def test_batch8_executed_and_displaced_stay_mirrored():
         assert n not in first50, n
 
 
-#: Batch-9 rotation plan (round 12, registry.GATE_ORDER doc): every
-#: planned entrant must already exist in the catalog WITH an exact oracle
-#: — this pin keeps the documented plan executable (a renamed or
-#: oracle-less entrant would silently break the next round's rotation).
-BATCH9_PLANNED = {
-    "quality_classifier_score",
-    "heavy_hitters",
-    "dialect_asof_select",
-    "dialect_range_select",
-    "dataset_split",
-    "streaming_classifier_gate",
-    "streaming_range_join",
+#: Batch-9 rotation (EXECUTED round 12): every entrant holds a gate slot,
+#: and every DISPLACED near-twin stays in the catalog + mirror with its
+#: exact oracle intact (each holds an official r11 record; coverage map
+#: in registry.GATE_ORDER's ROTATION batch 9 block).
+BATCH9_DISPLACED = {
+    "bigram_lm_score",
+    "string_functions",
+    "asof_join",
+    "range_join",
+    "global_shuffle",
+    "streaming_sliding_final",
+    "streaming_interval_join",
+    "streaming_session_join",
 }
 
 
-def test_batch9_entrants_exist_with_oracles():
+def test_batch9_executed_and_displaced_stay_mirrored():
     catalog = all_queries()
-    missing = [n for n in BATCH9_PLANNED if n not in catalog]
+    first50 = set(GATE_ORDER)
+    assert ROTATED_IN <= first50
+    for n in BATCH9_DISPLACED:
+        assert n in catalog and catalog[n].oracle, n
+        assert n not in first50, n
+
+
+#: Batch-10 rotation plan (round 13, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+BATCH10_PLANNED = {
+    "dialect_asof_stream",
+}
+
+
+def test_batch10_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH10_PLANNED if n not in catalog]
     assert not missing, missing
-    no_oracle = [n for n in BATCH9_PLANNED if not catalog[n].oracle]
+    no_oracle = [n for n in BATCH10_PLANNED if not catalog[n].oracle]
     assert not no_oracle, no_oracle
     # and none of them currently hold a gate slot (they are entrants)
     first50 = set(GATE_ORDER)
-    assert not (BATCH9_PLANNED & first50), BATCH9_PLANNED & first50
+    assert not (BATCH10_PLANNED & first50), BATCH10_PLANNED & first50

@@ -300,9 +300,10 @@ _LOADED = False
 #: percentile_aggs_approx (sketches have no cross-engine oracle —
 #: tolerance/overestimate-pinned against their exact gated twins).
 #:
-#: ROTATION batch 9 (planned for round 12, once batch 8 holds its first
-#: official record in CORRECTNESS_r11): rotate in the round-11 entries —
-#: all exact-oracle, all parity-green at the gate scale since round 11:
+#: ROTATION batch 9 (EXECUTED in round 12 — precondition met: batch 8
+#: holds official r11 records, CORRECTNESS_r11 50/50 green): rotate in
+#: the round-11 entries — all exact-oracle, all parity-green at the gate
+#: scale since round 11:
 #: quality_classifier_score ← bigram_lm_score (pure-Catalyst text-quality
 #: family — the LM scorer will hold its official r11 record; the
 #: model-inference scorer is the family's zero-shuffle production form);
@@ -325,6 +326,19 @@ _LOADED = False
 #: they share their window twins' oracles VERBATIM, so a gate slot would
 #: re-verify the same SQL — the strategy equality is pinned directly in
 #: tests/test_skewagg.py instead.
+#: Batch-9 8th entrant (r11 verdict task 1): streaming_asof_ss ←
+#: streaming_session_join (the round-11 flagship custom stateful operator
+#: with an EXACT DuckDB-native-ASOF oracle deserves an official record;
+#: session_join holds official r10-r11 records and its
+#: applyInPandasWithState family coverage is carried by asof_ss itself
+#: plus the mirror).
+#:
+#: ROTATION batch 10 (planned for round 13, once batch 9 holds its first
+#: official record in CORRECTNESS_r12): candidates, all already
+#: mirror-verified — dialect_asof_stream ← streaming_asof_join (same
+#: enrichment shape, now through the streaming-SQL surface with the
+#: identical native-ASOF oracle; the foreachBatch entry keeps its
+#: official r10-r11 records), and the streaming CMS gate once it lands.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -338,7 +352,10 @@ GATE_ORDER = [
     "prometheus_metrics",
     # §2.9 scalar function catalog (math_functions → batch-3 rotation:
     # dialect_functions_select + the function-catalog conformance sweep)
-    "string_functions",
+    # batch 9: string_functions (official r8-r11) → heavy_hitters (exact
+    # top-k; scalar coverage carried by the conformance sweep +
+    # dialect_functions_select, staying)
+    "heavy_hitters",
     # batch 7: date_functions → dialect_cast_multiformat + conformance sweep
     # batch 8: json_functions → tfidf_topk_terms (scalar coverage carried by
     # the conformance sweep + dialect_functions_select + string_functions)
@@ -360,11 +377,18 @@ GATE_ORDER = [
     "join_left_with_defaults",
     # batch 8: interval_join → asof_join (time-conditioned join family;
     # interval holds official r9-r10 records, both twins stay in mirror)
-    "asof_join",
-    "streaming_interval_join",
+    # batch 9: asof_join (official r11) → dialect_asof_select (same
+    # operator + the STRONGER identical-SQL-text oracle through the
+    # dialect; the batch operator stays a bench headline)
+    "dialect_asof_select",
+    # batch 9: streaming_interval_join (official r9-r11) →
+    # streaming_range_join (time-conditioned stream join family; both
+    # interval twins stay in the mirror)
+    "streaming_range_join",
     # batch 8: dialect_quantified_comparisons (official r9-r10) → range_join
-    # (bucketized point-in-interval join Spark lacks an operator for)
-    "range_join",
+    # batch 9: range_join (official r11) → dialect_range_select (same
+    # displacement logic as dialect_asof_select)
+    "dialect_range_select",
     # §2.7 subqueries (scalar/exists forms carried by the fused entry;
     # any_all → batch-4 rotation: dialect_quantified_comparisons)
     "scalar_exists_subquery",
@@ -394,16 +418,19 @@ GATE_ORDER = [
     # r10) → cross_dedup_bloom (hash-keyed dedup family)
     "cross_dedup_bloom",
     "dedup_canonical",
-    # batch 8: pii_scrub (official r8-r10) → bigram_lm_score (the newer
-    # pure-Catalyst text-quality signal)
-    "bigram_lm_score",
+    # batch 8: pii_scrub (official r8-r10) → bigram_lm_score
+    # batch 9: bigram_lm_score (official r11) → quality_classifier_score
+    # (the text-quality family's zero-shuffle model-inference form)
+    "quality_classifier_score",
     "curation_pipeline",
     "corpus_mix",
     # batch 7: ann_ivf_topk → ann_ivf_pq_topk; batch 8: ann_ivf_pq_topk
     # (official r10) → the strictly-stronger residual production form
     "ann_ivf_pq_residual_topk",
     "semdedup",
-    "global_shuffle",
+    # batch 9: global_shuffle (official r9-r11) → dataset_split
+    # (deterministic-hash sampling family; corpus_mix stays official)
+    "dataset_split",
     "multimodal_image_stats",
     # batch 7: multimodal_audio_energy → ann_pq_adc_topk; batch 8:
     # ann_pq_adc_topk (official r10) → refine (contains the ADC scan)
@@ -416,12 +443,19 @@ GATE_ORDER = [
     # (tumbling_final/group_by_changes/dedup → batch-4 rotation: the
     # never-gated changes/final twins below)
     "streaming_tumbling_changes",
-    "streaming_sliding_final",
+    # batch 9: streaming_sliding_final (official r8-r11) →
+    # streaming_classifier_gate (EMIT FINAL carried by
+    # streaming_session_final, staying)
+    "streaming_classifier_gate",
     "streaming_session_final",
     # batch 6: streaming_group_by_final → sliding/session EMIT FINAL twins
     "streaming_curation",
     "streaming_rows_window",
-    "streaming_session_join",
+    # batch 9: streaming_session_join (official r10-r11) →
+    # streaming_asof_ss (the stateful stream-stream as-of with the EXACT
+    # DuckDB-native-ASOF oracle; applyInPandasWithState family coverage
+    # carried by asof_ss itself + the mirror)
+    "streaming_asof_ss",
 ]
 
 
