@@ -165,3 +165,62 @@ def test_classifier_empty_array_null_under_ansi(spark):
     got = {r["i"]: r["score"] for r in rows}
     assert got[1] is None
     assert got[2] == 0.5
+
+
+def test_cms_md5_twin_positions_match_duckdb_and_overestimate(spark):
+    """The md5-position CMS twin (the oracle-reproducible one behind
+    streaming_cms_gate): Spark and DuckDB compute IDENTICAL positions,
+    and estimates are always >= the true counts."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.cms import (
+        _pos_md5,
+        cms_build_md5,
+        cms_estimate_md5,
+        pos_md5_sql,
+    )
+
+    keys = [1, 7, 42, 4096, 999983]
+    got = (
+        spark.createDataFrame([(k,) for k in keys], "k long")
+        .select("k", *[_pos_md5(F.col("k"), d, 4096).alias(f"p{d}") for d in range(3)])
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        for d in range(3):
+            want = con.execute(
+                f"SELECT {pos_md5_sql(str(r['k']), d, 4096)}"
+            ).fetchone()[0]
+            assert r[f"p{d}"] == want, (r["k"], d)
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 30 + [2] * 5 + [3] * 1], "k long"
+    )
+    grid = cms_build_md5(df, "k", w=4096, d=3)
+    est = {
+        r["k"]: r["e"]
+        for r in df.distinct()
+        .select("k", cms_estimate_md5(F.col("k"), grid, 4096).alias("e"))
+        .collect()
+    }
+    assert est[1] >= 30 and est[2] >= 5 and est[3] >= 1
+
+
+def test_cms_md5_gate_plan_is_literal_probe(spark):
+    """Plan pin for the CMS gate shape: the estimate+filter is a literal
+    grid probe — zero Python, no join, no exchange introduced by the
+    gate itself."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.cms import cms_build_md5, cms_estimate_md5
+
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    grid = cms_build_md5(df, "k", w=4096, d=3)
+    gated = df.select(
+        "k", cms_estimate_md5(F.col("k"), grid, 4096).alias("e")
+    ).where(F.col("e") >= 1)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

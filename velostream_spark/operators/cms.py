@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_build_md5",
+    "cms_estimate_md5",
+    "pos_md5_sql",
+]
 
 
 def _pos(key: Column, depth: int, w: int) -> Column:
@@ -92,6 +98,83 @@ def cms_estimate(key: Column, grid: list[list[int]], w: int) -> Column:
     key's counter — >= the true count ALWAYS (collisions only add)."""
     lookups = [
         F.element_at(F.lit(row), (_pos(key, i, w) + 1).cast("int"))
+        for i, row in enumerate(grid)
+    ]
+    return lookups[0] if len(lookups) == 1 else F.least(*lookups)
+
+
+# ---------------------------------------------------------------------------
+# md5-hashed twin — engine-independent positions (classify.bucket_of's
+# nibble parse), so DuckDB can rebuild the IDENTICAL grid and estimates in
+# plain SQL: the gate built on this sketch gets an EXACT oracle, collisions
+# included. xxhash64 (above) is the faster JVM-only production hash; the
+# md5 twin is the cross-checkable one (same trade as classify.py documents).
+# ---------------------------------------------------------------------------
+
+
+def _pos_md5(key: Column, depth: int, w: int) -> Column:
+    from velostream_spark.operators.classify import bucket_of
+
+    return bucket_of(F.concat(key.cast("string"), F.lit(f"#{depth}")), w)
+
+
+def pos_md5_sql(key_expr: str, depth: int, w: int) -> str:
+    """The DuckDB spelling of :func:`_pos_md5` — value-identical (pinned
+    in tests/test_cms.py via classify's bucket parity)."""
+    from velostream_spark.operators.classify import bucket_of_sql
+
+    return bucket_of_sql(f"concat(CAST({key_expr} AS VARCHAR), '#{depth}')", w)
+
+
+def cms_build_md5(
+    df: DataFrame,
+    key_col: str,
+    w: int = 4096,
+    d: int = 3,
+    weight_col: str | None = None,
+) -> list[list[int]]:
+    """:func:`cms_build` with md5-nibble positions (``w`` a power of 16).
+    Same distributed shape: map-side-combined per-key counts, cell
+    explode, grid-bounded reduce, d*w longs to the driver."""
+    cnt = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            (
+                F.sum(weight_col) if weight_col else F.count(F.lit(1))
+            ).alias("_cnt")
+        )
+    )
+    cells = cnt.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        _pos_md5(F.col(key_col), i, w).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+        "_cnt",
+    )
+    rows = (
+        cells.groupBy("cell.depth", "cell.pos")
+        .agg(F.sum("_cnt").alias("c"))
+        .collect()
+    )
+    grid = [[0] * w for _ in range(d)]
+    for r in rows:
+        grid[r["depth"]][r["pos"]] = r["c"]
+    return grid
+
+
+def cms_estimate_md5(key: Column, grid: list[list[int]], w: int) -> Column:
+    """Codegen estimate over an md5-position grid (literal lookup, MIN
+    over depths — zero Python, zero shuffle)."""
+    lookups = [
+        F.element_at(F.lit(row), (_pos_md5(key, i, w) + 1).cast("int"))
         for i, row in enumerate(grid)
     ]
     return lookups[0] if len(lookups) == 1 else F.least(*lookups)

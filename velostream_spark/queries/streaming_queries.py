@@ -745,6 +745,69 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(scored, "append", "streaming_classifier_gate")
 
 
+def _cms_gate_oracle() -> str:
+    from velostream_spark.operators.cms import pos_md5_sql
+
+    p = lambda expr, d: pos_md5_sql(expr, d, 4096)  # noqa: E731
+    return f"""
+WITH cnt AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT 0 AS depth, {p("user_id", 0)} AS pos, SUM(c) AS cc FROM cnt GROUP BY 2
+  UNION ALL
+  SELECT 1, {p("user_id", 1)}, SUM(c) FROM cnt GROUP BY 2
+  UNION ALL
+  SELECT 2, {p("user_id", 2)}, SUM(c) FROM cnt GROUP BY 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(LEAST(c0.cc, c1.cc, c2.cc) AS BIGINT) AS est_cnt
+FROM events e
+JOIN cells c0 ON c0.depth = 0 AND c0.pos = {p("e.user_id", 0)}
+JOIN cells c1 ON c1.depth = 1 AND c1.pos = {p("e.user_id", 1)}
+JOIN cells c2 ON c2.depth = 2 AND c2.pos = {p("e.user_id", 2)}
+WHERE LEAST(c0.cc, c1.cc, c2.cc) >= 70
+"""
+
+
+@query(
+    "streaming_cms_gate",
+    oracle=_cms_gate_oracle(),
+    tags=("streaming", "stats", "sketch", "gate", "beyond-reference"),
+)
+def streaming_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous heavy-hitter gating by count-min sketch (r11 verdict
+    task 7): events stream in and only rows whose key is
+    ESTIMATED-FREQUENT pass — the hot-key detector / rate-limit feed, the
+    streaming_classifier_gate pattern with a sketch in place of a model.
+    The 3x4096 grid (operators/cms.py md5 twin, 96 KB) is built ONCE from
+    the reference corpus batch-side — the one-time index build — and
+    rides every task as a literal; the per-row estimate is
+    LEAST(element_at(...)) over md5-nibble positions: pure whole-stage
+    codegen, ZERO Python, ZERO shuffle, no state store (stateless per
+    batch ⇒ append streaming equals the batch gate exactly). The oracle
+    is the strongest kind available for a sketch: DuckDB REBUILDS the
+    identical grid and estimates in plain SQL (md5-nibble positions are
+    engine-independent), so the parity check covers the sketch's
+    collisions too, not just the gate's happy path. At 100 TB the grid
+    replaces vocabulary-sized exact-count state with a fixed mergeable
+    96 KB aggregate — the CMS composed into a consumer, completing the
+    sketch family's streaming story."""
+    from velostream_spark.operators.cms import cms_build_md5, cms_estimate_md5
+
+    ev = tables(spark, sf_dir)["events"]
+    grid = cms_build_md5(ev, "user_id", w=4096, d=3)
+    sdf = stream_table(spark, sf_dir, "events")
+    gated = sdf.select(
+        "event_id",
+        "user_id",
+        cms_estimate_md5(F.col("user_id"), grid, 4096)
+        .cast("long")
+        .alias("est_cnt"),
+    ).where(F.col("est_cnt") >= 70)
+    return run_available_now(gated, "append", "streaming_cms_gate")
+
+
 _STREAMING_ASOF_SS_ORACLE = """
 WITH ev AS (
   SELECT event_id, user_id, value,
