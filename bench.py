@@ -50,6 +50,7 @@ HEADLINE = [
     "hypertable_rollup",
     "streaming_asof_join",
     "streaming_asof_ss",
+    "streaming_range_join",
     "windowed_join",
     "exists_subquery",
     "in_subquery",
@@ -78,6 +79,7 @@ HEADLINE = [
     "sequence_packing_ffd",
     "corpus_mix",
     "global_shuffle",
+    "dataset_split",
     "curation_pipeline",
     "semdedup",
     "dedup_exact",
@@ -104,11 +106,14 @@ HEADLINE = [
     "multimodal_frame_sample",
     "dialect_tumbling_select",
     "dialect_asof_select",
+    "dialect_range_select",
+    "dialect_asof_stream",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
     "streaming_rows_window",
     "streaming_session_join",
+    "streaming_classifier_gate",
     # rep=1: content-keyed dedup collapses replicated copies (identical
     # text → one survivor), so replication would NOT scale its work
     "streaming_curation",
@@ -199,7 +204,12 @@ AMORTIZED = {
 #:  - pq_encode / ann_pq_adc_topk: the ntile-anchor codebook selection
 #:    (PQ_K ids + their vectors) is the one-time PQ index training —
 #:    same class as ann_ivf_topk's centroid build.
+#:  - dialect_range_select: the engine's range rewrite auto-sizes the
+#:    bucket width with ONE tiny aggregation over the ranges side (avg
+#:    range width — an ANALYZE-class planning statistic, documented in
+#:    sql/engine.py's _rewrite_range_joins).
 EAGER_DERIVE = {
+    "dialect_range_select",
     "cross_dedup_bloom",
     "tfidf_topk_terms",
     "bigram_lm_score",
@@ -350,11 +360,15 @@ def main() -> None:
     amortized = {q: tr for q, tr in AMORTIZED.items() if q in HEADLINE}
     pool_root, rep_dirs = build_replica_pool(spark, SF_DIR, set(amortized.values()))
 
-    # Each query runs twice; we report the steady-state (min) — the first
-    # run pays one-time whole-stage-codegen JIT compilation, which the
-    # reference's loop-based benchmarks (thousands of iterations over the
-    # same compiled engine) also exclude by construction.
+    # Each query runs ≥4 times; we report the MEDIAN of the runs (r11
+    # verdict: min-of-2 left the official record noise-dominated — the
+    # carried-entry drift between rounds measured the machine, not the
+    # code). The first run still pays one-time whole-stage-codegen JIT;
+    # with ≥4 runs the median excludes that cold run by construction.
+    # The steady-state min is kept on stderr for continuity with r≤11.
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     derive: dict[str, float] = {}
     flagged: list[str] = []
     total = 0.0
@@ -370,11 +384,10 @@ def main() -> None:
             # fallback to the 1× base dir while still dividing by rep
             # would publish a rep×-flattering number
             sf_dir = SF_DIR if tables is None else rep_dirs[(tables, rep)]
-            best = float("inf")
             # streaming entries carry checkpoint/state-store init whose
-            # jitter can double a single run — one extra run stabilizes
-            # the steady-state min
-            runs = 3 if name.startswith("streaming_") else 2
+            # jitter can double a single run — they get one extra run on
+            # top of the ≥4 every entry now gets (r11 verdict task 2)
+            runs = 5 if name.startswith("streaming_") else 4
             # Batch entries: derive the DataFrame ONCE and execute it per
             # run — run 1 pays Catalyst analysis + codegen, the min is the
             # warm-engine steady state. That is the quantity the
@@ -387,8 +400,9 @@ def main() -> None:
             # iteration: streaming entries run their job in fn(); the CTAS
             # entry materializes its table in fn() (the CTAS is part of
             # what the reference's 864K rec/s CTAS figure measures).
-            rerun_fn = name.startswith("streaming_") or name == (
-                "dialect_ctas_stream_table_join"
+            rerun_fn = name.startswith("streaming_") or name in (
+                "dialect_ctas_stream_table_join",
+                "dialect_asof_stream",  # runs its streaming job inside fn()
             )
             prebuilt = None
             if not rerun_fn:
@@ -414,15 +428,21 @@ def main() -> None:
                     and name not in EAGER_DERIVE
                 ):
                     flagged.append(name)
+            walls: list[float] = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = prebuilt if prebuilt is not None else entry.fn(spark, sf_dir)
                 # write-to-noop materializes all rows without driver collect
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                walls.append(time.perf_counter() - t0)
+            import statistics
+
+            med = statistics.median(walls)
             # amortized entries report per-1×-input wall (job ran rep× rows)
-            times[name] = round(best / rep, 3)
-            total += best / rep
+            times[name] = round(med / rep, 3)
+            mins[name] = round(min(walls) / rep, 3)
+            run_counts[name] = runs
+            total += med / rep
             # Isolate queries: drop cached stages (minhash/simhash memos) so
             # a query's residual memory doesn't tax the queries after it.
             spark.catalog.clearCache()
@@ -443,6 +463,8 @@ def main() -> None:
             {
                 "derive_walls_sec": derive,
                 "queries": times,
+                "steady_min_sec": mins,
+                "runs": run_counts,
                 "amortized": {q: r for q, (_t, r) in amortized.items()},
                 "derive_flagged": flagged,
             },
@@ -450,7 +472,10 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
-    print(compact_stdout_line(total, times, flagged, len(amortized), sf_val))
+    runs_floor = min(run_counts.values()) if run_counts else 0
+    print(
+        compact_stdout_line(total, times, flagged, len(amortized), sf_val, runs_floor)
+    )
     spark.stop()
 
 
@@ -460,22 +485,25 @@ def main() -> None:
 LINE_BUDGET = 1700
 
 
-def compact_stdout_line(total, times, flagged, amortized_n, sf_val):
+def compact_stdout_line(total, times, flagged, amortized_n, sf_val, runs_floor=4):
     """ONE compact stdout JSON line, hard-budgeted under the driver's
     2000-char tail (LINE_BUDGET=1700 with headroom). Per-query walls stay
     on stdout whenever they fit (the driver's contract); the amortized
     replication-factor map lives on stderr with only its entry count here —
     "amortized_n" > 0 says "see AMORTIZED in bench.py / the stderr record".
-    Degrade ladder: 3-decimal walls → 2-decimal → elide the SMALLEST
-    2-decimal walls (keeping the big rows the baseline comparison cares
-    about) with "queries_elided"/"n_queries" declaring the cut. The full
-    3-decimal map is always on stderr. "derive_flagged" appears only when
-    non-empty (it is the alarm; its absence IS the green reading)."""
+    "runs_min" declares the minimum per-entry run count behind the medians
+    (r11 verdict task 2: every wall is a median of ≥4 runs, never a single
+    reading). Degrade ladder: 3-decimal walls → 2-decimal → elide the
+    SMALLEST 2-decimal walls (keeping the big rows the baseline comparison
+    cares about) with "queries_elided"/"n_queries" declaring the cut. The
+    full 3-decimal map is always on stderr. "derive_flagged" appears only
+    when non-empty (it is the alarm; its absence IS the green reading)."""
     base = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "amortized_n": amortized_n,
+        "runs_min": runs_floor,
         "sf": sf_val,
     }
     if flagged:

@@ -14,7 +14,13 @@ Zipf-like rank distribution, exponent ~1) from a CONSTANT 10k vocabulary,
 then times bigram_lm_score (window) vs bigram_lm_grouped (join) as the
 corpus grows at fixed vocabulary.
 
-Usage: python tools/zipf_spot.py [n_docs ...]   (default: 40000 320000 1280000)
+The same fixture answers tfidf's regime question (r11 verdict task 6):
+tfidf_topk_terms (window form) vs tfidf_topk_terms_join (grouped-join
+form) — the df-count hot key here is the stopword's document frequency.
+
+Usage: python tools/zipf_spot.py [query,query] [n_docs ...]
+  (defaults: bigram_lm_score,bigram_lm_grouped over 40000 320000 1280000;
+   non-integer args are the comma-separated query list)
 """
 
 from __future__ import annotations
@@ -89,7 +95,14 @@ def build_zipf_docs(spark, n_docs: int, root: str) -> str:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [40_000, 320_000, 1_280_000]
+    names = ("bigram_lm_score", "bigram_lm_grouped")
+    sizes: list[int] = []
+    for a in sys.argv[1:]:
+        if a.replace("_", "").isdigit():
+            sizes.append(int(a))
+        else:
+            names = tuple(a.split(","))
+    sizes = sizes or [40_000, 320_000, 1_280_000]
     from velostream_spark.registry import all_queries
     from velostream_spark.session import get_session
 
@@ -100,7 +113,7 @@ def main() -> None:
     try:
         dirs = {n: build_zipf_docs(spark, n, root) for n in sizes}
         print(f"{'query':24s} " + " ".join(f"{n:>9d}" for n in sizes))
-        for name in ("bigram_lm_score", "bigram_lm_grouped"):
+        for name in names:
             walls = [
                 steady_min(lambda d=dirs[n]: qs[name].fn(spark, d)) for n in sizes
             ]
