@@ -211,6 +211,8 @@ def test_batch9_executed_and_displaced_stay_mirrored():
 #: oracle-less entrant would silently break the next round's rotation).
 BATCH10_PLANNED = {
     "dialect_asof_stream",
+    "dialect_asof_stream_ss",
+    "streaming_cms_gate",
 }
 
 

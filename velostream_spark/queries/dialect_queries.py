@@ -467,3 +467,86 @@ def dialect_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'evl.format' = 'parquet')"
     )
     return spark.table("dialect_asof_out")
+
+
+@query(
+    "dialect_asof_stream_ss",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             make_timestamp(epoch_ms(ts) * 1000) AS ts
+      FROM events
+    ),
+    snaps AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS snap_value,
+             MAX(event_id)           AS snap_event_id
+      FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 <> 0)
+    SELECT l.event_id, l.user_id, l.ts,
+           s.snap_value    AS asof_snap_value,
+           s.snap_event_id AS asof_snap_event_id
+    FROM l ASOF LEFT JOIN snaps s
+      ON l.user_id = s.user_id AND l.ts > s.ts
+    """,
+    tags=(
+        "dialect", "streaming", "join", "asof", "stream-stream",
+        "stateful", "beyond-reference",
+    ),
+)
+def dialect_asof_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM ASOF JOIN from SQL text: BOTH relations arrive as
+    WITH-configured file streams and the strict (>) inequality routes the
+    statement to the stateful bucketed operator
+    (streaming/asof_stream.py) — left row identity rides the operator's
+    id slot as a struct of all left columns, so the surrounding SELECT
+    projects them unchanged. Strictness is REQUIRED on this path (an
+    inclusive as-of cannot finalize against a watermark — the engine
+    fails fast naming the alternative, pinned in pytest); DuckDB's native
+    ASOF JOIN runs the identical ``>`` condition as the oracle. Event
+    times are pre-truncated to the watermark's ms grain in both engines,
+    the streaming_asof_ss convention (sub-ms as-of ordering is not
+    expressible against an ms watermark)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "value",
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+    )
+    eng = SqlEngine(spark, time_col="ts")
+    snaps_dir = _scratch_dir("vs-asofss-snaps-")
+    (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("snap_value"),
+            F.max("event_id").alias("snap_event_id"),
+        )
+        .write.mode("overwrite")
+        .parquet(snaps_dir)
+    )
+    left_dir = _scratch_dir("vs-asofss-left-")
+    (
+        ev.where(F.col("event_id") % 10 != 0)
+        .select("event_id", "user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(left_dir)
+    )
+    eng.execute_streaming(
+        "CREATE STREAM dialect_asof_ss_out AS "
+        "SELECT l.event_id, l.user_id, l.ts, "
+        "s.snap_value AS asof_snap_value, "
+        "s.snap_event_id AS asof_snap_event_id "
+        "FROM evl l ASOF LEFT JOIN snp s "
+        "ON l.user_id = s.user_id AND l.ts > s.ts "
+        f"WITH ('evl.type' = 'file_source', 'evl.path' = '{left_dir}', "
+        "'evl.format' = 'parquet', "
+        f"'snp.type' = 'file_source', 'snp.path' = '{snaps_dir}', "
+        "'snp.format' = 'parquet')"
+    )
+    return spark.table("dialect_asof_ss_out")

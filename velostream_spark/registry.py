@@ -335,10 +335,18 @@ _LOADED = False
 #:
 #: ROTATION batch 10 (planned for round 13, once batch 9 holds its first
 #: official record in CORRECTNESS_r12): candidates, all already
-#: mirror-verified — dialect_asof_stream ← streaming_asof_join (same
-#: enrichment shape, now through the streaming-SQL surface with the
-#: identical native-ASOF oracle; the foreachBatch entry keeps its
-#: official r10-r11 records), and the streaming CMS gate once it lands.
+#: mirror-verified at sf0.01 —
+#: dialect_asof_stream ← streaming_asof_join (same enrichment shape, now
+#: through the streaming-SQL surface with the identical native-ASOF
+#: oracle; the foreachBatch entry keeps its official r10-r11 records);
+#: dialect_asof_stream_ss ← streaming_asof_ss (same displacement logic:
+#: the SQL-text surface over the same stateful operator, sharing the
+#: strict native-ASOF oracle verbatim — asof_ss will hold its official
+#: r12 record);
+#: streaming_cms_gate ← streaming_classifier_gate (the gate family's
+#: sketch member; its oracle REBUILDS the CMS natively in DuckDB so the
+#: parity covers the sketch's collisions — the classifier gate will hold
+#: its official r12 record and stays a bench headline).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
