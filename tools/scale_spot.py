@@ -165,6 +165,13 @@ def main() -> None:
         "range_join",
         "hypertable_rollup",
         "hypertable_rollup_approx",
+        # round-12 entries (events-table scaling): the CMS gate streams
+        # rep× events through the literal-grid probe after a rep×-sized
+        # grid build; the dialect streaming-asof entries run their whole
+        # streaming job (incl. scratch materialization) per invocation
+        "streaming_cms_gate",
+        "dialect_asof_stream",
+        "dialect_asof_stream_ss",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -537,6 +537,11 @@ def dialect_asof_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(left_dir)
     )
+    # file sink, not the default memory sink: Spark's memory sink collects
+    # every output row to the driver (measured: a 128× scale spot aborts on
+    # spark.driver.maxResultSize) — the parquet sink is the distributed,
+    # at-scale shape, same as run_available_now's append path
+    out_dir = _scratch_dir("vs-asofss-out-")
     eng.execute_streaming(
         "CREATE STREAM dialect_asof_ss_out AS "
         "SELECT l.event_id, l.user_id, l.ts, "
@@ -547,6 +552,13 @@ def dialect_asof_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH ('evl.type' = 'file_source', 'evl.path' = '{left_dir}', "
         "'evl.format' = 'parquet', "
         f"'snp.type' = 'file_source', 'snp.path' = '{snaps_dir}', "
-        "'snp.format' = 'parquet')"
+        "'snp.format' = 'parquet', "
+        "'dialect_asof_ss_out.type' = 'file_sink', "
+        "'dialect_asof_ss_out.format' = 'parquet', "
+        f"'dialect_asof_ss_out.path' = '{out_dir}')"
     )
-    return spark.table("dialect_asof_ss_out")
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "asof_snap_value double, asof_snap_event_id long"
+    )
+    return spark.read.schema(schema).parquet(out_dir)
