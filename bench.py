@@ -108,6 +108,7 @@ HEADLINE = [
     "dialect_asof_select",
     "dialect_range_select",
     "dialect_asof_stream",
+    "dialect_asof_stream_ss",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -402,7 +403,9 @@ def main() -> None:
             # what the reference's 864K rec/s CTAS figure measures).
             rerun_fn = name.startswith("streaming_") or name in (
                 "dialect_ctas_stream_table_join",
-                "dialect_asof_stream",  # runs its streaming job inside fn()
+                # these run their streaming job inside fn()
+                "dialect_asof_stream",
+                "dialect_asof_stream_ss",
             )
             prebuilt = None
             if not rerun_fn:
