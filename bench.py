@@ -109,6 +109,7 @@ HEADLINE = [
     "dialect_range_select",
     "dialect_asof_stream",
     "dialect_asof_stream_ss",
+    "dialect_range_stream",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -406,6 +407,7 @@ def main() -> None:
                 # these run their streaming job inside fn()
                 "dialect_asof_stream",
                 "dialect_asof_stream_ss",
+                "dialect_range_stream",
             )
             prebuilt = None
             if not rerun_fn:

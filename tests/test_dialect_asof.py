@@ -692,3 +692,58 @@ def test_bucket_flush_per_key_retention():
 
     out, keys, earliest, newest = _bucket_flush(st, 106 * MIN_US, retention_us, 1)
     assert not st and out == []               # 95 + 10 <= 106 -> all evicted
+
+
+def test_streaming_range_sql_routes_bucketized(spark, tmp_path):
+    """A streaming CSAS with an equality-free BETWEEN against STATIC
+    ranges routes through the bucketized rewrite (proved by the rewrite's
+    registered view, which a Spark-planned BNLJ would never create) and
+    matches the naive join."""
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "pts_in")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 99.0)], "pid int, v double"
+    ).write.parquet(src)
+    e.register_table(
+        "bands_s",
+        spark.createDataFrame(
+            [(10, 0.0, 10.0), (20, 20.0, 30.0)], "bid int, lo double, hi double"
+        ),
+    )
+    sink = str(tmp_path / "pts_out")
+    before = {t.name for t in spark.catalog.listTables()}
+    e.execute_streaming(
+        "CREATE STREAM banded AS SELECT p.pid, r.bid FROM p JOIN bands_s r "
+        "ON p.v BETWEEN r.lo AND r.hi "
+        f"WITH ('p.type' = 'file_source', 'p.path' = '{src}', "
+        "'p.format' = 'parquet', 'banded.type' = 'file_sink', "
+        f"'banded.format' = 'parquet', 'banded.path' = '{sink}')"
+    )
+    after = {t.name for t in spark.catalog.listTables()}
+    assert any(n.startswith("_range_join_") for n in after - before)
+    got = sorted(
+        (r["pid"], r["bid"])
+        for r in spark.read.schema("pid int, bid int").parquet(sink).collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_range_rewrite_skips_streaming_right(spark, tmp_path):
+    """A stream-STREAM range join is left to Spark: the auto bucket-width
+    sizing needs an eager aggregation over the ranges side, impossible on
+    a stream — the rewrite must skip the span, not crash."""
+    src = str(tmp_path / "ranges_in")
+    spark.createDataFrame(
+        [(10, 0.0, 10.0)], "bid int, lo double, hi double"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("bid int, lo double, hi double").parquet(src)
+    sdf.createOrReplaceTempView("rstream")
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "pts_sr", spark.createDataFrame([(1, 5.0)], "pid int, v double")
+    )
+    sql = (
+        "SELECT p.pid, r.bid FROM pts_sr p JOIN rstream r "
+        "ON p.v BETWEEN r.lo AND r.hi"
+    )
+    assert e._rewrite_range_joins(sql) == sql

@@ -212,6 +212,7 @@ def test_batch9_executed_and_displaced_stay_mirrored():
 BATCH10_PLANNED = {
     "dialect_asof_stream",
     "dialect_asof_stream_ss",
+    "dialect_range_stream",
     "streaming_cms_gate",
 }
 

@@ -172,6 +172,7 @@ def main() -> None:
         "streaming_cms_gate",
         "dialect_asof_stream",
         "dialect_asof_stream_ss",
+        "dialect_range_stream",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

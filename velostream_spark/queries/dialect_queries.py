@@ -562,3 +562,65 @@ def dialect_asof_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_snap_value double, asof_snap_event_id long"
     )
     return spark.read.schema(schema).parquet(out_dir)
+
+
+@query(
+    "dialect_range_stream",
+    oracle="""
+    WITH bands AS (
+      SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+      FROM (SELECT UNNEST(range(0, 25)) AS i)
+    )
+    SELECT e.event_id, e.value, b.band_id
+    FROM events e JOIN bands b
+      ON e.value BETWEEN b.lo AND b.hi
+    """,
+    tags=("dialect", "streaming", "join", "range", "beyond-reference"),
+)
+def dialect_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-SQL RANGE join: the equality-free BETWEEN shape submitted
+    as a CSAS routes to the bucketized operator on the STREAMING left —
+    the operator is stateless (bucket explode + static-side equi-join),
+    so the same rewrite the batch engine uses runs unchanged per
+    micro-batch plan; without it Spark plans a per-batch
+    BroadcastNestedLoopJoin. Stream-STREAM range joins are deliberately
+    left to Spark (the auto bucket-width sizing needs an eager
+    aggregation over the ranges side). Completes the time-series dialect
+    surface: ASOF and range joins both route in BOTH engines (batch
+    execute(), streaming execute_streaming()). Oracle: the naive BETWEEN
+    join, shared with streaming_range_join/dialect_range_select. File
+    sink (distributed write — the memory sink collects to the driver)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    eng = SqlEngine(spark, time_col="ts")
+    eng.register_table(
+        "bands_st",
+        spark.range(0, 25).select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 20.0).alias("lo"),
+            (F.col("id") * 20.0 + 30.0).alias("hi"),
+        ),
+    )
+    left_dir = _scratch_dir("vs-ranged-left-")
+    (
+        tables(spark, sf_dir)["events"]
+        .select("event_id", "value")
+        .write.mode("overwrite")
+        .parquet(left_dir)
+    )
+    out_dir = _scratch_dir("vs-ranged-out-")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_range_out AS "
+        "SELECT e.event_id, e.value, b.band_id "
+        "FROM ev_r e JOIN bands_st b ON e.value BETWEEN b.lo AND b.hi "
+        f"WITH ('ev_r.type' = 'file_source', 'ev_r.path' = '{left_dir}', "
+        "'ev_r.format' = 'parquet', "
+        "'dialect_range_out.type' = 'file_sink', "
+        "'dialect_range_out.format' = 'parquet', "
+        f"'dialect_range_out.path' = '{out_dir}')"
+    )
+    return spark.read.schema("event_id long, value double, band_id long").parquet(
+        out_dir
+    )

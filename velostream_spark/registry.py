@@ -346,7 +346,10 @@ _LOADED = False
 #: streaming_cms_gate ← streaming_classifier_gate (the gate family's
 #: sketch member; its oracle REBUILDS the CMS natively in DuckDB so the
 #: parity covers the sketch's collisions — the classifier gate will hold
-#: its official r12 record and stays a bench headline).
+#: its official r12 record and stays a bench headline);
+#: dialect_range_stream ← streaming_range_join (the same
+#: SQL-surface-over-operator displacement as dialect_asof_stream; the
+#: foreachBatch range entry will hold its official r12 record).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",

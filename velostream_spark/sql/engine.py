@@ -892,6 +892,12 @@ class SqlEngine:
             try:
                 left = self.spark.table(spec.left_table)
                 right = self.spark.table(spec.right_table)
+                if right.isStreaming:
+                    # the auto bucket-width sizing needs an eager
+                    # aggregation over the ranges side — impossible on a
+                    # stream; leave the span to Spark
+                    pos = spec.span[0] + 1
+                    continue
                 break
             except AnalysisException:
                 # a CTE/derived-table name, not a registered relation —
@@ -1036,7 +1042,19 @@ class SqlEngine:
                 # stream-stream operator
                 df = self._build_asof_stream_stream(st.select_sql, asof_spec)
             else:
-                df = self.spark.sql(st.select_sql)
+                # equality-free BETWEEN joins against STATIC ranges route
+                # to the bucketized operator here too — it is stateless
+                # (bucket explode + equi-join), so it runs unchanged on a
+                # streaming left; stream-STREAM range joins are left to
+                # Spark (the auto width sizing needs an eager aggregation
+                # over the ranges side)
+                cur = st.select_sql
+                for _ in range(8):
+                    nxt = self._rewrite_range_joins(cur)
+                    if nxt == cur:
+                        break
+                    cur = nxt
+                df = self.spark.sql(cur)
             return self._apply_partition_annotations(df, st)
 
         typ = sink_cfg.get("type", "memory")
