@@ -747,3 +747,25 @@ def test_range_rewrite_skips_streaming_right(spark, tmp_path):
         "ON p.v BETWEEN r.lo AND r.hi"
     )
     assert e._rewrite_range_joins(sql) == sql
+
+
+def test_streaming_asof_sql_group_by_fails_fast(spark, tmp_path):
+    """GROUP BY over the foreachBatch ASOF route would aggregate per
+    micro-batch (silently wrong) — the engine fails fast naming the
+    two-step alternative."""
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "gb_in")
+    spark.createDataFrame([(1, 5, "a")], "k int, t int, tag string").write.parquet(src)
+    e.register_table(
+        "quotes_gb",
+        spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double"),
+    )
+    with pytest.raises(NotImplementedError, match="per micro-batch"):
+        e.execute_streaming(
+            "CREATE STREAM agg_out AS SELECT s.k, SUM(q.v) AS sv "
+            "FROM s ASOF LEFT JOIN quotes_gb q ON s.k = q.k AND s.t >= q.rt "
+            "GROUP BY s.k "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )

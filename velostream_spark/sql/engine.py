@@ -1143,6 +1143,19 @@ class SqlEngine:
         one stream row plus the static table only. Inclusive (>=) and
         strict (>) forms both work here; file and memory sinks supported
         (Kafka needs broker transport, env-exempted)."""
+        # the statement runs per MICRO-BATCH: projections/filters over the
+        # enriched rows are exact (row-local), but a GROUP BY would emit
+        # per-batch PARTIAL aggregates to an append sink — silently wrong
+        # vs the continuous-aggregation reading. Fail fast with the
+        # two-step alternative instead.
+        masked = self._SQL_LITERAL_RE.sub("''", st.select_sql)
+        if re.search(r"(?i)\bGROUP\s+BY\b", masked):
+            raise NotImplementedError(
+                "ASOF JOIN + GROUP BY in one streaming statement would "
+                "aggregate per micro-batch, not continuously; CREATE the "
+                "enriched stream first (ASOF JOIN only), then run the "
+                "windowed aggregation as its own streaming statement"
+            )
         SqlEngine._asof_view_n += 1
         uview = f"_asof_fb_left_{SqlEngine._asof_view_n}"
         s, e = spec.span
