@@ -769,3 +769,56 @@ def test_streaming_asof_sql_group_by_fails_fast(spark, tmp_path):
             "'s.format' = 'parquet')",
             wait=False,
         )
+
+
+def test_streaming_asof_sql_ss_matches_batch_on_random_data(spark, tmp_path):
+    """Property pin for the stream-stream SQL route: on seeded random
+    (key, ts) data with a duplicates-free right side, the routed stateful
+    operator equals the batch strict as-of exactly — including NULL
+    payloads for keys with no preceding right and keys present on only
+    one side."""
+    import datetime as dt
+    import random
+
+    from velostream_spark.operators.asof import asof_join
+
+    rnd = random.Random(1207)
+    base = dt.datetime(2025, 6, 1)
+    lefts = [
+        (i, rnd.randrange(6), base + dt.timedelta(milliseconds=rnd.randrange(0, 5000)))
+        for i in range(300)
+    ]
+    seen = set()
+    rights = []
+    for j in range(200):
+        k = rnd.randrange(8)
+        ts = base + dt.timedelta(milliseconds=rnd.randrange(0, 5000))
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rights.append((1000 + j, k, ts, round(rnd.uniform(0, 100), 3)))
+    tdf = spark.createDataFrame(lefts, "trade_id int, k int, ts timestamp")
+    qdf = spark.createDataFrame(rights, "qid int, k int, ts timestamp, px double")
+    tsrc, qsrc = str(tmp_path / "rl"), str(tmp_path / "rr")
+    tdf.write.parquet(tsrc)
+    qdf.write.parquet(qsrc)
+    e = SqlEngine(spark, time_col="ts")
+    e.execute_streaming(
+        "CREATE STREAM rnd_ss AS SELECT s.trade_id, q.px "
+        "FROM s ASOF LEFT JOIN q ON s.k = q.k AND s.ts > q.ts "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{tsrc}', "
+        "'s.format' = 'parquet', "
+        f"'q.type' = 'file_source', 'q.path' = '{qsrc}', "
+        "'q.format' = 'parquet')"
+    )
+    got = sorted(
+        (r["trade_id"], r["px"]) for r in spark.table("rnd_ss").collect()
+    )
+    want = sorted(
+        (r["trade_id"], r["asof_px"])
+        for r in asof_join(
+            tdf, qdf, key="k", left_ts="ts", right_ts="ts",
+            payload=["px"], inclusive=False,
+        ).collect()
+    )
+    assert got == want and len(got) == 300
