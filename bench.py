@@ -110,6 +110,7 @@ HEADLINE = [
     "dialect_asof_stream",
     "dialect_asof_stream_ss",
     "dialect_range_stream",
+    "dialect_interval_stream",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -408,6 +409,7 @@ def main() -> None:
                 "dialect_asof_stream",
                 "dialect_asof_stream_ss",
                 "dialect_range_stream",
+                "dialect_interval_stream",
             )
             prebuilt = None
             if not rerun_fn:

@@ -213,6 +213,7 @@ BATCH10_PLANNED = {
     "dialect_asof_stream",
     "dialect_asof_stream_ss",
     "dialect_range_stream",
+    "dialect_interval_stream",
     "streaming_cms_gate",
 }
 

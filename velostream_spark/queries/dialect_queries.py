@@ -624,3 +624,59 @@ def dialect_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id long, value double, band_id long").parquet(
         out_dir
     )
+
+
+@query(
+    "dialect_interval_stream",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS follow_id,
+           a.user_id  AS user_id,
+           CAST(floor(epoch(b.ts) - epoch(a.ts)) AS BIGINT) AS lag_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("dialect", "streaming", "join", "interval", "stream-stream"),
+)
+def dialect_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join from SQL text: both relations arrive as
+    WITH-configured file streams carrying an EXPLICIT
+    '<src>.watermark.delay' — the opt-in that watermarks non-windowed
+    statements' sources, so Spark's native symmetric-hash stream-stream
+    join plans straight from the text (watermarks on both sides + the
+    time-bound ON condition = state evicted by event time, the
+    streaming_interval_join shape without a line of DataFrame code).
+    Inner joins emit on match, so the bounded availableNow run is exact —
+    the oracle is the identical naive interval join, shared verbatim with
+    streaming_interval_join. Completes the time-series dialect story:
+    ASOF, range AND interval joins all run from SQL in both engines."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts")
+    eng = SqlEngine(spark, time_col="ts")
+    src = _scratch_dir("vs-intervald-ev-")
+    ev.write.mode("overwrite").parquet(src)
+    out_dir = _scratch_dir("vs-intervald-out-")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_interval_out AS "
+        "SELECT a.event_id AS click_id, b.event_id AS follow_id, "
+        "a.user_id AS user_id, "
+        "CAST(FLOOR((unix_micros(b.ts) - unix_micros(a.ts)) / 1000000.0) "
+        "AS BIGINT) AS lag_seconds "
+        "FROM ev_a a JOIN ev_b b "
+        "ON a.user_id = b.user_id AND b.ts > a.ts "
+        "AND b.ts <= a.ts + INTERVAL 10 MINUTES "
+        f"WITH ('ev_a.type' = 'file_source', 'ev_a.path' = '{src}', "
+        "'ev_a.format' = 'parquet', 'ev_a.watermark.delay' = '0 seconds', "
+        f"'ev_b.type' = 'file_source', 'ev_b.path' = '{src}', "
+        "'ev_b.format' = 'parquet', 'ev_b.watermark.delay' = '0 seconds', "
+        "'dialect_interval_out.type' = 'file_sink', "
+        "'dialect_interval_out.format' = 'parquet', "
+        f"'dialect_interval_out.path' = '{out_dir}')"
+    )
+    schema = "click_id long, follow_id long, user_id long, lag_seconds long"
+    return spark.read.schema(schema).parquet(out_dir)

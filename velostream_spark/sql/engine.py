@@ -1447,9 +1447,15 @@ class SqlEngine:
         """Watermark a streaming source for windowed queries: the window
         clause's time column (or the engine default), with the reference's
         bounded-out-of-orderness delay (watermarks.rs:40-110) from
-        '<src>.watermark.delay' (default 0s = ascending-timestamps)."""
+        '<src>.watermark.delay' (default 0s = ascending-timestamps).
+
+        An EXPLICIT '<src>.watermark.delay' also watermarks sources of
+        non-windowed statements — the opt-in that lets Spark plan
+        stream-stream INTERVAL joins straight from SQL text (both sides
+        watermarked + a time-bound join condition = bounded symmetric-hash
+        state, the streaming_interval_join shape)."""
         tcol = (st.window.time_column if st.window else None) or self.time_col
-        if st.window is not None and tcol in sdf.columns:
+        if (st.window is not None or "watermark.delay" in cfg) and tcol in sdf.columns:
             return sdf.withWatermark(tcol, cfg.get("watermark.delay", "0 seconds"))
         return sdf
 
