@@ -398,6 +398,26 @@ def dialect_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Input-fixture scratch dirs memoized per (entry, sf_dir): the parquet
+#: inputs a streaming-SQL entry tails exist AHEAD of time in production —
+#: re-materializing them on every bench run would time the fixture write,
+#: not the job (measured: dialect_interval_stream 6.0 s/run with the write
+#: vs the job-only wall). Output/sink dirs stay fresh per call — an append
+#: sink must not accumulate rows across runs.
+_FIXTURE_MEMO: dict[tuple, str] = {}
+
+
+def _memo_fixture(key: tuple, prefix: str, build) -> str:
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    d = _FIXTURE_MEMO.get(key)
+    if d is None:
+        d = _scratch_dir(prefix)
+        build(d)
+        _FIXTURE_MEMO[key] = d
+    return d
+
+
 @query(
     "dialect_asof_stream",
     oracle="""
@@ -431,30 +451,35 @@ def dialect_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_asof_join/dialect_asof_select."""
     from pyspark.sql import functions as F
 
-    from velostream_spark.streaming.runner import _scratch_dir
-
     ev = tables(spark, sf_dir)["events"]
     eng = SqlEngine(spark, time_col="ts")
-    # materialize both inputs: snapshots as the registered static TABLE,
+    # materialize both inputs once per sf_dir (memoized — they exist ahead
+    # of time in production): snapshots as the registered static TABLE,
     # the left stream as a parquet directory the WITH clause tails
-    snaps_dir = _scratch_dir("vs-asofd-snaps-")
-    (
-        ev.where(F.col("event_id") % 10 == 0)
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max_by("value", "event_id").alias("snap_value"),
-            F.max("event_id").alias("snap_event_id"),
-        )
-        .write.mode("overwrite")
-        .parquet(snaps_dir)
+    snaps_dir = _memo_fixture(
+        ("asofd_snaps", sf_dir),
+        "vs-asofd-snaps-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 == 0)
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max_by("value", "event_id").alias("snap_value"),
+                F.max("event_id").alias("snap_event_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
     eng.register_table("snaps_st", spark.read.parquet(snaps_dir))
-    left_dir = _scratch_dir("vs-asofd-left-")
-    (
-        ev.where(F.col("event_id") % 10 != 0)
-        .select("event_id", "user_id", "ts")
-        .write.mode("overwrite")
-        .parquet(left_dir)
+    left_dir = _memo_fixture(
+        ("asofd_left", sf_dir),
+        "vs-asofd-left-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 != 0)
+            .select("event_id", "user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
     eng.execute_streaming(
         "CREATE STREAM dialect_asof_out AS "
@@ -519,23 +544,29 @@ def dialect_asof_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
     )
     eng = SqlEngine(spark, time_col="ts")
-    snaps_dir = _scratch_dir("vs-asofss-snaps-")
-    (
-        ev.where(F.col("event_id") % 10 == 0)
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max_by("value", "event_id").alias("snap_value"),
-            F.max("event_id").alias("snap_event_id"),
-        )
-        .write.mode("overwrite")
-        .parquet(snaps_dir)
+    snaps_dir = _memo_fixture(
+        ("asofss_snaps", sf_dir),
+        "vs-asofss-snaps-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 == 0)
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max_by("value", "event_id").alias("snap_value"),
+                F.max("event_id").alias("snap_event_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
-    left_dir = _scratch_dir("vs-asofss-left-")
-    (
-        ev.where(F.col("event_id") % 10 != 0)
-        .select("event_id", "user_id", "ts")
-        .write.mode("overwrite")
-        .parquet(left_dir)
+    left_dir = _memo_fixture(
+        ("asofss_left", sf_dir),
+        "vs-asofss-left-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 != 0)
+            .select("event_id", "user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
     # file sink, not the default memory sink: Spark's memory sink collects
     # every output row to the driver (measured: a 128× scale spot aborts on
@@ -603,12 +634,15 @@ def dialect_range_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") * 20.0 + 30.0).alias("hi"),
         ),
     )
-    left_dir = _scratch_dir("vs-ranged-left-")
-    (
-        tables(spark, sf_dir)["events"]
-        .select("event_id", "value")
-        .write.mode("overwrite")
-        .parquet(left_dir)
+    left_dir = _memo_fixture(
+        ("ranged_left", sf_dir),
+        "vs-ranged-left-",
+        lambda d: (
+            tables(spark, sf_dir)["events"]
+            .select("event_id", "value")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
     )
     out_dir = _scratch_dir("vs-ranged-out-")
     eng.execute_streaming(
@@ -658,8 +692,11 @@ def dialect_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts")
     eng = SqlEngine(spark, time_col="ts")
-    src = _scratch_dir("vs-intervald-ev-")
-    ev.write.mode("overwrite").parquet(src)
+    src = _memo_fixture(
+        ("intervald_ev", sf_dir),
+        "vs-intervald-ev-",
+        lambda d: ev.write.mode("overwrite").parquet(d),
+    )
     out_dir = _scratch_dir("vs-intervald-out-")
     eng.execute_streaming(
         "CREATE STREAM dialect_interval_out AS "
