@@ -215,6 +215,7 @@ BATCH10_PLANNED = {
     "dialect_range_stream",
     "dialect_interval_stream",
     "streaming_cms_gate",
+    "streaming_bloom_dedup",
 }
 
 

@@ -745,6 +745,52 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(scored, "append", "streaming_classifier_gate")
 
 
+def _streaming_bloom_oracle() -> str:
+    from velostream_spark.queries.pipeline import _CROSS_DEDUP_BLOOM_ORACLE
+
+    return _CROSS_DEDUP_BLOOM_ORACLE
+
+
+@query(
+    "streaming_bloom_dedup",
+    oracle=_streaming_bloom_oracle(),
+    tags=("streaming", "dedup", "bloom", "gate", "beyond-reference"),
+)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous cross-corpus dedup: documents stream in and only those
+    whose content fingerprint is NOT in the static reference corpus B
+    flow to the sink — "dedup the live crawl against last year's crawl",
+    the cross_dedup_bloom operation running on the firehose. The SAME
+    operator composition works unchanged on a streaming left because
+    every piece is per-row: the Bloom bitmap of B (one-time index build,
+    16 KB literal) splits the stream scan-side — bloom-NEGATIVE rows
+    (definitely not in B) bypass joining entirely inside whole-stage
+    codegen, and only bloom-positive rows (|A∩B| + fpp·|A|) take the
+    exact confirm via Spark's native stream-static LEFT ANTI join.
+    Stateless per batch ⇒ append streaming equals the batch operator
+    exactly, and the bloom can never flip an answer (no false negatives
+    by construction) — so the oracle is the plain NOT EXISTS, shared
+    VERBATIM with cross_dedup_bloom. At 100 TB this is the shape that
+    avoids shuffling the whole stream into a join: the dominant fraction
+    of rows never leaves its input partition."""
+    from velostream_spark.operators import bloom
+    from velostream_spark.operators import textops
+
+    fp = F.md5(textops.normalize(F.col("text"))).alias("fp")
+    b = (
+        tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", fp)
+    )
+    a = (
+        stream_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 != 0)
+        .select("doc_id", fp)
+    )
+    out = bloom.bloom_anti_join(a, b, "fp", k=5)
+    return run_available_now(out, "append", "streaming_bloom_dedup")
+
+
 def _cms_gate_oracle() -> str:
     from velostream_spark.operators.cms import pos_md5_sql
 

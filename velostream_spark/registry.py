@@ -349,7 +349,12 @@ _LOADED = False
 #: its official r12 record and stays a bench headline);
 #: dialect_range_stream ← streaming_range_join (the same
 #: SQL-surface-over-operator displacement as dialect_asof_stream; the
-#: foreachBatch range entry will hold its official r12 record).
+#: foreachBatch range entry will hold its official r12 record);
+#: dialect_interval_stream and streaming_bloom_dedup (bloom-bypass
+#: cross-corpus dedup on the firehose, oracle shared verbatim with
+#: cross_dedup_bloom) are further candidates — more parity-green
+#: entrants than freed slots is the healthy direction; pick at
+#: rotation time.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
