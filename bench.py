@@ -173,6 +173,18 @@ AMORTIZED = {
     "scalar_exists_subquery": (("orders", "lineitem"), 16),
     "dialect_ctas_stream_table_join": (("events",), 16),
     "streaming_group_by_changes": (("events",), 48),
+    # streaming-SQL dialect entries: each runs its WHOLE job per fn() call
+    # (source wiring, checkpoint, state store, sink commit) — the same
+    # stateful-streaming floor as the entries above. 16×, not 48×: their
+    # 1× job walls (0.9-6 s) already dominate the floor at 16×
+    # (tools/scale_spot.py: interval 5.99→8.89 s, asof_ss 4.57→7.15 s,
+    # asof 1.80→2.21 s, range 1.09→1.09 s for 16× the rows), and 4-5 runs
+    # of a 48× stream-stream join would add minutes of bench wall for no
+    # extra information.
+    "dialect_asof_stream": (("events",), 16),
+    "dialect_asof_stream_ss": (("events",), 16),
+    "dialect_range_stream": (("events",), 16),
+    "dialect_interval_stream": (("events",), 16),
     # rep=1 entries: LAYOUT normalization only — values bit-identical, no
     # replication, wall reported at 1×. The driver's sf0.1 lineitem is ONE
     # parquet row group (row groups are Spark's split unit, so the 600K-row
