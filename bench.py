@@ -185,6 +185,11 @@ AMORTIZED = {
     "dialect_asof_stream_ss": (("events",), 16),
     "dialect_range_stream": (("events",), 16),
     "dialect_interval_stream": (("events",), 16),
+    # stateless per-doc model inference — content-blind, so id-shift
+    # replication scales its work linearly (16x: the ~2.4 s 1x wall is
+    # almost entirely the streaming floor; marginal cost 0.017 s/1x
+    # measured in the r11 scale spots)
+    "streaming_classifier_gate": (("documents",), 16),
     # rep=1 entries: LAYOUT normalization only — values bit-identical, no
     # replication, wall reported at 1×. The driver's sf0.1 lineitem is ONE
     # parquet row group (row groups are Spark's split unit, so the 600K-row
@@ -245,6 +250,12 @@ EAGER_DERIVE = {
 #: within-replica (more keys, same per-key history — work scales linearly)
 _SHIFT_COLS = {
     "events": ["event_id", "user_id"],
+    # documents: id-shift only (text unchanged). Valid ONLY for entries
+    # whose work is per-row and content-BLIND (the classifier gate scores
+    # each doc independently); content-KEYED entries (dedup/span/bloom/
+    # curation) stay un-amortized — replicated identical texts would
+    # collapse into one survivor set or explode cross-replica matches.
+    "documents": ["doc_id"],
     "orders": ["o_orderkey", "o_custkey"],
     "supplier": ["s_suppkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
@@ -256,6 +267,7 @@ _SHIFT_COLS = {
 #: or cross-table joins (l_suppkey = s_suppkey, ...) break across replicas.
 _KEY_DOMAIN = {
     "event_id": "event",
+    "doc_id": "doc",
     "user_id": "user",
     "o_orderkey": "order",
     "l_orderkey": "order",
