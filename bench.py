@@ -118,6 +118,7 @@ HEADLINE = [
     "streaming_session_join",
     "streaming_classifier_gate",
     "streaming_bloom_dedup",
+    "streaming_decontam_gate",
     # rep=1: content-keyed dedup collapses replicated copies (identical
     # text → one survivor), so replication would NOT scale its work
     "streaming_curation",

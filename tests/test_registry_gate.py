@@ -216,6 +216,7 @@ BATCH10_PLANNED = {
     "dialect_interval_stream",
     "streaming_cms_gate",
     "streaming_bloom_dedup",
+    "streaming_decontam_gate",
 }
 
 

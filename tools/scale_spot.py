@@ -175,6 +175,7 @@ def main() -> None:
         "dialect_range_stream",
         "dialect_interval_stream",
         "streaming_bloom_dedup",
+        "streaming_decontam_gate",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -285,6 +285,99 @@ def semdedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontam_oracle(n_centroids: int = 8, threshold: float = 0.3) -> str:
+    """Exact oracle for the streaming decontamination gate: the shared
+    deterministic-IVF CTEs assign every vector, then an A vector (the
+    stream) survives iff NO benchmark vector B in its cell has
+    ROUND(cos, 6) ≥ threshold."""
+    return f"""
+    WITH {_ivf_cell_ctes(n_centroids)},
+    b AS (SELECT vec_id, v, cell FROM corpus_cell WHERE vec_id % 5 = 0),
+    a AS (SELECT vec_id, v, cell FROM corpus_cell WHERE vec_id % 5 <> 0)
+    SELECT a.vec_id, a.cell
+    FROM a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b
+      WHERE b.cell = a.cell
+        AND ROUND(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)) > 0
+                       THEN list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v)))
+                       ELSE 0.0 END, 6) >= {threshold}
+    )
+    """
+
+
+@query(
+    "streaming_decontam_gate",
+    oracle=_decontam_oracle(),
+    tags=(
+        "streaming", "embedding", "decontamination", "gate",
+        "beyond-reference",
+    ),
+)
+def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous embedding-similarity DECONTAMINATION: training vectors
+    stream in and any vector with cosine ≥ τ to a benchmark-set vector in
+    its cluster cell is dropped — "filter the training firehose against
+    the eval set", the semdedup machinery turned into a gate. The
+    benchmark set (vec_id % 5 == 0) is assigned to its IVF cells ONCE
+    batch-side (the one-time index build); the stream assigns cells
+    through the same Arrow-batched matmul pass (ivf_assign is stateless,
+    so it runs unchanged on a streaming DF) and the verdict is Spark's
+    native stream-static LEFT ANTI join on (cell equality AND a
+    JVM-expression cosine ≥ τ) — candidate pairs are CELL-BOUNDED, never
+    all-pairs, exactly the SemDeDup scale argument. Stateless per batch ⇒
+    append streaming equals the batch gate; with the deterministic
+    even-spaced index every step is pure arithmetic, so the oracle is
+    exact (shared CTEs with semdedup/ann_ivf; both engines round cosines
+    to 6 digits before thresholding, sequential fold == list_dot_product
+    order). Completes the streaming gate family: classifier (model), CMS
+    (frequency), Bloom (membership), decontamination (similarity)."""
+    from velostream_spark.streaming.runner import run_available_now
+    from velostream_spark.streaming.source import stream_table
+
+    thr = 0.3
+    emb = tables(spark, sf_dir)["embeddings"]
+    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", 8)
+
+    def norm_of(vc: str):
+        return F.sqrt(
+            F.aggregate(
+                F.col(vc),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    b = similarity.ivf_assign(
+        emb.where(F.col("vec_id") % 5 == 0), cents,
+        out_id="b_id", out_vec="b_v",
+    ).withColumnsRenamed({"_cell": "b_cell"}).withColumn("b_norm", norm_of("b_v"))
+    a = similarity.ivf_assign(
+        stream_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 != 0),
+        cents,
+        out_id="vec_id", out_vec="a_v",
+    ).withColumn("a_norm", norm_of("a_v"))
+    dot = F.aggregate(
+        F.zip_with("a_v", "b_v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        F.when(F.col("a_norm") * F.col("b_norm") > 0,
+               dot / (F.col("a_norm") * F.col("b_norm"))).otherwise(0.0),
+        6,
+    )
+    hit = (F.col("_cell") == F.col("b_cell")) & (cos >= F.lit(thr))
+    out = (
+        a.join(F.broadcast(b), hit, "left_anti")
+        .select("vec_id", F.col("_cell").alias("cell"))
+    )
+    return run_available_now(out, "append", "streaming_decontam_gate")
+
+
 @query(
     "ann_ivf_trained_topk",
     oracle=None,

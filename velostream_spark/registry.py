@@ -350,7 +350,9 @@ _LOADED = False
 #: dialect_range_stream ← streaming_range_join (the same
 #: SQL-surface-over-operator displacement as dialect_asof_stream; the
 #: foreachBatch range entry will hold its official r12 record);
-#: dialect_interval_stream and streaming_bloom_dedup (bloom-bypass
+#: dialect_interval_stream, streaming_decontam_gate (cell-bounded
+#: embedding-similarity decontamination on the firehose, exact oracle
+#: via the deterministic IVF CTEs) and streaming_bloom_dedup (bloom-bypass
 #: cross-corpus dedup on the firehose, oracle shared verbatim with
 #: cross_dedup_bloom) are further candidates — more parity-green
 #: entrants than freed slots is the healthy direction; pick at
