@@ -822,3 +822,33 @@ def test_streaming_asof_sql_ss_matches_batch_on_random_data(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 300
+
+
+def test_sub_outside_literals_edges():
+    """The literal-masking substitution helper: doubled-quote escapes,
+    adjacent literals, and unmatched content outside literals."""
+    fn = lambda seg: seg.replace("a.x", "V.x")  # noqa: E731
+    sub = SqlEngine._sub_outside_literals
+    assert sub("SELECT a.x, 'a.x' FROM t", fn) == "SELECT V.x, 'a.x' FROM t"
+    # SQL doubled-quote escape parses as two adjacent literals — both kept
+    assert sub("'it''s a.x' a.x", fn) == "'it''s a.x' V.x"
+    assert sub('"a.x" a.x', fn) == '"a.x" V.x'
+    assert sub("no literals a.x", fn) == "no literals V.x"
+
+
+def test_memo_fixture_reuses_per_key(tmp_path):
+    """Input-fixture memoization (bench honesty): same key returns the
+    SAME dir without rebuilding; a different key builds fresh."""
+    from velostream_spark.queries.dialect_queries import (
+        _FIXTURE_MEMO,
+        _memo_fixture,
+    )
+
+    calls = []
+    d1 = _memo_fixture(("t_memo", "k1"), "vs-test-memo-", calls.append)
+    d2 = _memo_fixture(("t_memo", "k1"), "vs-test-memo-", calls.append)
+    d3 = _memo_fixture(("t_memo", "k2"), "vs-test-memo-", calls.append)
+    assert d1 == d2 and d1 != d3
+    assert calls == [d1, d3]  # build ran once per key
+    for k in (("t_memo", "k1"), ("t_memo", "k2")):
+        _FIXTURE_MEMO.pop(k, None)

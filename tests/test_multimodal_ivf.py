@@ -244,3 +244,59 @@ def test_semdedup_blocked_sweep_matches_full_gram(spark):
             assert out[i]["max_prior_sim"] is None, i
     assert not out[50]["kept"] and out[50]["max_prior_sim"] == 1.0
     assert not out[130]["kept"] and out[130]["max_prior_sim"] == 1.0
+
+
+def test_streaming_decontam_gate_drops_known_contaminant(spark, tmp_path):
+    """Hand-built unit pin for the decontamination gate's verdict logic,
+    complementing the corpus-level parity: a stream vector IDENTICAL to a
+    benchmark vector in its cell is dropped; an orthogonal one survives."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators import similarity
+    from velostream_spark.streaming.runner import run_available_now
+
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    bench = spark.createDataFrame(
+        [(100, e0)], "vec_id int, embedding array<float>"
+    )
+    cents = np.asarray([e0, e1], dtype=np.float64)
+    b = similarity.ivf_assign(
+        bench, cents, out_id="b_id", out_vec="b_v"
+    ).withColumnsRenamed({"_cell": "b_cell"})
+
+    def norm_of(vc):
+        return F.sqrt(
+            F.aggregate(
+                F.col(vc), F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    b = b.withColumn("b_norm", norm_of("b_v"))
+    src = str(tmp_path / "stream_in")
+    spark.createDataFrame(
+        [(1, e0), (2, e1)], "vec_id int, embedding array<float>"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema("vec_id int, embedding array<float>").parquet(src)
+    a = similarity.ivf_assign(
+        sdf, cents, out_id="vec_id", out_vec="a_v"
+    ).withColumn("a_norm", norm_of("a_v"))
+    dot = F.aggregate(
+        F.zip_with("a_v", "b_v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        F.when(F.col("a_norm") * F.col("b_norm") > 0,
+               dot / (F.col("a_norm") * F.col("b_norm"))).otherwise(0.0), 6,
+    )
+    hit = (F.col("_cell") == F.col("b_cell")) & (cos >= F.lit(0.9))
+    out = run_available_now(
+        a.join(F.broadcast(b), hit, "left_anti").select("vec_id"),
+        "append",
+        "decontam_unit",
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [2]
