@@ -5,6 +5,8 @@ qualifier remapping, and the parse-error contract."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from velostream_spark.sql.dialect import parse_asof_join
@@ -750,9 +752,11 @@ def test_range_rewrite_skips_streaming_right(spark, tmp_path):
 
 
 def test_streaming_asof_sql_group_by_fails_fast(spark, tmp_path):
-    """GROUP BY over the foreachBatch ASOF route would aggregate per
-    micro-batch (silently wrong) — the engine fails fast naming the
-    two-step alternative."""
+    """GROUP BY without a time window over the foreachBatch ASOF route
+    cannot finalize against a watermark (per-micro-batch partials would be
+    silently wrong) — the engine fails fast naming the two-step
+    alternative. WINDOWED GROUP BY composes instead
+    (test_streaming_asof_sql_group_by_composes)."""
     e = SqlEngine(spark, time_col="t")
     src = str(tmp_path / "gb_in")
     spark.createDataFrame([(1, 5, "a")], "k int, t int, tag string").write.parquet(src)
@@ -760,7 +764,7 @@ def test_streaming_asof_sql_group_by_fails_fast(spark, tmp_path):
         "quotes_gb",
         spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double"),
     )
-    with pytest.raises(NotImplementedError, match="per micro-batch"):
+    with pytest.raises(NotImplementedError, match="per-micro-batch"):
         e.execute_streaming(
             "CREATE STREAM agg_out AS SELECT s.k, SUM(q.v) AS sv "
             "FROM s ASOF LEFT JOIN quotes_gb q ON s.k = q.k AND s.t >= q.rt "
@@ -852,3 +856,221 @@ def test_memo_fixture_reuses_per_key(tmp_path):
     assert calls == [d1, d3]  # build ran once per key
     for k in (("t_memo", "k1"), ("t_memo", "k2")):
         _FIXTURE_MEMO.pop(k, None)
+
+
+def test_asof_alias_rebound_in_subquery_fails_fast(eng):
+    """r12 verdict finding #1: a nested scope REBINDING the join alias and
+    dereferencing it would be silently requalified onto the join view —
+    the engine now fails fast naming the constraint."""
+    with pytest.raises(ValueError, match="rebound"):
+        eng.execute(
+            "SELECT a.tag, b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+            "ON a.k = b.k AND a.t >= b.rt "
+            "WHERE EXISTS (SELECT 1 FROM rt_tbl a WHERE a.k = 99)"
+        )
+
+
+def test_asof_correlated_subquery_still_requalifies(eng):
+    """References to the outer alias outside the span (no rebind) keep
+    requalifying — the rebind guard must not over-fire."""
+    rows = eng.execute(
+        "SELECT a.tag, b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k = 1"
+    ).collect()
+    assert {(x["tag"], x["v"]) for x in rows} == {
+        ("a", 10.0), ("b", 20.0), ("early", None)
+    }
+
+
+def test_asof_rebind_without_dereference_is_harmless(eng, spark):
+    """A nested FROM that happens to reuse the join's TABLE name but never
+    dereferences it as a qualifier is left alone (the substitution pattern
+    matches nothing) — the guard only fires on rebind + dereference."""
+    rows = eng.execute(
+        "SELECT a.tag, b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+        "ON a.k = b.k AND a.t >= b.rt "
+        "WHERE a.k IN (SELECT k FROM rt_tbl)"
+    ).collect()
+    assert {(x["tag"], x["v"]) for x in rows} == {
+        ("a", 10.0), ("b", 20.0), ("early", None), ("c", None)
+    }
+
+
+def test_asof_over_cte_names_clear_error(spark):
+    """r12 verdict finding #2: an ASOF JOIN whose relation is a WITH-clause
+    CTE name gets a ValueError naming the registered-view contract, not an
+    opaque TABLE_OR_VIEW_NOT_FOUND."""
+    e = SqlEngine(spark, time_col="t")
+    e.register_stream(
+        "asof_cte_r", spark.createDataFrame([(1, 4, 9.0)], "k int, rt int, v double")
+    )
+    with pytest.raises(ValueError, match="registered tables or temp views"):
+        e.execute(
+            "WITH lcte AS (SELECT 1 AS k, 5 AS t) "
+            "SELECT lcte.k, r.v FROM lcte ASOF LEFT JOIN asof_cte_r r "
+            "ON lcte.k = r.k AND lcte.t >= r.rt"
+        )
+
+
+def test_literal_masking_consumes_backslash_escapes():
+    """Spark SQL processes backslash escapes by default, so 'it\\'s l.value'
+    is ONE literal — the masker must not end it at the backslash-quote and
+    expose the dotted name to the requalifier."""
+    fn = lambda seg: seg.replace("l.value", "V.value")  # noqa: E731
+    sub = SqlEngine._sub_outside_literals
+    assert (
+        sub(r"WHERE note = 'it\'s l.value' AND l.value > 0", fn)
+        == r"WHERE note = 'it\'s l.value' AND V.value > 0"
+    )
+    assert (
+        sub(r'WHERE note = "say \" l.value" AND l.value > 0', fn)
+        == r'WHERE note = "say \" l.value" AND V.value > 0'
+    )
+
+
+def _fb_asof_engine(spark, tmp_path, rows, right_rows):
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "fb_in")
+    spark.createDataFrame(rows, "k int, t int, tag string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    e.register_table(
+        "quotes_fb", spark.createDataFrame(right_rows, "k int, rt int, v double")
+    )
+    return e, src
+
+
+def test_streaming_asof_global_aggregate_fails_fast(spark, tmp_path):
+    """ADVICE r12 (medium): a bare global aggregate (no GROUP BY) on the
+    foreachBatch route would emit per-micro-batch partials — rejected."""
+    e, src = _fb_asof_engine(
+        spark, tmp_path, [(1, 5, "a")], [(1, 4, 9.0)]
+    )
+    with pytest.raises(NotImplementedError, match="global aggregate"):
+        e.execute_streaming(
+            "CREATE STREAM agg1 AS SELECT SUM(q.v) AS sv "
+            "FROM s ASOF LEFT JOIN quotes_fb q ON s.k = q.k AND s.t >= q.rt "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )
+
+
+def test_streaming_asof_select_distinct_fails_fast(spark, tmp_path):
+    e, src = _fb_asof_engine(spark, tmp_path, [(1, 5, "a")], [(1, 4, 9.0)])
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        e.execute_streaming(
+            "CREATE STREAM agg2 AS SELECT DISTINCT s.k, q.v "
+            "FROM s ASOF LEFT JOIN quotes_fb q ON s.k = q.k AND s.t >= q.rt "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )
+
+
+def test_streaming_asof_window_function_fails_fast(spark, tmp_path):
+    e, src = _fb_asof_engine(spark, tmp_path, [(1, 5, "a")], [(1, 4, 9.0)])
+    with pytest.raises(NotImplementedError, match="OVER"):
+        e.execute_streaming(
+            "CREATE STREAM agg3 AS SELECT s.k, "
+            "ROW_NUMBER() OVER (PARTITION BY s.k ORDER BY s.t) AS rn "
+            "FROM s ASOF LEFT JOIN quotes_fb q ON s.k = q.k AND s.t >= q.rt "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )
+
+
+def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
+    """ADVICE r12 (medium): re-running the SAME batch_id (a checkpoint
+    replay) must not duplicate sink rows; distinct batch ids append."""
+    from velostream_spark.sql.engine import _write_batch_idempotent
+
+    out_dir = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    _write_batch_idempotent(df, out_dir, "parquet", 0)
+    _write_batch_idempotent(df, out_dir, "parquet", 0)  # replay of batch 0
+    assert spark.read.parquet(out_dir).count() == 2
+    _write_batch_idempotent(df, out_dir, "parquet", 1)  # a NEW batch
+    assert spark.read.parquet(out_dir).count() == 4
+    # flat layout, no staging leftovers
+    names = sorted(os.listdir(out_dir))
+    assert not [n for n in names if n.endswith(".staging")]
+    assert all(n.startswith(("b0-", "b1-")) for n in names)
+
+
+def test_fb_temp_views_dropped_per_batch(spark, tmp_path):
+    """ADVICE r12 (low): each micro-batch's ASOF rewrite registers
+    _asof_join_N temp views; the route drops them after the batch write so
+    a long-running job doesn't grow the driver catalog."""
+    e, src = _fb_asof_engine(
+        spark, tmp_path, [(1, 5, "a"), (1, 9, "b")], [(1, 4, 9.0)]
+    )
+
+    def rewrite_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(("_asof_join_", "_range_join_"))
+        }
+
+    before = rewrite_views()
+    e.execute_streaming(
+        "CREATE STREAM fbclean AS SELECT s.k, s.tag, q.v "
+        "FROM s ASOF LEFT JOIN quotes_fb q ON s.k = q.k AND s.t >= q.rt "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet')"
+    )
+    assert rewrite_views() - before == set()
+    got = {(r["tag"], r["v"]) for r in spark.table("fbclean").collect()}
+    assert got == {("a", 9.0), ("b", 9.0)}
+
+
+def test_streaming_asof_sql_group_by_composes(spark, tmp_path):
+    """r12 verdict 'What's missing' #1: ASOF JOIN + windowed GROUP BY in
+    ONE streaming statement now composes (enrichment CSAS -> watermarked
+    windowed aggregation over the intermediate stream) instead of failing
+    fast. Values checked against the batch two-step with the EMIT FINAL
+    closure rule (windows whose end <= max event time emit)."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    lrows = [
+        (i, i % 2, base + dt.timedelta(minutes=m))
+        for i, m in enumerate([0, 1, 2, 6, 7, 11])
+    ]
+    src = str(tmp_path / "gbc_in")
+    spark.createDataFrame(lrows, "event_id int, k int, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+    e.register_table(
+        "snaps_gbc",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 10.0),
+             (1, base + dt.timedelta(minutes=5), 20.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "gbc_out")
+    e.execute_streaming(
+        "CREATE STREAM gbc AS "
+        "SELECT s.k, COUNT(*) AS n, ROUND(SUM(q.v), 2) AS sv "
+        "FROM s ASOF LEFT JOIN snaps_gbc q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'gbc.type' = 'file_sink', 'gbc.format' = 'parquet', "
+        f"'gbc.path' = '{out}')"
+    )
+    got = {
+        (r["k"], r["n"], r["sv"])
+        for r in spark.read.schema("k int, n long, sv double").parquet(out).collect()
+    }
+    # EMIT FINAL: the 10:10-10:15 window holds max ts -> withheld.
+    # window 10:00-10:05: k=0 events at +0,+2 (asof v=10.0 each);
+    #   k=1 event at +1 (rt +5 not yet passed -> v NULL)
+    # window 10:05-10:10: k=0 at +6 (v=10.0); k=1 at +7 (v=20.0)
+    assert got == {(0, 2, 20.0), (1, 1, None), (0, 1, 10.0), (1, 1, 20.0)}

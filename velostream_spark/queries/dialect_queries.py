@@ -717,3 +717,101 @@ def dialect_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = "click_id long, follow_id long, user_id long, lag_seconds long"
     return spark.read.schema(schema).parquet(out_dir)
+
+@query(
+    "dialect_asof_groupby_stream",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS snap_value
+      FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0),
+    enriched AS (
+      SELECT l.event_id, l.user_id, l.ts, s.snap_value
+      FROM l ASOF LEFT JOIN snaps s
+        ON l.user_id = s.user_id AND l.ts >= s.ts
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS window_start,
+             user_id,
+             COUNT(*)                 AS n_events,
+             ROUND(SUM(snap_value), 4) AS total_snap
+      FROM enriched GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n_events, total_snap FROM agg
+    WHERE window_start + 300000 <= (SELECT epoch_ms(MAX(ts)) FROM l)
+    """,
+    tags=(
+        "dialect", "streaming", "join", "asof", "time-window",
+        "emit-final", "beyond-reference",
+    ),
+)
+def dialect_asof_groupby_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN + windowed GROUP BY in ONE streaming statement (the r12
+    verdict's 'What's missing' #1): the engine now COMPOSES the two-step
+    plan its round-12 fail-fast used to name — the enrichment CSAS
+    (``SELECT *`` over the join span) deploys through the foreachBatch
+    route to an intermediate parquet stream, then the original statement,
+    requalified onto the intermediate, runs as a native watermarked
+    tumbling aggregation with EMIT FINAL — inside one execute_streaming
+    call (engine._compose_asof_groupby). Reference analog: any parsed
+    join shape feeds windowed aggregation continuously
+    (processors/stream_table_join.rs:22 + window_v2/adapter.rs). Oracle:
+    the equivalent two-step DuckDB SQL (native ASOF LEFT JOIN in a CTE,
+    then the grouped tumbling aggregate) with the EMIT FINAL closure rule
+    — windows whose end has not passed the final watermark (max left
+    event time, delay 0) are withheld, the streaming_session_final
+    convention. Fail-fast remains only where the intermediate cannot be
+    materialized (no time window, EMIT CHANGES, unbounded deploys) —
+    pinned in tests/test_dialect_asof.py."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev = tables(spark, sf_dir)["events"]
+    eng = SqlEngine(spark, time_col="ts")
+    # same memoized fixtures as dialect_asof_stream: snapshots as the
+    # registered static TABLE, the left stream as a tailed parquet dir
+    snaps_dir = _memo_fixture(
+        ("asofgb_snaps", sf_dir),
+        "vs-asofgb-snaps-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("snap_value"))
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    eng.register_table("snaps_gb", spark.read.parquet(snaps_dir))
+    left_dir = _memo_fixture(
+        ("asofd_left", sf_dir),  # shared with dialect_asof_stream
+        "vs-asofd-left-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 != 0)
+            .select("event_id", "user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    out_dir = _scratch_dir("vs-asofgb-out-")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_asof_gb_out AS "
+        "SELECT TUMBLE_START() AS window_start, l.user_id, "
+        "COUNT(*) AS n_events, ROUND(SUM(s.snap_value), 4) AS total_snap "
+        "FROM evgb l ASOF LEFT JOIN snaps_gb s "
+        "ON l.user_id = s.user_id AND l.ts >= s.ts "
+        "GROUP BY l.user_id "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('evgb.type' = 'file_source', 'evgb.path' = '{left_dir}', "
+        "'evgb.format' = 'parquet', "
+        "'dialect_asof_gb_out.type' = 'file_sink', "
+        "'dialect_asof_gb_out.format' = 'parquet', "
+        f"'dialect_asof_gb_out.path' = '{out_dir}')"
+    )
+    schema = (
+        "window_start long, user_id long, n_events long, total_snap double"
+    )
+    return spark.read.schema(schema).parquet(out_dir)

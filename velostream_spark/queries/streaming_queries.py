@@ -795,9 +795,15 @@ def _cms_gate_oracle() -> str:
     from velostream_spark.operators.cms import pos_md5_sql
 
     p = lambda expr, d: pos_md5_sql(expr, d, 4096)  # noqa: E731
+    # NULL keys are filtered on BOTH scans to mirror cms_build_md5 (which
+    # drops NULL keys) and Spark's concat (NULL-propagating, so a NULL
+    # user_id never estimates); DuckDB's concat SKIPS NULL arguments, so
+    # without the filter a NULL key would hash to the md5('#d') cell here
+    # while Spark drops the row — a latent parity mismatch.
     return f"""
 WITH cnt AS (
-  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+  SELECT user_id, COUNT(*) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 cells AS (
   SELECT 0 AS depth, {p("user_id", 0)} AS pos, SUM(c) AS cc FROM cnt GROUP BY 2
@@ -812,7 +818,7 @@ FROM events e
 JOIN cells c0 ON c0.depth = 0 AND c0.pos = {p("e.user_id", 0)}
 JOIN cells c1 ON c1.depth = 1 AND c1.pos = {p("e.user_id", 1)}
 JOIN cells c2 ON c2.depth = 2 AND c2.pos = {p("e.user_id", 2)}
-WHERE LEAST(c0.cc, c1.cc, c2.cc) >= 70
+WHERE e.user_id IS NOT NULL AND LEAST(c0.cc, c1.cc, c2.cc) >= 70
 """
 
 

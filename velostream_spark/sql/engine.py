@@ -44,6 +44,38 @@ from velostream_spark.sql.dialect import (
 INDEX_MAX_ROWS = 1_000_000
 
 
+def _write_batch_idempotent(
+    out: DataFrame, out_dir: str, fmt: str, batch_id: int
+) -> None:
+    """Write one foreachBatch micro-batch into a FLAT sink directory,
+    idempotently per ``batch_id``: a checkpoint-recovered replay of a
+    micro-batch must not duplicate output rows (the transactional file
+    sink this path bypasses is exactly-once via its log). The batch writes
+    OVERWRITE to a Spark-hidden staging dir (leading ``_`` — readers never
+    list it), then its part files move into the sink dir under a
+    ``b<batch_id>-`` prefix; a replay first removes that batch's previous
+    files, so partial attempts never stack. Local-FS rename semantics
+    (sink paths on this route are local; an object-store sink would use a
+    per-batch-subdir layout instead)."""
+    import shutil
+
+    tmp = os.path.join(out_dir, f"_b{batch_id}.staging")
+    w = out.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(tmp)
+    for prev in os.listdir(out_dir):
+        if prev.startswith(f"b{batch_id}-"):
+            os.remove(os.path.join(out_dir, prev))
+    for part in sorted(os.listdir(tmp)):
+        if part.startswith("part-"):
+            shutil.move(
+                os.path.join(tmp, part),
+                os.path.join(out_dir, f"b{batch_id}-{part}"),
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 class MaterializedTable:
     """UnifiedTable surface (reference unified_table.rs:240-330) over a
     cached DataFrame: O(1)-ish key lookups served from a driver-side dict
@@ -726,8 +758,13 @@ class SqlEngine:
     _asof_view_n = 0
 
     #: SQL string literals (doubled-quote escapes parse as two adjacent
-    #: literals, which is equally safe for masking purposes)
-    _SQL_LITERAL_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
+    #: literals, which is equally safe for masking purposes; backslash
+    #: escapes — which Spark SQL processes by default, so 'it\'s l.value'
+    #: is ONE literal — are consumed so the requalifier can never rewrite
+    #: a dotted name that Spark parses as literal content)
+    _SQL_LITERAL_RE = re.compile(
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\""
+    )
 
     @classmethod
     def _sub_outside_literals(cls, text: str, fn) -> str:
@@ -744,6 +781,49 @@ class SqlEngine:
         out.append(fn(text[last:]))
         return "".join(out)
 
+    #: words that can follow a relation name without being its alias
+    _NOT_AN_ALIAS = frozenset(
+        "ON WHERE GROUP ORDER HAVING LIMIT WINDOW EMIT JOIN LEFT RIGHT "
+        "FULL INNER CROSS ASOF UNION INTERSECT EXCEPT WITHIN SET USING "
+        "NATURAL SEMI ANTI AND OR WITH INTO".split()
+    )
+
+    def _check_alias_rebind(
+        self, outside: str, aliases: tuple[str, ...]
+    ) -> None:
+        """Fail fast when a nested scope OUTSIDE the rewritten span rebinds
+        one of the join's alias/table names to a different relation
+        (``... ASOF JOIN quotes q ON ... WHERE EXISTS (SELECT 1 FROM other
+        t ...)``): the blanket requalification would silently remap the
+        inner ``t.x`` to the join view — an AnalysisException at best, a
+        wrong answer at worst. Correlated references to the OUTER alias
+        are fine (no FROM/JOIN rebind involved); only a re-binding FROM or
+        JOIN whose bound name is also USED as a dotted qualifier trips
+        this guard — a rebind nothing dereferences is harmless (the
+        substitution pattern matches nothing for it)."""
+        masked = self._SQL_LITERAL_RE.sub("''", outside)
+        lower = {a.lower() for a in aliases}
+        for m in re.finditer(
+            r"(?i)\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)"
+            r"(?:\s+(?:AS\s+)?([a-zA-Z_]\w*))?",
+            masked,
+        ):
+            rel, alias = m.group(1), m.group(2)
+            if alias and alias.upper() in self._NOT_AN_ALIAS:
+                alias = None
+            for bound in {(alias or rel).lower(), rel.lower()}:
+                if bound in lower and re.search(
+                    rf"(?i)\b{re.escape(bound)}\.\w+", masked
+                ):
+                    raise ValueError(
+                        f"ASOF/range join rewrite: name {bound!r} is "
+                        "rebound by a nested FROM/JOIN outside the "
+                        "rewritten join and dereferenced there — the alias "
+                        "requalification cannot tell the scopes apart. "
+                        "Rename the subquery's relation alias (or the join "
+                        "alias) so the names differ."
+                    )
+
     def _requalify_around_span(
         self,
         sql: str,
@@ -756,8 +836,11 @@ class SqlEngine:
         """Replace ``sql[span]`` with ``FROM view`` and remap every
         qualified ``alias.col`` reference OUTSIDE the span to the view
         (right-side columns through ``rename``), skipping string-literal
-        contents. Shared by the ASOF / range / stream-ASOF rewrites."""
+        contents. Shared by the ASOF / range / stream-ASOF rewrites.
+        A nested scope rebinding one of the alias/table names fails fast
+        (see _check_alias_rebind)."""
         s, e = span
+        self._check_alias_rebind(sql[:s] + sql[e:], left_names + right_names)
 
         def req(text: str) -> str:
             def seg_fn(seg: str) -> str:
@@ -794,12 +877,26 @@ class SqlEngine:
         spec = parse_asof_join(sql)
         if spec is None:
             return sql
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         from velostream_spark.operators.asof import asof_join
 
-        left = self.spark.table(spec.left_table)
-        right = self.spark.table(spec.right_table)
+        # Unlike the range twin, "leave the span to Spark" is not an option
+        # here (Spark has no ASOF operator) — an unresolvable relation name
+        # (a CTE from a WITH clause, a typo) gets a clear contract error
+        # instead of an opaque TABLE_OR_VIEW_NOT_FOUND.
+        try:
+            left = self.spark.table(spec.left_table)
+            right = self.spark.table(spec.right_table)
+        except AnalysisException as exc:
+            raise ValueError(
+                "ASOF JOIN relations must be registered tables or temp "
+                f"views — {spec.left_table!r} / {spec.right_table!r} did "
+                "not both resolve (a WITH-clause CTE name is not visible "
+                "to the ASOF rewrite; register the CTE body as a temp "
+                f"view first, then ASOF JOIN against it): {exc}"
+            ) from exc
         # key rename with a collision guard: ON l.uid = r.user_id where the
         # right relation ALSO has its own uid column — a blind user_id→uid
         # rename would leave TWO uid columns and an opaque AnalysisException
@@ -1144,18 +1241,17 @@ class SqlEngine:
         strict (>) forms both work here; file and memory sinks supported
         (Kafka needs broker transport, env-exempted)."""
         # the statement runs per MICRO-BATCH: projections/filters over the
-        # enriched rows are exact (row-local), but a GROUP BY would emit
-        # per-batch PARTIAL aggregates to an append sink — silently wrong
-        # vs the continuous-aggregation reading. Fail fast with the
-        # two-step alternative instead.
-        masked = self._SQL_LITERAL_RE.sub("''", st.select_sql)
-        if re.search(r"(?i)\bGROUP\s+BY\b", masked):
-            raise NotImplementedError(
-                "ASOF JOIN + GROUP BY in one streaming statement would "
-                "aggregate per micro-batch, not continuously; CREATE the "
-                "enriched stream first (ASOF JOIN only), then run the "
-                "windowed aggregation as its own streaming statement"
+        # enriched rows are exact (row-local). A windowed GROUP BY is
+        # COMPOSED instead (enrichment CSAS -> windowed aggregation over
+        # the intermediate stream); everything else batch-unsound (global
+        # aggregates, DISTINCT, window functions) fails fast.
+        from velostream_spark.sql.dialect import _blank_nested
+
+        if re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(st.select_sql)):
+            return self._compose_asof_groupby(
+                st, sql, spec, sink_format, sink_options, wait
             )
+        self._assert_batchwise_exact(st.select_sql)
         SqlEngine._asof_view_n += 1
         uview = f"_asof_fb_left_{SqlEngine._asof_view_n}"
         s, e = spec.span
@@ -1187,18 +1283,23 @@ class SqlEngine:
 
         def fb(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.createOrReplaceGlobalTempView(uview)
+            view_n0 = SqlEngine._asof_view_n
             out = self._sql(per_batch_sql)
-            if sink_format == "memory":
-                out.write.mode("append").parquet(out_dir)
-                # the job name reads like a memory-sink table would
-                self.spark.read.parquet(out_dir).createOrReplaceTempView(
-                    st.name
-                )
-            else:
-                w = out.write.mode("append").format(sink_format)
-                if sink_format == "csv":
-                    w = w.option("header", True)
-                w.save(out_dir)
+            try:
+                fmt = "parquet" if sink_format == "memory" else sink_format
+                _write_batch_idempotent(out, out_dir, fmt, batch_id)
+                if sink_format == "memory":
+                    # the job name reads like a memory-sink table would
+                    self.spark.read.parquet(out_dir).createOrReplaceTempView(
+                        st.name
+                    )
+            finally:
+                # each batch's _sql() registered fresh _asof/_range_join_N
+                # temp views; drop them so a long-running continuous job
+                # doesn't grow the driver catalog without bound
+                for n in range(view_n0 + 1, SqlEngine._asof_view_n + 1):
+                    for stem in ("_asof_join_", "_range_join_"):
+                        self.spark.catalog.dropTempView(f"{stem}{n}")
 
         def build() -> DataFrame:
             self._wire_sources_streaming(st)
@@ -1212,6 +1313,201 @@ class SqlEngine:
         self._bind_metrics(st.name, sql)
         if wait:
             self.jobs.wait(st.name)
+        return job
+
+    #: aggregate function names whose presence at top level (outside any
+    #: subquery) makes a per-micro-batch execution of the statement emit
+    #: PARTIAL results — the silently-wrong shape the foreachBatch route
+    #: must reject when no GROUP BY routes it to the composition instead.
+    _AGG_FN_NAMES = (
+        "sum|count|avg|mean|min|max|median|mode|stddev|stddev_samp|"
+        "stddev_pop|std|variance|var_samp|var_pop|skewness|kurtosis|corr|"
+        "covar_pop|covar_samp|first|last|any_value|collect_list|"
+        "collect_set|array_agg|approx_count_distinct|approx_percentile|"
+        "percentile|percentile_approx|max_by|min_by|count_if|bool_and|"
+        "bool_or|bit_and|bit_or|bit_xor|string_agg|listagg|grouping|"
+        "regr_slope|regr_intercept|regr_r2|regr_count|hll_sketch_agg"
+    )
+
+    def _assert_batchwise_exact(self, select_sql: str) -> None:
+        """Reject SELECT shapes whose per-micro-batch execution differs
+        from the continuous reading on the foreachBatch enrichment route:
+        a bare global aggregate (SELECT SUM(v) ... with no GROUP BY) or
+        SELECT DISTINCT emits per-batch partials to an append sink, and a
+        window function (OVER) restarts its frame every batch. GROUP BY
+        statements never reach here — they route to the two-step
+        composition (_compose_asof_groupby)."""
+        from velostream_spark.sql.dialect import _blank_nested
+
+        blanked = _blank_nested(select_sql)
+        two_step = (
+            "; CREATE the enriched stream first (ASOF JOIN only), then "
+            "run the aggregation as its own streaming statement over it"
+        )
+        if re.match(r"(?is)\s*SELECT\s+DISTINCT\b", blanked):
+            raise NotImplementedError(
+                "SELECT DISTINCT on the streaming ASOF enrichment route "
+                "would deduplicate per micro-batch, not continuously"
+                + two_step
+            )
+        if re.search(r"(?i)\bOVER\b", blanked):
+            raise NotImplementedError(
+                "window functions (OVER) on the streaming ASOF enrichment "
+                "route would restart their frame every micro-batch"
+                + two_step
+            )
+        for m in re.finditer(rf"(?i)\b(?:{self._AGG_FN_NAMES})\b", blanked):
+            # a call, not a column named like an aggregate: positions in
+            # the blanked text map 1:1 onto the original
+            if select_sql[m.end():].lstrip().startswith("("):
+                raise NotImplementedError(
+                    f"global aggregate {m.group(0)!r} without GROUP BY on "
+                    "the streaming ASOF enrichment route would emit "
+                    "per-micro-batch partial results" + two_step
+                )
+
+    @staticmethod
+    def _asof_exposed_rename(
+        left_cols: list[str], right_cols: list[str], keys: list[tuple[str, str]]
+    ) -> dict[str, str]:
+        """The right-side column exposure map of the batch ASOF rewrite
+        (_rewrite_asof_joins), derived from schemas alone: original right
+        column name -> its name on the joined view. Mirrors the rewrite's
+        key-rename collision guard and asof_-prefix collision rule;
+        _compose_asof_groupby asserts the derived names against the
+        actually-materialized intermediate schema, so drift between the
+        two fails loudly."""
+        pre: dict[str, str] = {}
+        rcols = list(right_cols)
+        for lk, rk in keys:
+            if rk != lk:
+                if lk in rcols:
+                    moved = f"right_{lk}"
+                    pre[lk] = moved
+                    rcols[rcols.index(lk)] = moved
+                rcols[rcols.index(rk)] = lk
+        key_names = {lk for lk, _ in keys}
+        payload = [c for c in rcols if c not in key_names]
+        lset = set(left_cols)
+        rename: dict[str, str] = {}
+        for p in payload:
+            rename[p] = p if p not in lset else f"asof_{p}"
+        for orig, moved in pre.items():
+            rename[orig] = rename.get(moved, moved)
+        for lk, rk in keys:
+            if rk != lk:
+                rename.setdefault(rk, lk)
+        return rename
+
+    def _compose_asof_groupby(
+        self, st: Statement, sql: str, spec, sink_format: str,
+        sink_options: dict, wait: bool,
+    ):
+        """ASOF JOIN + windowed GROUP BY in ONE streaming statement,
+        auto-split into the two-step plan the round-12 fail-fast used to
+        name (reference analog: any parsed join shape feeds windowed
+        aggregation continuously — processors/stream_table_join.rs:22 +
+        window_v2/adapter.rs): (1) the enrichment CSAS (``SELECT *`` over
+        the ASOF JOIN segment only) deploys through the foreachBatch route
+        to an intermediate parquet stream; (2) the original statement,
+        its FROM..ON span requalified onto the intermediate, deploys as a
+        native watermarked windowed aggregation over that stream. The
+        fail-fast remains only where the intermediate cannot be
+        materialized (no time window to finalize, EMIT CHANGES file
+        changelogs, unbounded deploys)."""
+        import copy
+
+        from velostream_spark.sql.dialect import parse_asof_join
+        from velostream_spark.streaming.runner import _scratch_dir
+
+        two_step_err = (
+            "; CREATE the enriched stream first (ASOF JOIN only), then "
+            "run the aggregation as its own streaming statement over it"
+        )
+        if st.window is None:
+            raise NotImplementedError(
+                "ASOF JOIN + GROUP BY without a time window cannot "
+                "finalize against a watermark (per-micro-batch partial "
+                "aggregates to an append sink would be silently wrong)"
+                + two_step_err
+            )
+        if st.emit == "changes":
+            raise NotImplementedError(
+                "ASOF JOIN + GROUP BY composition emits FINAL (append) "
+                "results; EMIT CHANGES changelogs need their own two-step "
+                "deployment" + two_step_err
+            )
+        if not wait:
+            raise NotImplementedError(
+                "ASOF JOIN + GROUP BY composition needs wait=True (the "
+                "bounded enrichment must finish before the aggregation's "
+                "source schema can be inferred)" + two_step_err
+            )
+        inter = f"_{st.name}_enriched"
+        inter_dir = _scratch_dir(f"vs-asofgb-{st.name}-")
+
+        # step 1: enrichment-only CSAS over the join span, parquet-sinked
+        st1 = copy.copy(st)
+        st1.name = inter
+        st1.select_sql = "SELECT * " + st.select_sql[spec.span[0]:spec.span[1]]
+        st1.window = None
+        st1.emit = None
+        st1.with_props = {
+            k: v
+            for k, v in st.with_props.items()
+            if not k.startswith(f"{st.name}.")
+        }
+        spec1 = parse_asof_join(st1.select_sql)
+        self._deploy_asof_foreach_batch(
+            st1, sql, spec1, "parquet", {"path": inter_dir}, wait=True
+        )
+
+        # step 2: the original statement over the intermediate stream
+        left_cols = list(self.spark.table(spec.left_table).columns)
+        right_cols = list(self.spark.table(spec.right_table).columns)
+        rename = self._asof_exposed_rename(left_cols, right_cols, spec.keys)
+        enriched_cols = set(self.spark.read.parquet(inter_dir).columns)
+        drifted = [
+            f"{o}->{n}" for o, n in rename.items() if n not in enriched_cols
+        ]
+        if drifted:
+            raise RuntimeError(
+                "ASOF composition: derived exposure map disagrees with the "
+                f"materialized intermediate schema ({drifted}); "
+                "_asof_exposed_rename drifted from _rewrite_asof_joins"
+            )
+        st2 = copy.copy(st)
+        st2.select_sql = self._requalify_around_span(
+            st.select_sql,
+            spec.span,
+            inter,
+            (spec.left_alias, spec.left_table),
+            (spec.right_alias, spec.right_table),
+            rename,
+        )
+        st2.with_props = {
+            f"{inter}.type": "file_source",
+            f"{inter}.format": "parquet",
+            f"{inter}.path": inter_dir,
+            **{
+                k: v
+                for k, v in st.with_props.items()
+                if k.startswith(f"{st.name}.")
+            },
+        }
+
+        def build() -> DataFrame:
+            self._wire_sources_streaming(st2)
+            return self._apply_partition_annotations(
+                self.spark.sql(st2.select_sql), st2
+            )
+
+        job = self.jobs.deploy(
+            st.name, build, sink_format=sink_format,
+            sink_options=dict(sink_options), output_mode="append",
+        )
+        self._bind_metrics(st.name, sql)
+        self.jobs.wait(st.name)
         return job
 
     def _build_asof_stream_stream(self, sql: str, spec) -> DataFrame:
