@@ -111,6 +111,7 @@ HEADLINE = [
     "dialect_asof_stream_ss",
     "dialect_range_stream",
     "dialect_interval_stream",
+    "dialect_asof_groupby_stream",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -436,6 +437,10 @@ def main() -> None:
                 "dialect_asof_stream_ss",
                 "dialect_range_stream",
                 "dialect_interval_stream",
+                # runs TWO streaming jobs (enrichment + aggregation) per
+                # fn() call; its 1x wall dominates the floor, so it stays
+                # un-amortized (rep=1) like streaming_curation
+                "dialect_asof_groupby_stream",
             )
             prebuilt = None
             if not rerun_fn:
@@ -505,6 +510,37 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # Sidecar round artifact (r12 verdict task 5): the per-entry
+    # {median, min, runs} record that makes round-over-round adjudication
+    # of run-level environment drift MECHANICAL — the stdout line can't
+    # carry it (2000-char driver tail), stderr isn't shipped, but a repo
+    # file the driver's own bench run leaves uncommitted IS committed by
+    # the driver at round close. The stdout line names it (stats_sidecar).
+    sidecar = {
+        "sf": sf_val,
+        "total_wall_sec": round(total, 3),
+        "per_entry": {
+            q: {
+                "median": times[q],
+                "min": mins[q],
+                "runs": run_counts[q],
+                **({"derive": derive[q]} if q in derive else {}),
+            }
+            for q in times
+        },
+        "amortized": {q: r for q, (_t, r) in amortized.items()},
+        "derive_flagged": flagged,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_STATS.json"),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stderr still carries the record
     runs_floor = min(run_counts.values()) if run_counts else 0
     print(
         compact_stdout_line(total, times, flagged, len(amortized), sf_val, runs_floor)
@@ -537,6 +573,7 @@ def compact_stdout_line(total, times, flagged, amortized_n, sf_val, runs_floor=4
         "unit": "sec",
         "amortized_n": amortized_n,
         "runs_min": runs_floor,
+        "stats_sidecar": "BENCH_STATS.json",
         "sf": sf_val,
     }
     if flagged:

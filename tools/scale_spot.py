@@ -176,6 +176,9 @@ def main() -> None:
         "dialect_interval_stream",
         "streaming_bloom_dedup",
         "streaming_decontam_gate",
+        # round-13: the composed ASOF+GROUP BY statement runs BOTH its
+        # streaming jobs (enrichment + windowed aggregation) per call
+        "dialect_asof_groupby_stream",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -989,10 +989,16 @@ class SqlEngine:
             try:
                 left = self.spark.table(spec.left_table)
                 right = self.spark.table(spec.right_table)
-                if right.isStreaming:
+                explicit_w = self.source_cfgs.get(
+                    spec.right_table, {}
+                ).get("range.bucket_width")
+                if right.isStreaming and explicit_w is None:
                     # the auto bucket-width sizing needs an eager
                     # aggregation over the ranges side — impossible on a
-                    # stream; leave the span to Spark
+                    # stream; an explicit '<src>.range.bucket_width'
+                    # WITH-prop opts the streaming ranges side in (the
+                    # operator itself is stateless — explode + equi-join),
+                    # otherwise leave the span to Spark
                     pos = spec.span[0] + 1
                     continue
                 break
@@ -1002,12 +1008,20 @@ class SqlEngine:
                 # without the bucketized speedup) and try later positions
                 pos = spec.span[0] + 1
         from velostream_spark.operators.rangejoin import range_join
-        width_row = right.agg(
-            F.avg(F.col(spec.hi_col) - F.col(spec.lo_col)).alias("w")
-        ).first()
-        width = float(width_row["w"]) if width_row and width_row["w"] else 1.0
-        if not width > 0:
-            width = 1.0
+        if explicit_w is not None:
+            width = float(explicit_w)
+            if not width > 0:
+                raise ValueError(
+                    f"'{spec.right_table}.range.bucket_width' must be a "
+                    f"positive number, got {explicit_w!r}"
+                )
+        else:
+            width_row = right.agg(
+                F.avg(F.col(spec.hi_col) - F.col(spec.lo_col)).alias("w")
+            ).first()
+            width = float(width_row["w"]) if width_row and width_row["w"] else 1.0
+            if not width > 0:
+                width = 1.0
         rename = {}
         lset = set(left.columns)
         for c in right.columns:
