@@ -18,9 +18,8 @@ from velostream_spark.registry import GATE_ORDER, all_queries
 #: their coverage carried by the entries noted in registry.GATE_ORDER).
 FLAGSHIPS = {
     "span_dedup",
-    "pq_encode",
     "ngram_jaccard_pairs",
-    "cross_dedup_bloom",
+    "streaming_bloom_dedup",
     "dedup_canonical",
     "quality_classifier_score",
     "curation_pipeline",
@@ -30,23 +29,26 @@ FLAGSHIPS = {
     "confluent_roundtrip",
     "streaming_tumbling_changes",
     "streaming_rows_window",
+    "streaming_cms_gate",
+    "streaming_decontam_gate",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 9 (round 12)
-#: — the round-11 classifier/heavy-hitters/dialect-time-series/split/
-#: streaming suite plus the stream-stream as-of, all exact-oracle. Every
-#: displaced near-twin holds an official r11 record (CORRECTNESS_r11 was
-#: 50/50 green) and stays in the catalog + parity mirror; displacement
-#: map in registry.GATE_ORDER's ROTATION batch 9 block.
+#: THIS round's first-time-official entrants: rotation batch 10 (round 13)
+#: — the round-12 streaming-SQL time-series suite (ASOF static-right and
+#: stream-stream, range, interval — all routed from SQL text) plus the
+#: gate family's sketch/membership/similarity members, all exact-oracle.
+#: Every displaced near-twin holds an official r12 record
+#: (CORRECTNESS_r12 was 50/50 green) and stays in the catalog + parity
+#: mirror + bench; displacement map in registry.GATE_ORDER's ROTATION
+#: batch 10 block.
 ROTATED_IN = {
-    "quality_classifier_score",
-    "heavy_hitters",
-    "dialect_asof_select",
-    "dialect_range_select",
-    "dataset_split",
-    "streaming_classifier_gate",
-    "streaming_range_join",
-    "streaming_asof_ss",
+    "dialect_asof_stream",
+    "dialect_asof_stream_ss",
+    "dialect_range_stream",
+    "dialect_interval_stream",
+    "streaming_cms_gate",
+    "streaming_bloom_dedup",
+    "streaming_decontam_gate",
 }
 
 
@@ -205,27 +207,45 @@ def test_batch9_executed_and_displaced_stay_mirrored():
         assert n not in first50, n
 
 
-#: Batch-10 rotation plan (round 13, registry.GATE_ORDER doc): every
-#: planned entrant must already exist in the catalog WITH an exact oracle
-#: — this pin keeps the documented plan executable (a renamed or
-#: oracle-less entrant would silently break the next round's rotation).
-BATCH10_PLANNED = {
-    "dialect_asof_stream",
-    "dialect_asof_stream_ss",
-    "dialect_range_stream",
-    "dialect_interval_stream",
-    "streaming_cms_gate",
-    "streaming_bloom_dedup",
-    "streaming_decontam_gate",
+#: Batch-10 rotation (EXECUTED round 13): every entrant holds a gate
+#: slot, and every DISPLACED near-twin stays in the catalog + mirror with
+#: its exact oracle intact (each holds an official r12 record; coverage
+#: map in registry.GATE_ORDER's ROTATION batch 10 block).
+BATCH10_DISPLACED = {
+    "dialect_asof_select",
+    "streaming_asof_ss",
+    "streaming_range_join",
+    "pq_encode",
+    "cross_dedup_bloom",
+    "semdedup",
+    "streaming_classifier_gate",
 }
 
 
-def test_batch10_entrants_exist_with_oracles():
+def test_batch10_executed_and_displaced_stay_mirrored():
     catalog = all_queries()
-    missing = [n for n in BATCH10_PLANNED if n not in catalog]
+    first50 = set(GATE_ORDER)
+    assert ROTATED_IN <= first50
+    for n in BATCH10_DISPLACED:
+        assert n in catalog and catalog[n].oracle, n
+        assert n not in first50, n
+
+
+#: Batch-11 rotation plan (round 14, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+BATCH11_PLANNED = {
+    "dialect_asof_groupby_stream",
+}
+
+
+def test_batch11_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH11_PLANNED if n not in catalog]
     assert not missing, missing
-    no_oracle = [n for n in BATCH10_PLANNED if not catalog[n].oracle]
+    no_oracle = [n for n in BATCH11_PLANNED if not catalog[n].oracle]
     assert not no_oracle, no_oracle
     # and none of them currently hold a gate slot (they are entrants)
     first50 = set(GATE_ORDER)
-    assert not (BATCH10_PLANNED & first50), BATCH10_PLANNED & first50
+    assert not (BATCH11_PLANNED & first50), BATCH11_PLANNED & first50

@@ -333,30 +333,47 @@ _LOADED = False
 #: applyInPandasWithState family coverage is carried by asof_ss itself
 #: plus the mirror).
 #:
-#: ROTATION batch 10 (planned for round 13, once batch 9 holds its first
-#: official record in CORRECTNESS_r12): candidates, all already
-#: mirror-verified at sf0.01 —
-#: dialect_asof_stream ← streaming_asof_join (same enrichment shape, now
-#: through the streaming-SQL surface with the identical native-ASOF
-#: oracle; the foreachBatch entry keeps its official r10-r11 records);
-#: dialect_asof_stream_ss ← streaming_asof_ss (same displacement logic:
-#: the SQL-text surface over the same stateful operator, sharing the
-#: strict native-ASOF oracle verbatim — asof_ss will hold its official
-#: r12 record);
+#: ROTATION batch 10 (EXECUTED in round 13 — precondition met: batch 9
+#: holds official r12 records, CORRECTNESS_r12 50/50 green): the seven
+#: round-12 streaming-SQL and gate entries take slots, all exact-oracle,
+#: all parity-green at the gate scale since round 12. Each displaced
+#: near-twin holds an official r12 (or earlier) record and stays in the
+#: catalog + parity mirror + bench:
+#: dialect_asof_stream ← dialect_asof_select (the same dialect-ASOF
+#: surface with the identical native-ASOF oracle, now exercised through
+#: the STREAMING engine — the planned streaming_asof_join displacement
+#: was moot, it was never gated; dialect_asof_select holds its official
+#: r12 record and stays a bench headline);
+#: dialect_asof_stream_ss ← streaming_asof_ss (the SQL-text surface over
+#: the same stateful operator, sharing the strict native-ASOF oracle
+#: verbatim; asof_ss holds its official r12 record);
 #: streaming_cms_gate ← streaming_classifier_gate (the gate family's
 #: sketch member; its oracle REBUILDS the CMS natively in DuckDB so the
-#: parity covers the sketch's collisions — the classifier gate will hold
-#: its official r12 record and stays a bench headline);
+#: parity covers the sketch's collisions — the classifier gate holds its
+#: official r12 record and stays a bench headline);
 #: dialect_range_stream ← streaming_range_join (the same
 #: SQL-surface-over-operator displacement as dialect_asof_stream; the
-#: foreachBatch range entry will hold its official r12 record);
-#: dialect_interval_stream, streaming_decontam_gate (cell-bounded
-#: embedding-similarity decontamination on the firehose, exact oracle
-#: via the deterministic IVF CTEs) and streaming_bloom_dedup (bloom-bypass
-#: cross-corpus dedup on the firehose, oracle shared verbatim with
-#: cross_dedup_bloom) are further candidates — more parity-green
-#: entrants than freed slots is the healthy direction; pick at
-#: rotation time.
+#: foreachBatch range entry holds its official r12 record);
+#: dialect_interval_stream ← pq_encode (PQ-encode coverage carried
+#: officially by ann_ivf_pq_residual_topk — residual encoding CONTAINS
+#: the PQ encode — and ann_ivf_pq_refine_topk, both staying; pq_encode
+#: holds official r10-r12 records and stays a bench headline);
+#: streaming_bloom_dedup ← cross_dedup_bloom (oracle shared VERBATIM —
+#: the streaming form verifies strictly more: the same NOT EXISTS
+#: semantics through the firehose; cross_dedup_bloom holds official
+#: r11-r12 records and stays a bench headline);
+#: streaming_decontam_gate ← semdedup (cell-bounded embedding-cosine
+#: family on the same deterministic-IVF CTE machinery; semdedup holds
+#: official r9-r12 records and stays a bench headline).
+#:
+#: ROTATION batch 11 (planned for round 14, once batch 10 holds its
+#: first official record in CORRECTNESS_r13): candidate, mirror-verified
+#: at sf0.01 since round 13 — dialect_asof_groupby_stream (ASOF JOIN +
+#: windowed GROUP BY composed in ONE streaming statement, two-step
+#: DuckDB oracle with the EMIT FINAL closure rule); natural displacement
+#: dialect_asof_stream or dialect_asof_stream_ss (the composition
+#: CONTAINS the enrichment route — whichever holds its official r13
+#: record; both stay bench headlines).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -398,11 +415,16 @@ GATE_ORDER = [
     # batch 9: asof_join (official r11) → dialect_asof_select (same
     # operator + the STRONGER identical-SQL-text oracle through the
     # dialect; the batch operator stays a bench headline)
-    "dialect_asof_select",
+    # batch 10: dialect_asof_select (official r12) → dialect_asof_stream
+    # (the same dialect surface + oracle, exercised through the STREAMING
+    # engine's foreachBatch route)
+    "dialect_asof_stream",
     # batch 9: streaming_interval_join (official r9-r11) →
     # streaming_range_join (time-conditioned stream join family; both
     # interval twins stay in the mirror)
-    "streaming_range_join",
+    # batch 10: streaming_range_join (official r12) → dialect_range_stream
+    # (the same operator routed from STREAMING-SQL text)
+    "dialect_range_stream",
     # batch 8: dialect_quantified_comparisons (official r9-r10) → range_join
     # batch 9: range_join (official r11) → dialect_range_select (same
     # displacement logic as dialect_asof_select)
@@ -430,11 +452,18 @@ GATE_ORDER = [
     # (displacement rationale in the ROTATION batch 6 block above)
     "span_dedup",
     # batch 7: minhash_signature → pq_encode (signature family)
-    "pq_encode",
+    # batch 10: pq_encode (official r10-r12) → dialect_interval_stream
+    # (PQ-encode coverage carried by the residual/refine entries below;
+    # the interval join now plans natively from streaming-SQL text via
+    # explicit watermark props — the time-series SQL surface's 3rd member)
+    "dialect_interval_stream",
     "ngram_jaccard_pairs",
     # batch 7: simhash → pq_code_dedup; batch 8: pq_code_dedup (official
     # r10) → cross_dedup_bloom (hash-keyed dedup family)
-    "cross_dedup_bloom",
+    # batch 10: cross_dedup_bloom (official r11-r12) →
+    # streaming_bloom_dedup (oracle shared VERBATIM; the streaming form
+    # verifies the same NOT EXISTS semantics through the firehose)
+    "streaming_bloom_dedup",
     "dedup_canonical",
     # batch 8: pii_scrub (official r8-r10) → bigram_lm_score
     # batch 9: bigram_lm_score (official r11) → quality_classifier_score
@@ -445,7 +474,10 @@ GATE_ORDER = [
     # batch 7: ann_ivf_topk → ann_ivf_pq_topk; batch 8: ann_ivf_pq_topk
     # (official r10) → the strictly-stronger residual production form
     "ann_ivf_pq_residual_topk",
-    "semdedup",
+    # batch 10: semdedup (official r9-r12) → streaming_decontam_gate
+    # (cell-bounded embedding-cosine family on the same deterministic-IVF
+    # machinery, now as the streaming decontamination gate)
+    "streaming_decontam_gate",
     # batch 9: global_shuffle (official r9-r11) → dataset_split
     # (deterministic-hash sampling family; corpus_mix stays official)
     "dataset_split",
@@ -464,7 +496,10 @@ GATE_ORDER = [
     # batch 9: streaming_sliding_final (official r8-r11) →
     # streaming_classifier_gate (EMIT FINAL carried by
     # streaming_session_final, staying)
-    "streaming_classifier_gate",
+    # batch 10: streaming_classifier_gate (official r12) →
+    # streaming_cms_gate (the gate family's sketch member, with the
+    # DuckDB-rebuilt-grid oracle — the strongest sketch oracle shipped)
+    "streaming_cms_gate",
     "streaming_session_final",
     # batch 6: streaming_group_by_final → sliding/session EMIT FINAL twins
     "streaming_curation",
@@ -473,7 +508,10 @@ GATE_ORDER = [
     # streaming_asof_ss (the stateful stream-stream as-of with the EXACT
     # DuckDB-native-ASOF oracle; applyInPandasWithState family coverage
     # carried by asof_ss itself + the mirror)
-    "streaming_asof_ss",
+    # batch 10: streaming_asof_ss (official r12) → dialect_asof_stream_ss
+    # (the SQL-text surface over the SAME stateful operator, native-ASOF
+    # oracle shared verbatim)
+    "dialect_asof_stream_ss",
 ]
 
 
