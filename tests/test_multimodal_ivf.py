@@ -300,3 +300,20 @@ def test_streaming_decontam_gate_drops_known_contaminant(spark, tmp_path):
         "decontam_unit",
     )
     assert sorted(r["vec_id"] for r in out.collect()) == [2]
+
+
+def test_decontam_gate_shuffled_fallback_matches_broadcast(spark, monkeypatch):
+    """r12 verdict task 7: past the measured benchmark-set broadcast
+    ceiling the gate falls back to the shuffled cell-equi-join. Forcing
+    the fallback (ceiling=0) must produce the IDENTICAL verdict set as
+    the broadcast form at the same scale — only the exchange strategy
+    may differ."""
+    import velostream_spark.queries.multimodal_queries as mm
+
+    sf = "/root/testdata/sf0.001"
+    base = mm.streaming_decontam_gate(spark, sf)
+    want = sorted((r["vec_id"], r["cell"]) for r in base.collect())
+    monkeypatch.setattr(mm, "DECONTAM_BROADCAST_MAX_ROWS", 0)
+    fb = mm.streaming_decontam_gate(spark, sf)
+    got = sorted((r["vec_id"], r["cell"]) for r in fb.collect())
+    assert got == want and len(got) > 0

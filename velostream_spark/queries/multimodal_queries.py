@@ -309,6 +309,22 @@ def _decontam_oracle(n_centroids: int = 8, threshold: float = 0.3) -> str:
     """
 
 
+#: Broadcast ceiling for the decontamination gate's benchmark set, in
+#: ROWS (the deciding quantity: every task probes |B∩cell| vectors; at
+#: dim=64 float64 a row is ~0.5 KB in the hash relation). MEASURED in
+#: tools/decontam_ceiling.py (r12 verdict task 7; full table in PERF.md):
+#: broadcast ≈ shuffled at 6.4K rows (5.7 vs 5.1 s), broadcast 1.6×
+#: WORSE at 51K rows / 26 MB (45.3 vs 28.5 s) and 3.5× worse at 205K
+#: rows / 105 MB (189 vs 54 s) — the broadcast hash relation's per-probe
+#: bucket walk degrades super-linearly while the sort-merge
+#: cell-equi-join grows sub-linearly. 25K rows (~13 MB, near Spark's own
+#: 10 MB autoBroadcast default) keeps broadcast for every realistic eval
+#: set and switches before the measured divergence; the local single-JVM
+#: crossover is an UPPER bound — a real cluster adds driver-collect +
+#: per-executor ship to the broadcast side, never to the fallback.
+DECONTAM_BROADCAST_MAX_ROWS = 25_000
+
+
 @query(
     "streaming_decontam_gate",
     oracle=_decontam_oracle(),
@@ -371,8 +387,18 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     hit = (F.col("_cell") == F.col("b_cell")) & (cos >= F.lit(thr))
+    # Broadcast the benchmark set only while it fits the measured ceiling
+    # (DECONTAM_BROADCAST_MAX_ROWS); a larger B falls back to the shuffled
+    # cell-equi-join — Spark extracts the cell equality as the join key
+    # and keeps the cosine as residual, so candidates stay cell-bounded
+    # either way (stream-static left-anti is stateless per micro-batch in
+    # both plans). The count scans the RAW benchmark rows (parquet count,
+    # no Arrow pass) — the same one-time index-build class as the
+    # centroid selection above.
+    n_b = emb.where(F.col("vec_id") % 5 == 0).count()
+    rhs = b if n_b > DECONTAM_BROADCAST_MAX_ROWS else F.broadcast(b)
     out = (
-        a.join(F.broadcast(b), hit, "left_anti")
+        a.join(rhs, hit, "left_anti")
         .select("vec_id", F.col("_cell").alias("cell"))
     )
     return run_available_now(out, "append", "streaming_decontam_gate")
