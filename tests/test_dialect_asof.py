@@ -1128,3 +1128,49 @@ def test_range_bucket_width_prop_must_be_positive(spark, tmp_path):
             "'rstr2.format' = 'parquet', 'rstr2.range.bucket_width' = '0')",
             wait=False,
         )
+
+
+def test_streaming_asof_sql_group_by_having_composes(spark, tmp_path):
+    """HAVING rides the composed ASOF+GROUP BY statement unchanged: it
+    filters the step-2 windowed aggregate (post-aggregation, exact)."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    lrows = [
+        (i, i % 2, base + dt.timedelta(minutes=m))
+        for i, m in enumerate([0, 1, 2, 6, 11])
+    ]
+    src = str(tmp_path / "gbh_in")
+    spark.createDataFrame(lrows, "event_id int, k int, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+    e.register_table(
+        "snaps_gbh",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 5.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "gbh_out")
+    e.execute_streaming(
+        "CREATE STREAM gbh AS "
+        "SELECT s.k, COUNT(*) AS n "
+        "FROM s ASOF LEFT JOIN snaps_gbh q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "HAVING COUNT(*) >= 2 "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'gbh.type' = 'file_sink', 'gbh.format' = 'parquet', "
+        f"'gbh.path' = '{out}')"
+    )
+    got = {
+        (r["k"], r["n"])
+        for r in spark.read.schema("k int, n long").parquet(out).collect()
+    }
+    # window 9:00-9:05: k=0 at +0,+2 (n=2, passes HAVING); k=1 at +1
+    # (n=1, filtered); window 9:05-9:10: k=0 at +6 (n=1, filtered);
+    # the 9:10-9:15 window holds max ts -> withheld by EMIT FINAL
+    assert got == {(0, 2)}
