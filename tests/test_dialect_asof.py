@@ -1174,3 +1174,48 @@ def test_streaming_asof_sql_group_by_having_composes(spark, tmp_path):
     # (n=1, filtered); window 9:05-9:10: k=0 at +6 (n=1, filtered);
     # the 9:10-9:15 window holds max ts -> withheld by EMIT FINAL
     assert got == {(0, 2)}
+
+
+def test_streaming_asof_ss_group_by_composes(spark, tmp_path):
+    """Stream-STREAM ASOF + windowed GROUP BY in one statement: chaining
+    the stateful operator and the windowed aggregate in one query trips
+    Spark's global-watermark correctness check, so the engine composes —
+    the bucketed SS enrichment materializes to the intermediate parquet
+    stream, then the watermarked aggregation runs over it."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src_l = str(tmp_path / "ssgb_l")
+    src_r = str(tmp_path / "ssgb_r")
+    spark.createDataFrame(
+        [(i, i % 2, base + dt.timedelta(minutes=m))
+         for i, m in enumerate([0, 1, 2, 6, 11])],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src_l)
+    spark.createDataFrame(
+        [(0, base - dt.timedelta(minutes=1), 5.0)],
+        "k int, rt timestamp, v double",
+    ).write.parquet(src_r)
+    out = str(tmp_path / "ssgb_out")
+    e.execute_streaming(
+        "CREATE STREAM ssgb AS "
+        "SELECT s.k, COUNT(*) AS n, SUM(q.v) AS sv "
+        "FROM s ASOF LEFT JOIN q ON s.k = q.k AND s.ts > q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src_l}', "
+        "'s.format' = 'parquet', "
+        f"'q.type' = 'file_source', 'q.path' = '{src_r}', "
+        "'q.format' = 'parquet', "
+        "'ssgb.type' = 'file_sink', 'ssgb.format' = 'parquet', "
+        f"'ssgb.path' = '{out}')"
+    )
+    got = sorted(
+        (r["k"], r["n"], r["sv"])
+        for r in spark.read.schema("k int, n long, sv double").parquet(out).collect()
+    )
+    # window 10:00-10:05: k=0 events at +0,+2 (both match v=5.0);
+    #   k=1 at +1 (no right for k=1 -> sv NULL); window 10:05-10:10:
+    #   k=1 at +6; the 10:10-10:15 window holds max ts -> withheld
+    assert got == [(0, 2, 10.0), (1, 1, None), (1, 1, None)]

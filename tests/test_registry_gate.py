@@ -237,6 +237,7 @@ def test_batch10_executed_and_displaced_stay_mirrored():
 #: oracle-less entrant would silently break the next round's rotation).
 BATCH11_PLANNED = {
     "dialect_asof_groupby_stream",
+    "dialect_asof_groupby_stream_ss",
 }
 
 

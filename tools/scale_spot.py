@@ -176,9 +176,10 @@ def main() -> None:
         "dialect_interval_stream",
         "streaming_bloom_dedup",
         "streaming_decontam_gate",
-        # round-13: the composed ASOF+GROUP BY statement runs BOTH its
+        # round-13: the composed ASOF+GROUP BY statements run BOTH their
         # streaming jobs (enrichment + windowed aggregation) per call
         "dialect_asof_groupby_stream",
+        "dialect_asof_groupby_stream_ss",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

@@ -815,3 +815,109 @@ def dialect_asof_groupby_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start long, user_id long, n_events long, total_snap double"
     )
     return spark.read.schema(schema).parquet(out_dir)
+
+@query(
+    "dialect_asof_groupby_stream_ss",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             make_timestamp(epoch_ms(ts) * 1000) AS ts
+      FROM events
+    ),
+    snaps AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS snap_value
+      FROM ev WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    l AS (SELECT event_id, user_id, ts FROM ev WHERE event_id % 10 <> 0),
+    enriched AS (
+      SELECT l.event_id, l.user_id, l.ts, s.snap_value
+      FROM l ASOF LEFT JOIN snaps s
+        ON l.user_id = s.user_id AND l.ts > s.ts
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS window_start,
+             user_id,
+             COUNT(*)                  AS n_events,
+             ROUND(SUM(snap_value), 4) AS total_snap
+      FROM enriched GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n_events, total_snap FROM agg
+    WHERE window_start + 300000 <= (SELECT epoch_ms(MAX(ts)) FROM l)
+    """,
+    tags=(
+        "dialect", "streaming", "join", "asof", "stream-stream",
+        "stateful", "time-window", "emit-final", "beyond-reference",
+    ),
+)
+def dialect_asof_groupby_stream_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM ASOF JOIN + windowed GROUP BY in ONE statement: the
+    stateful bucketed enrichment CANNOT chain into a windowed aggregate
+    inside one query (Spark's global-watermark correctness check rejects
+    stacked stateful operators whose intermediate rows would arrive late
+    downstream), so the engine composes — the SS operator enriches to an
+    intermediate parquet stream (the dialect_asof_stream_ss shape), then
+    the watermarked tumbling aggregation runs over it
+    (engine._compose_asof_groupby, right_streaming branch). Strict (>)
+    form required on the SS path as always; event times pre-truncated to
+    ms grain in both engines (the streaming_asof_ss convention). Oracle:
+    DuckDB's native strict ASOF LEFT JOIN in a CTE feeding the grouped
+    tumbling aggregate, with the EMIT FINAL closure rule (windows whose
+    end has not passed max left event time are withheld). Kept out of the
+    bench headline: its per-invocation wall is TWO full stateful
+    streaming jobs, both separately benched (dialect_asof_stream_ss,
+    dialect_asof_groupby_stream)."""
+    from pyspark.sql import functions as F
+
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        "value",
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+    )
+    eng = SqlEngine(spark, time_col="ts")
+    snaps_dir = _memo_fixture(
+        ("asofgbss_snaps", sf_dir),
+        "vs-asofgbss-snaps-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias("snap_value"))
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    left_dir = _memo_fixture(
+        ("asofss_left", sf_dir),  # shared with dialect_asof_stream_ss
+        "vs-asofss-left-",
+        lambda d: (
+            ev.where(F.col("event_id") % 10 != 0)
+            .select("event_id", "user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    out_dir = _scratch_dir("vs-asofgbss-out-")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_asof_gbss_out AS "
+        "SELECT TUMBLE_START() AS window_start, l.user_id, "
+        "COUNT(*) AS n_events, ROUND(SUM(s.snap_value), 4) AS total_snap "
+        "FROM evl l ASOF LEFT JOIN snp s "
+        "ON l.user_id = s.user_id AND l.ts > s.ts "
+        "GROUP BY l.user_id "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('evl.type' = 'file_source', 'evl.path' = '{left_dir}', "
+        "'evl.format' = 'parquet', "
+        f"'snp.type' = 'file_source', 'snp.path' = '{snaps_dir}', "
+        "'snp.format' = 'parquet', "
+        "'dialect_asof_gbss_out.type' = 'file_sink', "
+        "'dialect_asof_gbss_out.format' = 'parquet', "
+        f"'dialect_asof_gbss_out.path' = '{out_dir}')"
+    )
+    schema = (
+        "window_start long, user_id long, n_events long, total_snap double"
+    )
+    return spark.read.schema(schema).parquet(out_dir)

@@ -367,13 +367,16 @@ _LOADED = False
 #: official r9-r12 records and stays a bench headline).
 #:
 #: ROTATION batch 11 (planned for round 14, once batch 10 holds its
-#: first official record in CORRECTNESS_r13): candidate, mirror-verified
+#: first official record in CORRECTNESS_r13): candidates, mirror-verified
 #: at sf0.01 since round 13 — dialect_asof_groupby_stream (ASOF JOIN +
 #: windowed GROUP BY composed in ONE streaming statement, two-step
-#: DuckDB oracle with the EMIT FINAL closure rule); natural displacement
-#: dialect_asof_stream or dialect_asof_stream_ss (the composition
-#: CONTAINS the enrichment route — whichever holds its official r13
-#: record; both stay bench headlines).
+#: DuckDB oracle with the EMIT FINAL closure rule) and
+#: dialect_asof_groupby_stream_ss (the same composition over the
+#: stream-STREAM stateful route — Spark itself rejects the chained
+#: stateful shape, so the intermediate materialization IS the operator);
+#: natural displacements dialect_asof_stream / dialect_asof_stream_ss
+#: (the compositions CONTAIN the enrichment routes — whichever holds its
+#: official r13 record; both stay bench headlines).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",

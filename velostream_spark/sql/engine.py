@@ -1184,6 +1184,28 @@ class SqlEngine:
         else:
             sink_format, sink_options = "memory", {}
 
+        if asof_spec is not None:
+            from velostream_spark.sql.dialect import _blank_nested
+
+            if re.search(r"(?i)\bGROUP\s+BY\b", _blank_nested(st.select_sql)):
+                # ASOF + GROUP BY composes for BOTH right-side kinds: the
+                # stream-stream route would otherwise chain two stateful
+                # operators in one query and die on Spark's global-watermark
+                # correctness check (late rows between stateful operators)
+                if st.kind != "create_stream":
+                    raise NotImplementedError(
+                        "ASOF JOIN + GROUP BY composition is supported in "
+                        "CREATE STREAM ... AS SELECT; DEPLOY/START JOB "
+                        "versioned deployment does not carry the two-step "
+                        "plan — use CREATE STREAM or the batch engine"
+                    )
+                return self._compose_asof_groupby(
+                    st, sql, asof_spec, sink_format, sink_options, wait,
+                    right_streaming=self._asof_right_is_streaming(
+                        asof_spec, cfgs
+                    ),
+                )
+
         if asof_spec is not None and not self._asof_right_is_streaming(
             asof_spec, cfgs
         ):
@@ -1415,20 +1437,25 @@ class SqlEngine:
 
     def _compose_asof_groupby(
         self, st: Statement, sql: str, spec, sink_format: str,
-        sink_options: dict, wait: bool,
+        sink_options: dict, wait: bool, right_streaming: bool = False,
     ):
         """ASOF JOIN + windowed GROUP BY in ONE streaming statement,
         auto-split into the two-step plan the round-12 fail-fast used to
         name (reference analog: any parsed join shape feeds windowed
         aggregation continuously — processors/stream_table_join.rs:22 +
         window_v2/adapter.rs): (1) the enrichment CSAS (``SELECT *`` over
-        the ASOF JOIN segment only) deploys through the foreachBatch route
-        to an intermediate parquet stream; (2) the original statement,
-        its FROM..ON span requalified onto the intermediate, deploys as a
-        native watermarked windowed aggregation over that stream. The
-        fail-fast remains only where the intermediate cannot be
-        materialized (no time window to finalize, EMIT CHANGES file
-        changelogs, unbounded deploys)."""
+        the ASOF JOIN segment only) deploys to an intermediate parquet
+        stream — through the foreachBatch route for a STATIC right side,
+        through the stateful bucketed stream-stream operator when the
+        right is a stream (chaining that operator and the windowed
+        aggregate in ONE query would trip Spark's global-watermark
+        correctness check — late rows between stateful operators — so the
+        intermediate materialization is what makes the composition exact);
+        (2) the original statement, its FROM..ON span requalified onto
+        the intermediate, deploys as a native watermarked windowed
+        aggregation over that stream. The fail-fast remains only where
+        the intermediate cannot be materialized (no time window to
+        finalize, EMIT CHANGES file changelogs, unbounded deploys)."""
         import copy
 
         from velostream_spark.sql.dialect import parse_asof_join
@@ -1472,14 +1499,45 @@ class SqlEngine:
             if not k.startswith(f"{st.name}.")
         }
         spec1 = parse_asof_join(st1.select_sql)
-        self._deploy_asof_foreach_batch(
-            st1, sql, spec1, "parquet", {"path": inter_dir}, wait=True
-        )
+        if right_streaming:
+            # the dialect_asof_stream_ss shape with a parquet sink: the
+            # stateful bucketed operator enriches, files materialize the
+            # watermark-finalized rows the aggregation can then window
+            def build1() -> DataFrame:
+                self._wire_sources_streaming(st1)
+                return self._build_asof_stream_stream(st1.select_sql, spec1)
+
+            self.jobs.deploy(
+                st1.name, build1, sink_format="parquet",
+                sink_options={"path": inter_dir}, output_mode="append",
+            )
+            self.jobs.wait(st1.name)
+        else:
+            self._deploy_asof_foreach_batch(
+                st1, sql, spec1, "parquet", {"path": inter_dir}, wait=True
+            )
 
         # step 2: the original statement over the intermediate stream
         left_cols = list(self.spark.table(spec.left_table).columns)
         right_cols = list(self.spark.table(spec.right_table).columns)
-        rename = self._asof_exposed_rename(left_cols, right_cols, spec.keys)
+        if right_streaming:
+            # the stream-stream operator's exposure rule (_build_asof_
+            # stream_stream): every right column except the join key is
+            # payload, collision-prefixed with asof_; the right key name
+            # requalifies to the joint key column
+            lk, rk = spec.keys[0] if spec.keys else (None, None)
+            lset = set(left_cols)
+            rename = {
+                p: (p if p not in lset else f"asof_{p}")
+                for p in right_cols
+                if p != rk
+            }
+            if rk is not None:
+                rename.setdefault(rk, lk)
+        else:
+            rename = self._asof_exposed_rename(
+                left_cols, right_cols, spec.keys
+            )
         enriched_cols = set(self.spark.read.parquet(inter_dir).columns)
         drifted = [
             f"{o}->{n}" for o, n in rename.items() if n not in enriched_cols
