@@ -1219,3 +1219,47 @@ def test_streaming_asof_ss_group_by_composes(spark, tmp_path):
     #   k=1 at +1 (no right for k=1 -> sv NULL); window 10:05-10:10:
     #   k=1 at +6; the 10:10-10:15 window holds max ts -> withheld
     assert got == [(0, 2, 10.0), (1, 1, None), (1, 1, None)]
+
+
+def test_streaming_asof_sql_group_by_sliding_composes(spark, tmp_path):
+    """The composition is window-shape-agnostic: a SLIDING window rides
+    step 2 as the same native watermarked aggregation (each event lands
+    in size/slide overlapping windows)."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 5, 1, 8, 0, 0)
+    src = str(tmp_path / "gbs_in")
+    spark.createDataFrame(
+        [(i, 0, base + dt.timedelta(minutes=m))
+         for i, m in enumerate([0, 1, 6, 11])],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_gbs",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 2.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "gbs_out")
+    e.execute_streaming(
+        "CREATE STREAM gbs AS "
+        "SELECT s.k, COUNT(*) AS n "
+        "FROM s ASOF LEFT JOIN snaps_gbs q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW SLIDING(INTERVAL '10' MINUTE, INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'gbs.type' = 'file_sink', 'gbs.format' = 'parquet', "
+        f"'gbs.path' = '{out}')"
+    )
+    got = sorted(
+        r["n"]
+        for r in spark.read.schema("k int, n long").parquet(out).collect()
+    )
+    # size 10 / slide 5 windows over events at +0,+1,+6,+11; max ts=+11
+    # closes windows ending <= 8:11 -> [7:55-8:05): n=2, [8:00-8:10): n=3;
+    # [8:05-8:15) and [8:10-8:20) hold +11 (end > watermark) -> withheld
+    assert got == [2, 3]
