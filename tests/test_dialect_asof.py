@@ -1263,3 +1263,114 @@ def test_streaming_asof_sql_group_by_sliding_composes(spark, tmp_path):
     # closes windows ending <= 8:11 -> [7:55-8:05): n=2, [8:00-8:10): n=3;
     # [8:05-8:15) and [8:10-8:20) hold +11 (end > watermark) -> withheld
     assert got == [2, 3]
+
+
+def test_streaming_asof_sql_group_by_composes_matches_batch_on_random_data(
+    spark, tmp_path
+):
+    """Property pin for the composition: on seeded random (key, ts, qty)
+    data the composed streaming statement equals the batch two-step —
+    operators/asof.py enrichment, then the tumbling aggregate — filtered
+    by the EMIT FINAL closure rule (window end <= max left event time)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from velostream_spark.operators.asof import asof_join
+
+    rnd = random.Random(1313)
+    base = dt.datetime(2025, 2, 1)
+    lrows = [
+        (
+            i,
+            rnd.randrange(4),
+            base + dt.timedelta(seconds=rnd.randrange(0, 3600)),
+            round(rnd.uniform(1, 9), 2),
+        )
+        for i in range(400)
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=s), round(rnd.uniform(10, 20), 2))
+        for k in range(3)  # key 3 never matches
+        for s in rnd.sample(range(0, 3600), 20)
+    ]
+    ldf = spark.createDataFrame(
+        lrows, "event_id int, k int, ts timestamp, qty double"
+    )
+    rdf = spark.createDataFrame(rrows, "k int, rt timestamp, px double")
+    src = str(tmp_path / "prop_in")
+    ldf.write.parquet(src)
+    e = SqlEngine(spark, time_col="ts")
+    e.register_table("quotes_prop", rdf)
+    out = str(tmp_path / "prop_out")
+    e.execute_streaming(
+        "CREATE STREAM prop_gb AS "
+        "SELECT s.k, COUNT(*) AS n, ROUND(SUM(s.qty * q.px), 2) AS notional "
+        "FROM s ASOF LEFT JOIN quotes_prop q "
+        "ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '10' MINUTE) EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'prop_gb.type' = 'file_sink', 'prop_gb.format' = 'parquet', "
+        f"'prop_gb.path' = '{out}')"
+    )
+    got = sorted(
+        (r["k"], r["n"], r["notional"])
+        for r in spark.read.schema("k int, n long, notional double")
+        .parquet(out)
+        .collect()
+    )
+    enriched = asof_join(
+        ldf, rdf.withColumnRenamed("rt", "ts"), key="k",
+        left_ts="ts", right_ts="ts", payload=["px"], inclusive=True,
+    )
+    max_ts = ldf.agg(F.max("ts")).first()[0]
+    want = sorted(
+        (r["k"], r["n"], r["notional"])
+        for r in enriched.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "k"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("qty") * F.col("asof_px")), 2).alias("notional"),
+        )
+        .where(F.col("w").end <= F.lit(max_ts))
+        .select("k", "n", "notional")
+        .collect()
+    )
+    assert got == want and len(got) > 10
+
+
+def test_streaming_asof_sql_group_by_composes_memory_sink(spark, tmp_path):
+    """The composed statement's default (memory) sink path: step 2's
+    aggregate lands in a queryable table named like the stream."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 7, 1, 12, 0, 0)
+    src = str(tmp_path / "gbm_in")
+    spark.createDataFrame(
+        [(i, 0, base + dt.timedelta(minutes=m)) for i, m in enumerate([0, 1, 6])],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_gbm",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 3.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    e.execute_streaming(
+        "CREATE STREAM gbm AS "
+        "SELECT s.k, COUNT(*) AS n "
+        "FROM s ASOF LEFT JOIN snaps_gbm q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet')"
+    )
+    got = {(r["k"], r["n"]) for r in spark.table("gbm").collect()}
+    # 12:00-12:05 closes (n=2); 12:05-12:10 holds max ts -> withheld
+    assert got == {(0, 2)}
