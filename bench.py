@@ -118,6 +118,7 @@ HEADLINE = [
     "streaming_rows_window",
     "streaming_session_join",
     "streaming_classifier_gate",
+    "streaming_pii_gate",
     "streaming_bloom_dedup",
     "streaming_decontam_gate",
     # rep=1: content-keyed dedup collapses replicated copies (identical
@@ -187,11 +188,19 @@ AMORTIZED = {
     "dialect_asof_stream_ss": (("events",), 16),
     "dialect_range_stream": (("events",), 16),
     "dialect_interval_stream": (("events",), 16),
+    # composed ASOF+GROUP BY: measured near-FLAT to 16x (3.47 -> 3.77 s,
+    # tools/decontam_ceiling-era spot in PERF.md round-13) — the wall is
+    # the TWO-streaming-job floor, the exact shape amortization exists for
+    "dialect_asof_groupby_stream": (("events",), 16),
     # stateless per-doc model inference — content-blind, so id-shift
     # replication scales its work linearly (16x: the ~2.4 s 1x wall is
     # almost entirely the streaming floor; marginal cost 0.017 s/1x
     # measured in the r11 scale spots)
     "streaming_classifier_gate": (("documents",), 16),
+    # same shape: stateless per-doc regex chain, content-blind across rows
+    # (the synthetic-PII augmentation derives from doc_id, which shifts
+    # per replica) — id-shift replication scales its work linearly
+    "streaming_pii_gate": (("documents",), 16),
     # rep=1 entries: LAYOUT normalization only — values bit-identical, no
     # replication, wall reported at 1×. The driver's sf0.1 lineitem is ONE
     # parquet row group (row groups are Spark's split unit, so the 600K-row
@@ -438,8 +447,8 @@ def main() -> None:
                 "dialect_range_stream",
                 "dialect_interval_stream",
                 # runs TWO streaming jobs (enrichment + aggregation) per
-                # fn() call; its 1x wall dominates the floor, so it stays
-                # un-amortized (rep=1) like streaming_curation
+                # fn() call; 16x-amortized like its component jobs (the
+                # 16x scale spot is near-flat — floor-dominated)
                 "dialect_asof_groupby_stream",
             )
             prebuilt = None

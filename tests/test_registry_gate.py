@@ -238,6 +238,7 @@ def test_batch10_executed_and_displaced_stay_mirrored():
 BATCH11_PLANNED = {
     "dialect_asof_groupby_stream",
     "dialect_asof_groupby_stream_ss",
+    "streaming_pii_gate",
 }
 
 

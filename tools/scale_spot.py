@@ -180,6 +180,8 @@ def main() -> None:
         # streaming jobs (enrichment + windowed aggregation) per call
         "dialect_asof_groupby_stream",
         "dialect_asof_groupby_stream_ss",
+        # round-13: gate family's 5th member (scan-side regex chain)
+        "streaming_pii_gate",
     ]
     # SCALE_SPOT_ENTRIES=a,b,c restricts the sweep (e.g. the 512x/1024x
     # composed-pipeline run, where re-timing every 1x-flat entry would

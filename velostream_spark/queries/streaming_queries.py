@@ -791,6 +791,69 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "append", "streaming_bloom_dedup")
 
 
+def _streaming_pii_oracle() -> str:
+    from velostream_spark.operators import textops
+
+    aug = (
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "('Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+        "+1-555-01' || CAST(doc_id AS VARCHAR) || ' via https://ex.com/u/' || "
+        "CAST(doc_id AS VARCHAR) || ' -- ' || text) ELSE text END)"
+    )
+    return f"""
+SELECT doc_id,
+       {textops.scrub_pii_sql(aug)} AS clean_text,
+       {textops.pii_count_sql(aug)} AS n_redactions
+FROM documents
+WHERE {textops.pii_count_sql(aug)} > 0
+"""
+
+
+@query(
+    "streaming_pii_gate",
+    oracle=_streaming_pii_oracle(),
+    tags=("streaming", "text", "scrub", "gate", "beyond-reference"),
+)
+def streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous PII detection on the firehose: documents stream in and
+    only those that REQUIRED redaction flow (already scrubbed) to the
+    review sink — the pii_scrub operator turned into a gate, completing
+    the streaming gate family's fifth member (classifier=model,
+    CMS=frequency, Bloom=membership, decontam=similarity, PII=policy).
+    One shared pattern table (textops.PII_PATTERNS) drives this plan AND
+    the DuckDB oracle, so parity covers the regex semantics themselves.
+    Pure scan-side regexp_replace/regexp_count chain inside whole-stage
+    codegen — ZERO Python, ZERO shuffle, no state store; stateless per
+    batch ⇒ append streaming equals the batch operator exactly. Every
+    third doc is augmented with synthetic PII (id-derived, like
+    pii_scrub) so the gate is selective rather than pass-all. At 100 TB
+    this is embarrassingly parallel per-partition text rewriting — the
+    dominant clean fraction of the stream never leaves its input
+    partition."""
+    from velostream_spark.operators import textops
+
+    sdf = stream_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id").cast("string"),
+            F.lit(" via https://ex.com/u/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" -- "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    gated = sdf.select(
+        "doc_id",
+        textops.scrub_pii(aug).alias("clean_text"),
+        textops.pii_count(aug).cast("long").alias("n_redactions"),
+    ).where(F.col("n_redactions") > 0)
+    return run_available_now(gated, "append", "streaming_pii_gate")
+
+
 def _cms_gate_oracle() -> str:
     from velostream_spark.operators.cms import pos_md5_sql
 
