@@ -1374,3 +1374,51 @@ def test_streaming_asof_sql_group_by_composes_memory_sink(spark, tmp_path):
     got = {(r["k"], r["n"]) for r in spark.table("gbm").collect()}
     # 12:00-12:05 closes (n=2); 12:05-12:10 holds max ts -> withheld
     assert got == {(0, 2)}
+
+
+def test_streaming_asof_sql_group_by_session_composes(spark, tmp_path):
+    """SESSION windows ride the composition too: step 2 plans Spark's
+    session-merge exec under the watermark; a session closes (and emits,
+    EMIT FINAL) only when the watermark passes its end."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 9, 1, 9, 0, 0)
+    src = str(tmp_path / "gbss_in")
+    # k=0: events at +0,+5 min (one session, gap 10) then +40 (session
+    # still open at max ts -> withheld); k=1: event at +1 (its session
+    # [+1, +11) closes before max ts +40 -> emitted)
+    spark.createDataFrame(
+        [(0, 0, base), (1, 1, base + dt.timedelta(minutes=1)),
+         (2, 0, base + dt.timedelta(minutes=5)),
+         (3, 0, base + dt.timedelta(minutes=40))],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_gbses",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 4.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "gbss_out")
+    e.execute_streaming(
+        "CREATE STREAM gbses AS "
+        "SELECT s.k, COUNT(*) AS n, SUM(q.v) AS sv "
+        "FROM s ASOF LEFT JOIN snaps_gbses q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW SESSION(INTERVAL '10' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'gbses.type' = 'file_sink', 'gbses.format' = 'parquet', "
+        f"'gbses.path' = '{out}')"
+    )
+    got = sorted(
+        (r["k"], r["n"], r["sv"])
+        for r in spark.read.schema("k int, n long, sv double").parquet(out).collect()
+    )
+    # k=0 session {+0,+5} closes at +15 <= +40 watermark -> (0, 2, 8.0);
+    # k=1 session {+1} closes at +11 -> (1, 1, NULL: no right for k=1);
+    # k=0 session {+40} open -> withheld
+    assert got == [(0, 2, 8.0), (1, 1, None)]
