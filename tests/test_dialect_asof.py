@@ -1422,3 +1422,71 @@ def test_streaming_asof_sql_group_by_session_composes(spark, tmp_path):
     # k=1 session {+1} closes at +11 -> (1, 1, NULL: no right for k=1);
     # k=0 session {+40} open -> withheld
     assert got == [(0, 2, 8.0), (1, 1, None)]
+
+
+def test_rebind_guard_skips_scalar_function_froms(eng):
+    """ADVICE r13 (medium): EXTRACT(HOUR FROM l.ts) / TRIM(BOTH 'x' FROM
+    col) carry a FROM that binds NO relation — the rebind guard must not
+    read them as a nested scope rebinding the join alias."""
+    chk = eng._check_alias_rebind
+    # dotted use inside EXTRACT: a FROM cannot bind a name that continues
+    # as a dotted reference
+    chk("SELECT EXTRACT(HOUR FROM l.ts) AS h WHERE l.v > 0", ("l", "lt"))
+    # bare use that COINCIDES with the alias name: the FROM sits inside
+    # TRIM's / SUBSTRING's argument list, so it binds nothing
+    chk("SELECT TRIM(BOTH 'x' FROM l2) AS t WHERE l2.v > 0", ("l2",))
+    chk("SELECT SUBSTRING(l2 FROM 2 FOR 3) AS s WHERE l2.v > 0", ("l2",))
+    chk("SELECT OVERLAY(l2 PLACING 'x' FROM 2) AS o WHERE l2.v > 0", ("l2",))
+    # a genuine rebind + dereference still trips
+    with pytest.raises(ValueError, match="rebound"):
+        chk("WHERE EXISTS (SELECT 1 FROM other l WHERE l.x = 1)", ("l",))
+    # and prefix backtracking cannot manufacture a match: FROM abc.x with
+    # alias 'ab' must not read as a binding of 'ab'
+    chk("SELECT 1 FROM abc.x WHERE ab.v > 0", ("ab",))
+
+
+def test_asof_extract_in_select_executes(eng):
+    """End-to-end ADVICE r13 repro: a valid ASOF query whose SELECT uses
+    EXTRACT(... FROM alias.col) must execute, not hard-fail."""
+    rows = eng.execute(
+        "SELECT a.tag, EXTRACT(DAY FROM CAST('2024-01-02' AS DATE)) AS d, "
+        "b.v FROM lt a ASOF LEFT JOIN rt_tbl b "
+        "ON a.k = b.k AND a.t >= b.rt WHERE a.k = 1"
+    ).collect()
+    assert {(r["tag"], r["d"], r["v"]) for r in rows} == {
+        ("a", 2, 10.0), ("b", 2, 20.0), ("early", 2, None)
+    }
+
+
+def test_batchwise_guard_sees_wrapped_aggregates(eng):
+    """ADVICE r13 (medium): a global aggregate WRAPPED in a scalar call
+    (ROUND(SUM(v),2), CAST(COUNT(*) AS INT)) is still a per-batch-partial
+    emitter — the guard must see through the wrapper parens."""
+    guard = eng._assert_batchwise_exact
+    for sql in (
+        "SELECT ROUND(SUM(q.v), 2) AS sv FROM s",
+        "SELECT CAST(COUNT(*) AS INT) AS c FROM s",
+        "SELECT COALESCE(MAX(q.v), 0.0) AS m FROM s",
+    ):
+        with pytest.raises(NotImplementedError, match="global aggregate"):
+            guard(sql)
+    # subquery-scoped aggregates are the subquery's own; names that merely
+    # look like aggregates (columns, literals) never trip
+    guard("SELECT s.k, q.v FROM s WHERE s.t > (SELECT MAX(rt) FROM q2)")
+    guard("SELECT s.sum AS total, 'SUM(x)' AS note FROM s")
+    # an OVER hidden inside a wrapper call is caught as a window function
+    with pytest.raises(NotImplementedError, match="OVER"):
+        guard("SELECT ROUND(AVG(s.v) OVER (PARTITION BY s.k), 2) AS a FROM s")
+
+
+def test_streaming_asof_wrapped_aggregate_fails_fast(spark, tmp_path):
+    """End-to-end ADVICE r13 repro on the foreachBatch route."""
+    e, src = _fb_asof_engine(spark, tmp_path, [(1, 5, "a")], [(1, 4, 9.0)])
+    with pytest.raises(NotImplementedError, match="global aggregate"):
+        e.execute_streaming(
+            "CREATE STREAM aggw AS SELECT ROUND(SUM(q.v), 2) AS sv "
+            "FROM s ASOF LEFT JOIN quotes_fb q ON s.k = q.k AND s.t >= q.rt "
+            f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+            "'s.format' = 'parquet')",
+            wait=False,
+        )

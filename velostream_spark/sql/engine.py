@@ -788,6 +788,32 @@ class SqlEngine:
         "NATURAL SEMI ANTI AND OR WITH INTO".split()
     )
 
+    #: scalar functions whose argument list contains a FROM (or IN) keyword
+    #: that binds NO relation: EXTRACT(HOUR FROM ts), TRIM(BOTH 'x' FROM s),
+    #: SUBSTRING(s FROM 2 FOR 3), POSITION('a' IN s), OVERLAY(s PLACING 'x'
+    #: FROM 2) — the rebind guard must not read these as table bindings
+    _FROM_ARG_FNS = frozenset(
+        {"extract", "trim", "substring", "substr", "position", "overlay"}
+    )
+
+    @classmethod
+    def _from_inside_function(cls, text: str, pos: int) -> bool:
+        """True when the FROM keyword at ``pos`` sits inside the argument
+        list of a scalar function that uses FROM as an argument separator
+        (see _FROM_ARG_FNS) — walk back to the innermost unclosed ``(``
+        and check the identifier that opens it."""
+        depth = 0
+        for i in range(pos - 1, -1, -1):
+            c = text[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    m = re.search(r"([a-zA-Z_]\w*)\s*$", text[:i])
+                    return bool(m) and m.group(1).lower() in cls._FROM_ARG_FNS
+                depth -= 1
+        return False
+
     def _check_alias_rebind(
         self, outside: str, aliases: tuple[str, ...]
     ) -> None:
@@ -803,11 +829,19 @@ class SqlEngine:
         substitution pattern matches nothing for it)."""
         masked = self._SQL_LITERAL_RE.sub("''", outside)
         lower = {a.lower() for a in aliases}
+        # (?!\.) — a name that continues as a dotted reference (EXTRACT(HOUR
+        # FROM l.ts)) is a column/qualifier use, never a relation binding
         for m in re.finditer(
-            r"(?i)\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)"
+            r"(?i)\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)(?![.\w])"
             r"(?:\s+(?:AS\s+)?([a-zA-Z_]\w*))?",
             masked,
         ):
+            if masked[m.start() : m.start() + 4].upper() == "FROM" and (
+                self._from_inside_function(masked, m.start())
+            ):
+                # EXTRACT(HOUR FROM ts) / TRIM(BOTH 'x' FROM s): this FROM
+                # separates function arguments, it binds nothing
+                continue
             rel, alias = m.group(1), m.group(2)
             if alias and alias.upper() in self._NOT_AN_ALIAS:
                 alias = None
@@ -1365,42 +1399,75 @@ class SqlEngine:
         "regr_slope|regr_intercept|regr_r2|regr_count|hll_sketch_agg"
     )
 
+    @staticmethod
+    def _mask_subquery_spans(text: str) -> str:
+        """Blank the interior of every balanced ``( SELECT ... )`` span
+        (string literals must already be masked) with spaces — a nested
+        query's aggregates are its own, not the outer statement's. Only
+        subquery parens are blanked, so an aggregate merely WRAPPED in a
+        scalar call (``ROUND(SUM(v), 2)``) stays visible to the scan."""
+        out = list(text)
+        i, n = 0, len(text)
+        while i < n:
+            if text[i] == "(":
+                j = i + 1
+                while j < n and text[j].isspace():
+                    j += 1
+                nxt = text[j : j + 7]
+                if nxt[:6].upper() == "SELECT" and (
+                    len(nxt) < 7 or not (nxt[6].isalnum() or nxt[6] == "_")
+                ):
+                    depth, k = 1, i + 1
+                    while k < n and depth:
+                        if text[k] == "(":
+                            depth += 1
+                        elif text[k] == ")":
+                            depth -= 1
+                        k += 1
+                    for p in range(i + 1, k - 1):
+                        out[p] = " "
+                    i = k
+                    continue
+            i += 1
+        return "".join(out)
+
     def _assert_batchwise_exact(self, select_sql: str) -> None:
         """Reject SELECT shapes whose per-micro-batch execution differs
         from the continuous reading on the foreachBatch enrichment route:
-        a bare global aggregate (SELECT SUM(v) ... with no GROUP BY) or
-        SELECT DISTINCT emits per-batch partials to an append sink, and a
-        window function (OVER) restarts its frame every batch. GROUP BY
+        a bare global aggregate (SELECT SUM(v) ... with no GROUP BY, even
+        wrapped in a scalar call like ROUND/CAST) or SELECT DISTINCT emits
+        per-batch partials to an append sink, and a window function (OVER)
+        restarts its frame every batch. Only string literals and subquery
+        interiors are masked before scanning — blanking ALL paren nesting
+        (the pre-round-14 form) hid ``ROUND(SUM(v), 2)``. GROUP BY
         statements never reach here — they route to the two-step
         composition (_compose_asof_groupby)."""
-        from velostream_spark.sql.dialect import _blank_nested
-
-        blanked = _blank_nested(select_sql)
+        masked = self._mask_subquery_spans(
+            self._SQL_LITERAL_RE.sub("''", select_sql)
+        )
         two_step = (
             "; CREATE the enriched stream first (ASOF JOIN only), then "
             "run the aggregation as its own streaming statement over it"
         )
-        if re.match(r"(?is)\s*SELECT\s+DISTINCT\b", blanked):
+        if re.match(r"(?is)\s*SELECT\s+DISTINCT\b", masked):
             raise NotImplementedError(
                 "SELECT DISTINCT on the streaming ASOF enrichment route "
                 "would deduplicate per micro-batch, not continuously"
                 + two_step
             )
-        if re.search(r"(?i)\bOVER\b", blanked):
+        if re.search(r"(?i)\bOVER\b", masked):
             raise NotImplementedError(
                 "window functions (OVER) on the streaming ASOF enrichment "
                 "route would restart their frame every micro-batch"
                 + two_step
             )
-        for m in re.finditer(rf"(?i)\b(?:{self._AGG_FN_NAMES})\b", blanked):
-            # a call, not a column named like an aggregate: positions in
-            # the blanked text map 1:1 onto the original
-            if select_sql[m.end():].lstrip().startswith("("):
-                raise NotImplementedError(
-                    f"global aggregate {m.group(0)!r} without GROUP BY on "
-                    "the streaming ASOF enrichment route would emit "
-                    "per-micro-batch partial results" + two_step
-                )
+        m = re.search(rf"(?i)\b(?:{self._AGG_FN_NAMES})\s*\(", masked)
+        if m:
+            raise NotImplementedError(
+                f"global aggregate {m.group(0).rstrip('( ')!r} without "
+                "GROUP BY on the streaming ASOF enrichment route would "
+                "emit per-micro-batch partial results" + two_step
+            )
 
     @staticmethod
     def _asof_exposed_rename(
