@@ -365,7 +365,9 @@ def test_streaming_asof_sql_static_right_routes_foreachbatch(spark, tmp_path):
         "'s.format' = 'parquet', 'enriched.type' = 'file_sink', "
         f"'enriched.format' = 'parquet', 'enriched.path' = '{sink}')"
     )
-    got = {r["tag"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    from velostream_spark.sql.engine import _read_fb_sink
+
+    got = {r["tag"]: r["v"] for r in _read_fb_sink(spark, sink).collect()}
     assert got == {"a": 10.0, "b": 20.0, "early": None, "c": None}
 
 
@@ -982,21 +984,32 @@ def test_streaming_asof_window_function_fails_fast(spark, tmp_path):
 
 
 def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
-    """ADVICE r12 (medium): re-running the SAME batch_id (a checkpoint
-    replay) must not duplicate sink rows; distinct batch ids append."""
-    from velostream_spark.sql.engine import _write_batch_idempotent
+    """ADVICE r12 (medium) + r13 verdict task 3: re-running the SAME
+    batch_id (a checkpoint replay) must not duplicate sink rows; distinct
+    batch ids append. The layout is per-batch subdirectories written with
+    OVERWRITE — rename-free, so it is object-store-safe (no local-FS
+    listdir/move semantics anywhere on the path)."""
+    from velostream_spark.sql.engine import _read_fb_sink, _write_batch_idempotent
 
     out_dir = str(tmp_path / "sink")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
     _write_batch_idempotent(df, out_dir, "parquet", 0)
     _write_batch_idempotent(df, out_dir, "parquet", 0)  # replay of batch 0
-    assert spark.read.parquet(out_dir).count() == 2
+    assert _read_fb_sink(spark, out_dir).count() == 2
     _write_batch_idempotent(df, out_dir, "parquet", 1)  # a NEW batch
-    assert spark.read.parquet(out_dir).count() == 4
-    # flat layout, no staging leftovers
-    names = sorted(os.listdir(out_dir))
-    assert not [n for n in names if n.endswith(".staging")]
-    assert all(n.startswith(("b0-", "b1-")) for n in names)
+    assert _read_fb_sink(spark, out_dir).count() == 4
+    # one subdir per batch, nothing else at the top level
+    names = sorted(
+        n for n in os.listdir(out_dir) if not n.startswith((".", "_"))
+    )
+    assert names == ["b0", "b1"]
+    assert all(os.path.isdir(os.path.join(out_dir, n)) for n in names)
+    # a replay with DIFFERENT content (recovery after a code fix) fully
+    # replaces the batch — overwrite, never stack
+    df2 = spark.createDataFrame([(9, "z")], "k int, s string")
+    _write_batch_idempotent(df2, out_dir, "parquet", 1)
+    got = {(r["k"], r["s"]) for r in _read_fb_sink(spark, out_dir).collect()}
+    assert got == {(1, "a"), (2, "b"), (9, "z")}
 
 
 def test_fb_temp_views_dropped_per_batch(spark, tmp_path):
@@ -1490,3 +1503,120 @@ def test_streaming_asof_wrapped_aggregate_fails_fast(spark, tmp_path):
             "'s.format' = 'parquet')",
             wait=False,
         )
+
+
+def test_two_concurrent_asof_fb_jobs_no_view_cross_drop(spark, tmp_path):
+    """r13 verdict task 2: TWO foreachBatch ASOF jobs deployed
+    CONCURRENTLY in one SparkContext must not drop each other's in-flight
+    _asof_join_N rewrite views (the pre-r14 numeric-range cleanup could).
+    Each callback now drops exactly the view names its own _sql() call
+    minted (thread-local accumulator + a counter lock)."""
+    e = SqlEngine(spark, time_col="t")
+    srcs, sinks = [], []
+    for j in range(2):
+        src = str(tmp_path / f"cc_in{j}")
+        spark.createDataFrame(
+            [(k, t, f"j{j}k{k}t{t}") for k in (1, 2) for t in (5, 9)],
+            "k int, t int, tag string",
+        ).write.parquet(src)
+        srcs.append(src)
+        sinks.append(str(tmp_path / f"cc_out{j}"))
+    e.register_table(
+        "quotes_cc",
+        spark.createDataFrame(
+            [(1, 4, 10.0), (2, 8, 30.0)], "k int, rt int, v double"
+        ),
+    )
+    # maxFilesPerTrigger=1 via @batch_size keeps several batches in flight
+    # per job so the two callbacks genuinely interleave
+    for j in range(2):
+        e.execute_streaming(
+            f"CREATE STREAM cc{j} AS SELECT s{j}.tag, q.v "
+            f"FROM s{j} ASOF LEFT JOIN quotes_cc q "
+            f"ON s{j}.k = q.k AND s{j}.t >= q.rt "
+            f"WITH ('s{j}.type' = 'file_source', 's{j}.path' = '{srcs[j]}', "
+            f"'s{j}.format' = 'parquet', 'cc{j}.type' = 'file_sink', "
+            f"'cc{j}.format' = 'parquet', 'cc{j}.path' = '{sinks[j]}')",
+            wait=False,
+        )
+    e.jobs.wait("cc0")
+    e.jobs.wait("cc1")
+    from velostream_spark.sql.engine import _read_fb_sink
+
+    for j in range(2):
+        got = {
+            (r["tag"], r["v"]) for r in _read_fb_sink(spark, sinks[j]).collect()
+        }
+        assert got == {
+            (f"j{j}k1t5", 10.0), (f"j{j}k1t9", 10.0),
+            (f"j{j}k2t5", None), (f"j{j}k2t9", 30.0),
+        }, f"job {j} lost rows (cross-job view drop?)"
+
+
+def test_streaming_asof_groupby_composes_unbounded(spark, tmp_path):
+    """r13 verdict task 4: the composition no longer needs wait=True — a
+    no-wait deploy runs BOTH steps as continuous jobs with the
+    intermediate schema derived from the enrichment plan (no files read),
+    and an empty-at-deploy source is a non-event (ADVICE r13 #4). Feed
+    after deploy, poll the sink, stop through the jobs registry."""
+    import datetime as dt
+    import time
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    src = str(tmp_path / "nw_in")
+    # the SOURCE needs one file for its schema inference; the
+    # INTERMEDIATE is the empty-at-deploy dir ADVICE #4 names — step 2
+    # wires it before step 1 has materialized anything
+    spark.createDataFrame(
+        [(1, 0, base), (2, 0, base + dt.timedelta(minutes=2))],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_nw",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 10.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "nw_out")
+    job = e.execute_streaming(
+        "CREATE STREAM nwgb AS "
+        "SELECT s.k, COUNT(*) AS n, ROUND(SUM(q.v), 2) AS sv "
+        "FROM s ASOF LEFT JOIN snaps_nw q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'nwgb.type' = 'file_sink', 'nwgb.format' = 'parquet', "
+        f"'nwgb.path' = '{out}')",
+        wait=False,
+    )
+    assert job is not None
+    try:
+        # both steps registered and running unbounded
+        states = {j["name"]: j["active"] for j in e.jobs.show_jobs()}
+        assert states.get("nwgb") and states.get("_nwgb_enriched")
+        # feed AFTER deploy: one event at +11 min advances the watermark
+        # past the 8:00-8:05 window end -> EMIT FINAL releases it
+        spark.createDataFrame(
+            [(3, 0, base + dt.timedelta(minutes=11))],
+            "event_id int, k int, ts timestamp",
+        ).write.mode("append").parquet(src)
+        got = set()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {
+                (r["k"], r["n"], r["sv"])
+                for r in spark.read.schema("k int, n long, sv double")
+                .parquet(out)
+                .collect()
+            }
+            if got:
+                break
+            time.sleep(2)
+        assert got == {(0, 2, 20.0)}
+    finally:
+        e.jobs.stop("nwgb")
+        e.jobs.stop("_nwgb_enriched")

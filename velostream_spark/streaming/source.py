@@ -26,13 +26,16 @@ def stream_parquet(
     path: str,
     schema: StructType | None = None,
     max_files_per_trigger: int | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """Streaming read of a parquet file or directory.
 
     Spark's file stream source requires a *directory*; for a single-file
     path (the driver's ``<table>.parquet`` layout) we read the parent with a
-    ``pathGlobFilter`` pinned to that file name.
-    """
+    ``pathGlobFilter`` pinned to that file name. ``recursive`` turns on
+    recursiveFileLookup for per-batch-subdir layouts (the idempotent
+    foreachBatch sink, engine._write_batch_idempotent) — late-appearing
+    subdirectories are picked up like any new file."""
     if schema is None:
         from velostream_spark.session import apply_runtime_confs
 
@@ -41,6 +44,8 @@ def stream_parquet(
         apply_runtime_confs(spark)
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
