@@ -46,24 +46,30 @@ def test_cms_weighted_build(spark):
 
 
 def test_heavy_hitters_cms_matches_exact_head(spark):
-    """At w=8192 on the smoke corpus, collisions are negligible: the CMS
-    ranking's head must contain the exact top-10, and every estimate is
-    >= its true count within the 2N/w bound."""
+    """At w=4096 on the smoke corpus, collisions are negligible: the CMS
+    ranking's head must contain the exact top-10, every estimate is >=
+    its in-row true count, and the entry's own within_bound validation
+    column (r13 verdict task 6) is all-true."""
     from velostream_spark.registry import all_queries
 
     qs = all_queries()
     exact = qs["heavy_hitters"].fn(spark, SF_SMOKE).collect()
     approx = qs["heavy_hitters_cms"].fn(spark, SF_SMOKE).collect()
     assert len(exact) == len(approx) == 20
-    truth = {r["word"]: r["cnt"] for r in exact}
-    got = {r["word"]: r["cnt_est"] for r in approx}
+    got = {r["word"]: r for r in approx}
     exact_top10 = [r["word"] for r in exact[:10]]
     assert set(exact_top10) <= set(got), set(exact_top10) - set(got)
-    for w in set(truth) & set(got):
-        assert got[w] >= truth[w], (w, got[w], truth[w])
+    for r in approx:
+        assert r["cnt_est"] >= r["cnt"], r
+        assert r["within_bound"], r
 
 
 def test_percentile_approx_within_tolerance_of_exact(spark):
+    """The r14 validation shape: the entry recomputes the exact
+    percentiles in the SAME query and emits all-true *_within_bound
+    booleans asserting each GK estimate sits between the exact DISC
+    percentiles at p±0.001; its exact columns must equal the exact
+    twin's bit-for-bit (same fused percentile expression)."""
     from velostream_spark.registry import all_queries
 
     qs = all_queries()
@@ -78,18 +84,15 @@ def test_percentile_approx_within_tolerance_of_exact(spark):
     assert set(exact) == set(approx) and len(exact) > 0
     for flag, e in exact.items():
         a = approx[flag]
-        # GK returns observed values near the target rank: compare within
-        # 5% relative (smoke groups are small; accuracy 10000 is exact on
-        # them up to interpolation differences)
-        for ec, ac in (
-            ("med_price", "med_price_approx"),
-            ("p25", "p25_approx"),
-            ("p95", "p95_approx"),
+        for c in ("med_price", "p25", "p95", "qty_p50_disc"):
+            assert a[c] == e[c], (flag, c, a[c], e[c])
+        for b in (
+            "p25_within_bound",
+            "med_within_bound",
+            "p95_within_bound",
+            "qty_within_bound",
         ):
-            assert abs(a[ac] - e[ec]) <= 0.05 * abs(e[ec]) + 1e-6, (flag, ec, a[ac], e[ec])
-        assert abs(a["qty_p50_approx"] - e["qty_p50_disc"]) <= max(
-            1.0, 0.05 * e["qty_p50_disc"]
-        )
+            assert a[b] is True, (flag, b)
 
 
 def test_classifier_bucket_parity_and_guards(spark):

@@ -1826,26 +1826,71 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_hitters_cms_oracle() -> str:
+    """DuckDB REBUILDS the identical md5-position count-min grid and
+    estimates in plain SQL (the streaming_cms_gate pattern — the
+    strongest oracle a sketch can have: collisions are covered, not just
+    the happy path), plus the in-row 2N/w overestimate-bound check the
+    r13 verdict asked the sketch twins to carry."""
+    from velostream_spark.operators.cms import pos_md5_sql
+
+    p = lambda expr, d: pos_md5_sql(expr, d, 4096)  # noqa: E731
+    return f"""
+WITH w AS (
+  SELECT unnest({textops.words_sql('text')}) AS word FROM documents
+),
+cnt AS (
+  SELECT word, COUNT(*) AS c FROM w WHERE length(word) > 0 GROUP BY word
+),
+total AS (SELECT SUM(c) AS n FROM cnt),
+cells AS (
+  SELECT 0 AS depth, {p('word', 0)} AS pos, SUM(c) AS cc FROM cnt GROUP BY 2
+  UNION ALL
+  SELECT 1, {p('word', 1)}, SUM(c) FROM cnt GROUP BY 2
+  UNION ALL
+  SELECT 2, {p('word', 2)}, SUM(c) FROM cnt GROUP BY 2
+),
+est AS (
+  SELECT k.word, k.c, LEAST(c0.cc, c1.cc, c2.cc) AS e
+  FROM cnt k
+  JOIN cells c0 ON c0.depth = 0 AND c0.pos = {p('k.word', 0)}
+  JOIN cells c1 ON c1.depth = 1 AND c1.pos = {p('k.word', 1)}
+  JOIN cells c2 ON c2.depth = 2 AND c2.pos = {p('k.word', 2)}
+)
+SELECT word,
+       CAST(e AS BIGINT) AS cnt_est,
+       CAST(c AS BIGINT) AS cnt,
+       (e >= c AND e <= c + CAST(floor(2.0 * (SELECT n FROM total) / 4096)
+                                 AS BIGINT)) AS within_bound,
+       CAST(ROW_NUMBER() OVER (ORDER BY e DESC, word) AS INTEGER) AS rank
+FROM est
+ORDER BY e DESC, word
+LIMIT 20
+"""
+
+
 @query(
     "heavy_hitters_cms",
-    oracle=None,  # count-min sketches have no cross-engine oracle; the
-    # exact twin (heavy_hitters) carries the oracle and the CMS estimates
-    # are overestimate+tolerance-pinned against it in tests/test_cms.py
+    oracle=_heavy_hitters_cms_oracle(),
     tags=("pipeline", "text", "stats", "sketch", "beyond-reference", "approx"),
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch form of :func:`heavy_hitters`: word frequencies from a
-    Catalyst-native count-min sketch (operators/cms.py — d=5 x w=8192
-    longs, 320 KB) instead of the exact count table. The grid build's
-    only corpus-scale shuffle is the same map-side-combined distinct-word
-    pass; the per-candidate estimate is a pure-codegen literal lookup
-    (MIN of 5 element_at's), so scoring costs a projection, not a join.
-    CMS estimates are guaranteed OVERESTIMATES (collisions only add) with
-    error <= 2N/w whp — at w=8192 and this corpus the top of the ranking
-    is exact in practice (pinned in pytest). At 100 TB the grid replaces
-    vocabulary-sized state with a fixed-size mergeable aggregate — the
-    same exact-vs-sketch trade as corpus_stats_approx (HLL) and
-    cross_dedup_bloom (Bloom), completing the sketch family."""
+    Catalyst-native count-min sketch (operators/cms.py md5 twin — d=3 x
+    w=4096 longs, 96 KB) instead of the exact count table. The grid
+    build's only corpus-scale shuffle is the same map-side-combined
+    distinct-word pass; the per-candidate estimate is a pure-codegen
+    literal lookup (MIN of 3 element_at's), so scoring costs a
+    projection, not a join. CMS estimates are guaranteed OVERESTIMATES
+    (collisions only add) with error <= 2N/w whp; the entry emits the
+    in-row ``within_bound`` validation (exact count recomputed in the
+    same query — r13 verdict task 6) and its oracle REBUILDS the
+    identical grid in DuckDB, so the driver's hash check covers the
+    sketch's actual collision behavior. The exact-count column is the
+    validation harness; production scoring uses the estimate alone. At
+    100 TB the grid replaces vocabulary-sized state with a fixed-size
+    mergeable aggregate — the same exact-vs-sketch trade as
+    corpus_stats_approx (HLL) and cross_dedup_bloom (Bloom)."""
     from pyspark.sql.window import Window
 
     from velostream_spark.operators import cms
@@ -1859,12 +1904,16 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        grid = cms.cms_build(words, "word", w=8192, d=5)
-        # candidates = the distinct-word frame, carrying NO counts — the
-        # sketch supplies the frequencies scan-side
-        est = words.distinct().select(
+        grid = cms.cms_build_md5(words, "word", w=4096, d=3)
+        # every occurrence lands in exactly one depth-0 cell, so the
+        # depth-0 row sum IS the corpus total N — the bound needs no
+        # extra pass
+        bound = int(2 * sum(grid[0]) / 4096)
+        counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        est = counted.select(
             "word",
-            cms.cms_estimate(F.col("word"), grid, 8192).alias("cnt_est"),
+            cms.cms_estimate_md5(F.col("word"), grid, 4096).alias("cnt_est"),
+            F.col("cnt").cast("long").alias("cnt"),
         )
         return (
             est.orderBy(F.col("cnt_est").desc(), "word")
@@ -1872,6 +1921,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "word",
                 F.col("cnt_est").cast("long").alias("cnt_est"),
+                "cnt",
+                (
+                    (F.col("cnt_est") >= F.col("cnt"))
+                    & (F.col("cnt_est") <= F.col("cnt") + F.lit(bound))
+                ).alias("within_bound"),
                 F.row_number()
                 .over(Window.orderBy(F.col("cnt_est").desc(), "word"))
                 .alias("rank"),

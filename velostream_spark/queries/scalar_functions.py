@@ -321,42 +321,83 @@ def percentile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "percentile_aggs_approx",
-    oracle=None,  # Greenwald-Khanna sketches have no cross-engine oracle;
-    # the exact twin (percentile_aggs) is the gated entry and these
-    # estimates are tolerance-pinned against it in tests/test_cms.py
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           quantile_disc(l_quantity, 0.5) AS qty_p50_disc,
+           TRUE AS p25_within_bound,
+           TRUE AS med_within_bound,
+           TRUE AS p95_within_bound,
+           TRUE AS qty_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("aggregation", "percentile", "sketch", "beyond-reference", "approx"),
 )
 def percentile_aggs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB twin of :func:`percentile_aggs`: ``approx_percentile``
-    (Greenwald-Khanna, accuracy 10000 → error <= 1/10000 of rank) instead
-    of exact percentiles. The exact form BUFFERS every group's values in
-    the aggregation state — memory ∝ group size, the one aggregate in the
-    catalog that cannot stream; the sketch holds a fixed-size summary
-    per group and merges across partitions, so percentile dashboards at
+    (Greenwald-Khanna, accuracy 10000 → rank error <= n/10000) instead of
+    exact percentiles. The exact form BUFFERS every group's values in the
+    aggregation state — memory ∝ group size, the one aggregate in the
+    catalog that cannot stream; the sketch holds a fixed-size summary per
+    group and merges across partitions, so percentile dashboards at
     corpus scale are one ordinary aggregation. Same exact-vs-sketch trade
-    as the HLL / Bloom / count-min twins. GK quantiles land on OBSERVED
-    values (no interpolation), so estimates are pinned against the exact
-    twin with a rank-error tolerance rather than equality."""
+    as the HLL / Bloom / count-min twins. GK sketches have no
+    cross-engine value oracle (they return OBSERVED values near the
+    target rank), so the entry carries the r13-verdict validation shape:
+    the SAME query recomputes the exact percentiles and asserts each GK
+    estimate lies between the exact DISC percentiles at p ± 0.001 (10x
+    the accuracy-10000 rank guarantee, as slack) — the emitted columns
+    are the deterministic exact values plus all-true ``*_within_bound``
+    booleans DuckDB rebuilds literally, so a bound violation is a hash
+    mismatch the driver catches."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    pct = F.expr(
+    eps = 0.001
+
+    def disc(col: str, q: float):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
+
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
+    )
+    apct = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            pct.alias("_pct"),
-            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias(
-                "qty_p50_approx"
-            ),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_pct")[1], 4).alias("med_price_approx"),
-            F.round(F.col("_pct")[0], 4).alias("p25_approx"),
-            F.round(F.col("_pct")[2], 4).alias("p95_approx"),
-            "qty_p50_approx",
-        )
+    agg = li.groupBy("l_returnflag").agg(
+        pct.alias("_pct"),
+        disc("l_quantity", 0.5).alias("qty_p50_disc"),
+        apct.alias("_apct"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("_aqty"),
+        disc("l_extendedprice", 0.25 - eps).alias("_lo25"),
+        disc("l_extendedprice", 0.25 + eps).alias("_hi25"),
+        disc("l_extendedprice", 0.50 - eps).alias("_lo50"),
+        disc("l_extendedprice", 0.50 + eps).alias("_hi50"),
+        disc("l_extendedprice", 0.95 - eps).alias("_lo95"),
+        disc("l_extendedprice", 0.95 + eps).alias("_hi95"),
+        disc("l_quantity", 0.50 - eps).alias("_qlo"),
+        disc("l_quantity", 0.50 + eps).alias("_qhi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("_pct")[1], 4).alias("med_price"),
+        F.round(F.col("_pct")[0], 4).alias("p25"),
+        F.round(F.col("_pct")[2], 4).alias("p95"),
+        "qty_p50_disc",
+        F.col("_apct")[0]
+        .between(F.col("_lo25"), F.col("_hi25"))
+        .alias("p25_within_bound"),
+        F.col("_apct")[1]
+        .between(F.col("_lo50"), F.col("_hi50"))
+        .alias("med_within_bound"),
+        F.col("_apct")[2]
+        .between(F.col("_lo95"), F.col("_hi95"))
+        .alias("p95_within_bound"),
+        F.col("_aqty")
+        .between(F.col("_qlo"), F.col("_qhi"))
+        .alias("qty_within_bound"),
     )
 
 
@@ -420,21 +461,50 @@ def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_count_distinct",
-    oracle=None,  # approximate result has no cross-engine oracle; rows-only check
-    tags=("aggregation", "approx"),
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "approx", "sketch"),
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX_COUNT_DISTINCT — the reference fakes this with an exact HashSet
-    (accumulator.rs:212-220); we use real HyperLogLog++, which is the point
-    at 100 TB (bounded memory per group). No cross-engine oracle since sketch
-    estimates differ; correctness is covered by unit test tolerance vs exact."""
+    """APPROX_COUNT_DISTINCT — the reference fakes this with an exact
+    HashSet (accumulator.rs:212-220); we use real HyperLogLog++, which is
+    the point at 100 TB (bounded memory per group). HLL estimates differ
+    across engines, so the entry carries the r13-verdict validation
+    shape: the SAME query recomputes the exact distinct counts and
+    asserts each HLL estimate within 4x the configured rsd (0.01 → ±4%,
+    well past the three-sigma tail; Spark's HLL++ is deterministic per
+    dataset, so the boolean is stable) — emitted columns are the exact
+    counts plus all-true ``*_within_bound`` booleans DuckDB rebuilds
+    literally, making a bound violation a driver-caught hash mismatch."""
     t = tables(spark, sf_dir)
+    tol = 4 * 0.01
+
+    def ok(approx: str, exact: str):
+        d = F.abs(F.col(approx) - F.col(exact)).cast("double")
+        return d <= F.lit(tol) * F.col(exact).cast("double")
+
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "n_orders",
+            "n_parts",
+            ok("_ao", "n_orders").alias("orders_within_bound"),
+            ok("_ap", "n_parts").alias("parts_within_bound"),
         )
     )
 
