@@ -157,8 +157,10 @@ def main() -> None:
         "dataset_split",
         "tfidf_topk_terms",
         "tfidf_topk_terms_join",
+        "tfidf_topk_terms_auto",
         "bigram_lm_score",
         "bigram_lm_grouped",
+        "bigram_lm_auto",
         # time-series family (events-table scaling: rep× users, same
         # per-user history — keys stay within-replica)
         "asof_join",

@@ -34,7 +34,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (conventional import for callers)
 from pyspark.sql.window import Window
 
-__all__ = ["attach_group_agg"]
+__all__ = ["attach_group_agg", "choose_group_attach_strategy"]
+
+
+def choose_group_attach_strategy(
+    df: DataFrame,
+    keys: Sequence[str],
+    task_budget_rows: int | None = None,
+) -> tuple[str, int]:
+    """Measure-don't-guess router between the two strategies (r13 verdict
+    task 5): ONE map-side-combined probe — ``groupBy(keys).count()`` then
+    a global max/sum — yields the LARGEST key posting exactly. The window
+    form is the measured winner while every posting fits a task (PERF.md
+    1x/128x spots); it goes superlinear once a hot key's posting outgrows
+    one (the bigram 512x spot), so the router returns ``window`` below
+    the task budget and ``join`` above it. The probe's shuffle is
+    vocabulary-bounded (one row per distinct key per map task — the same
+    shape as the join strategy's own totals aggregation, so the probe
+    costs a fraction of either strategy run).
+
+    ``task_budget_rows`` defaults to max(2M, 4·rows/shuffle-partitions):
+    2M rows of ~30 B postings ≈ 60 MB in one task — comfortably inside an
+    executor; the measured boundary sits between the 128x spots (hot
+    postings ~1.5M, window still 1.7x faster) and the bigram 512x spot
+    (postings past the budget, window 5.2x superlinear). Returns
+    ``(strategy, max_posting)`` so callers can log the decision."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    row = per_key.agg(
+        F.max("_c").alias("mx"), F.sum("_c").alias("n")
+    ).first()
+    mx = int(row["mx"] or 0)
+    n = int(row["n"] or 0)
+    if task_budget_rows is None:
+        parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        task_budget_rows = max(2_000_000, 4 * n // max(parts, 1))
+    return ("join" if mx > task_budget_rows else "window"), mx
 
 
 def attach_group_agg(

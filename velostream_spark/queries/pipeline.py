@@ -1554,10 +1554,29 @@ def tfidf_topk_terms_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tfidf_topk_terms(spark, sf_dir, strategy="join")
 
 
+@query(
+    "tfidf_topk_terms_auto",
+    oracle=_TFIDF_ORACLE,
+    tags=("pipeline", "text", "tfidf", "beyond-reference", "auto-regime"),
+)
+def tfidf_topk_terms_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-routing form (r13 verdict task 5): ONE map-side-combined
+    probe measures the hottest word posting and picks the measured winner
+    — window while every posting fits a task, the AQE-skew-join twin
+    beyond (operators/skewagg.choose_group_attach_strategy, boundary
+    constants from the PERF.md 128x/512x spots). Identical result and
+    oracle either way; the plan-matches-winner pins live in
+    tests/test_skewagg.py."""
+    return _tfidf_topk_terms(spark, sf_dir, strategy="auto")
+
+
 def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from velostream_spark.operators.skewagg import attach_group_agg
+    from velostream_spark.operators.skewagg import (
+        attach_group_agg,
+        choose_group_attach_strategy,
+    )
 
     t = tables(spark, sf_dir)
     w = (
@@ -1566,6 +1585,11 @@ def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFr
         .where(F.length("word") > 0)
     )
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    if strategy == "auto":
+        # probe the hottest word posting (tf is distinct on (doc, word),
+        # so the posting IS the document frequency) and route to the
+        # measured winner for this corpus
+        strategy, _ = choose_group_attach_strategy(tf, ["word"])
     # N = docs with >=1 token, computed SCAN-SIDE (token_count > 0 is
     # equivalent to having a nonempty word after normalization) — a
     # countDistinct over the exploded words would re-run the explode and
@@ -1702,6 +1726,20 @@ def bigram_lm_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bigram_lm_score(spark, sf_dir, strategy="join")
 
 
+@query(
+    "bigram_lm_auto",
+    oracle=_BIGRAM_LM_ORACLE,
+    tags=("pipeline", "text", "lm", "quality", "beyond-reference", "auto-regime"),
+)
+def bigram_lm_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-routing form (r13 verdict task 5): the probe measures the
+    hottest CONTEXT (prev) posting — the window form's documented killer
+    — and routes to the window twin below the task budget, the
+    grouped+AQE twin past it (the measured 512x switch, now automatic).
+    Identical result and oracle either way."""
+    return _bigram_lm_score(spark, sf_dir, strategy="auto")
+
+
 def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: F401  (window strategy)
 
@@ -1731,6 +1769,15 @@ def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
     tfb = bg.groupBy("doc_id", "prev", "cur").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    if strategy == "auto":
+        # the window form's killer is the hottest CONTEXT posting (every
+        # row sharing one stopword prev lands in the cp window's task) —
+        # probe it and route to the measured winner
+        from velostream_spark.operators.skewagg import (
+            choose_group_attach_strategy,
+        )
+
+        strategy, _ = choose_group_attach_strategy(tfb, ["prev"])
     if strategy == "join":
         # Corpus bigram model, built ONCE: cbd is vocabulary-sized and has
         # three consumers (cpd, V, the model join), so localCheckpoint
