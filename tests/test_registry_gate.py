@@ -21,7 +21,7 @@ FLAGSHIPS = {
     "ngram_jaccard_pairs",
     "streaming_bloom_dedup",
     "dedup_canonical",
-    "quality_classifier_score",
+    "gopher_quality_filter",
     "curation_pipeline",
     "corpus_mix",
     "ann_ivf_pq_residual_topk",
@@ -29,26 +29,31 @@ FLAGSHIPS = {
     "confluent_roundtrip",
     "streaming_tumbling_changes",
     "streaming_rows_window",
-    "streaming_cms_gate",
+    "streaming_pii_gate",
     "streaming_decontam_gate",
+    "dialect_asof_groupby_stream",
+    "heavy_hitters_cms",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 10 (round 13)
-#: — the round-12 streaming-SQL time-series suite (ASOF static-right and
-#: stream-stream, range, interval — all routed from SQL text) plus the
-#: gate family's sketch/membership/similarity members, all exact-oracle.
-#: Every displaced near-twin holds an official r12 record
-#: (CORRECTNESS_r12 was 50/50 green) and stays in the catalog + parity
-#: mirror + bench; displacement map in registry.GATE_ORDER's ROTATION
-#: batch 10 block.
+#: THIS round's first-time-official entrants: rotation batch 11 (round 14)
+#: — the r13 flagship ASOF+GROUP BY compositions, the never-gated oracled
+#: backlog (pii gate, foreachBatch as-of, the strategy twins, the round-8
+#: curation entries), and the two sketch twins converted to exact
+#: driver-checkable oracles this round. Every displaced near-twin holds
+#: an official record (r13 or earlier — CORRECTNESS_r13 was 50/50 green)
+#: and stays in the catalog + parity mirror + bench; displacement map in
+#: registry.GATE_ORDER's ROTATION batch 11 block.
 ROTATED_IN = {
-    "dialect_asof_stream",
-    "dialect_asof_stream_ss",
-    "dialect_range_stream",
-    "dialect_interval_stream",
-    "streaming_cms_gate",
-    "streaming_bloom_dedup",
-    "streaming_decontam_gate",
+    "dialect_asof_groupby_stream",
+    "dialect_asof_groupby_stream_ss",
+    "streaming_pii_gate",
+    "streaming_asof_join",
+    "tfidf_topk_terms_join",
+    "bigram_lm_grouped",
+    "heavy_hitters_cms",
+    "percentile_aggs_approx",
+    "doc_chunking",
+    "gopher_quality_filter",
 }
 
 
@@ -71,9 +76,11 @@ def test_flagship_pipeline_entries_hold_official_slots():
 #: Gate entries whose oracle is rows-only BY DESIGN: none since batch 6 —
 #: the round-8 verdict established that an oracle-less gate slot gives the
 #: driver zero signal (err: "no_oracle"), so rows-only entries
-#: (ann_ivf_trained_topk, bpe_train_merges, sequence_packing_ffd,
-#: approx_count_distinct) live in the parity mirror + their pinned-exactness
-#: tests instead of the official 50.
+#: (ann_ivf_trained_topk, bpe_train_merges, sequence_packing_ffd) live in
+#: the parity mirror + their pinned-exactness tests instead of the
+#: official 50. (Round 14 CONVERTED three former rows-only sketch twins —
+#: heavy_hitters_cms, percentile_aggs_approx, approx_count_distinct — to
+#: exact driver-checkable oracles: grid-rebuild / within_bound shapes.)
 ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
@@ -231,23 +238,41 @@ def test_batch10_executed_and_displaced_stay_mirrored():
         assert n not in first50, n
 
 
-#: Batch-11 rotation plan (round 14, registry.GATE_ORDER doc): every
-#: planned entrant must already exist in the catalog WITH an exact oracle
-#: — this pin keeps the documented plan executable (a renamed or
-#: oracle-less entrant would silently break the next round's rotation).
-BATCH11_PLANNED = {
-    "dialect_asof_groupby_stream",
-    "dialect_asof_groupby_stream_ss",
-    "streaming_pii_gate",
+#: Batch-11 rotation (EXECUTED round 14): every entrant holds a gate
+#: slot, and every DISPLACED near-twin stays in the catalog + mirror with
+#: its exact oracle intact (each holds an official record, r13 or
+#: earlier; coverage map in registry.GATE_ORDER's ROTATION batch 11
+#: block).
+BATCH11_DISPLACED = {
+    "dialect_asof_stream",
+    "dialect_asof_stream_ss",
+    "streaming_cms_gate",
+    "dialect_range_stream",
+    "tfidf_topk_terms",
+    "corpus_stats",
+    "heavy_hitters",
+    "percentile_aggs",
+    "bpe_encode",
+    "quality_classifier_score",
 }
 
 
-def test_batch11_entrants_exist_with_oracles():
+def test_batch11_executed_and_displaced_stay_mirrored():
     catalog = all_queries()
-    missing = [n for n in BATCH11_PLANNED if n not in catalog]
-    assert not missing, missing
-    no_oracle = [n for n in BATCH11_PLANNED if not catalog[n].oracle]
-    assert not no_oracle, no_oracle
-    # and none of them currently hold a gate slot (they are entrants)
     first50 = set(GATE_ORDER)
-    assert not (BATCH11_PLANNED & first50), BATCH11_PLANNED & first50
+    assert ROTATED_IN <= first50
+    for n in BATCH11_DISPLACED:
+        assert n in catalog and catalog[n].oracle, n
+        assert n not in first50, n
+
+
+def test_auto_regime_twins_share_oracles_verbatim():
+    """The auto-routing entries (r13 verdict task 5) must keep their
+    window twins' oracles VERBATIM — identical result by construction,
+    so the parity mirror verifies the router's both outcomes."""
+    catalog = all_queries()
+    assert (
+        catalog["tfidf_topk_terms_auto"].oracle
+        == catalog["tfidf_topk_terms"].oracle
+    )
+    assert catalog["bigram_lm_auto"].oracle == catalog["bigram_lm_score"].oracle

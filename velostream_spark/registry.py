@@ -366,17 +366,45 @@ _LOADED = False
 #: family on the same deterministic-IVF CTE machinery; semdedup holds
 #: official r9-r12 records and stays a bench headline).
 #:
-#: ROTATION batch 11 (planned for round 14, once batch 10 holds its
-#: first official record in CORRECTNESS_r13): candidates, mirror-verified
-#: at sf0.01 since round 13 — dialect_asof_groupby_stream (ASOF JOIN +
-#: windowed GROUP BY composed in ONE streaming statement, two-step
-#: DuckDB oracle with the EMIT FINAL closure rule) and
-#: dialect_asof_groupby_stream_ss (the same composition over the
-#: stream-STREAM stateful route — Spark itself rejects the chained
-#: stateful shape, so the intermediate materialization IS the operator);
-#: natural displacements dialect_asof_stream / dialect_asof_stream_ss
-#: (the compositions CONTAIN the enrichment routes — whichever holds its
-#: official r13 record; both stay bench headlines).
+#: ROTATION batch 11 (EXECUTED in round 14 — precondition met: batch 10
+#: holds official r13 records, CORRECTNESS_r13 50/50 green). Ten
+#: entrants: the r13 flagship compositions, the never-gated oracled
+#: backlog the r13 verdict named, and the two sketch twins converted to
+#: exact driver-checkable oracles this round (verdict task 6). Every
+#: displaced entry holds an official record (r13 or earlier) and stays
+#: in the catalog + parity mirror + bench:
+#: dialect_asof_groupby_stream ← dialect_asof_stream (official r13; the
+#: composition CONTAINS the foreachBatch enrichment route and the
+#: dialect-ASOF SQL surface — exact two-step DuckDB oracle);
+#: dialect_asof_groupby_stream_ss ← dialect_asof_stream_ss (official
+#: r13; same containment over the stream-STREAM stateful route);
+#: streaming_pii_gate ← streaming_cms_gate (official r13; the gate
+#: family keeps three official members — bloom, decontam, pii — and the
+#: CMS sketch family is covered by heavy_hitters_cms entering below
+#: with the same DuckDB-rebuilt-grid oracle style);
+#: streaming_asof_join ← dialect_range_stream (official r13; the
+#: foreachBatch time-conditioned stream-join family — range coverage
+#: stays official via dialect_range_select, and the operator-level
+#: foreachBatch as-of form earns its first record);
+#: tfidf_topk_terms_join ← tfidf_topk_terms (official r11-r13; oracle
+#: shared VERBATIM — the skew-safe strategy twin earns the record, and
+#: the new tfidf_topk_terms_auto routes between them by measurement);
+#: bigram_lm_grouped ← corpus_stats (official r10-r13; grouping-sets
+#: coverage stays official via hypertable_rollup — the grouped+AQE LM
+#: production form named by the PERF.md 512x spot earns its record);
+#: heavy_hitters_cms ← heavy_hitters (official r12-r13; the entrant
+#: RECOMPUTES the exact counts in the same query — its md5-grid oracle
+#: rebuilds the sketch in DuckDB, so the slot verifies strictly more:
+#: exact top-k AND the sketch's collision behavior);
+#: percentile_aggs_approx ← percentile_aggs (official r13; the entrant
+#: recomputes the exact percentiles with the identical fused expression
+#: plus the GK within_bound validation — §2.4 coverage contained);
+#: doc_chunking ← bpe_encode (official r10+r13; token-sequence
+#: machinery family — both BPE entries stay in mirror + bench, and the
+#: never-gated chunking entry from round 8 earns its record);
+#: gopher_quality_filter ← quality_classifier_score (official r12-r13;
+#: text-quality family keeps bigram_lm_grouped entering above plus the
+#: mirror twins — the never-gated Gopher-rules filter earns its record).
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
@@ -393,20 +421,31 @@ GATE_ORDER = [
     # batch 9: string_functions (official r8-r11) → heavy_hitters (exact
     # top-k; scalar coverage carried by the conformance sweep +
     # dialect_functions_select, staying)
-    "heavy_hitters",
+    # batch 11: heavy_hitters (official r12-r13) -> heavy_hitters_cms
+    # (recomputes the exact counts in-query; md5-grid DuckDB-rebuilt oracle)
+    "heavy_hitters_cms",
     # batch 7: date_functions → dialect_cast_multiformat + conformance sweep
     # batch 8: json_functions → tfidf_topk_terms (scalar coverage carried by
     # the conformance sweep + dialect_functions_select + string_functions)
-    "tfidf_topk_terms",
+    # batch 11: tfidf_topk_terms (official r11-r13) -> tfidf_topk_terms_join
+    # (oracle shared verbatim; the skew-safe strategy twin earns the record)
+    "tfidf_topk_terms_join",
     # batch 6: collection_functions → conformance sweep + dialect/json twins
     # batch 7: bpe_pair_counts → bpe_encode (same split/normalize machinery)
-    "bpe_encode",
+    # batch 11: bpe_encode (official r10+r13) -> doc_chunking (never-gated
+    # curation entry, oracled since round 8)
+    "doc_chunking",
     "dialect_functions_select",
     # batch 7: corpus_stats takes date_functions' freed scalar slot
-    "corpus_stats",
+    # batch 11: corpus_stats (official r10-r13) -> bigram_lm_grouped
+    # (grouping-sets coverage stays via hypertable_rollup; the grouped+AQE
+    # LM production form earns its record)
+    "bigram_lm_grouped",
     # §2.4 aggregate families
     "statistical_aggs",
-    "percentile_aggs",
+    # batch 11: percentile_aggs (official r13) -> percentile_aggs_approx
+    # (recomputes the exact percentiles in-query + GK within_bound)
+    "percentile_aggs_approx",
     # §1.2 type semantics
     "decimal_arithmetic",
     "dialect_cast_multiformat",
@@ -421,13 +460,19 @@ GATE_ORDER = [
     # batch 10: dialect_asof_select (official r12) → dialect_asof_stream
     # (the same dialect surface + oracle, exercised through the STREAMING
     # engine's foreachBatch route)
-    "dialect_asof_stream",
+    # batch 11: dialect_asof_stream (official r13) ->
+    # dialect_asof_groupby_stream (the composition CONTAINS the
+    # enrichment route; exact two-step DuckDB oracle)
+    "dialect_asof_groupby_stream",
     # batch 9: streaming_interval_join (official r9-r11) →
     # streaming_range_join (time-conditioned stream join family; both
     # interval twins stay in the mirror)
     # batch 10: streaming_range_join (official r12) → dialect_range_stream
     # (the same operator routed from STREAMING-SQL text)
-    "dialect_range_stream",
+    # batch 11: dialect_range_stream (official r13) -> streaming_asof_join
+    # (operator-level foreachBatch as-of; range stays official via
+    # dialect_range_select)
+    "streaming_asof_join",
     # batch 8: dialect_quantified_comparisons (official r9-r10) → range_join
     # batch 9: range_join (official r11) → dialect_range_select (same
     # displacement logic as dialect_asof_select)
@@ -471,7 +516,9 @@ GATE_ORDER = [
     # batch 8: pii_scrub (official r8-r10) → bigram_lm_score
     # batch 9: bigram_lm_score (official r11) → quality_classifier_score
     # (the text-quality family's zero-shuffle model-inference form)
-    "quality_classifier_score",
+    # batch 11: quality_classifier_score (official r12-r13) ->
+    # gopher_quality_filter (never-gated Gopher-rules filter, oracled r8)
+    "gopher_quality_filter",
     "curation_pipeline",
     "corpus_mix",
     # batch 7: ann_ivf_topk → ann_ivf_pq_topk; batch 8: ann_ivf_pq_topk
@@ -502,7 +549,10 @@ GATE_ORDER = [
     # batch 10: streaming_classifier_gate (official r12) →
     # streaming_cms_gate (the gate family's sketch member, with the
     # DuckDB-rebuilt-grid oracle — the strongest sketch oracle shipped)
-    "streaming_cms_gate",
+    # batch 11: streaming_cms_gate (official r13) -> streaming_pii_gate
+    # (the gate family 5th member; CMS sketch coverage re-enters via
+    # heavy_hitters_cms above)
+    "streaming_pii_gate",
     "streaming_session_final",
     # batch 6: streaming_group_by_final → sliding/session EMIT FINAL twins
     "streaming_curation",
@@ -514,7 +564,9 @@ GATE_ORDER = [
     # batch 10: streaming_asof_ss (official r12) → dialect_asof_stream_ss
     # (the SQL-text surface over the SAME stateful operator, native-ASOF
     # oracle shared verbatim)
-    "dialect_asof_stream_ss",
+    # batch 11: dialect_asof_stream_ss (official r13) ->
+    # dialect_asof_groupby_stream_ss (same containment, stream-stream)
+    "dialect_asof_groupby_stream_ss",
 ]
 
 
