@@ -63,6 +63,7 @@ HEADLINE = [
     "agg_over_rows_frame",
     "statistical_aggs",
     "percentile_aggs",
+    "percentile_aggs_approx",
     "decimal_arithmetic",
     "tumbling_window",
     "sliding_window",
@@ -85,10 +86,14 @@ HEADLINE = [
     "dedup_exact",
     "cross_dedup_bloom",
     "heavy_hitters",
+    "heavy_hitters_cms",
     "quality_classifier_score",
     "tfidf_topk_terms",
+    "tfidf_topk_terms_join",
+    "tfidf_topk_terms_auto",
     "bigram_lm_score",
     "bigram_lm_grouped",
+    "bigram_lm_auto",
     "minhash_lsh_pairs",
     "simhash",
     "ann_brute_force_topk",
@@ -210,6 +215,7 @@ AMORTIZED = {
     # (measured: decimal 0.68→0.29 s, percentiles 0.90→0.47 s).
     "decimal_arithmetic": (("lineitem",), 1),
     "percentile_aggs": (("lineitem",), 1),
+    "percentile_aggs_approx": (("lineitem",), 1),
     # codec entries: same rep=1 layout normalization — the single-file
     # orders/customer scans forced a full repartition shuffle before the
     # Arrow codec stage (~0.3 s of protobuf's 0.74 s wall was that
@@ -244,6 +250,14 @@ EAGER_DERIVE = {
     "dialect_range_select",
     "cross_dedup_bloom",
     "tfidf_topk_terms",
+    "tfidf_topk_terms_join",
+    # the auto twins run the max-posting routing probe at derive time —
+    # an ANALYZE-class one-time planning statistic (skewagg.py)
+    "tfidf_topk_terms_auto",
+    "bigram_lm_auto",
+    # the CMS grid build (operators/cms.py) is one-time index work,
+    # the cross_dedup_bloom bitmap pattern
+    "heavy_hitters_cms",
     "bigram_lm_score",
     "bigram_lm_grouped",
     "minhash_lsh_pairs",
@@ -408,6 +422,7 @@ def main() -> None:
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
     run_counts: dict[str, int] = {}
+    all_walls: dict[str, list[float]] = {}
     derive: dict[str, float] = {}
     flagged: list[str] = []
     total = 0.0
@@ -489,6 +504,7 @@ def main() -> None:
             times[name] = round(med / rep, 3)
             mins[name] = round(min(walls) / rep, 3)
             run_counts[name] = runs
+            all_walls[name] = [round(w / rep, 3) for w in walls]
             total += med / rep
             # Isolate queries: drop cached stages (minhash/simhash memos) so
             # a query's residual memory doesn't tax the queries after it.
@@ -533,6 +549,10 @@ def main() -> None:
                 "median": times[q],
                 "min": mins[q],
                 "runs": run_counts[q],
+                # every individual run wall (r13 verdict task 7): a
+                # between-runs gap like r13's 34.22 s vs 29.66 s is now
+                # self-explaining — the outlier run is visible in-row
+                "walls": all_walls[q],
                 **({"derive": derive[q]} if q in derive else {}),
             }
             for q in times
@@ -540,16 +560,31 @@ def main() -> None:
         "amortized": {q: r for q, (_t, r) in amortized.items()},
         "derive_flagged": flagged,
     }
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_STATS.json"),
-            "w",
-        ) as fh:
-            json.dump(sidecar, fh, separators=(",", ":"))
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: stderr still carries the record
+    stats_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"
+    )
+    # Cross-run history (r13 verdict task 7, "What's wrong" #3): every
+    # FULL bench invocation appends its totals + per-entry medians, so
+    # the sidecar carries ALL full-run medians of the round, not only the
+    # final run's. Subset (SPARK_GRAFT_ONLY) runs never write the sidecar
+    # — a dev subset must not clobber the round's full-run record.
+    if not only:
+        history = []
+        try:
+            with open(stats_path) as fh:
+                history = json.load(fh).get("runs_history", [])
+        except (OSError, ValueError):
+            history = []
+        history.append(
+            {"total_wall_sec": round(total, 3), "queries": dict(times)}
+        )
+        sidecar["runs_history"] = history[-8:]
+        try:
+            with open(stats_path, "w") as fh:
+                json.dump(sidecar, fh, separators=(",", ":"))
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stderr still carries the record
     runs_floor = min(run_counts.values()) if run_counts else 0
     print(
         compact_stdout_line(total, times, flagged, len(amortized), sf_val, runs_floor)
