@@ -474,9 +474,17 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hypertable_rollup_approx",
-    oracle=None,  # HLL sketches have no cross-engine oracle; the exact
-    # twin (hypertable_rollup) is the gated entry, and the approx user
-    # counts are tolerance-pinned against it in tests/test_dedup_units.py
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           event_type,
+           COUNT(*)                            AS n_events,
+           ROUND(SUM(value), 4)                AS total_value,
+           ROUND(AVG(value), 6)                AS avg_value,
+           COUNT(DISTINCT user_id)             AS n_users,
+           TRUE                                AS users_within_bound
+    FROM events
+    GROUP BY ROLLUP (bucket_hour, event_type)
+    """,
     tags=("aggregation", "time-window", "rollup", "beyond-reference", "approx"),
 )
 def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,8 +496,13 @@ def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing term at the 512x spot — carries ONE fixed-size sketch per
     (grouping set x stratum) instead. That is exactly what a time-series
     store materializes per chunk: sketches merge across chunks, exact
-    distincts don't. The corpus_stats_approx pattern; n_users_approx is
-    tolerance-pinned against the exact gated twin in pytest."""
+    distincts don't. HLL estimates differ across engines, so the entry
+    carries the r13-verdict validation shape (the corpus_stats_approx /
+    approx_count_distinct convention): exact n_users recomputed in the
+    same query plus an all-true ``users_within_bound`` asserting the HLL
+    estimate within 4x rsd — a bound violation is a driver-caught hash
+    mismatch. The exact recompute is the validation harness; production
+    emits the sketch alone."""
     t = tables(spark, sf_dir)
     ev = t["events"].select(
         F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
@@ -497,9 +510,28 @@ def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "user_id",
     )
-    return ev.rollup("bucket_hour", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+    tol = 4 * 0.01
+    return (
+        ev.rollup("bucket_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_ua"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "bucket_hour",
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+            "n_users",
+            (
+                F.abs(F.col("_ua") - F.col("n_users")).cast("double")
+                # +3 absolute slack for tiny strata (register collisions
+                # cost O(1) counts — the corpus_stats_approx convention)
+                <= F.lit(tol) * F.col("n_users").cast("double") + F.lit(3.0)
+            ).alias("users_within_bound"),
+        )
     )

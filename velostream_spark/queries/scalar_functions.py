@@ -488,7 +488,9 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ok(approx: str, exact: str):
         d = F.abs(F.col(approx) - F.col(exact)).cast("double")
-        return d <= F.lit(tol) * F.col(exact).cast("double")
+        # +3 absolute slack for tiny groups (register collisions cost
+        # O(1) counts — the corpus_stats_approx convention)
+        return d <= F.lit(tol) * F.col(exact).cast("double") + F.lit(3.0)
 
     return (
         t["lineitem"]
