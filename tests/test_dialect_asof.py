@@ -1531,11 +1531,11 @@ def test_two_concurrent_asof_fb_jobs_no_view_cross_drop(spark, tmp_path):
     # per job so the two callbacks genuinely interleave
     for j in range(2):
         e.execute_streaming(
-            f"CREATE STREAM cc{j} AS SELECT s{j}.tag, q.v "
-            f"FROM s{j} ASOF LEFT JOIN quotes_cc q "
-            f"ON s{j}.k = q.k AND s{j}.t >= q.rt "
-            f"WITH ('s{j}.type' = 'file_source', 's{j}.path' = '{srcs[j]}', "
-            f"'s{j}.format' = 'parquet', 'cc{j}.type' = 'file_sink', "
+            f"CREATE STREAM cc{j} AS SELECT ccs{j}.tag, q.v "
+            f"FROM ccs{j} ASOF LEFT JOIN quotes_cc q "
+            f"ON ccs{j}.k = q.k AND ccs{j}.t >= q.rt "
+            f"WITH ('ccs{j}.type' = 'file_source', 'ccs{j}.path' = '{srcs[j]}', "
+            f"'ccs{j}.format' = 'parquet', 'cc{j}.type' = 'file_sink', "
             f"'cc{j}.format' = 'parquet', 'cc{j}.path' = '{sinks[j]}')",
             wait=False,
         )
@@ -1620,3 +1620,21 @@ def test_streaming_asof_groupby_composes_unbounded(spark, tmp_path):
     finally:
         e.jobs.stop("nwgb")
         e.jobs.stop("_nwgb_enriched")
+
+
+def test_recursive_source_prop_reads_fb_sink_layout(spark, tmp_path):
+    """'<src>.recursive' = 'true' lets a LATER statement consume a
+    foreachBatch file sink's per-batch-subdir layout, batch or streaming."""
+    from velostream_spark.sql.engine import _write_batch_idempotent
+
+    d = str(tmp_path / "fbout")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    _write_batch_idempotent(df, d, "parquet", 0)
+    _write_batch_idempotent(df.where("k = 1"), d, "parquet", 1)
+    e = SqlEngine(spark, time_col="t")
+    rows = e.execute(
+        "CREATE STREAM rconsume AS SELECT k, s FROM fbsrc "
+        f"WITH ('fbsrc.type' = 'file_source', 'fbsrc.path' = '{d}', "
+        "'fbsrc.format' = 'parquet', 'fbsrc.recursive' = 'true')"
+    ).collect()
+    assert sorted((r["k"], r["s"]) for r in rows) == [(1, "a"), (1, "a"), (2, "b")]

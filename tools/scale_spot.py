@@ -150,7 +150,12 @@ def main() -> None:
         "pq_code_dedup",
         # round-9 text entries (documents-table scaling)
         "bpe_encode",
+        "doc_chunking",
         "corpus_stats",
+        # (percentile_aggs_approx reads lineitem, which this tool symlinks
+        # at 1x — its scale behavior is its exact twin's single
+        # aggregation, covered by bench.py's lineitem layout pool)
+        "corpus_stats_approx",
         "heavy_hitters",
         "heavy_hitters_cms",
         "quality_classifier_score",

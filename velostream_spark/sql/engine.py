@@ -351,7 +351,12 @@ class SqlEngine:
         if fmt == "json":
             return self.spark.read.option("multiLine", "true").json(path)
         if fmt == "parquet":
-            return self.spark.read.parquet(path)
+            reader = self.spark.read
+            # '<src>.recursive' = 'true': per-batch-subdir layouts (a
+            # foreachBatch file sink consumed by a later statement)
+            if str(cfg.get("recursive", "")).lower() in ("true", "1"):
+                reader = reader.option("recursiveFileLookup", "true")
+            return reader.parquet(path)
         if fmt == "avro":
             # Avro-binary value files (one binary `value` column, e.g. a
             # Kafka archive dump) decoded through the schema registry —
@@ -1974,7 +1979,10 @@ class SqlEngine:
                         )
                 else:
                     sdf = ssource.stream_parquet(
-                        self.spark, path, batch.schema, max_files_per_trigger=mft
+                        self.spark, path, batch.schema,
+                        max_files_per_trigger=mft,
+                        recursive=str(cfg.get("recursive", "")).lower()
+                        in ("true", "1"),
                     )
                 sdf = self._with_watermark(sdf, st, cfg)
                 sdf.createOrReplaceTempView(name)
