@@ -355,49 +355,73 @@ def percentile_aggs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch the driver catches."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    eps = 0.001
+    # pass 1: the GK sketches alone (fixed-size state, the production
+    # aggregation); pass 2 broadcasts the 3 per-group sketch rows back
+    # and validates the RANK contract directly with conditional counts —
+    # rank(v) ∈ [#{x<v}+1, #{x<=v}] must intersect [p·n ± ε'·n] — so the
+    # validation adds NO sorted buffers beyond the exact twin's own fused
+    # percentile (the first r14 form used 8 separate percentile_disc
+    # bounds: 8 extra per-group buffers, measured 2.86 s vs the exact
+    # twin's 0.55 s at the bench scale; this form is the rank check the
+    # GK guarantee actually states)
+    eps = 0.001  # 10x the accuracy-10000 rank guarantee, as slack
 
-    def disc(col: str, q: float):
-        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
+    apct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        apct.alias("_apct"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("_aqty"),
+    )
+
+    def cnt(pred) -> "F.Column":
+        return F.sum(pred.cast("long"))
 
     pct = F.percentile(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95))
     )
-    apct = F.expr(
-        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
+    # the sketch values ride every row via the 3-row broadcast, so the
+    # rank counts are plain conditional sums — scan-side codegen
+    measures = {
+        "25": ("l_extendedprice", F.col("_apct")[0], 0.25),
+        "50": ("l_extendedprice", F.col("_apct")[1], 0.50),
+        "95": ("l_extendedprice", F.col("_apct")[2], 0.95),
+        "q": ("l_quantity", F.col("_aqty"), 0.50),
+    }
+    counts = []
+    for key, (col, v, _p) in measures.items():
+        counts.append(cnt(F.col(col) < v).alias(f"_lt{key}"))
+        counts.append(cnt(F.col(col) <= v).alias(f"_le{key}"))
+    agg = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            pct.alias("_pct"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("qty_p50_disc"),
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            *counts,
+        )
     )
-    agg = li.groupBy("l_returnflag").agg(
-        pct.alias("_pct"),
-        disc("l_quantity", 0.5).alias("qty_p50_disc"),
-        apct.alias("_apct"),
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("_aqty"),
-        disc("l_extendedprice", 0.25 - eps).alias("_lo25"),
-        disc("l_extendedprice", 0.25 + eps).alias("_hi25"),
-        disc("l_extendedprice", 0.50 - eps).alias("_lo50"),
-        disc("l_extendedprice", 0.50 + eps).alias("_hi50"),
-        disc("l_extendedprice", 0.95 - eps).alias("_lo95"),
-        disc("l_extendedprice", 0.95 + eps).alias("_hi95"),
-        disc("l_quantity", 0.50 - eps).alias("_qlo"),
-        disc("l_quantity", 0.50 + eps).alias("_qhi"),
-    )
+
+    def rank_ok(key: str, p: float):
+        lo = (F.lit(p) - F.lit(eps)) * F.col("_n") - F.lit(1.0)
+        hi = (F.lit(p) + F.lit(eps)) * F.col("_n") + F.lit(1.0)
+        return (F.col(f"_lt{key}") + F.lit(1) <= hi) & (
+            F.col(f"_le{key}") >= lo
+        )
+
     return agg.select(
         "l_returnflag",
         F.round(F.col("_pct")[1], 4).alias("med_price"),
         F.round(F.col("_pct")[0], 4).alias("p25"),
         F.round(F.col("_pct")[2], 4).alias("p95"),
         "qty_p50_disc",
-        F.col("_apct")[0]
-        .between(F.col("_lo25"), F.col("_hi25"))
-        .alias("p25_within_bound"),
-        F.col("_apct")[1]
-        .between(F.col("_lo50"), F.col("_hi50"))
-        .alias("med_within_bound"),
-        F.col("_apct")[2]
-        .between(F.col("_lo95"), F.col("_hi95"))
-        .alias("p95_within_bound"),
-        F.col("_aqty")
-        .between(F.col("_qlo"), F.col("_qhi"))
-        .alias("qty_within_bound"),
+        rank_ok("25", 0.25).alias("p25_within_bound"),
+        rank_ok("50", 0.50).alias("med_within_bound"),
+        rank_ok("95", 0.95).alias("p95_within_bound"),
+        rank_ok("q", 0.50).alias("qty_within_bound"),
     )
 
 
