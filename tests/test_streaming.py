@@ -733,3 +733,129 @@ def test_bounded_dedup_state_with_watermark(spark, tmp_path):
     assert by_key["B"] == [5]
     assert by_key["filler"] == [3]
     assert by_key["filler2"] == [6]
+
+
+def test_streaming_sql_emit_changes_grouped_agg_memory(spark, tmp_path):
+    """r14: EMIT CHANGES on a NON-WINDOWED grouped aggregation through the
+    streaming-SQL surface (the reference's DEFAULT continuous mode,
+    select.rs:490-501) deploys in update output mode — before r14 every
+    deploy was append and this shape died in Spark's analyzer. The memory
+    sink holds the converged per-group state, which equals the batch
+    aggregate over the drained bounded source."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    src = str(tmp_path / "ec_in")
+    spark.createDataFrame(
+        [(1, 5, 10.0), (1, 9, 20.0), (2, 3, 5.0)], "k int, t int, v double"
+    ).write.parquet(src)
+    e = SqlEngine(spark, time_col="t")
+    e.execute_streaming(
+        "CREATE STREAM ec_mem AS SELECT k, ROUND(SUM(v), 2) AS sv, "
+        "COUNT(*) AS n FROM s GROUP BY k EMIT CHANGES "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet')"
+    )
+    got = {(r["k"], r["sv"], r["n"]) for r in spark.table("ec_mem").collect()}
+    assert got == {(1, 30.0, 2), (2, 5.0, 1)}
+    assert e.jobs.jobs["ec_mem"].output_mode == "update"
+
+
+def test_streaming_sql_emit_changes_windowed_file_changelog(spark, tmp_path):
+    """r14: EMIT CHANGES windowed aggregation to a FILE sink goes through
+    foreachBatch (Spark file sinks are append-only): each micro-batch's
+    updated windows land in their own b<id>/ subdir — the per-batch-delta
+    changelog. With maxFilesPerTrigger=1 over two chunks, the touched
+    window re-emits with its updated count, and the LAST update per
+    window equals the batch aggregate."""
+    import datetime as dt
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    base = dt.datetime(2024, 5, 1, 7, 0, 0)
+    src = str(tmp_path / "ecw_in")
+    os.makedirs(src)
+    # chunk 1: two events in the 7:00-7:05 window; chunk 2: one more in
+    # the SAME window (forces a re-emission) plus one in 7:05-7:10
+    spark.createDataFrame(
+        [(1, 0, base), (2, 0, base + dt.timedelta(minutes=1))],
+        "event_id int, k int, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 0, base + dt.timedelta(minutes=2)),
+         (4, 0, base + dt.timedelta(minutes=6))],
+        "event_id int, k int, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "ecw_out")
+    e = SqlEngine(spark, time_col="ts")
+    e.execute_streaming(
+        "CREATE STREAM ecw AS "
+        "SELECT TUMBLE_START() AS ws, k, COUNT(*) AS n FROM s2 GROUP BY k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT CHANGES\n"
+        "-- @batch_size: 1\n"
+        f"WITH ('s2.type' = 'file_source', 's2.path' = '{src}', "
+        "'s2.format' = 'parquet', "
+        "'ecw.type' = 'file_sink', 'ecw.format' = 'parquet', "
+        f"'ecw.path' = '{out}')"
+    )
+    assert e.jobs.jobs["ecw"].output_mode == "update"
+    rows = _read_fb_sink(spark, out).collect()
+    # changelog: the 7:00 window appears at n=2 (batch 0) AND re-emitted
+    # at n=3; unlike EMIT FINAL, the trailing open 7:05 window IS visible.
+    # TUMBLE_START() emits INT64 epoch-millis (the dialect contract).
+    seen = {(r["ws"], r["k"], r["n"]) for r in rows}
+    import calendar
+
+    w0 = calendar.timegm(base.timetuple()) * 1000
+    w1 = calendar.timegm((base + dt.timedelta(minutes=5)).timetuple()) * 1000
+    assert (w0, 0, 2) in seen and (w0, 0, 3) in seen, seen
+    assert (w1, 0, 1) in seen
+    # last update per window == the batch aggregate
+    import collections
+
+    last = {}
+    for b in sorted(
+        (int(d[1:]) for d in os.listdir(out) if d.startswith("b")),
+    ):
+        for r in spark.read.parquet(os.path.join(out, f"b{b}")).collect():
+            last[(r["ws"], r["k"])] = r["n"]
+    assert last == {(w0, 0): 3, (w1, 0): 1}
+
+
+def test_streaming_sql_emit_final_global_agg_complete(spark, tmp_path):
+    """r14: EMIT FINAL on a NON-WINDOWED aggregation maps to complete
+    output mode (the reference flushes converged state when the bounded
+    source drains, engine.rs:1316); a file sink gets the final state via
+    the overwritten 'blatest' subdir."""
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    src = str(tmp_path / "ef_in")
+    spark.createDataFrame(
+        [(1, 5, 10.0), (2, 3, 5.0), (2, 4, 1.0)], "k int, t int, v double"
+    ).write.parquet(src)
+    out = str(tmp_path / "ef_out")
+    e = SqlEngine(spark, time_col="t")
+    e.execute_streaming(
+        "CREATE STREAM ef AS SELECT ROUND(SUM(v), 2) AS total, COUNT(*) AS n "
+        "FROM s3 EMIT FINAL "
+        f"WITH ('s3.type' = 'file_source', 's3.path' = '{src}', "
+        "'s3.format' = 'parquet', "
+        "'ef.type' = 'file_sink', 'ef.format' = 'parquet', "
+        f"'ef.path' = '{out}')"
+    )
+    assert e.jobs.jobs["ef"].output_mode == "complete"
+    rows = _read_fb_sink(spark, out).collect()
+    assert [(r["total"], r["n"]) for r in rows] == [(16.0, 3)]
+
+
+def test_select_has_aggregation_masking(spark):
+    """The EMIT-mode router's aggregation detector: subquery aggregates
+    and literals never count; wrapped top-level aggregates do."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    e = SqlEngine(spark)
+    assert e._select_has_aggregation("SELECT k, SUM(v) AS s FROM t GROUP BY k")
+    assert e._select_has_aggregation("SELECT ROUND(SUM(v), 2) AS s FROM t")
+    assert not e._select_has_aggregation(
+        "SELECT k FROM t WHERE v > (SELECT MAX(v) FROM t2)"
+    )
+    assert not e._select_has_aggregation("SELECT k, 'SUM(x)' AS note FROM t")

@@ -46,7 +46,7 @@ INDEX_MAX_ROWS = 1_000_000
 
 
 def _write_batch_idempotent(
-    out: DataFrame, out_dir: str, fmt: str, batch_id: int
+    out: DataFrame, out_dir: str, fmt: str, batch_id: "int | str"
 ) -> None:
     """Write one foreachBatch micro-batch idempotently per ``batch_id``:
     a checkpoint-recovered replay of a micro-batch must not duplicate
@@ -1184,9 +1184,14 @@ class SqlEngine:
         reference's deploy_job path, stream_job_server.rs). The created
         stream's name becomes the job name; returns the StreamJob.
 
-        File sinks require append-compatible queries (stateless, or
-        windowed aggregation with watermark — Spark constraint); EMIT
-        CHANGES changelogs to files go through foreachBatch instead."""
+        EMIT mode maps to Spark output modes (streaming/emit.py): EMIT
+        CHANGES aggregations deploy in update mode (the reference's
+        per-record changelog, re-emitted per micro-batch) and
+        non-windowed EMIT FINAL in complete mode (flush-on-drain,
+        engine.rs:1316). Spark's file sinks are append-only, so
+        update/complete changelogs to files go through foreachBatch with
+        the idempotent per-batch-subdir writer (r14); memory sinks carry
+        them natively."""
         st = parse_statement(sql, self.time_col)
         self._promote_temporal_millis(st)
         if st.kind not in ("create_stream", "deploy_job", "start_job"):
@@ -1289,18 +1294,66 @@ class SqlEngine:
                 st, sql, asof_spec, sink_format, sink_options, wait
             )
 
+        # EMIT mode → Spark output mode (streaming/emit.py's table):
+        # append for stateless or windowed EMIT FINAL; UPDATE for EMIT
+        # CHANGES aggregations (the reference's per-record changelog —
+        # re-emitted per micro-batch here, the documented cadence delta);
+        # COMPLETE for non-windowed EMIT FINAL (the reference flushes the
+        # converged state when the bounded source drains, engine.rs:1316).
+        # Before round 14 every deploy was append, so an EMIT CHANGES
+        # aggregation died in Spark's analyzer with an opaque
+        # STREAMING_OUTPUT_MODE error.
+        from velostream_spark.streaming.emit import EmitMode, output_mode_for
+
+        out_mode = output_mode_for(
+            EmitMode(st.emit) if st.emit else None,
+            has_window=st.window is not None,
+            # ROWS WINDOW is a per-record analytic (one output row per
+            # input row, emitted once — the stateful op runs in append
+            # mode), not a grouped aggregation, even though its spec
+            # spells aggregate names
+            has_aggregation=(
+                not st.rows_window_aggs
+                and self._select_has_aggregation(st.select_sql)
+            ),
+        )
+        fb = None
+        if out_mode != "append" and sink_format not in ("memory", "kafka"):
+            # Spark's file sinks are append-only: materialize the
+            # changelog through foreachBatch — update mode writes each
+            # batch's updated rows to its own b<id>/ subdir (the
+            # idempotent per-batch-delta layout, read via _read_fb_sink);
+            # complete mode overwrites one fixed subdir with the full
+            # converged state
+            fb_dir = sink_options["path"]
+            fb_fmt = sink_format
+            fb_batch_kind = out_mode
+
+            def fb(batch_df: DataFrame, batch_id) -> None:
+                _write_batch_idempotent(
+                    batch_df, fb_dir, fb_fmt,
+                    batch_id if fb_batch_kind == "update" else "latest",
+                )
+
         if st.kind == "deploy_job":
+            if fb is not None:
+                raise NotImplementedError(
+                    "DEPLOY/START JOB versioned deployment supports EMIT "
+                    "CHANGES/non-windowed EMIT FINAL with memory sinks; "
+                    "file-sink changelogs need CREATE STREAM"
+                )
             job = self.jobs.deploy_version(
                 st.name, st.job_version, build,
                 strategy=st.job_strategy or "replace",
                 canary_pct=st.canary_pct,
                 sink_format=sink_format, sink_options=sink_options,
-                output_mode="append",
+                output_mode=out_mode,
             )
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
-                sink_options=sink_options, output_mode="append",
+                sink_options=sink_options, output_mode=out_mode,
+                foreach_batch=fb,
             )
         # FR-073: @metric blocks on a deployed job bind to the job's output
         # (the reference attaches metric emission to the running job's
@@ -1452,6 +1505,22 @@ class SqlEngine:
                     continue
             i += 1
         return "".join(out)
+
+    def _select_has_aggregation(self, select_sql: str) -> bool:
+        """Does the statement aggregate at its own level (GROUP BY, or a
+        top-level aggregate call — wrapped or not)? Subquery interiors and
+        string literals are masked first, so a nested query's aggregates
+        (or an agg-looking word in a literal) never count. Drives the
+        EMIT-mode → output-mode mapping for streaming deploys."""
+        masked = self._mask_subquery_spans(
+            self._SQL_LITERAL_RE.sub("''", select_sql)
+        )
+        if re.search(r"(?i)\bGROUP\s+BY\b", masked):
+            return True
+        return (
+            re.search(rf"(?i)\b(?:{self._AGG_FN_NAMES})\s*\(", masked)
+            is not None
+        )
 
     def _assert_batchwise_exact(self, select_sql: str) -> None:
         """Reject SELECT shapes whose per-micro-batch execution differs
