@@ -117,6 +117,8 @@ HEADLINE = [
     "dialect_range_stream",
     "dialect_interval_stream",
     "dialect_asof_groupby_stream",
+    "dialect_groupby_changes_stream",
+    "dialect_tumbling_changes_stream",
     "dialect_ctas_stream_table_join",
     "streaming_tumbling_final",
     "streaming_group_by_changes",
@@ -180,6 +182,8 @@ AMORTIZED = {
     "correlated_scalar_subquery": (("customer", "orders"), 16),
     "scalar_exists_subquery": (("orders", "lineitem"), 16),
     "dialect_ctas_stream_table_join": (("events",), 16),
+    "dialect_groupby_changes_stream": (("events",), 16),
+    "dialect_tumbling_changes_stream": (("events",), 16),
     "streaming_group_by_changes": (("events",), 48),
     # streaming-SQL dialect entries: each runs its WHOLE job per fn() call
     # (source wiring, checkpoint, state store, sink commit) — the same

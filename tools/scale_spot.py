@@ -186,6 +186,8 @@ def main() -> None:
         # round-13: the composed ASOF+GROUP BY statements run BOTH their
         # streaming jobs (enrichment + windowed aggregation) per call
         "dialect_asof_groupby_stream",
+        "dialect_groupby_changes_stream",
+        "dialect_tumbling_changes_stream",
         "dialect_asof_groupby_stream_ss",
         # round-13: gate family's 5th member (scan-side regex chain)
         "streaming_pii_gate",

@@ -921,3 +921,102 @@ def dialect_asof_groupby_stream_ss(spark: SparkSession, sf_dir: str) -> DataFram
         "window_start long, user_id long, n_events long, total_snap double"
     )
     return spark.read.schema(schema).parquet(out_dir)
+
+
+@query(
+    "dialect_groupby_changes_stream",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("dialect", "streaming", "aggregation", "emit-changes"),
+)
+def dialect_groupby_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-WINDOWED grouped aggregation with EMIT CHANGES through the
+    STREAMING engine — the reference's DEFAULT continuous mode
+    (select.rs:490-501: no window ⇒ EMIT CHANGES, the per-record updated
+    aggregate row): execute_streaming maps it to Spark's update output
+    mode (r14 — before that, every deploy was append and this shape died
+    in the analyzer). The memory sink carries the update stream natively;
+    over the single-batch bounded drain the emitted state equals the full
+    batch aggregate (the streaming_tumbling_changes convention —
+    multi-batch re-emission is pinned in tests/test_streaming.py). At
+    100 TB this is one map-side-combined aggregation whose state is one
+    row per group, updated continuously."""
+    ev_dir = _memo_fixture(
+        ("dgc_events", sf_dir),
+        "vs-dgc-ev-",
+        lambda d: (
+            tables(spark, sf_dir)["events"]
+            .select("event_id", "user_id", "value")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    eng = SqlEngine(spark, time_col="ts")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_gbc_out AS "
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 4) AS total_value "
+        "FROM evc GROUP BY user_id EMIT CHANGES "
+        f"WITH ('evc.type' = 'file_source', 'evc.path' = '{ev_dir}', "
+        "'evc.format' = 'parquet')"
+    )
+    return spark.table("dialect_gbc_out")
+
+
+@query(
+    "dialect_tumbling_changes_stream",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 * 1000 AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("dialect", "streaming", "time-window", "tumbling", "emit-changes"),
+)
+def dialect_tumbling_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED aggregation with EMIT CHANGES through the STREAMING
+    engine, changelog to a FILE sink: update output mode cannot use
+    Spark's append-only file sinks, so the engine materializes each
+    micro-batch's updated windows through foreachBatch into the
+    idempotent per-batch b<id>/ subdir layout (r14) — the per-batch-delta
+    changelog, read back via the recursive reader. Unlike the EMIT FINAL
+    twin (dialect_tumbling_select), no window is withheld: the trailing
+    open window IS visible, so over the single-batch drain the changelog
+    equals the FULL batch aggregate (same oracle as the FINAL twin — the
+    difference is withholding, covered by that entry; multi-batch
+    re-emission is pinned in tests/test_streaming.py)."""
+    from velostream_spark.sql.engine import _read_fb_sink
+    from velostream_spark.streaming.runner import _scratch_dir
+
+    ev_dir = _memo_fixture(
+        ("dtc_events", sf_dir),
+        "vs-dtc-ev-",
+        lambda d: (
+            tables(spark, sf_dir)["events"]
+            .select("event_id", "event_type", "value", "ts")
+            .write.mode("overwrite")
+            .parquet(d)
+        ),
+    )
+    out_dir = _scratch_dir("vs-dtc-out-")
+    eng = SqlEngine(spark, time_col="ts")
+    eng.execute_streaming(
+        "CREATE STREAM dialect_tc_out AS "
+        "SELECT TUMBLE_START() AS window_start, event_type, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value "
+        "FROM evt GROUP BY event_type "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT CHANGES "
+        f"WITH ('evt.type' = 'file_source', 'evt.path' = '{ev_dir}', "
+        "'evt.format' = 'parquet', "
+        "'dialect_tc_out.type' = 'file_sink', "
+        "'dialect_tc_out.format' = 'parquet', "
+        f"'dialect_tc_out.path' = '{out_dir}')"
+    )
+    return _read_fb_sink(spark, out_dir)
