@@ -1638,3 +1638,58 @@ def test_recursive_source_prop_reads_fb_sink_layout(spark, tmp_path):
         "'fbsrc.format' = 'parquet', 'fbsrc.recursive' = 'true')"
     ).collect()
     assert sorted((r["k"], r["s"]) for r in rows) == [(1, "a"), (1, "a"), (2, "b")]
+
+
+def test_streaming_asof_groupby_emit_changes_composes(spark, tmp_path):
+    """r14: EMIT CHANGES on the composed ASOF+GROUP BY shape (the r13
+    fail-fast, now lifted): step 2 deploys in update mode — the
+    per-batch-delta changelog through the foreachBatch subdir writer.
+    Unlike EMIT FINAL, no window is withheld (the trailing open window is
+    visible) and a window touched by two micro-batches re-emits; the LAST
+    update per window equals the batch two-step aggregate."""
+    import datetime as dt
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+    src = str(tmp_path / "ecc_in")
+    # chunk 1: two k=0 events in the 9:00-9:05 window; chunk 2: one more
+    # in the SAME window (re-emission) + one at +6 min (second window)
+    spark.createDataFrame(
+        [(1, 0, base), (2, 0, base + dt.timedelta(minutes=1))],
+        "event_id int, k int, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 0, base + dt.timedelta(minutes=2)),
+         (4, 0, base + dt.timedelta(minutes=6))],
+        "event_id int, k int, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    e.register_table(
+        "snaps_ecc",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 10.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "ecc_out")
+    e.execute_streaming(
+        "CREATE STREAM ecc AS "
+        "SELECT s.k, COUNT(*) AS n, ROUND(SUM(q.v), 2) AS sv "
+        "FROM s ASOF LEFT JOIN snaps_ecc q ON s.k = q.k AND s.ts >= q.rt "
+        "GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) "
+        "EMIT CHANGES\n"
+        "-- @batch_size: 1\n"
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', "
+        "'ecc.type' = 'file_sink', 'ecc.format' = 'parquet', "
+        f"'ecc.path' = '{out}')"
+    )
+    assert e.jobs.jobs["ecc"].output_mode == "update"
+    rows = _read_fb_sink(spark, out).collect()
+    # the EXACT changelog: batch 0 emits window 1 at n=2; batch 1
+    # re-emits it at n=3 and emits the (still open) window 2 at n=1 —
+    # EMIT FINAL would have withheld that trailing window
+    seen = sorted((r["k"], r["n"], r["sv"]) for r in rows)
+    assert seen == [(0, 1, 10.0), (0, 2, 20.0), (0, 3, 30.0)], seen

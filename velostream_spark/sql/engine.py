@@ -1317,23 +1317,7 @@ class SqlEngine:
                 and self._select_has_aggregation(st.select_sql)
             ),
         )
-        fb = None
-        if out_mode != "append" and sink_format not in ("memory", "kafka"):
-            # Spark's file sinks are append-only: materialize the
-            # changelog through foreachBatch — update mode writes each
-            # batch's updated rows to its own b<id>/ subdir (the
-            # idempotent per-batch-delta layout, read via _read_fb_sink);
-            # complete mode overwrites one fixed subdir with the full
-            # converged state
-            fb_dir = sink_options["path"]
-            fb_fmt = sink_format
-            fb_batch_kind = out_mode
-
-            def fb(batch_df: DataFrame, batch_id) -> None:
-                _write_batch_idempotent(
-                    batch_df, fb_dir, fb_fmt,
-                    batch_id if fb_batch_kind == "update" else "latest",
-                )
+        fb = self._changelog_foreach_batch(sink_format, sink_options, out_mode)
 
         if st.kind == "deploy_job":
             if fb is not None:
@@ -1363,6 +1347,28 @@ class SqlEngine:
         if wait:
             self.jobs.wait(st.name)
         return job
+
+    @staticmethod
+    def _changelog_foreach_batch(
+        sink_format: str, sink_options: dict, out_mode: str
+    ):
+        """Spark's file sinks are append-only: for update/complete output
+        modes to a file sink, return a foreachBatch writer materializing
+        the changelog — update writes each batch's updated rows to its own
+        b<id>/ subdir (the idempotent per-batch-delta layout, read via
+        _read_fb_sink); complete overwrites one fixed subdir with the full
+        converged state. None when the native sink carries the mode."""
+        if out_mode == "append" or sink_format in ("memory", "kafka"):
+            return None
+        fb_dir = sink_options["path"]
+
+        def fb(batch_df: DataFrame, batch_id) -> None:
+            _write_batch_idempotent(
+                batch_df, fb_dir, sink_format,
+                batch_id if out_mode == "update" else "latest",
+            )
+
+        return fb
 
     def _asof_right_is_streaming(self, spec, cfgs: dict) -> bool:
         """Route decision for a streaming-SQL ASOF JOIN: is the right
@@ -1665,10 +1671,11 @@ class SqlEngine:
         aggregation over that stream — the intermediate's schema comes
         from the enrichment PLAN (``_asof_enrichment_schema``), never
         from materialized files, so ``wait=False`` deploys BOTH steps as
-        continuous unbounded jobs (the reference's normal mode). The
+        continuous unbounded jobs (the reference's normal mode), and EMIT
+        CHANGES deploys step 2 in update mode (per-batch-delta changelog
+        through the foreachBatch subdir writer for file sinks). The
         fail-fast remains only where the intermediate cannot be
-        materialized (no time window to finalize, EMIT CHANGES file
-        changelogs)."""
+        materialized (no time window to finalize)."""
         import copy
 
         from velostream_spark.sql.dialect import parse_asof_join
@@ -1684,12 +1691,6 @@ class SqlEngine:
                 "finalize against a watermark (per-micro-batch partial "
                 "aggregates to an append sink would be silently wrong)"
                 + two_step_err
-            )
-        if st.emit == "changes":
-            raise NotImplementedError(
-                "ASOF JOIN + GROUP BY composition emits FINAL (append) "
-                "results; EMIT CHANGES changelogs need their own two-step "
-                "deployment" + two_step_err
             )
         inter = f"_{st.name}_enriched"
         inter_dir = _scratch_dir(f"vs-asofgb-{st.name}-")
@@ -1807,10 +1808,20 @@ class SqlEngine:
                 self.spark.sql(st2.select_sql), st2
             )
 
+        # EMIT CHANGES on the composed shape (r14, lifting the r13
+        # fail-fast): step 2 is an ordinary windowed aggregation over the
+        # intermediate stream, so the same update-mode changelog routing
+        # applies — file sinks through the per-batch-subdir foreachBatch
+        # writer, memory sinks natively; no window is withheld (the EMIT
+        # CHANGES contract), while the FINAL form keeps append+watermark.
+        out_mode = "update" if st.emit == "changes" else "append"
         job = self.jobs.deploy(
             st.name, build, sink_format=sink_format,
-            sink_options=dict(sink_options), output_mode="append",
+            sink_options=dict(sink_options), output_mode=out_mode,
             trigger=trig,
+            foreach_batch=self._changelog_foreach_batch(
+                sink_format, sink_options, out_mode
+            ),
         )
         self._bind_metrics(st.name, sql)
         if wait:
