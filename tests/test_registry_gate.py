@@ -276,3 +276,30 @@ def test_auto_regime_twins_share_oracles_verbatim():
         == catalog["tfidf_topk_terms"].oracle
     )
     assert catalog["bigram_lm_auto"].oracle == catalog["bigram_lm_score"].oracle
+
+
+#: Batch-12 rotation plan (round 15, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+BATCH12_PLANNED = {
+    "dialect_groupby_changes_stream",
+    "dialect_tumbling_changes_stream",
+    "corpus_stats_approx",
+    "hypertable_rollup_approx",
+    "approx_count_distinct",
+    "tfidf_topk_terms_auto",
+    "bigram_lm_auto",
+    "repetition_filter",
+}
+
+
+def test_batch12_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH12_PLANNED if n not in catalog]
+    assert not missing, missing
+    no_oracle = [n for n in BATCH12_PLANNED if not catalog[n].oracle]
+    assert not no_oracle, no_oracle
+    # and none of them currently hold a gate slot (they are entrants)
+    first50 = set(GATE_ORDER)
+    assert not (BATCH12_PLANNED & first50), BATCH12_PLANNED & first50

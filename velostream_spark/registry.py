@@ -405,6 +405,21 @@ _LOADED = False
 #: gopher_quality_filter ← quality_classifier_score (official r12-r13;
 #: text-quality family keeps bigram_lm_grouped entering above plus the
 #: mirror twins — the never-gated Gopher-rules filter earns its record).
+#:
+#: ROTATION batch 12 (planned for round 15, once batch 11 holds its
+#: first official record in CORRECTNESS_r14): candidates, all
+#: exact-oracle and mirror-verified at sf0.01 since round 14 —
+#: dialect_groupby_changes_stream + dialect_tumbling_changes_stream (the
+#: r14 EMIT CHANGES streaming surface: update-mode deploys, per-batch
+#: changelog files), corpus_stats_approx + hypertable_rollup_approx +
+#: approx_count_distinct (the remaining converted sketch twins —
+#: within_bound validation oracles), tfidf_topk_terms_auto +
+#: bigram_lm_auto (the measured-winner routers; oracles shared verbatim
+#: with their window twins, but the AUTO plan is the production form),
+#: and repetition_filter (oracled since r8, the last never-gated
+#: curation entry). Natural displacements: the EMIT FINAL / exact /
+#: forced-strategy twins whose coverage the entrants contain — decided
+#: against CORRECTNESS_r14 at rotation time.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
