@@ -469,6 +469,10 @@ def main() -> None:
                 # fn() call; 16x-amortized like its component jobs (the
                 # 16x scale spot is near-flat — floor-dominated)
                 "dialect_asof_groupby_stream",
+                # the r14 EMIT CHANGES dialect entries run their whole
+                # update-mode streaming job inside fn() too
+                "dialect_groupby_changes_stream",
+                "dialect_tumbling_changes_stream",
             )
             prebuilt = None
             if not rerun_fn:
