@@ -1004,9 +1004,16 @@ def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
     )
     assert names == ["b0", "b1"]
     assert all(os.path.isdir(os.path.join(out_dir, n)) for n in names)
-    # a replay with DIFFERENT content (recovery after a code fix) fully
-    # replaces the batch — overwrite, never stack
+    # a COMMITTED batch (its _SUCCESS exists) is immutable: the replay is
+    # skipped, never re-overwritten — a downstream file stream tracks
+    # seen part files by path, and replacing them would both delete
+    # consumed files and feed their renamed twins in as duplicates
     df2 = spark.createDataFrame([(9, "z")], "k int, s string")
+    _write_batch_idempotent(df2, out_dir, "parquet", 1)
+    got = {(r["k"], r["s"]) for r in _read_fb_sink(spark, out_dir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # an UNCOMMITTED partial attempt (no _SUCCESS) IS overwritten
+    os.remove(os.path.join(out_dir, "b1", "_SUCCESS"))
     _write_batch_idempotent(df2, out_dir, "parquet", 1)
     got = {(r["k"], r["s"]) for r in _read_fb_sink(spark, out_dir).collect()}
     assert got == {(1, "a"), (2, "b"), (9, "z")}
@@ -1533,7 +1540,8 @@ def test_two_concurrent_asof_fb_jobs_no_view_cross_drop(spark, tmp_path):
         e.execute_streaming(
             f"CREATE STREAM cc{j} AS SELECT ccs{j}.tag, q.v "
             f"FROM ccs{j} ASOF LEFT JOIN quotes_cc q "
-            f"ON ccs{j}.k = q.k AND ccs{j}.t >= q.rt "
+            f"ON ccs{j}.k = q.k AND ccs{j}.t >= q.rt\n"
+            "-- @batch_size: 1\n"
             f"WITH ('ccs{j}.type' = 'file_source', 'ccs{j}.path' = '{srcs[j]}', "
             f"'ccs{j}.format' = 'parquet', 'cc{j}.type' = 'file_sink', "
             f"'cc{j}.format' = 'parquet', 'cc{j}.path' = '{sinks[j]}')",

@@ -64,14 +64,14 @@ def test_choose_strategy_routes_by_max_posting(spark):
     open_vocab = spark.createDataFrame(
         [(f"w{i}", 1) for i in range(500)], "k string, v int"
     )
-    s, mx = choose_group_attach_strategy(open_vocab, ["k"])
+    s, mx, _ = choose_group_attach_strategy(open_vocab, ["k"])
     assert (s, mx) == ("window", 1)
     hot = spark.createDataFrame(
         [("the", i) for i in range(400)] + [("rare", 0)], "k string, v int"
     )
     # same frame, two budgets: the regime is the posting-vs-budget ratio
-    s_small, mx_hot = choose_group_attach_strategy(hot, ["k"], task_budget_rows=100)
-    s_large, _ = choose_group_attach_strategy(hot, ["k"], task_budget_rows=1000)
+    s_small, mx_hot, _ = choose_group_attach_strategy(hot, ["k"], task_budget_rows=100)
+    s_large, _, _ = choose_group_attach_strategy(hot, ["k"], task_budget_rows=1000)
     assert mx_hot == 400
     assert s_small == "join" and s_large == "window"
 
@@ -114,7 +114,7 @@ def test_bigram_auto_routes_to_join_past_budget(spark):
         + [(d, f"p{d}", "x", 1) for d in range(20)],
         "doc_id int, prev string, cur string, cnt int",
     )
-    s, mx = choose_group_attach_strategy(tfb, ["prev"], task_budget_rows=100)
+    s, mx, per_key = choose_group_attach_strategy(tfb, ["prev"], task_budget_rows=100)
     assert s == "join" and mx == 300
     cols = ["doc_id", "prev", "cur", "cnt", "cp"]
     out_j = attach_group_agg(tfb, ["prev"], F.sum("cnt"), "cp", "join").select(*cols)

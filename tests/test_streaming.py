@@ -859,3 +859,49 @@ def test_select_has_aggregation_masking(spark):
         "SELECT k FROM t WHERE v > (SELECT MAX(v) FROM t2)"
     )
     assert not e._select_has_aggregation("SELECT k, 'SUM(x)' AS note FROM t")
+
+
+def test_native_window_group_by_keeps_final_default(spark):
+    """r14 review finding: a statement windowing via Spark-native GROUP BY
+    window(ts, ...) (no dialect WINDOW clause, no EMIT) must classify as
+    WINDOWED so its default stays EMIT FINAL/append — not flip to the
+    non-windowed CHANGES/update default."""
+    from velostream_spark.sql.engine import SqlEngine
+    from velostream_spark.streaming.emit import output_mode_for
+
+    e = SqlEngine(spark, time_col="ts")
+    sql = (
+        "SELECT window(ts, '5 minutes').start AS ws, COUNT(*) AS n "
+        "FROM s GROUP BY window(ts, '5 minutes')"
+    )
+    assert e._select_has_native_window(sql)
+    assert not e._select_has_native_window("SELECT k, SUM(v) AS s FROM t GROUP BY k")
+    # literals and subqueries are masked like every shape check
+    assert not e._select_has_native_window("SELECT 'window(x)' AS note FROM t")
+    assert output_mode_for(None, has_window=True, has_aggregation=True) == "append"
+
+
+def test_tfidf_auto_join_route_reuses_probe_totals(spark):
+    """r14 review finding: when the router picks the join strategy, its
+    per-key probe counts ARE tfidf's df totals — attaching them via
+    ``totals`` must equal the derived groupBy, so the reuse is safe."""
+    from velostream_spark.operators.skewagg import (
+        attach_group_agg,
+        choose_group_attach_strategy,
+    )
+
+    tf = spark.createDataFrame(
+        [(d, "the", 2) for d in range(40)] + [(0, "rare", 1)],
+        "doc_id int, word string, tf int",
+    )
+    s, mx, per_key = choose_group_attach_strategy(tf, ["word"], task_budget_rows=10)
+    assert s == "join" and mx == 40
+    reused = attach_group_agg(
+        tf, ["word"], F.count(F.lit(1)), "df", "join",
+        totals=per_key.withColumnRenamed("_c", "df"),
+    )
+    derived = attach_group_agg(tf, ["word"], F.count(F.lit(1)), "df", "join")
+    cols = ["doc_id", "word", "tf", "df"]
+    assert sorted(map(tuple, reused.select(*cols).collect())) == sorted(
+        map(tuple, derived.select(*cols).collect())
+    )

@@ -58,7 +58,10 @@ def choose_group_attach_strategy(
     executor; the measured boundary sits between the 128x spots (hot
     postings ~1.5M, window still 1.7x faster) and the bigram 512x spot
     (postings past the budget, window 5.2x superlinear). Returns
-    ``(strategy, max_posting)`` so callers can log the decision."""
+    ``(strategy, max_posting, per_key_counts)`` — when the router picks
+    ``join`` and the caller's attach IS a row count over the same keys
+    (tfidf's df attach), the counts frame doubles as the join strategy's
+    ``totals``, so the probe's pass is reused instead of recomputed."""
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
     row = per_key.agg(
         F.max("_c").alias("mx"), F.sum("_c").alias("n")
@@ -70,7 +73,7 @@ def choose_group_attach_strategy(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
         task_budget_rows = max(2_000_000, 4 * n // max(parts, 1))
-    return ("join" if mx > task_budget_rows else "window"), mx
+    return ("join" if mx > task_budget_rows else "window"), mx, per_key
 
 
 def attach_group_agg(

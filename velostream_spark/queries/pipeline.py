@@ -1632,11 +1632,16 @@ def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFr
         .where(F.length("word") > 0)
     )
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    probe_totals = None
     if strategy == "auto":
         # probe the hottest word posting (tf is distinct on (doc, word),
         # so the posting IS the document frequency) and route to the
-        # measured winner for this corpus
-        strategy, _ = choose_group_attach_strategy(tf, ["word"])
+        # measured winner for this corpus; the probe's per-word counts
+        # ARE the df totals, so the join route reuses them instead of
+        # recomputing the tf subplan
+        strategy, _, per_key = choose_group_attach_strategy(tf, ["word"])
+        if strategy == "join":
+            probe_totals = per_key.withColumnRenamed("_c", "df")
     # N = docs with >=1 token, computed SCAN-SIDE (token_count > 0 is
     # equivalent to having a nonempty word after normalization) — a
     # countDistinct over the exploded words would re-run the explode and
@@ -1650,7 +1655,10 @@ def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFr
     # so counting rows per word IS the document frequency in BOTH
     # strategies (window: COUNT OVER; join: groupBy + equi-join back)
     scored = (
-        attach_group_agg(tf, ["word"], F.count(F.lit(1)), "df", strategy)
+        attach_group_agg(
+            tf, ["word"], F.count(F.lit(1)), "df", strategy,
+            totals=probe_totals,
+        )
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1824,7 +1832,7 @@ def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
             choose_group_attach_strategy,
         )
 
-        strategy, _ = choose_group_attach_strategy(tfb, ["prev"])
+        strategy, _, _per_key = choose_group_attach_strategy(tfb, ["prev"])
     if strategy == "join":
         # Corpus bigram model, built ONCE: cbd is vocabulary-sized and has
         # three consumers (cpd, V, the model join), so localCheckpoint

@@ -46,22 +46,45 @@ INDEX_MAX_ROWS = 1_000_000
 
 
 def _write_batch_idempotent(
-    out: DataFrame, out_dir: str, fmt: str, batch_id: "int | str"
+    out: DataFrame, out_dir: str, fmt: str, batch_id: "int | str",
+    skip_committed: bool = True,
 ) -> None:
     """Write one foreachBatch micro-batch idempotently per ``batch_id``:
     a checkpoint-recovered replay of a micro-batch must not duplicate
     output rows (the transactional file sink this path bypasses is
     exactly-once via its log). Each batch OVERWRITEs its own subdirectory
     ``<out_dir>/b<batch_id>/`` — rename-free, so the layout is correct on
-    object stores (S3/HDFS) as well as local FS; a replayed attempt simply
-    re-overwrites the same subdir. Readers go through ``_read_fb_sink``
-    (recursiveFileLookup), and Spark's streaming file source picks up
-    late-appearing subdirectories the same way — so the layout also feeds
-    the ASOF+GROUP BY composition's step-2 stream."""
+    object stores (S3/HDFS) as well as local FS. A replay of a batch that
+    already COMMITTED (its ``_SUCCESS`` marker exists) is skipped
+    entirely rather than re-overwritten: a downstream file STREAM over
+    the sink (the composition's step 2, now runnable concurrently via
+    wait=False) tracks seen files by path, so re-overwriting would delete
+    already-consumed part files and feed their UUID-renamed replacements
+    in as duplicate data. Only an uncommitted partial attempt (no
+    ``_SUCCESS``) is overwritten. Readers go through ``_read_fb_sink``
+    (recursiveFileLookup), and the streaming file source picks up
+    late-appearing subdirectories the same way."""
+    sub = os.path.join(out_dir, f"b{batch_id}")
+    if skip_committed and _hadoop_exists(
+        out.sparkSession, os.path.join(sub, "_SUCCESS")
+    ):
+        return
     w = out.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         w = w.option("header", True)
-    w.save(os.path.join(out_dir, f"b{batch_id}"))
+    w.save(sub)
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API, so object-store URIs
+    (s3a:// hdfs://) resolve the same way the writers do — os.path only
+    answers for local paths."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
 
 
 def _read_fb_sink(
@@ -1307,7 +1330,12 @@ class SqlEngine:
 
         out_mode = output_mode_for(
             EmitMode(st.emit) if st.emit else None,
-            has_window=st.window is not None,
+            # windowed either via the dialect WINDOW clause or via
+            # Spark-native GROUP BY window()/session_window() in the text
+            has_window=(
+                st.window is not None
+                or self._select_has_native_window(st.select_sql)
+            ),
             # ROWS WINDOW is a per-record analytic (one output row per
             # input row, emitted once — the stateful op runs in append
             # mode), not a grouped aggregation, even though its spec
@@ -1357,16 +1385,24 @@ class SqlEngine:
         the changelog — update writes each batch's updated rows to its own
         b<id>/ subdir (the idempotent per-batch-delta layout, read via
         _read_fb_sink); complete overwrites one fixed subdir with the full
-        converged state. None when the native sink carries the mode."""
+        converged state — every batch MUST overwrite it (skip_committed
+        off), and a reader racing an in-flight overwrite of a CONTINUOUS
+        complete-mode job can observe the between-delete-and-commit
+        window (bounded availableNow jobs — the default — overwrite it
+        exactly once after the drain, so no race). None when the native
+        sink carries the mode."""
         if out_mode == "append" or sink_format in ("memory", "kafka"):
             return None
         fb_dir = sink_options["path"]
 
         def fb(batch_df: DataFrame, batch_id) -> None:
-            _write_batch_idempotent(
-                batch_df, fb_dir, sink_format,
-                batch_id if out_mode == "update" else "latest",
-            )
+            if out_mode == "update":
+                _write_batch_idempotent(batch_df, fb_dir, sink_format, batch_id)
+            else:
+                _write_batch_idempotent(
+                    batch_df, fb_dir, sink_format, "latest",
+                    skip_committed=False,
+                )
 
         return fb
 
@@ -1512,20 +1548,40 @@ class SqlEngine:
             i += 1
         return "".join(out)
 
+    def _mask_select(self, select_sql: str) -> str:
+        """The shared masking pipeline for statement-level shape checks
+        (string literals blanked, subquery interiors blanked) — ONE
+        spelling serves both the EMIT-mode router and the foreachBatch
+        enrichment guard, so their notion of 'this statement's own
+        aggregates' can never drift apart."""
+        return self._mask_subquery_spans(
+            self._SQL_LITERAL_RE.sub("''", select_sql)
+        )
+
     def _select_has_aggregation(self, select_sql: str) -> bool:
         """Does the statement aggregate at its own level (GROUP BY, or a
         top-level aggregate call — wrapped or not)? Subquery interiors and
         string literals are masked first, so a nested query's aggregates
         (or an agg-looking word in a literal) never count. Drives the
         EMIT-mode → output-mode mapping for streaming deploys."""
-        masked = self._mask_subquery_spans(
-            self._SQL_LITERAL_RE.sub("''", select_sql)
-        )
+        masked = self._mask_select(select_sql)
         if re.search(r"(?i)\bGROUP\s+BY\b", masked):
             return True
         return (
             re.search(rf"(?i)\b(?:{self._AGG_FN_NAMES})\s*\(", masked)
             is not None
+        )
+
+    def _select_has_native_window(self, select_sql: str) -> bool:
+        """Spark-native time windowing spelled directly in the SQL
+        (``GROUP BY window(ts, ...)`` / ``session_window(...)``) instead
+        of the dialect WINDOW clause: the EMIT-mode router must classify
+        it as windowed, or the no-EMIT default would flip from FINAL
+        (append — the reference's windowed default, select.rs:490-501) to
+        CHANGES (update) for a previously-working statement."""
+        masked = self._mask_select(select_sql)
+        return (
+            re.search(r"(?i)\b(?:session_)?window\s*\(", masked) is not None
         )
 
     def _assert_batchwise_exact(self, select_sql: str) -> None:
@@ -1539,9 +1595,7 @@ class SqlEngine:
         (the pre-round-14 form) hid ``ROUND(SUM(v), 2)``. GROUP BY
         statements never reach here — they route to the two-step
         composition (_compose_asof_groupby)."""
-        masked = self._mask_subquery_spans(
-            self._SQL_LITERAL_RE.sub("''", select_sql)
-        )
+        masked = self._mask_select(select_sql)
         two_step = (
             "; CREATE the enriched stream first (ASOF JOIN only), then "
             "run the aggregation as its own streaming statement over it"
