@@ -984,11 +984,13 @@ def test_streaming_asof_window_function_fails_fast(spark, tmp_path):
 
 
 def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
-    """ADVICE r12 (medium) + r13 verdict task 3: re-running the SAME
-    batch_id (a checkpoint replay) must not duplicate sink rows; distinct
-    batch ids append. The layout is per-batch subdirectories written with
-    OVERWRITE — rename-free, so it is object-store-safe (no local-FS
-    listdir/move semantics anywhere on the path)."""
+    """ADVICE r12 (medium) + r13 verdict task 3 + ADVICE r14 (medium):
+    re-running the SAME batch_id (a checkpoint replay) must not duplicate
+    sink rows; distinct batch ids append. The write is STAGED — part
+    files land in a hidden ``_stage_b<id>/`` and the directory renames
+    to ``b<id>/`` only after the staged write committed — so no reader
+    (batch or concurrent file stream) can ever list a partial attempt's
+    part files."""
     from velostream_spark.sql.engine import _read_fb_sink, _write_batch_idempotent
 
     out_dir = str(tmp_path / "sink")
@@ -998,25 +1000,70 @@ def test_write_batch_idempotent_replay_no_duplicates(spark, tmp_path):
     assert _read_fb_sink(spark, out_dir).count() == 2
     _write_batch_idempotent(df, out_dir, "parquet", 1)  # a NEW batch
     assert _read_fb_sink(spark, out_dir).count() == 4
-    # one subdir per batch, nothing else at the top level
+    # one subdir per batch, no staging residue at the top level
     names = sorted(
         n for n in os.listdir(out_dir) if not n.startswith((".", "_"))
     )
     assert names == ["b0", "b1"]
+    assert not [n for n in os.listdir(out_dir) if n.startswith("_stage")]
     assert all(os.path.isdir(os.path.join(out_dir, n)) for n in names)
-    # a COMMITTED batch (its _SUCCESS exists) is immutable: the replay is
-    # skipped, never re-overwritten — a downstream file stream tracks
-    # seen part files by path, and replacing them would both delete
-    # consumed files and feed their renamed twins in as duplicates
+    # a COMMITTED batch directory is immutable: the replay is skipped,
+    # never re-overwritten — a downstream file stream tracks seen part
+    # files by path, and replacing them would both delete consumed files
+    # and feed their renamed twins in as duplicates
     df2 = spark.createDataFrame([(9, "z")], "k int, s string")
     _write_batch_idempotent(df2, out_dir, "parquet", 1)
     got = {(r["k"], r["s"]) for r in _read_fb_sink(spark, out_dir).collect()}
     assert got == {(1, "a"), (2, "b")}
-    # an UNCOMMITTED partial attempt (no _SUCCESS) IS overwritten
-    os.remove(os.path.join(out_dir, "b1", "_SUCCESS"))
-    _write_batch_idempotent(df2, out_dir, "parquet", 1)
-    got = {(r["k"], r["s"]) for r in _read_fb_sink(spark, out_dir).collect()}
-    assert got == {(1, "a"), (2, "b"), (9, "z")}
+
+
+def test_write_batch_staged_commit_protocol(spark, tmp_path):
+    """ADVICE r14 (medium), crash-shape coverage: a partial staged
+    attempt is invisible to readers and discarded on replay; a complete
+    staged attempt that crashed before its rename is published without a
+    rewrite; a torn copy-based rename (both dirs present) is finished
+    file-by-file, idempotently."""
+    import shutil
+
+    from velostream_spark.sql.engine import _read_fb_sink, _write_batch_idempotent
+
+    out_dir = str(tmp_path / "sink")
+    os.makedirs(out_dir)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+
+    # 1. crash mid-staging: junk partial files, NO _SUCCESS — invisible
+    #    (hidden dir) and replaced by the replay
+    stage = os.path.join(out_dir, "_stage_b0")
+    os.makedirs(stage)
+    open(os.path.join(stage, "part-junk.parquet"), "w").write("not parquet")
+    _write_batch_idempotent(df, out_dir, "parquet", 0)
+    assert not os.path.exists(stage)
+    assert _read_fb_sink(spark, out_dir).count() == 2
+
+    # 2. crash between staging commit and rename: the staged dir is
+    #    complete (_SUCCESS present) — the replay publishes it verbatim
+    sub1 = os.path.join(out_dir, "b1")
+    _write_batch_idempotent(df, out_dir, "parquet", 1)
+    shutil.move(sub1, os.path.join(out_dir, "_stage_b1"))  # un-publish
+    before = sorted(os.listdir(os.path.join(out_dir, "_stage_b1")))
+    _write_batch_idempotent(df, out_dir, "parquet", 1)
+    assert sorted(os.listdir(sub1)) == before  # same files, no rewrite
+    assert _read_fb_sink(spark, out_dir).count() == 4
+
+    # 3. torn copy-based rename: some files already in b2/, the rest
+    #    still staged — the replay completes the move with the SAME
+    #    names (no duplicates) and clears the stage
+    sub2 = os.path.join(out_dir, "b2")
+    _write_batch_idempotent(df, out_dir, "parquet", 2)
+    stage2 = os.path.join(out_dir, "_stage_b2")
+    os.makedirs(stage2)
+    moved = [n for n in os.listdir(sub2) if n.startswith("part-")][:1]
+    for n in moved + ["_SUCCESS"]:
+        shutil.copy(os.path.join(sub2, n), os.path.join(stage2, n))
+    os.remove(os.path.join(sub2, moved[0]))  # torn: one part not yet copied
+    _write_batch_idempotent(df, out_dir, "parquet", 2)
+    assert not os.path.exists(stage2)
+    assert _read_fb_sink(spark, out_dir).count() == 6
 
 
 def test_fb_temp_views_dropped_per_batch(spark, tmp_path):
@@ -1465,6 +1512,23 @@ def test_rebind_guard_skips_scalar_function_froms(eng):
     chk("SELECT 1 FROM abc.x WHERE ab.v > 0", ("ab",))
 
 
+def test_rebind_guard_catches_qualified_from(eng):
+    """ADVICE r14: the EXTRACT-fix lookahead must not blind the guard to
+    DOT-QUALIFIED relation rebinds — ``FROM global_temp.v l`` rebinds
+    ``l`` exactly like an unqualified FROM does."""
+    chk = eng._check_alias_rebind
+    with pytest.raises(ValueError, match="rebound"):
+        chk("WHERE EXISTS (SELECT 1 FROM global_temp.v l WHERE l.x = 1)", ("l",))
+    with pytest.raises(ValueError, match="rebound"):
+        chk("WHERE EXISTS (SELECT 1 FROM sch.tbl AS q WHERE q.x = 1)", ("q",))
+    # a qualified relation whose LAST segment coincides with the alias is
+    # an implicit rebind of that name too
+    with pytest.raises(ValueError, match="rebound"):
+        chk("WHERE EXISTS (SELECT 1 FROM sch.l WHERE l.x = 1)", ("l",))
+    # no dereference -> still harmless, qualified or not
+    chk("WHERE EXISTS (SELECT 1 FROM global_temp.v l)", ("l",))
+
+
 def test_asof_extract_in_select_executes(eng):
     """End-to-end ADVICE r13 repro: a valid ASOF query whose SELECT uses
     EXTRACT(... FROM alias.col) must execute, not hard-fail."""
@@ -1701,3 +1765,117 @@ def test_streaming_asof_groupby_emit_changes_composes(spark, tmp_path):
     # EMIT FINAL would have withheld that trailing window
     seen = sorted((r["k"], r["n"], r["sv"]) for r in rows)
     assert seen == [(0, 1, 10.0), (0, 2, 20.0), (0, 3, 30.0)], seen
+
+
+def test_deploy_job_versioned_asof_enrichment_canary(spark, tmp_path):
+    """r14 verdict task 2: DEPLOY JOB carries the foreachBatch ASOF
+    enrichment route through deploy_version — v2 deploys as a CANARY
+    alongside v1 (both versions recorded, the new one serving), and the
+    versioned job's writer IS the per-batch enrichment function."""
+    from velostream_spark.sql.engine import _read_fb_sink
+
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "avdep_in")
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 7, "c")], "k int, t int, tag string"
+    ).write.mode("overwrite").parquet(src)
+    e.register_table(
+        "quotes_vdep",
+        spark.createDataFrame(
+            [(1, 4, 9.0), (2, 6, 5.0)], "k int, rt int, v double"
+        ),
+    )
+    out1, out2 = str(tmp_path / "avdep_o1"), str(tmp_path / "avdep_o2")
+    e.execute_streaming(
+        "DEPLOY JOB asofv VERSION '1.0' AS "
+        "SELECT avs.k, avs.tag, q.v "
+        "FROM avs ASOF LEFT JOIN quotes_vdep q "
+        "ON avs.k = q.k AND avs.t >= q.rt "
+        f"WITH ('avs.type' = 'file_source', 'avs.path' = '{src}', "
+        "'avs.format' = 'parquet', "
+        "'asofv.type' = 'file_sink', 'asofv.format' = 'parquet', "
+        f"'asofv.path' = '{out1}')"
+    )
+    got = {(r["tag"], r["v"]) for r in _read_fb_sink(spark, out1).collect()}
+    assert got == {("a", 9.0), ("b", 9.0), ("c", 5.0)}
+    assert e.jobs.jobs["asofv"].foreach_batch is not None
+
+    e.execute_streaming(
+        "DEPLOY JOB asofv VERSION '2.0' STRATEGY CANARY(25) AS "
+        "SELECT avs.k, avs.tag, ROUND(q.v * 2, 1) AS v2 "
+        "FROM avs ASOF LEFT JOIN quotes_vdep q "
+        "ON avs.k = q.k AND avs.t >= q.rt "
+        f"WITH ('avs.type' = 'file_source', 'avs.path' = '{src}', "
+        "'avs.format' = 'parquet', "
+        "'asofv.type' = 'file_sink', 'asofv.format' = 'parquet', "
+        f"'asofv.path' = '{out2}')"
+    )
+    got2 = {(r["tag"], r["v2"]) for r in _read_fb_sink(spark, out2).collect()}
+    assert got2 == {("a", 18.0), ("b", 18.0), ("c", 10.0)}
+    versions = e.jobs.show_versions("asofv")
+    assert [v["version"] for v in versions] == ["1.0", "2.0"]
+    assert versions[1]["strategy"] == "canary(25%)"
+    assert versions[1]["current"] and not versions[0]["current"]
+    # canary keeps the previous version reachable in the registry
+    assert "asofv__prev" in e.jobs.jobs
+
+
+def test_deploy_job_versioned_composed_asof_groupby(spark, tmp_path):
+    """r14 verdict task 2 (composed shape): DEPLOY JOB over ASOF JOIN +
+    windowed GROUP BY versions the two-step composition — step 2 rides
+    deploy_version, the enrichment intermediate is per-version, and a
+    REPLACE redeploy retires the old version's enrichment job."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "cvdep_in")
+    spark.createDataFrame(
+        [(i, 0, base + dt.timedelta(minutes=m))
+         for i, m in enumerate([0, 1, 2, 6])],
+        "event_id int, k int, ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    e.register_table(
+        "snaps_cvdep",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 10.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out1, out2 = str(tmp_path / "cvdep_o1"), str(tmp_path / "cvdep_o2")
+    stmt = (
+        "DEPLOY JOB cmpv VERSION '{v}' {strat}AS "
+        "SELECT cvs.k, COUNT(*) AS n, ROUND(SUM(q.v) * {mult}, 2) AS sv "
+        "FROM cvs ASOF LEFT JOIN snaps_cvdep q "
+        "ON cvs.k = q.k AND cvs.ts >= q.rt "
+        "GROUP BY cvs.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        "WITH ('cvs.type' = 'file_source', 'cvs.path' = '" + src + "', "
+        "'cvs.format' = 'parquet', "
+        "'cmpv.type' = 'file_sink', 'cmpv.format' = 'parquet', "
+        "'cmpv.path' = '{out}')"
+    )
+    e.execute_streaming(stmt.format(v="1", strat="", mult="1", out=out1))
+    got = {
+        (r["k"], r["n"], r["sv"])
+        for r in spark.read.schema("k int, n long, sv double")
+        .parquet(out1).collect()
+    }
+    # window 10:00-10:05 closes (max ts 10:06): 3 events, v=10 each
+    assert got == {(0, 3, 30.0)}
+    inter_v1 = "_cmpv_enriched__1"
+    assert inter_v1 in e.jobs.jobs
+
+    e.execute_streaming(stmt.format(v="2", strat="", mult="2", out=out2))
+    got2 = {
+        (r["k"], r["n"], r["sv"])
+        for r in spark.read.schema("k int, n long, sv double")
+        .parquet(out2).collect()
+    }
+    assert got2 == {(0, 3, 60.0)}
+    # the v2 composition serves; v1's enrichment job was retired
+    assert e.jobs.current_version["cmpv"] == "2"
+    assert "_cmpv_enriched__2" in e.jobs.jobs
+    assert e.jobs.jobs[inter_v1].state in ("stopped", "failed")
+    versions = e.jobs.show_versions("cmpv")
+    assert [v["version"] for v in versions] == ["1", "2"]

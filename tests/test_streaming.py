@@ -825,7 +825,7 @@ def test_streaming_sql_emit_final_global_agg_complete(spark, tmp_path):
     """r14: EMIT FINAL on a NON-WINDOWED aggregation maps to complete
     output mode (the reference flushes converged state when the bounded
     source drains, engine.rs:1316); a file sink gets the final state via
-    the overwritten 'blatest' subdir."""
+    a pointer-flipped snapshot dir (r15: _write_snapshot_atomic)."""
     from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
 
     src = str(tmp_path / "ef_in")
@@ -859,6 +859,55 @@ def test_select_has_aggregation_masking(spark):
         "SELECT k FROM t WHERE v > (SELECT MAX(v) FROM t2)"
     )
     assert not e._select_has_aggregation("SELECT k, 'SUM(x)' AS note FROM t")
+
+
+def test_cte_aggregates_are_statements_own_level(spark):
+    """ADVICE r14: a top-level CTE body is part of the statement's own
+    level — ``WITH w AS (SELECT ... GROUP BY ...) SELECT * FROM w`` must
+    classify has_aggregation=True so EMIT CHANGES deploys update, not a
+    silent append. Nested subqueries INSIDE a CTE body stay masked, and
+    multi-CTE / column-list / RECURSIVE forms all parse."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    e = SqlEngine(spark)
+    assert e._select_has_aggregation(
+        "WITH w AS (SELECT k, SUM(v) AS s FROM t GROUP BY k) "
+        "SELECT * FROM w"
+    )
+    assert e._select_has_aggregation(
+        "WITH a(x) AS (SELECT k FROM t), "
+        "b AS (SELECT k, COUNT(*) AS n FROM t GROUP BY k) "
+        "SELECT * FROM a JOIN b USING (k)"
+    )
+    # a subquery nested inside the CTE body is still NOT the statement's
+    assert not e._select_has_aggregation(
+        "WITH w AS (SELECT k FROM t WHERE v > (SELECT MAX(v) FROM t2)) "
+        "SELECT * FROM w"
+    )
+    # native GROUP BY window() inside a CTE classifies as windowed too
+    assert e._select_has_native_window(
+        "WITH w AS (SELECT window(ts, '5 minutes') AS win, COUNT(*) AS n "
+        "FROM s GROUP BY window(ts, '5 minutes')) SELECT * FROM w"
+    )
+    # span scanner: exact interiors, unparseable input yields no spans
+    spans = e._toplevel_cte_spans("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT 3")
+    text = "WITH a AS (SELECT 1), b AS (SELECT 2) SELECT 3"
+    assert [text[s:t] for s, t in spans] == ["SELECT 1", "SELECT 2"]
+    assert e._toplevel_cte_spans("SELECT 1 FROM t") == []
+    assert e._toplevel_cte_spans("WITH a AS (SELECT 1") == []
+
+
+def test_changelog_pathless_sink_is_diagnosable(spark):
+    """ADVICE r14: an update/complete deploy to a file sink WITHOUT a
+    'path' option must raise a named error, not a bare KeyError."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    with pytest.raises(NotImplementedError, match="'path' option"):
+        SqlEngine._changelog_foreach_batch("parquet", {}, "update")
+    with pytest.raises(NotImplementedError, match="'path' option"):
+        SqlEngine._changelog_foreach_batch("csv", {}, "complete")
+    # pathless sinks that natively carry the mode stay supported
+    assert SqlEngine._changelog_foreach_batch("memory", {}, "update") is None
 
 
 def test_native_window_group_by_keeps_final_default(spark):
@@ -905,3 +954,190 @@ def test_tfidf_auto_join_route_reuses_probe_totals(spark):
     assert sorted(map(tuple, reused.select(*cols).collect())) == sorted(
         map(tuple, derived.select(*cols).collect())
     )
+
+
+def test_changelog_compaction_bounded_dirs_identical_reads(spark, tmp_path):
+    """r14 verdict task 3: 50+ micro-batches through the update-mode
+    changelog writer with ``retain=5`` keep the directory count bounded
+    (committed b<id>/ dirs fold into consolidated generations via an
+    atomic _MANIFEST flip), replays of compacted AND live batch ids stay
+    no-ops, and the batch reader's results are IDENTICAL to an
+    uncompacted twin's at every step."""
+    import os as _os
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    out_c = str(tmp_path / "cl_compact")
+    out_u = str(tmp_path / "cl_plain")
+    fb_c = SqlEngine._changelog_foreach_batch(
+        "parquet", {"path": out_c}, "update", retain=5
+    )
+    fb_u = SqlEngine._changelog_foreach_batch(
+        "parquet", {"path": out_u}, "update"
+    )
+    expected = []
+    for i in range(55):
+        df = spark.createDataFrame([(i % 7, i)], "k int, v int").coalesce(1)
+        fb_c(df, i)
+        fb_u(df, i)
+        expected.append((i % 7, i))
+        if i == 30:  # replay a long-compacted and a live batch id
+            fb_c(spark.createDataFrame([(99, 99)], "k int, v int"), 2)
+            fb_c(spark.createDataFrame([(99, 99)], "k int, v int"), 29)
+    got_c = sorted(
+        (r["k"], r["v"]) for r in _read_fb_sink(spark, out_c).collect()
+    )
+    got_u = sorted(
+        (r["k"], r["v"]) for r in _read_fb_sink(spark, out_u).collect()
+    )
+    assert got_c == got_u == sorted(expected)
+    # bounded layout: retain live batches + current/prev generations +
+    # manifest residue — NOT 55 b-dirs (the uncompacted twin has them)
+    live_b = [n for n in _os.listdir(out_c) if n.startswith("b")]
+    gens = [n for n in _os.listdir(out_c) if n.startswith("_gen")]
+    assert len(live_b) <= 12, sorted(live_b)
+    assert 1 <= len(gens) <= 2, gens
+    assert len([n for n in _os.listdir(out_u) if n.startswith("b")]) == 55
+    # replayed ids landed exactly once (no rows with k=99 anywhere)
+    assert not [r for r in got_c if r[0] == 99]
+
+
+def test_changelog_retain_with_prop_e2e(spark, tmp_path):
+    """The '<name>.changelog.retain' WITH-prop plumbs from the statement
+    to the compaction: a multi-batch EMIT CHANGES job to a file sink
+    compacts its changelog and the reader still sees the exact deltas."""
+    import os as _os
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    src = str(tmp_path / "ret_in")
+    for i in range(6):
+        spark.createDataFrame(
+            [(0, i)], "k int, v int"
+        ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "ret_out")
+    e = SqlEngine(spark)
+    e.execute_streaming(
+        "CREATE STREAM retc AS SELECT k, COUNT(*) AS n, SUM(v) AS sv "
+        "FROM rsrc GROUP BY k EMIT CHANGES\n"
+        "-- @batch_size: 1\n"
+        f"WITH ('rsrc.type' = 'file_source', 'rsrc.path' = '{src}', "
+        "'rsrc.format' = 'parquet', "
+        "'retc.type' = 'file_sink', 'retc.format' = 'parquet', "
+        f"'retc.path' = '{out}', 'retc.changelog.retain' = '2')"
+    )
+    assert e.jobs.jobs["retc"].output_mode == "update"
+    rows = sorted(
+        (r["n"], r["sv"]) for r in _read_fb_sink(spark, out).collect()
+    )
+    # 6 per-file batches, each re-emitting the k=0 group's running state
+    assert rows == [(1, 0), (2, 1), (3, 3), (4, 6), (5, 10), (6, 15)]
+    assert len([n for n in _os.listdir(out) if n.startswith("b")]) <= 4
+    assert [n for n in _os.listdir(out) if n.startswith("_gen")]
+
+
+def test_complete_mode_snapshot_racing_reader(spark, tmp_path):
+    """r14 verdict task 4: a reader looping during a CONTINUOUS
+    complete-mode job never observes an empty or partial snapshot — each
+    snapshot commits to a fresh hidden dir and the _LATEST pointer flips
+    atomically, so every read resolves one fully-converged state
+    (invariant here: total == 2*n, with v constant 2.0)."""
+    import threading
+    import time as _time
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    src = str(tmp_path / "race_in")
+    spark.createDataFrame(
+        [(0, 2.0)], "k int, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "race_out")
+    e = SqlEngine(spark)
+    e.execute_streaming(
+        "CREATE STREAM racej AS SELECT ROUND(SUM(v), 1) AS total, "
+        "COUNT(*) AS n FROM rrc EMIT FINAL "
+        f"WITH ('rrc.type' = 'file_source', 'rrc.path' = '{src}', "
+        "'rrc.format' = 'parquet', "
+        "'racej.type' = 'file_sink', 'racej.format' = 'parquet', "
+        f"'racej.path' = '{out}')",
+        wait=False,
+    )
+    assert e.jobs.jobs["racej"].output_mode == "complete"
+
+    # wait for the FIRST snapshot to commit (a sink dir that does not
+    # exist yet is "job hasn't produced output", not a torn read)
+    deadline = _time.time() + 60
+    while not os.path.exists(os.path.join(out, "_LATEST")):
+        assert _time.time() < deadline, "first snapshot never committed"
+        _time.sleep(0.2)
+
+    stop = threading.Event()
+    bad: list = []
+    reads = [0]
+
+    def feeder():
+        for i in range(1, 12):
+            spark.createDataFrame(
+                [(i, 2.0)], "k int, v double"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(0.4)
+        stop.set()
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    try:
+        while not stop.is_set():
+            try:
+                rows = _read_fb_sink(spark, out).collect()
+            except Exception as exc:  # a listable-but-unreadable state
+                bad.append(("read-error", str(exc)[:200]))
+                break
+            reads[0] += 1
+            if len(rows) != 1 or rows[0]["total"] != 2.0 * rows[0]["n"]:
+                bad.append(("torn", [tuple(r) for r in rows]))
+                break
+    finally:
+        t.join()
+        e.jobs.stop("racej")
+    assert not bad, bad
+    assert reads[0] >= 10  # the loop genuinely raced the job
+    # converged state eventually lands at 12 rows / total 24.0
+    final = _read_fb_sink(spark, out).collect()
+    assert final[0]["n"] >= 1 and final[0]["total"] == 2.0 * final[0]["n"]
+
+
+def test_deploy_job_versioned_file_changelog(spark, tmp_path):
+    """r14 verdict task 2 (third fail-fast): DEPLOY JOB with EMIT CHANGES
+    to a FILE sink versions through deploy_version carrying the
+    changelog foreachBatch writer."""
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    src = str(tmp_path / "vch_in")
+    spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "k int, v int"
+    ).write.mode("overwrite").parquet(src)
+    out1, out2 = str(tmp_path / "vch_o1"), str(tmp_path / "vch_o2")
+    e = SqlEngine(spark)
+    e.execute_streaming(
+        "DEPLOY JOB vch VERSION '1' AS "
+        "SELECT k, COUNT(*) AS n FROM vsrc GROUP BY k EMIT CHANGES "
+        f"WITH ('vsrc.type' = 'file_source', 'vsrc.path' = '{src}', "
+        "'vsrc.format' = 'parquet', "
+        "'vch.type' = 'file_sink', 'vch.format' = 'parquet', "
+        f"'vch.path' = '{out1}')"
+    )
+    job = e.jobs.jobs["vch"]
+    assert job.output_mode == "update" and job.foreach_batch is not None
+    got = sorted((r["k"], r["n"]) for r in _read_fb_sink(spark, out1).collect())
+    assert got == [(0, 2), (1, 1)]
+    e.execute_streaming(
+        "DEPLOY JOB vch VERSION '2' STRATEGY BLUE_GREEN AS "
+        "SELECT k, SUM(v) AS sv FROM vsrc GROUP BY k EMIT CHANGES "
+        f"WITH ('vsrc.type' = 'file_source', 'vsrc.path' = '{src}', "
+        "'vsrc.format' = 'parquet', "
+        "'vch.type' = 'file_sink', 'vch.format' = 'parquet', "
+        f"'vch.path' = '{out2}')"
+    )
+    got2 = sorted((r["k"], r["sv"]) for r in _read_fb_sink(spark, out2).collect())
+    assert got2 == [(0, 3), (1, 3)]
+    assert e.jobs.current_version["vch"] == "2"

@@ -41,7 +41,7 @@ def choose_group_attach_strategy(
     df: DataFrame,
     keys: Sequence[str],
     task_budget_rows: int | None = None,
-) -> tuple[str, int]:
+) -> tuple[str, int, DataFrame]:
     """Measure-don't-guess router between the two strategies (r13 verdict
     task 5): ONE map-side-combined probe — ``groupBy(keys).count()`` then
     a global max/sum — yields the LARGEST key posting exactly. The window

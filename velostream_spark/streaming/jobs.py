@@ -65,6 +65,11 @@ class JobVersion:
     output_mode: str
     trigger: dict[str, Any]
     deployed_at: float = field(default_factory=time.time)
+    #: per-micro-batch sink fn — versioned deploys carry the foreachBatch
+    #: routes (ASOF enrichment, file changelogs) exactly like plain
+    #: deploys do (r14 verdict task 2; reference: the job server versions
+    #: every shape, stream_job_server.rs, ast.rs:302-365)
+    foreach_batch: Callable[[DataFrame, int], None] | None = None
 
 
 class StreamJobManager:
@@ -178,6 +183,7 @@ class StreamJobManager:
         sink_options: dict[str, str] | None = None,
         output_mode: str = "append",
         trigger: dict[str, Any] | None = None,
+        foreach_batch: Callable[[DataFrame, int], None] | None = None,
     ) -> StreamJob:
         """DEPLOY JOB name VERSION 'v' STRATEGY s AS <query>.
 
@@ -207,6 +213,7 @@ class StreamJobManager:
             sink_options=dict(sink_options or {}),
             output_mode=output_mode,
             trigger=dict(trigger or {"availableNow": True}),
+            foreach_batch=foreach_batch,
         )
         self.versions.setdefault(name, []).append(jv)
         return self._activate(name, jv)
@@ -222,6 +229,7 @@ class StreamJobManager:
             output_mode=jv.output_mode,
             checkpoint=os.path.join(self.checkpoint_root, name, jv.version),
             trigger=jv.trigger,
+            foreach_batch=jv.foreach_batch,
         )
         if jv.strategy in ("replace", "rolling"):
             if old is not None and old.query is not None and old.query.isActive:
@@ -265,6 +273,7 @@ class StreamJobManager:
             sink_options=jv.sink_options,
             output_mode=jv.output_mode,
             trigger=jv.trigger,
+            foreach_batch=jv.foreach_batch,
         )
         prev = self.jobs.pop(f"{name}__prev", None)
         if prev is not None and prev.query is not None and prev.query.isActive:
