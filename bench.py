@@ -42,12 +42,14 @@ HEADLINE = [
     "group_by_agg",
     "group_by_having",
     "count_distinct",
+    "approx_count_distinct",
     "order_by_limit",
     "stream_table_join",
     "interval_join",
     "asof_join",
     "range_join",
     "hypertable_rollup",
+    "hypertable_rollup_approx",
     "streaming_asof_join",
     "streaming_asof_ss",
     "streaming_range_join",
@@ -70,6 +72,7 @@ HEADLINE = [
     "session_window",
     "text_analysis",
     "corpus_stats",
+    "corpus_stats_approx",
     "bpe_pair_counts",
     "bpe_encode",
     "pii_scrub",

@@ -21,13 +21,13 @@ FLAGSHIPS = {
     "ngram_jaccard_pairs",
     "streaming_bloom_dedup",
     "dedup_canonical",
-    "gopher_quality_filter",
+    "repetition_filter",
     "curation_pipeline",
     "corpus_mix",
     "ann_ivf_pq_residual_topk",
     "protobuf_roundtrip",
     "confluent_roundtrip",
-    "streaming_tumbling_changes",
+    "dialect_tumbling_changes_stream",
     "streaming_rows_window",
     "streaming_pii_gate",
     "streaming_decontam_gate",
@@ -35,25 +35,22 @@ FLAGSHIPS = {
     "heavy_hitters_cms",
 }
 
-#: THIS round's first-time-official entrants: rotation batch 11 (round 14)
-#: — the r13 flagship ASOF+GROUP BY compositions, the never-gated oracled
-#: backlog (pii gate, foreachBatch as-of, the strategy twins, the round-8
-#: curation entries), and the two sketch twins converted to exact
-#: driver-checkable oracles this round. Every displaced near-twin holds
-#: an official record (r13 or earlier — CORRECTNESS_r13 was 50/50 green)
-#: and stays in the catalog + parity mirror + bench; displacement map in
-#: registry.GATE_ORDER's ROTATION batch 11 block.
+#: THIS round's first-time-official entrants: rotation batch 12 (round 15)
+#: — the r14 EMIT CHANGES dialect flagships, the three remaining sketch
+#: twins converted to exact driver-checkable oracles in r14, the two
+#: measured-winner auto-routers, and the last never-gated curation entry.
+#: Every displaced near-twin holds an official r14 record (CORRECTNESS_r14
+#: was 50/50 green) and stays in the catalog + parity mirror + bench;
+#: displacement map in registry.GATE_ORDER's ROTATION batch 12 block.
 ROTATED_IN = {
-    "dialect_asof_groupby_stream",
-    "dialect_asof_groupby_stream_ss",
-    "streaming_pii_gate",
-    "streaming_asof_join",
-    "tfidf_topk_terms_join",
-    "bigram_lm_grouped",
-    "heavy_hitters_cms",
-    "percentile_aggs_approx",
-    "doc_chunking",
-    "gopher_quality_filter",
+    "dialect_groupby_changes_stream",
+    "dialect_tumbling_changes_stream",
+    "corpus_stats_approx",
+    "hypertable_rollup_approx",
+    "approx_count_distinct",
+    "tfidf_topk_terms_auto",
+    "bigram_lm_auto",
+    "repetition_filter",
 }
 
 
@@ -278,28 +275,26 @@ def test_auto_regime_twins_share_oracles_verbatim():
     assert catalog["bigram_lm_auto"].oracle == catalog["bigram_lm_score"].oracle
 
 
-#: Batch-12 rotation plan (round 15, registry.GATE_ORDER doc): every
-#: planned entrant must already exist in the catalog WITH an exact oracle
-#: — this pin keeps the documented plan executable (a renamed or
-#: oracle-less entrant would silently break the next round's rotation).
-BATCH12_PLANNED = {
-    "dialect_groupby_changes_stream",
-    "dialect_tumbling_changes_stream",
-    "corpus_stats_approx",
-    "hypertable_rollup_approx",
-    "approx_count_distinct",
-    "tfidf_topk_terms_auto",
-    "bigram_lm_auto",
-    "repetition_filter",
+#: Batch-12 rotation (EXECUTED round 15): every entrant holds a gate
+#: slot, and every DISPLACED near-twin stays in the catalog + mirror with
+#: its exact oracle intact (each holds an official r14 record; coverage
+#: map in registry.GATE_ORDER's ROTATION batch 12 block).
+BATCH12_DISPLACED = {
+    "dialect_tumbling_select",
+    "streaming_tumbling_changes",
+    "statistical_aggs",
+    "hypertable_rollup",
+    "count_distinct",
+    "tfidf_topk_terms_join",
+    "bigram_lm_grouped",
+    "gopher_quality_filter",
 }
 
 
-def test_batch12_entrants_exist_with_oracles():
+def test_batch12_executed_and_displaced_stay_mirrored():
     catalog = all_queries()
-    missing = [n for n in BATCH12_PLANNED if n not in catalog]
-    assert not missing, missing
-    no_oracle = [n for n in BATCH12_PLANNED if not catalog[n].oracle]
-    assert not no_oracle, no_oracle
-    # and none of them currently hold a gate slot (they are entrants)
     first50 = set(GATE_ORDER)
-    assert not (BATCH12_PLANNED & first50), BATCH12_PLANNED & first50
+    assert ROTATED_IN <= first50
+    for n in BATCH12_DISPLACED:
+        assert n in catalog and catalog[n].oracle, n
+        assert n not in first50, n

@@ -406,25 +406,49 @@ _LOADED = False
 #: text-quality family keeps bigram_lm_grouped entering above plus the
 #: mirror twins — the never-gated Gopher-rules filter earns its record).
 #:
-#: ROTATION batch 12 (planned for round 15, once batch 11 holds its
-#: first official record in CORRECTNESS_r14): candidates, all
-#: exact-oracle and mirror-verified at sf0.01 since round 14 —
-#: dialect_groupby_changes_stream + dialect_tumbling_changes_stream (the
-#: r14 EMIT CHANGES streaming surface: update-mode deploys, per-batch
-#: changelog files), corpus_stats_approx + hypertable_rollup_approx +
-#: approx_count_distinct (the remaining converted sketch twins —
-#: within_bound validation oracles), tfidf_topk_terms_auto +
-#: bigram_lm_auto (the measured-winner routers; oracles shared verbatim
-#: with their window twins, but the AUTO plan is the production form),
-#: and repetition_filter (oracled since r8, the last never-gated
-#: curation entry). Natural displacements: the EMIT FINAL / exact /
-#: forced-strategy twins whose coverage the entrants contain — decided
-#: against CORRECTNESS_r14 at rotation time.
+#: ROTATION batch 12 (EXECUTED in round 15 — precondition met: batch 11
+#: holds official r14 records, CORRECTNESS_r14 50/50 green). Eight
+#: entrants, all exact-oracle and mirror-verified at sf0.01 since round
+#: 14; every displaced entry holds an official r14 record and stays in
+#: the catalog + parity mirror + bench:
+#: dialect_tumbling_changes_stream ← dialect_tumbling_select (official
+#: r14; the entrant exercises the SAME dialect tumbling-window SQL
+#: surface PLUS the r14 EMIT CHANGES update-mode file-changelog deploy —
+#: strictly more, exact changelog oracle);
+#: dialect_groupby_changes_stream ← streaming_tumbling_changes (official
+#: r14; windowed EMIT CHANGES stays official via the entrant above — the
+#: never-gated NON-windowed grouped changelog through the dialect earns
+#: its first record);
+#: corpus_stats_approx ← statistical_aggs (official r14; the entrant
+#: computes the same statistical aggregates PLUS the HLL within_bound
+#: validation — exact values recomputed in-query, coverage contained);
+#: hypertable_rollup_approx ← hypertable_rollup (official r14; direct
+#: twin — grouping-sets rollup with the sketch validation columns);
+#: approx_count_distinct ← count_distinct (official r3-r14; the entrant
+#: recomputes the exact distinct counts in the same query alongside the
+#: HLL++ within_bound booleans — count-distinct semantics contained);
+#: tfidf_topk_terms_auto ← tfidf_topk_terms_join (official r14; oracle
+#: shared VERBATIM across the strategy family — the measured-winner
+#: ROUTER is the production form, and its probe verifies both regimes);
+#: bigram_lm_auto ← bigram_lm_grouped (official r14; same router logic,
+#: oracle shared verbatim with bigram_lm_score);
+#: repetition_filter ← gopher_quality_filter (official r14; text-quality
+#: filter family — the last never-gated curation entry, oracled r8).
+#:
+#: ROTATION batch 13 (planned for round 16, once batch 12 holds its
+#: first official record in CORRECTNESS_r15): candidates — the r15
+#: validation-oracle conversions (sequence_packing_ffd, bpe_train_merges,
+#: ann_ivf_trained_topk — see their within_bound/validation-column
+#: docstrings) plus any remaining never-gated oracled entries; natural
+#: displacements again the exact/near twins whose coverage the entrants
+#: contain — decided against CORRECTNESS_r15 at rotation time.
 GATE_ORDER = [
     # §2.2 projection / filter / §2.4 aggregation / §2.8 sort-limit-setops
     "select_where",
     "group_by_agg",
-    "count_distinct",
+    # batch 12: count_distinct (official r3-r14) -> approx_count_distinct
+    # (recomputes the exact distinct counts in-query + HLL within_bound)
+    "approx_count_distinct",
     "order_by_limit",
     # round 5: union_all_distinct → parity mirror (distinct semantics
     # carried officially by count_distinct; union/set-op coverage lives in
@@ -443,8 +467,9 @@ GATE_ORDER = [
     # batch 8: json_functions → tfidf_topk_terms (scalar coverage carried by
     # the conformance sweep + dialect_functions_select + string_functions)
     # batch 11: tfidf_topk_terms (official r11-r13) -> tfidf_topk_terms_join
-    # (oracle shared verbatim; the skew-safe strategy twin earns the record)
-    "tfidf_topk_terms_join",
+    # batch 12: tfidf_topk_terms_join (official r14) -> tfidf_topk_terms_auto
+    # (the measured-winner router; oracle shared verbatim family-wide)
+    "tfidf_topk_terms_auto",
     # batch 6: collection_functions → conformance sweep + dialect/json twins
     # batch 7: bpe_pair_counts → bpe_encode (same split/normalize machinery)
     # batch 11: bpe_encode (official r10+r13) -> doc_chunking (never-gated
@@ -453,11 +478,13 @@ GATE_ORDER = [
     "dialect_functions_select",
     # batch 7: corpus_stats takes date_functions' freed scalar slot
     # batch 11: corpus_stats (official r10-r13) -> bigram_lm_grouped
-    # (grouping-sets coverage stays via hypertable_rollup; the grouped+AQE
-    # LM production form earns its record)
-    "bigram_lm_grouped",
+    # batch 12: bigram_lm_grouped (official r14) -> bigram_lm_auto (the
+    # measured-winner router; oracle shared verbatim with bigram_lm_score)
+    "bigram_lm_auto",
     # §2.4 aggregate families
-    "statistical_aggs",
+    # batch 12: statistical_aggs (official r4-r14) -> corpus_stats_approx
+    # (same statistical aggregates + HLL within_bound validation)
+    "corpus_stats_approx",
     # batch 11: percentile_aggs (official r13) -> percentile_aggs_approx
     # (recomputes the exact percentiles in-query + GK within_bound)
     "percentile_aggs_approx",
@@ -506,7 +533,9 @@ GATE_ORDER = [
     # batch 8: window_with_having → hypertable_rollup (grouping-sets
     # dimension; HAVING semantics stay in mirror's group_by_having and
     # window_with_having keeps its official r10 record)
-    "hypertable_rollup",
+    # batch 12: hypertable_rollup (official r10-r14) ->
+    # hypertable_rollup_approx (direct twin + sketch validation columns)
+    "hypertable_rollup_approx",
     # Phase-4 pipeline operators (LLM-scale curation; batch-4 rotation:
     # minhash_lsh_pairs/rolling_fingerprint/ann_brute_force/ann_lsh/
     # multimodal_frame_sample → their never-gated family twins)
@@ -532,8 +561,10 @@ GATE_ORDER = [
     # batch 9: bigram_lm_score (official r11) → quality_classifier_score
     # (the text-quality family's zero-shuffle model-inference form)
     # batch 11: quality_classifier_score (official r12-r13) ->
-    # gopher_quality_filter (never-gated Gopher-rules filter, oracled r8)
-    "gopher_quality_filter",
+    # gopher_quality_filter
+    # batch 12: gopher_quality_filter (official r14) -> repetition_filter
+    # (text-quality filter family; the last never-gated curation entry)
+    "repetition_filter",
     "curation_pipeline",
     "corpus_mix",
     # batch 7: ann_ivf_topk → ann_ivf_pq_topk; batch 8: ann_ivf_pq_topk
@@ -553,11 +584,18 @@ GATE_ORDER = [
     # codecs / SQL dialect / streaming
     "protobuf_roundtrip",
     "confluent_roundtrip",
-    "dialect_tumbling_select",
+    # batch 12: dialect_tumbling_select (official r14) ->
+    # dialect_tumbling_changes_stream (same dialect tumbling surface +
+    # the r14 EMIT CHANGES update-mode file-changelog deploy)
+    "dialect_tumbling_changes_stream",
     "dialect_ctas_stream_table_join",
     # (tumbling_final/group_by_changes/dedup → batch-4 rotation: the
     # never-gated changes/final twins below)
-    "streaming_tumbling_changes",
+    # batch 12: streaming_tumbling_changes (official r14) ->
+    # dialect_groupby_changes_stream (windowed EMIT CHANGES stays official
+    # via dialect_tumbling_changes_stream; the non-windowed grouped
+    # changelog earns its first record)
+    "dialect_groupby_changes_stream",
     # batch 9: streaming_sliding_final (official r8-r11) →
     # streaming_classifier_gate (EMIT FINAL carried by
     # streaming_session_final, staying)
