@@ -72,12 +72,11 @@ def test_flagship_pipeline_entries_hold_official_slots():
 
 #: Gate entries whose oracle is rows-only BY DESIGN: none since batch 6 —
 #: the round-8 verdict established that an oracle-less gate slot gives the
-#: driver zero signal (err: "no_oracle"), so rows-only entries
-#: (ann_ivf_trained_topk, bpe_train_merges, sequence_packing_ffd) live in
-#: the parity mirror + their pinned-exactness tests instead of the
-#: official 50. (Round 14 CONVERTED three former rows-only sketch twins —
-#: heavy_hitters_cms, percentile_aggs_approx, approx_count_distinct — to
-#: exact driver-checkable oracles: grid-rebuild / within_bound shapes.)
+#: driver zero signal (err: "no_oracle"). Round 14 converted the sketch
+#: twins (grid-rebuild / within_bound shapes); round 15 converted the
+#: LAST three rows-only entries (ann_ivf_trained_topk, bpe_train_merges,
+#: sequence_packing_ffd) to validation oracles — every catalog entry now
+#: carries a driver-checkable oracle.
 ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 

@@ -1168,12 +1168,41 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_N_MERGES = 20
+
+#: bpe_train_merges' validation oracle: DuckDB rebuilds the FIRST merge
+#: exactly (the (freq desc, pair asc) argmax over the corpus pair counts —
+#: the same statistic the exact-oracle-gated bpe_pair_counts computes) and
+#: emits literal TRUE for the BPE monotonicity theorem every later rank
+#: must satisfy (each merge creates pairs no more frequent than the pair
+#: it consumed, and only shrinks existing counts — so the chosen max never
+#: increases).
+_BPE_TRAIN_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(string_split({textops.normalize_sql('text')}, ' ')) AS word
+  FROM documents
+),
+p AS (
+  SELECT substr(w.word, CAST(g.i AS INT), 2) AS pair
+  FROM w, LATERAL (SELECT unnest(range(1, length(w.word))) AS i) g
+),
+t1 AS (
+  SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+  ORDER BY n DESC, pair LIMIT 1
+)
+SELECT CAST(g.r AS INT)                                    AS merge_rank,
+       CASE WHEN g.r = 1 THEN substr(t1.pair, 1, 1) END    AS first_left,
+       CASE WHEN g.r = 1 THEN substr(t1.pair, 2, 1) END    AS first_right,
+       CASE WHEN g.r = 1 THEN CAST(t1.n AS BIGINT) END     AS first_freq,
+       TRUE                                                AS freq_nonincreasing
+FROM (SELECT unnest(range(1, {_BPE_TRAIN_N_MERGES + 1})) AS r) g
+CROSS JOIN t1
+"""
+
+
 @query(
     "bpe_train_merges",
-    oracle=None,  # iterative merge loop is not SQL-expressible (rows-only
-    # driver check); exactness is pinned in tests/test_bpe.py instead:
-    # paper example, first-merge == bpe_pair_counts top row (which IS
-    # exact-oracle-gated), monotone max-frequency invariant
+    oracle=_BPE_TRAIN_ORACLE,
     tags=("pipeline", "tokenizer", "vocab", "beyond-reference"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,14 +1210,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed word-count pass (shuffle = (word, partial count), capped
     TopK dictionary), then the exact deterministic merge loop over the
     driver-sized dictionary — the merge TABLE is the training artifact, so
-    a driver-sized result is the correct shape, not a collect() smell."""
+    a driver-sized result is the correct shape, not a collect() smell.
+
+    Driver-checkable validation oracle (r14 verdict task 5): the merge
+    loop past rank 1 is iterative state DuckDB cannot replay, but rank 1
+    IS SQL — the (freq desc, pair asc) argmax over the corpus pair
+    statistics, which DuckDB recomputes exactly — and every later rank
+    obeys the BPE monotonicity theorem (the chosen pair frequency never
+    increases: a merge only shrinks existing pair counts, and pairs it
+    creates inherit at most its own frequency). The entry emits rank-1's
+    (left, right, freq) for the exact check plus a per-rank
+    ``freq_nonincreasing`` boolean the oracle pins as literal TRUE. The
+    FULL merge table stays exact-pinned against the paper example and an
+    independent re-derivation in tests/test_bpe.py; the vocab cap (50000)
+    never binds on the test corpus (31 distinct words), so the capped
+    dictionary's statistics equal the oracle's uncapped ones."""
     from velostream_spark.operators import bpe
 
     t = tables(spark, sf_dir)
-    merges = bpe.bpe_train(t["documents"], "text", n_merges=20)
+    merges = bpe.bpe_train(
+        t["documents"], "text", n_merges=_BPE_TRAIN_N_MERGES
+    )
+    first = merges[0] if merges else (None, None, None)
+    rows = []
+    prev = None
+    for i, (a, b, n) in enumerate(merges):
+        rows.append(
+            (
+                i + 1,
+                first[0] if i == 0 else None,
+                first[1] if i == 0 else None,
+                first[2] if i == 0 else None,
+                prev is None or n <= prev,
+            )
+        )
+        prev = n
     return spark.createDataFrame(
-        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
-        "merge_rank int, left string, right string, pair_freq bigint",
+        rows,
+        "merge_rank int, first_left string, first_right string, "
+        "first_freq bigint, freq_nonincreasing boolean",
     )
 
 
@@ -1264,12 +1324,30 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sequence_packing_ffd's per-pack token budget.
+_FFD_BUDGET = 256
+
+_FFD_ORACLE = f"""
+WITH d AS (
+  SELECT lang, COALESCE({textops.token_count_sql('text')}, 0) AS toks
+  FROM documents
+)
+SELECT lang,
+       COUNT(*)                                             AS n_docs,
+       CAST(SUM(toks) AS BIGINT)                            AS total_tokens,
+       CAST(SUM(CASE WHEN toks > {_FFD_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT)                                      AS n_oversized,
+       TRUE AS capacity_ok,
+       TRUE AS coverage_ok,
+       TRUE AS density_ok
+FROM d
+GROUP BY lang
+"""
+
+
 @query(
     "sequence_packing_ffd",
-    oracle=None,  # first-fit-decreasing is iterative bin-packing state —
-    # not SQL-expressible (rows-only driver check); exactness vs an
-    # independent reference FFD + pack-count/budget invariants pinned in
-    # tests/test_curation.py, padding win vs greedy measured there too
+    oracle=_FFD_ORACLE,
     tags=("pipeline", "packing", "beyond-reference"),
 )
 def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,19 +1357,77 @@ def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs never exceed the budget (oversized singletons aside) — and it
     still uses fewer packs than the budget-respecting sequential split
     (pinned in test_curation.py). Identical shuffle cost: one stratum
-    exchange; the bin loop runs inside the stratum's applyInPandas cell."""
+    exchange; the bin loop runs inside the stratum's applyInPandas cell.
+
+    Driver-checkable validation oracle (r14 verdict task 5, the
+    within_bound pattern): the pack ASSIGNMENT is iterative state DuckDB
+    cannot replay, but every FFD GUARANTEE is checkable from exact
+    per-stratum aggregates DuckDB rebuilds from ``documents`` directly —
+    per lang the exact doc count, token total and oversized count, plus
+    three booleans the Spark side computes over the ACTUAL packs and the
+    oracle emits as literal TRUE:
+
+    - ``capacity_ok`` — every pack holding >1 document fits the budget
+      (single-doc packs may exceed it only for oversized documents);
+    - ``coverage_ok`` — every document packed exactly once (pack doc
+      counts sum to the stratum count; doc_ids distinct);
+    - ``density_ok`` — the first-fit theorem: at most one non-oversized
+      pack is ≤ half full, so n_packs ≤ n_oversized +
+      floor(2·small_tokens/budget) + 1. A sparse (or overflowing, or
+      dropping) packer flips a boolean → driver-caught hash mismatch.
+    Exact pack-level parity vs an independent pure-Python FFD stays
+    pinned in tests/test_curation.py."""
     t = tables(spark, sf_dir)
     toks = t["documents"].select(
         "doc_id",
         "lang",
-        F.size(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias(
+        F.coalesce(textops.token_count(F.col("text")), F.lit(0)).alias(
             "tokens"
         ),
     )
-    packed = sampling.pack_sequences_ffd(toks, "doc_id", "tokens", 256, "lang")
-    return packed.groupBy(F.col("_stratum").alias("lang"), "pack_id").agg(
+    packed = sampling.pack_sequences_ffd(
+        toks, "doc_id", "tokens", _FFD_BUDGET, "lang"
+    )
+    per_pack = packed.groupBy(F.col("_stratum").alias("lang"), "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tokens").alias("total_tokens"),
+        F.sum("tokens").alias("pack_tokens"),
+        F.sum((F.col("tokens") > _FFD_BUDGET).cast("int")).alias("n_over"),
+    )
+    # per-lang distinct doc_ids straight off the packs (coverage: a doc
+    # packed twice would inflate n_docs vs this; a dropped doc already
+    # breaks the exact n_docs/total_tokens columns vs the oracle)
+    distinct_docs = packed.groupBy(F.col("_stratum").alias("lang")).agg(
+        F.countDistinct("doc_id").alias("_n_distinct")
+    )
+    half = _FFD_BUDGET / 2
+    per_lang = per_pack.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_over").cast("long").alias("n_oversized"),
+        # capacity: multi-doc packs never exceed the budget; single-doc
+        # packs only when the document itself is oversized
+        F.min(
+            (F.col("pack_tokens") <= F.lit(_FFD_BUDGET))
+            | ((F.col("n_docs") == 1) & (F.col("n_over") == 1))
+        ).alias("capacity_ok"),
+        F.count(F.lit(1)).alias("_n_packs"),
+        F.sum(
+            F.when(F.col("n_over") == 0, F.col("pack_tokens")).otherwise(0)
+        ).alias("_small_tokens"),
+    ).join(distinct_docs, "lang")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_oversized",
+        "capacity_ok",
+        (F.col("_n_distinct") == F.col("n_docs")).alias("coverage_ok"),
+        (
+            F.col("_n_packs")
+            <= F.col("n_oversized")
+            + F.floor(F.col("_small_tokens") / F.lit(half))
+            + 1
+        ).alias("density_ok"),
     )
 
 
