@@ -297,3 +297,27 @@ def test_batch12_executed_and_displaced_stay_mirrored():
     for n in BATCH12_DISPLACED:
         assert n in catalog and catalog[n].oracle, n
         assert n not in first50, n
+
+
+#: Batch-13 rotation plan (round 16, registry.GATE_ORDER doc): every
+#: planned entrant must already exist in the catalog WITH an exact oracle
+#: — this pin keeps the documented plan executable (a renamed or
+#: oracle-less entrant would silently break the next round's rotation).
+#: The three are the r15 validation-oracle conversions (the last
+#: formerly-rows-only entries).
+BATCH13_PLANNED = {
+    "sequence_packing_ffd",
+    "bpe_train_merges",
+    "ann_ivf_trained_topk",
+}
+
+
+def test_batch13_entrants_exist_with_oracles():
+    catalog = all_queries()
+    missing = [n for n in BATCH13_PLANNED if n not in catalog]
+    assert not missing, missing
+    no_oracle = [n for n in BATCH13_PLANNED if not catalog[n].oracle]
+    assert not no_oracle, no_oracle
+    # and none of them currently hold a gate slot (they are entrants)
+    first50 = set(GATE_ORDER)
+    assert not (BATCH13_PLANNED & first50), BATCH13_PLANNED & first50
