@@ -1879,3 +1879,28 @@ def test_deploy_job_versioned_composed_asof_groupby(spark, tmp_path):
     assert e.jobs.jobs[inter_v1].state in ("stopped", "failed")
     versions = e.jobs.show_versions("cmpv")
     assert [v["version"] for v in versions] == ["1", "2"]
+
+
+def test_stage_dirs_invisible_to_readers(spark, tmp_path):
+    """The staged-commit protocol's load-bearing property: part files
+    under a hidden ``_stage_b<id>/`` dir are invisible to BOTH reader
+    shapes that consume fb sinks — the recursive batch reader and a
+    streaming file source over the directory (Spark's underscore/dot
+    path filter applies to every listing level)."""
+    from velostream_spark.sql.engine import _read_fb_sink, _write_batch_idempotent
+    from velostream_spark.streaming.runner import run_available_now
+    from velostream_spark.streaming.source import stream_parquet
+
+    out_dir = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    _write_batch_idempotent(df, out_dir, "parquet", 0)
+    # plant a staged (uncommitted) attempt holding REAL parquet rows
+    df2 = spark.createDataFrame([(9, "z")], "k int, s string")
+    df2.write.parquet(os.path.join(out_dir, "_stage_b1"))
+    assert {r["k"] for r in _read_fb_sink(spark, out_dir).collect()} == {1, 2}
+    sdf = stream_parquet(
+        spark, out_dir, schema=df.schema, max_files_per_trigger=10,
+        recursive=True,
+    )
+    got = run_available_now(sdf, "append", "stage_invis")
+    assert {r["k"] for r in got.collect()} == {1, 2}
