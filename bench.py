@@ -223,6 +223,10 @@ AMORTIZED = {
     "decimal_arithmetic": (("lineitem",), 1),
     "percentile_aggs": (("lineitem",), 1),
     "percentile_aggs_approx": (("lineitem",), 1),
+    # two COUNT(DISTINCT) columns -> Expand x3 (1.8M rows) that the
+    # single-row-group base layout runs in ONE task; multi-file layout
+    # parallelizes the expand+aggregate like the entries above
+    "approx_count_distinct": (("lineitem",), 1),
     # codec entries: same rep=1 layout normalization — the single-file
     # orders/customer scans forced a full repartition shuffle before the
     # Arrow codec stage (~0.3 s of protobuf's 0.74 s wall was that

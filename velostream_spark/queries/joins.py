@@ -502,7 +502,14 @@ def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     same query plus an all-true ``users_within_bound`` asserting the HLL
     estimate within 4x rsd — a bound violation is a driver-caught hash
     mismatch. The exact recompute is the validation harness; production
-    emits the sketch alone."""
+    emits the sketch alone.
+
+    The HLL runs in its OWN rollup branch, joined back on
+    (grouping_id, null-safe keys): mixed into the exact aggregation it
+    would sit under the COUNT(DISTINCT user_id) Expand grouping — one
+    16 KB sketch buffer per distinct (stratum, user) instead of one per
+    stratum (the r15 approx_count_distinct finding; measured
+    5.7 → ~1 s at sf0.1)."""
     t = tables(spark, sf_dir)
     ev = t["events"].select(
         F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
@@ -511,14 +518,32 @@ def hypertable_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     tol = 4 * 0.01
-    return (
+    sketch = (
         ev.rollup("bucket_hour", "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.grouping_id().alias("_gid"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_ua"),
-            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("bucket_hour").alias("_sb"),
+            F.col("event_type").alias("_se"),
+            "_gid",
+            "_ua",
+        )
+    )
+    exact = ev.rollup("bucket_hour", "event_type").agg(
+        F.grouping_id().alias("_gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        exact.join(
+            F.broadcast(sketch),
+            (exact["_gid"] == sketch["_gid"])
+            & exact["bucket_hour"].eqNullSafe(sketch["_sb"])
+            & exact["event_type"].eqNullSafe(sketch["_se"]),
         )
         .select(
             "bucket_hour",

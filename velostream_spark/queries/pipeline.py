@@ -1546,7 +1546,13 @@ def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted dup_rate is the exact one, matching the exact twin) plus an
     all-true ``dup_within_bound`` asserting the HLL distinct within 4x
     rsd of the exact — a bound violation is a driver-caught hash
-    mismatch. Production emits the sketch rate alone."""
+    mismatch. Production emits the sketch rate alone.
+
+    The HLL runs in its OWN rollup branch, joined back on
+    (grouping_id, null-safe keys): mixed into the exact aggregation it
+    would sit under the COUNT(DISTINCT fp) Expand grouping — one 16 KB
+    sketch buffer per distinct fingerprint (the r15
+    approx_count_distinct finding; measured 4.5 → ~1 s at sf0.1)."""
     t = tables(spark, sf_dir)
     txt = F.col("text")
     d = t["documents"].select(
@@ -1559,23 +1565,41 @@ def corpus_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).alias("is_empty"),
     )
     tol = 4 * 0.01
-    return (
+    sketch = (
         d.rollup("lang", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("toks").cast("long").alias("total_tokens"),
-            F.round(F.avg(F.col("toks").cast("double")), 6).alias("avg_tokens"),
-            F.round(
-                F.percentile(F.col("toks").cast("double"), F.lit(0.5)), 6
-            ).alias("p50_tokens"),
-            F.round(
-                F.percentile(F.col("toks").cast("double"), F.lit(0.95)), 6
-            ).alias("p95_tokens"),
-            F.countDistinct("fp").alias("_nfp"),
+            F.grouping_id().alias("_gid"),
             F.approx_count_distinct("fp", rsd=0.01).alias("_afp"),
-            F.round(F.avg(F.col("is_empty").cast("double")), 6).alias(
-                "empty_rate"
-            ),
+        )
+        .select(
+            F.col("lang").alias("_slang"),
+            F.col("source").alias("_ssource"),
+            "_gid",
+            "_afp",
+        )
+    )
+    exact = d.rollup("lang", "source").agg(
+        F.grouping_id().alias("_gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("toks").cast("double")), 6).alias("avg_tokens"),
+        F.round(
+            F.percentile(F.col("toks").cast("double"), F.lit(0.5)), 6
+        ).alias("p50_tokens"),
+        F.round(
+            F.percentile(F.col("toks").cast("double"), F.lit(0.95)), 6
+        ).alias("p95_tokens"),
+        F.countDistinct("fp").alias("_nfp"),
+        F.round(F.avg(F.col("is_empty").cast("double")), 6).alias(
+            "empty_rate"
+        ),
+    )
+    return (
+        exact.join(
+            F.broadcast(sketch),
+            (exact["_gid"] == sketch["_gid"])
+            & exact["lang"].eqNullSafe(sketch["_slang"])
+            & exact["source"].eqNullSafe(sketch["_ssource"]),
         )
         .select(
             "lang",

@@ -506,7 +506,16 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     well past the three-sigma tail; Spark's HLL++ is deterministic per
     dataset, so the boolean is stable) — emitted columns are the exact
     counts plus all-true ``*_within_bound`` booleans DuckDB rebuilds
-    literally, making a bound violation a driver-caught hash mismatch."""
+    literally, making a bound violation a driver-caught hash mismatch.
+
+    The sketch aggregates run in their OWN aggregation branch, joined
+    back on the (broadcast, 3-row) group keys: mixing
+    ``approx_count_distinct`` with exact COUNT(DISTINCT) in one agg
+    plants the HLL partial state under the distinct-Expand grouping —
+    one 16 KB sketch buffer PER DISTINCT KEY VALUE, millions of buffers
+    instead of 2 per group (measured 47.9 s → sub-second at sf0.1, r15).
+    The same split applies to the rollup twins (corpus_stats_approx,
+    hypertable_rollup_approx)."""
     t = tables(spark, sf_dir)
     tol = 4 * 0.01
 
@@ -516,22 +525,21 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(1) counts — the corpus_stats_approx convention)
         return d <= F.lit(tol) * F.col(exact).cast("double") + F.lit(3.0)
 
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.countDistinct("l_partkey").alias("n_parts"),
-        )
-        .select(
-            "l_returnflag",
-            "n_orders",
-            "n_parts",
-            ok("_ao", "n_orders").alias("orders_within_bound"),
-            ok("_ap", "n_parts").alias("parts_within_bound"),
-        )
+    li = t["lineitem"]
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+    )
+    return exact.join(F.broadcast(sketch), "l_returnflag").select(
+        "l_returnflag",
+        "n_orders",
+        "n_parts",
+        ok("_ao", "n_orders").alias("orders_within_bound"),
+        ok("_ap", "n_parts").alias("parts_within_bound"),
     )
 
 
