@@ -991,12 +991,26 @@ def test_changelog_compaction_bounded_dirs_identical_reads(spark, tmp_path):
         (r["k"], r["v"]) for r in _read_fb_sink(spark, out_u).collect()
     )
     assert got_c == got_u == sorted(expected)
-    # bounded layout: retain live batches + current/prev generations +
-    # manifest residue — NOT 55 b-dirs (the uncompacted twin has them)
-    live_b = [n for n in _os.listdir(out_c) if n.startswith("b")]
+    # bounded layout, CONSTANT in stream length: reachable batches stay
+    # under the 2x-retain hysteresis bound, the manifest's generation
+    # list under _GEN_MERGE_AT (past it, a cycle merges all generations),
+    # and on-disk dirs add at most one cycle of pre-deletion grace —
+    # vs the uncompacted twin's one dir per batch forever
+    import json as _json
+
+    from velostream_spark.sql.engine import _GEN_MERGE_AT
+
+    man = _json.loads(open(_os.path.join(out_c, "_MANIFEST")).read())
+    reachable = [
+        n
+        for n in _os.listdir(out_c)
+        if n.startswith("b") and int(n[1:]) >= man["batches_from"]
+    ]
+    assert len(reachable) <= 2 * 5 + 1, sorted(reachable)
+    assert 1 <= len(man["gens"]) <= _GEN_MERGE_AT, man["gens"]
+    disk_b = [n for n in _os.listdir(out_c) if n.startswith("b")]
     gens = [n for n in _os.listdir(out_c) if n.startswith("_gen")]
-    assert len(live_b) <= 12, sorted(live_b)
-    assert 1 <= len(gens) <= 2, gens
+    assert len(disk_b) + len(gens) <= 35, (sorted(disk_b), gens)
     assert len([n for n in _os.listdir(out_u) if n.startswith("b")]) == 55
     # replayed ids landed exactly once (no rows with k=99 anywhere)
     assert not [r for r in got_c if r[0] == 99]
@@ -1032,8 +1046,18 @@ def test_changelog_retain_with_prop_e2e(spark, tmp_path):
     )
     # 6 per-file batches, each re-emitting the k=0 group's running state
     assert rows == [(1, 0), (2, 1), (3, 3), (4, 6), (5, 10), (6, 15)]
-    assert len([n for n in _os.listdir(out) if n.startswith("b")]) <= 4
-    assert [n for n in _os.listdir(out) if n.startswith("_gen")]
+    # a compaction cycle ran: the manifest exists with >=1 generation and
+    # the reachable batch window respects the 2x-retain hysteresis
+    import json as _json
+
+    man = _json.loads(open(_os.path.join(out, "_MANIFEST")).read())
+    assert man["gens"], man
+    reachable = [
+        n
+        for n in _os.listdir(out)
+        if n.startswith("b") and int(n[1:]) >= man["batches_from"]
+    ]
+    assert len(reachable) <= 2 * 2 + 1, sorted(reachable)
 
 
 def test_complete_mode_snapshot_racing_reader(spark, tmp_path):

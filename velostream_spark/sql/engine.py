@@ -234,6 +234,13 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jpath)
 
 
+#: Manifest generation-list bound: a compaction cycle normally APPENDS
+#: one new generation (old ones untouched); past this many, the cycle
+#: merges them all into one, keeping the directory count constant while
+#: amortizing each row's rewrite cost.
+_GEN_MERGE_AT = 8
+
+
 def _maybe_compact_changelog(
     spark: SparkSession, out_dir: str, fmt: str, retain: int
 ) -> None:
@@ -248,11 +255,16 @@ def _maybe_compact_changelog(
     1. garbage from the PREVIOUS cycle (directories the current manifest
        already made unreachable) is deleted first — one full compaction
        cycle of grace for readers that resolved the old manifest;
-    2. the current generation(s) plus the batch dirs to fold are read
-       and rewritten to a fresh hidden ``_gen<seq>/``;
+    2. the batch dirs to fold are rewritten to a fresh hidden
+       ``_gen<seq>/`` APPENDED to the manifest's generation list (old
+       generations are NOT rewritten — a delta row is re-copied
+       amortized O(1) times per merge level, never once per cycle);
+       when the generation list itself outgrows ``_GEN_MERGE_AT``, the
+       cycle merges every generation into one instead, so the directory
+       count stays O(retain + _GEN_MERGE_AT) forever;
     3. the ``_MANIFEST`` pointer flips atomically to
-       ``{"gens": ["_gen<seq>"], "batches_from": N}``; batch readers
-       (``_read_fb_sink``) then see gen + ``b<id>`` with id >= N.
+       ``{"gens": [...], "batches_from": N}``; batch readers
+       (``_read_fb_sink``) then see the gens + ``b<id>`` with id >= N.
     Folded ``b<id>/`` dirs and superseded ``_gen`` dirs stay on disk
     until step 1 of the NEXT cycle. Generation dirs are hidden
     (underscore-prefixed): a live downstream FILE STREAM (which tracks
@@ -274,7 +286,9 @@ def _maybe_compact_changelog(
         int(n[1:]) for n in names if re.fullmatch(r"b\d+", n)
     )
     reachable_bids = [i for i in bids if i >= man["batches_from"]]
-    if len(reachable_bids) <= max(retain, 1):
+    # hysteresis: trigger at 2x retain, fold down to retain — each cycle
+    # folds a retain-sized window, not one straggler per batch
+    if len(reachable_bids) <= 2 * max(retain, 1):
         return
     # 1. previous-cycle garbage (unreachable since the last flip)
     for n in names:
@@ -282,11 +296,14 @@ def _maybe_compact_changelog(
             fs.delete(os.path.join(out_dir, n))
         elif re.fullmatch(r"b\d+", n) and int(n[1:]) < man["batches_from"]:
             fs.delete(os.path.join(out_dir, n))
-    # 2. fold current gens + all but the newest `retain` batches
+    # 2. fold all but the newest `retain` batches into a NEW generation;
+    #    fold the existing generations in too only when their list
+    #    outgrows the bound (the occasional full merge)
     fold = reachable_bids[:-retain] if retain > 0 else reachable_bids
-    paths = [os.path.join(out_dir, g) for g in man["gens"]] + [
-        os.path.join(out_dir, f"b{i}") for i in fold
-    ]
+    merge_gens = len(man["gens"]) + 1 > _GEN_MERGE_AT
+    paths = [os.path.join(out_dir, f"b{i}") for i in fold]
+    if merge_gens:
+        paths += [os.path.join(out_dir, g) for g in man["gens"]]
     gseq = 1 + max(
         (int(n[4:]) for n in names if re.fullmatch(r"_gen\d+", n)),
         default=-1,
@@ -303,7 +320,12 @@ def _maybe_compact_changelog(
     # 3. atomic manifest flip — readers switch to the new generation set
     fs.write_text_atomic(
         mpath,
-        json.dumps({"gens": [gen], "batches_from": fold[-1] + 1}),
+        json.dumps(
+            {
+                "gens": [gen] if merge_gens else man["gens"] + [gen],
+                "batches_from": fold[-1] + 1,
+            }
+        ),
     )
 
 
