@@ -1904,3 +1904,61 @@ def test_stage_dirs_invisible_to_readers(spark, tmp_path):
     )
     got = run_available_now(sdf, "append", "stage_invis")
     assert {r["k"] for r in got.collect()} == {1, 2}
+
+
+def test_deploy_job_composed_redeploy_and_rollback(spark, tmp_path):
+    """r15 review findings: (a) re-deploying the SAME version of a
+    composed ASOF+GROUP BY job stops its previous enrichment BEFORE
+    step 1 reuses the job name (the old ordering raised 'already
+    running' or killed the new enrichment); (b) ROLLBACK restarts the
+    target version's enrichment job from its checkpoint and updates the
+    intermediate bookkeeping, so the rolled-back aggregation keeps
+    receiving data instead of reading a frozen intermediate."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "crb_in")
+    spark.createDataFrame(
+        [(i, 0, base + dt.timedelta(minutes=m))
+         for i, m in enumerate([0, 1, 2, 6])],
+        "event_id int, k int, ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    e.register_table(
+        "snaps_crb",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 10.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    stmt = (
+        "DEPLOY JOB crbj VERSION '{v}' AS "
+        "SELECT crbs.k, COUNT(*) AS n, ROUND(SUM(q.v) * {mult}, 2) AS sv "
+        "FROM crbs ASOF LEFT JOIN snaps_crb q "
+        "ON crbs.k = q.k AND crbs.ts >= q.rt "
+        "GROUP BY crbs.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        "WITH ('crbs.type' = 'file_source', 'crbs.path' = '" + src + "', "
+        "'crbs.format' = 'parquet', "
+        "'crbj.type' = 'file_sink', 'crbj.format' = 'parquet', "
+        "'crbj.path' = '{out}')"
+    )
+    out1 = str(tmp_path / "crb_o1")
+    e.execute_streaming(stmt.format(v="1", mult="1", out=out1))
+    # (a) SAME-version redeploy: must not raise, old enrichment retired
+    e.execute_streaming(stmt.format(v="1", mult="1", out=out1))
+    assert e._composed_intermediates["crbj"] == "_crbj_enriched__1"
+
+    out2 = str(tmp_path / "crb_o2")
+    e.execute_streaming(stmt.format(v="2", mult="2", out=out2))
+    assert e.jobs.jobs["_crbj_enriched__1"].state in ("stopped", "failed")
+    assert e._composed_intermediates["crbj"] == "_crbj_enriched__2"
+
+    # (b) rollback: v1's enrichment restarts, v2's retires, bookkeeping
+    # follows the serving version
+    e.execute("ROLLBACK JOB crbj TO VERSION '1'")
+    e.jobs.wait("crbj")
+    assert e.jobs.current_version["crbj"] == "1"
+    assert e._composed_intermediates["crbj"] == "_crbj_enriched__1"
+    assert e.jobs.jobs["_crbj_enriched__1"].state == "running"
+    assert e.jobs.jobs["_crbj_enriched__2"].state in ("stopped", "failed")

@@ -1132,36 +1132,65 @@ def test_complete_mode_snapshot_racing_reader(spark, tmp_path):
 
 def test_deploy_job_versioned_file_changelog(spark, tmp_path):
     """r14 verdict task 2 (third fail-fast): DEPLOY JOB with EMIT CHANGES
-    to a FILE sink versions through deploy_version carrying the
-    changelog foreachBatch writer."""
+    to a FILE sink versions through deploy_version carrying the changelog
+    foreachBatch writer. Both versions target the SAME sink path: each
+    version's changelog lands in its own v<version>/ subdir behind the
+    _CURRENT pointer — per-version checkpoints restart batch ids at 0,
+    so a shared b<id> namespace would silently skip the new version's
+    batches as the old version's committed replays (r15 review
+    finding)."""
+    import os as _os
+
     from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
 
     src = str(tmp_path / "vch_in")
     spark.createDataFrame(
         [(0, 1), (0, 2), (1, 3)], "k int, v int"
     ).write.mode("overwrite").parquet(src)
-    out1, out2 = str(tmp_path / "vch_o1"), str(tmp_path / "vch_o2")
+    out = str(tmp_path / "vch_out")
     e = SqlEngine(spark)
-    e.execute_streaming(
-        "DEPLOY JOB vch VERSION '1' AS "
-        "SELECT k, COUNT(*) AS n FROM vsrc GROUP BY k EMIT CHANGES "
+    stmt = (
+        "DEPLOY JOB vch VERSION '{v}' {strat}AS "
+        "SELECT k, {agg} FROM vsrc GROUP BY k EMIT CHANGES "
         f"WITH ('vsrc.type' = 'file_source', 'vsrc.path' = '{src}', "
         "'vsrc.format' = 'parquet', "
         "'vch.type' = 'file_sink', 'vch.format' = 'parquet', "
-        f"'vch.path' = '{out1}')"
+        f"'vch.path' = '{out}')"
     )
+    e.execute_streaming(stmt.format(v="1", strat="", agg="COUNT(*) AS n"))
     job = e.jobs.jobs["vch"]
     assert job.output_mode == "update" and job.foreach_batch is not None
-    got = sorted((r["k"], r["n"]) for r in _read_fb_sink(spark, out1).collect())
+    got = sorted((r["k"], r["n"]) for r in _read_fb_sink(spark, out).collect())
     assert got == [(0, 2), (1, 1)]
     e.execute_streaming(
-        "DEPLOY JOB vch VERSION '2' STRATEGY BLUE_GREEN AS "
-        "SELECT k, SUM(v) AS sv FROM vsrc GROUP BY k EMIT CHANGES "
-        f"WITH ('vsrc.type' = 'file_source', 'vsrc.path' = '{src}', "
-        "'vsrc.format' = 'parquet', "
-        "'vch.type' = 'file_sink', 'vch.format' = 'parquet', "
-        f"'vch.path' = '{out2}')"
+        stmt.format(v="2", strat="STRATEGY BLUE_GREEN ", agg="SUM(v) AS sv")
     )
-    got2 = sorted((r["k"], r["sv"]) for r in _read_fb_sink(spark, out2).collect())
+    # the reader resolves _CURRENT -> v2's COMPLETE changelog (v2's batch
+    # 0 was NOT skipped as v1's committed b0)
+    got2 = sorted((r["k"], r["sv"]) for r in _read_fb_sink(spark, out).collect())
     assert got2 == [(0, 3), (1, 3)]
     assert e.jobs.current_version["vch"] == "2"
+    assert open(_os.path.join(out, "_CURRENT")).read() == "v2"
+    assert sorted(
+        n for n in _os.listdir(out) if not n.startswith((".", "_"))
+    ) == ["v1", "v2"]
+
+
+def test_changelog_retain_rejects_non_positive(spark, tmp_path):
+    """r15 review finding: retain < 1 would fold the just-written batch
+    into a hidden generation a lagging file stream never lists."""
+    from velostream_spark.sql.engine import SqlEngine
+
+    src = str(tmp_path / "rr_in")
+    spark.createDataFrame([(0, 1)], "k int, v int").write.parquet(src)
+    e = SqlEngine(spark)
+    with pytest.raises(ValueError, match="changelog.retain"):
+        e.execute_streaming(
+            "CREATE STREAM rr AS SELECT k, COUNT(*) AS n FROM rrsrc "
+            "GROUP BY k EMIT CHANGES "
+            f"WITH ('rrsrc.type' = 'file_source', 'rrsrc.path' = '{src}', "
+            "'rrsrc.format' = 'parquet', "
+            "'rr.type' = 'file_sink', 'rr.format' = 'parquet', "
+            f"'rr.path' = '{tmp_path / 'rr_out'}', "
+            "'rr.changelog.retain' = '0')"
+        )

@@ -452,24 +452,33 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(emb, queries, k=10).select(
         "query_id", "neighbor_id"
     )
-    flagged = ivf.join(
-        exact.withColumn("_hit", F.lit(1)),
-        ["query_id", "neighbor_id"],
-        "left",
+    # ONE lineage: per-query counts and the panel totals both derive
+    # from the same left join (a second ivf.groupBy would re-execute the
+    # whole k-means-probe + re-rank plan); the panel sums ride a global
+    # window over the 20-row counts frame — a single-partition exchange
+    # of 20 rows, not a re-evaluation
+    from pyspark.sql.window import Window
+
+    counts = (
+        ivf.join(
+            exact.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit"),
+        )
     )
-    panel = flagged.agg(
-        F.count(F.lit(1)).alias("_n_total"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_n_hit_total"),
-    )
-    per_q = ivf.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_results")
-    )
-    return per_q.crossJoin(F.broadcast(panel)).select(
+    w = Window.partitionBy()
+    return counts.select(
         "query_id",
         F.col("n_results").cast("int").alias("n_results"),
         (
-            F.col("_n_hit_total")
-            >= F.lit(_IVF_TRAINED_MEAN_RECALL_FLOOR) * F.col("_n_total")
+            F.sum("_n_hit").over(w)
+            >= F.lit(_IVF_TRAINED_MEAN_RECALL_FLOOR)
+            * F.sum("n_results").over(w)
         ).alias("recall_ok"),
     )
 

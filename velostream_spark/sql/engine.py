@@ -70,6 +70,7 @@ class _LocalFs:
             return f.read()
 
     def write_text_atomic(self, p: str, s: str) -> None:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             f.write(s)
@@ -97,7 +98,11 @@ class _HadoopFs:
         self._fs.delete(self._Path(p), True)
 
     def rename(self, src: str, dst: str) -> None:
-        self._fs.rename(self._Path(src), self._Path(dst))
+        # Hadoop signals rename failure by RETURNING false, not raising —
+        # an unchecked false here would mark a batch committed in the
+        # checkpoint while its rows never reached the sink
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"hadoop rename failed: {src} -> {dst}")
 
     def list_names(self, p: str) -> list[str]:
         jp = self._Path(p)
@@ -108,17 +113,18 @@ class _HadoopFs:
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))
         try:
-            out = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                out.append(b)
-            return out.decode("utf-8")
+            # one gateway call (Java 9+ InputStream.readAllBytes), not one
+            # Py4J round-trip per byte
+            return bytes(stream.readAllBytes()).decode("utf-8")
         finally:
             stream.close()
 
     def write_text_atomic(self, p: str, s: str) -> None:
+        """Replace ``p``'s content via tmp + rename. HDFS rename does not
+        overwrite, so the replace is delete+rename — readers of the two
+        pointer files this writes handle the sub-millisecond missing-file
+        window with listing fallbacks (_read_fb_sink: newest _snap dir
+        for _LATEST, facade _gen listing for _MANIFEST)."""
         tmp = self._Path(p + ".tmp")
         stream = self._fs.create(tmp, True)
         try:
@@ -128,7 +134,8 @@ class _HadoopFs:
         dst = self._Path(p)
         if self._fs.exists(dst):
             self._fs.delete(dst, False)
-        self._fs.rename(tmp, dst)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"hadoop pointer flip failed: {p}")
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -220,18 +227,6 @@ def _write_snapshot_atomic(
     fs.write_text_atomic(os.path.join(out_dir, "_LATEST"), snap)
     for n in snaps[:-1]:  # keep current + previous generation
         fs.delete(os.path.join(out_dir, n))
-
-
-def _hadoop_exists(spark: SparkSession, path: str) -> bool:
-    """Existence check through the Hadoop FS API, so object-store URIs
-    (s3a:// hdfs://) resolve the same way the writers do — os.path only
-    answers for local paths."""
-    if "://" not in path:
-        return os.path.exists(path)
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
 
 
 #: Manifest generation-list bound: a compaction cycle normally APPENDS
@@ -332,8 +327,11 @@ def _maybe_compact_changelog(
 def _read_fb_sink(
     spark: SparkSession, out_dir: str, fmt: str = "parquet"
 ) -> DataFrame:
-    """Batch-read a foreachBatch sink directory. Three layouts, detected
+    """Batch-read a foreachBatch sink directory. Four layouts, detected
     by their commit markers:
+
+    - ``_CURRENT`` pointer (versioned deploys): recurse into the serving
+      version's ``v<version>/`` subdir, then resolve as below.
 
     - ``_LATEST`` pointer (complete-mode snapshots,
       ``_write_snapshot_atomic``): read ONLY the pointed-to snapshot dir;
@@ -349,6 +347,15 @@ def _read_fb_sink(
     import json
 
     fs = _fs_for(spark, out_dir)
+    cur = os.path.join(out_dir, "_CURRENT")
+    if fs.exists(cur):
+        # versioned fb deploys write each version to its own v<version>/
+        # subdir (fresh per-version checkpoints restart batch ids at 0 —
+        # a shared b<id> namespace would read one version's batches as
+        # another's committed replays); _CURRENT names the serving one
+        return _read_fb_sink(
+            spark, os.path.join(out_dir, fs.read_text(cur).strip()), fmt
+        )
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", True)
@@ -362,8 +369,27 @@ def _read_fb_sink(
     if snaps:  # pointer mid-replace on a delete+rename store
         return reader.format(fmt).load(os.path.join(out_dir, snaps[-1]))
     mpath = os.path.join(out_dir, "_MANIFEST")
-    if fs.exists(mpath):
-        man = json.loads(fs.read_text(mpath))
+    man = None
+    for _ in range(50):
+        if fs.exists(mpath):
+            man = json.loads(fs.read_text(mpath))
+            break
+        if not any(
+            re.fullmatch(r"_gen\d+", n) for n in fs.list_names(out_dir)
+        ):
+            break  # never compacted — plain per-batch layout below
+        # _gen dirs exist but no manifest: the delete+rename pointer flip
+        # on a non-atomic store is mid-replace (sub-millisecond) — wait it
+        # out rather than silently reading only the uncompacted tail
+        import time as _time
+
+        _time.sleep(0.02)
+    else:
+        raise IOError(
+            f"{mpath} missing while generation dirs exist — compacted "
+            "changelog unreadable (torn pointer flip?)"
+        )
+    if man is not None:
         paths = [os.path.join(out_dir, g) for g in man["gens"]] + [
             os.path.join(out_dir, n)
             for n in fs.list_names(out_dir)
@@ -591,6 +617,13 @@ class SqlEngine:
         #: currently-serving version's enrichment (step 1) job name, so
         #: a version switch can retire the old intermediate
         self._composed_intermediates: dict[str, str] = {}
+        #: (job name, version) -> that version's enrichment job name —
+        #: ROLLBACK restarts the target version's enrichment from its
+        #: checkpoint so the rolled-back aggregation keeps receiving data
+        self._composed_inters: dict[tuple[str, str], str] = {}
+        #: versioned fb deploys with file sinks: job name -> the PARENT
+        #: sink dir holding the per-version subdirs + _CURRENT pointer
+        self._versioned_sinks: dict[str, str] = {}
         self._jobs = None  # lazy StreamJobManager (streaming CSAS + JOB stmts)
 
     @property
@@ -1552,6 +1585,13 @@ class SqlEngine:
         #: (see _maybe_compact_changelog); None = never compact
         retain = sink_cfg.get("changelog.retain")
         retain = int(retain) if retain is not None else None
+        if retain is not None and retain < 1:
+            # retain=0 would fold the just-written batch into a hidden
+            # generation dir a lagging downstream file stream never lists
+            raise ValueError(
+                f"'{st.name}.changelog.retain' must be >= 1 (got {retain}):"
+                " the newest batches must stay live for streaming readers"
+            )
         if typ == "file_sink":
             fmt = sink_cfg.get("format", "parquet").lower()
             fmt = {"jsonl": "json"}.get(fmt, fmt)
@@ -1641,7 +1681,26 @@ class SqlEngine:
         if st.kind == "deploy_job":
             # file-sink changelogs (EMIT CHANGES / non-windowed EMIT
             # FINAL) version like everything else: the foreachBatch
-            # writer rides the JobVersion (r14 verdict task 2)
+            # writer rides the JobVersion (r14 verdict task 2). Each
+            # version's changelog lands in its own v<version>/ subdir
+            # behind a _CURRENT pointer: per-version checkpoints restart
+            # batch ids at 0 (and canary runs two versions at once), so
+            # a shared b<id> namespace would skip one version's batches
+            # as the other's committed replays.
+            vparent = None
+            if fb is not None and "path" in sink_options:
+                vparent = sink_options["path"]
+                fb = self._changelog_foreach_batch(
+                    sink_format,
+                    {
+                        **sink_options,
+                        "path": os.path.join(
+                            vparent, f"v{st.job_version}"
+                        ),
+                    },
+                    out_mode,
+                    retain=retain,
+                )
             job = self.jobs.deploy_version(
                 st.name, st.job_version, build,
                 strategy=st.job_strategy or "replace",
@@ -1649,6 +1708,9 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=sink_options,
                 output_mode=out_mode, foreach_batch=fb, trigger=trig,
             )
+            if vparent is not None:
+                self._flip_current_version(vparent, st.job_version)
+                self._versioned_sinks[st.name] = vparent
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -1761,10 +1823,18 @@ class SqlEngine:
                 "ASOF JOIN streaming jobs support file and memory sinks "
                 "(Kafka broker transport is environment-exempted)"
             )
+        versioned = st.kind in ("deploy_job", "start_job")
+        vparent = None
         if sink_format == "memory":
             from velostream_spark.streaming.runner import _scratch_dir
 
             out_dir = _scratch_dir(f"vs-asoffb-{st.name}-")
+        elif versioned:
+            # per-version subdir + _CURRENT pointer: fresh per-version
+            # checkpoints restart batch ids at 0, so versions must not
+            # share a b<id> namespace (see _read_fb_sink)
+            vparent = sink_options["path"]
+            out_dir = os.path.join(vparent, f"v{st.job_version}")
         else:
             out_dir = sink_options["path"]
 
@@ -1795,7 +1865,7 @@ class SqlEngine:
             self._wire_sources_streaming(st)
             return self.spark.table(spec.left_table)
 
-        if st.kind in ("deploy_job", "start_job"):
+        if versioned:
             # versioned deployment of the enrichment shape: the
             # foreachBatch writer rides the JobVersion, so blue/green,
             # canary and rollback all re-start it with its own
@@ -1807,6 +1877,9 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=dict(sink_options),
                 output_mode="append", trigger=trigger, foreach_batch=fb,
             )
+            if vparent is not None:
+                self._flip_current_version(vparent, st.job_version)
+                self._versioned_sinks[st.name] = vparent
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -2122,6 +2195,17 @@ class SqlEngine:
             f"__{st.job_version}" if versioned else ""
         )
         inter_dir = _scratch_dir(f"vs-asofgb-{st.name}-")
+        prev_inter = (
+            self._composed_intermediates.get(st.name) if versioned else None
+        )
+        if prev_inter == inter:
+            # same version redeployed: its previous enrichment must stop
+            # BEFORE step 1 re-deploys the same job name (deploy refuses
+            # a running name — and stopping AFTER would kill the new one)
+            import contextlib
+
+            with contextlib.suppress(Exception):
+                self.jobs.stop(prev_inter)
 
         # step 1: enrichment-only CSAS over the join span, parquet-sinked
         # (always a PLAIN deploy: the version lifecycle lives on step 2,
@@ -2246,30 +2330,42 @@ class SqlEngine:
         # writer, memory sinks natively; no window is withheld (the EMIT
         # CHANGES contract), while the FINAL form keeps append+watermark.
         out_mode = "update" if st.emit == "changes" else "append"
+        vparent = None
+        fb2_options = dict(sink_options)
+        if versioned and out_mode != "append" and "path" in sink_options \
+                and sink_format not in ("memory", "kafka"):
+            # per-version changelog subdir + _CURRENT pointer (see
+            # _read_fb_sink): per-version checkpoints restart batch ids
+            vparent = sink_options["path"]
+            fb2_options["path"] = os.path.join(
+                vparent, f"v{st.job_version}"
+            )
         fb2 = self._changelog_foreach_batch(
-            sink_format, sink_options, out_mode, retain=retain
+            sink_format, fb2_options, out_mode, retain=retain
         )
         if versioned:
             # step 2 carries the version lifecycle; the PREVIOUS version's
             # enrichment job is stopped once the switch resolves (canary
-            # keeps both versions serving, so both intermediates run)
+            # keeps both versions serving, so both intermediates run; a
+            # same-version redeploy already stopped its old enrichment
+            # before step 1)
             import contextlib
 
             strategy = (st.job_strategy or "replace").lower()
-            prev_inter = self._composed_intermediates.get(st.name)
-            if prev_inter == inter:  # same version redeployed
-                with contextlib.suppress(Exception):
-                    self.jobs.stop(prev_inter)
             job = self.jobs.deploy_version(
                 st.name, st.job_version, build,
                 strategy=strategy, canary_pct=st.canary_pct,
                 sink_format=sink_format, sink_options=dict(sink_options),
                 output_mode=out_mode, trigger=trig, foreach_batch=fb2,
             )
+            if vparent is not None:
+                self._flip_current_version(vparent, st.job_version)
+                self._versioned_sinks[st.name] = vparent
             if prev_inter and prev_inter != inter and strategy != "canary":
                 with contextlib.suppress(Exception):
                     self.jobs.stop(prev_inter)
             self._composed_intermediates[st.name] = inter
+            self._composed_inters[(st.name, st.job_version)] = inter
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -2626,6 +2722,13 @@ class SqlEngine:
         except Exception:
             return df
 
+    def _flip_current_version(self, parent: str, version: str) -> None:
+        """Atomically point a versioned fb sink's ``_CURRENT`` at the
+        serving version's subdir (see _read_fb_sink)."""
+        _fs_for(self.spark, parent).write_text_atomic(
+            os.path.join(parent, "_CURRENT"), f"v{version}"
+        )
+
     def _job(self, st: Statement):
         action = st.job_action
         if action in ("start", "deploy"):
@@ -2637,7 +2740,27 @@ class SqlEngine:
         if action == "resume":
             return self.jobs.resume(st.target)
         if action == "rollback":
-            return self.jobs.rollback(st.target, st.job_version)
+            import contextlib
+
+            job = self.jobs.rollback(st.target, st.job_version)
+            ver = self.jobs.current_version.get(st.target)
+            parent = self._versioned_sinks.get(st.target)
+            if parent is not None and ver is not None:
+                self._flip_current_version(parent, ver)
+            # composed shape: the rolled-back version's step-2 build reads
+            # ITS OWN intermediate dir — restart that version's enrichment
+            # job (from its checkpoint) and retire the superseded one, or
+            # the aggregation would silently read a frozen intermediate
+            inter = self._composed_inters.get((st.target, ver))
+            cur_inter = self._composed_intermediates.get(st.target)
+            if inter is not None and inter != cur_inter:
+                if cur_inter is not None:
+                    with contextlib.suppress(Exception):
+                        self.jobs.stop(cur_inter)
+                with contextlib.suppress(Exception):
+                    self.jobs.start(inter)
+                self._composed_intermediates[st.target] = inter
+            return job
         raise ValueError(f"unknown job action: {action!r}")
 
     def execute_app(self, sql_app: str) -> list:
