@@ -1611,18 +1611,26 @@ def test_two_concurrent_asof_fb_jobs_no_view_cross_drop(spark, tmp_path):
             f"'cc{j}.format' = 'parquet', 'cc{j}.path' = '{sinks[j]}')",
             wait=False,
         )
+    # wait=False deploys are CONTINUOUS: wait() drains (the jobs stay
+    # running), and the test must stop them or they poll for the rest of
+    # the suite
     e.jobs.wait("cc0")
     e.jobs.wait("cc1")
     from velostream_spark.sql.engine import _read_fb_sink
 
-    for j in range(2):
-        got = {
-            (r["tag"], r["v"]) for r in _read_fb_sink(spark, sinks[j]).collect()
-        }
-        assert got == {
-            (f"j{j}k1t5", 10.0), (f"j{j}k1t9", 10.0),
-            (f"j{j}k2t5", None), (f"j{j}k2t9", 30.0),
-        }, f"job {j} lost rows (cross-job view drop?)"
+    try:
+        for j in range(2):
+            got = {
+                (r["tag"], r["v"])
+                for r in _read_fb_sink(spark, sinks[j]).collect()
+            }
+            assert got == {
+                (f"j{j}k1t5", 10.0), (f"j{j}k1t9", 10.0),
+                (f"j{j}k2t5", None), (f"j{j}k2t9", 30.0),
+            }, f"job {j} lost rows (cross-job view drop?)"
+    finally:
+        e.jobs.stop("cc0")
+        e.jobs.stop("cc1")
 
 
 def test_streaming_asof_groupby_composes_unbounded(spark, tmp_path):

@@ -300,11 +300,44 @@ class StreamJobManager:
         return out
 
     def wait(self, name: str, timeout_s: int = 300) -> None:
+        """Block until the job is done with the input currently available.
+
+        Bounded jobs (availableNow/once triggers — the wait=True deploy
+        default) terminate on their own: ``awaitTermination``. CONTINUOUS
+        jobs (processingTime triggers — every wait=False deploy since the
+        unbounded composition landed) never terminate, so for them WAIT
+        means DRAIN: return once the query has completed at least one
+        trigger and reports two consecutive quiescent polls (no data
+        available, no trigger active), leaving the job running. The old
+        unconditional ``awaitTermination(timeout_s)`` slept the FULL
+        timeout on a continuous job and returned with no drain guarantee
+        (an empty source still quiesces via Spark's no-data progress
+        events, default every 10 s)."""
         job = self._get(name)
-        if job.query is not None:
-            job.query.awaitTermination(timeout_s)
-            if not job.query.isActive and job.state == "running":
-                job.state = "stopped"
+        q = job.query
+        if q is None:
+            return
+        trig = job.trigger or {}
+        if "processingTime" in trig or "continuous" in trig:
+            deadline = time.monotonic() + timeout_s
+            quiet = 0
+            while q.isActive and time.monotonic() < deadline:
+                status = q.status or {}
+                if (
+                    q.lastProgress is not None
+                    and not status.get("isDataAvailable")
+                    and not status.get("isTriggerActive")
+                ):
+                    quiet += 1
+                    if quiet >= 2:
+                        break
+                else:
+                    quiet = 0
+                time.sleep(0.05)
+        else:
+            q.awaitTermination(timeout_s)
+        if not q.isActive and job.state == "running":
+            job.state = "stopped"
 
     # -- introspection (SHOW JOBS / SHOW STREAMS / DESCRIBE) ---------------
 
