@@ -1962,11 +1962,68 @@ def test_deploy_job_composed_redeploy_and_rollback(spark, tmp_path):
     assert e.jobs.jobs["_crbj_enriched__1"].state in ("stopped", "failed")
     assert e._composed_intermediates["crbj"] == "_crbj_enriched__2"
 
-    # (b) rollback: v1's enrichment restarts, v2's retires, bookkeeping
-    # follows the serving version
+    # rows arriving while v2 serves: the rolled-back v1 must pick these
+    # up — its enrichment restarts AND DRAINS before v1's step 2 takes
+    # its availableNow snapshot (the r15 ordering finding); the late
+    # timestamps also advance the watermark past the 10:05-10:10 window
+    spark.createDataFrame(
+        [(10, 0, base + dt.timedelta(minutes=20)),
+         (11, 0, base + dt.timedelta(minutes=21))],
+        "event_id int, k int, ts timestamp",
+    ).write.mode("append").parquet(src)
+
+    # (b) rollback: v1's enrichment restarts (bounded -> drains to
+    # 'stopped'), v2's retires, bookkeeping follows the serving version
     e.execute("ROLLBACK JOB crbj TO VERSION '1'")
     e.jobs.wait("crbj")
     assert e.jobs.current_version["crbj"] == "1"
     assert e._composed_intermediates["crbj"] == "_crbj_enriched__1"
-    assert e.jobs.jobs["_crbj_enriched__1"].state == "running"
+    assert e.jobs.jobs["_crbj_enriched__1"].state in ("running", "stopped")
     assert e.jobs.jobs["_crbj_enriched__2"].state in ("stopped", "failed")
+    got = {
+        (r["n"], r["sv"]) for r in spark.read.parquet(out1).collect()
+    }
+    # the 10:05-10:10 window (the 10:06 event) closed only via the
+    # interim rows' watermark advance: frozen-intermediate rollback
+    # would never emit it
+    assert (1, 10.0) in got, got
+    assert (3, 30.0) in got, got
+
+
+def test_start_job_asof_plain_sink_layout(spark, tmp_path):
+    """r15 review finding: START JOB parses without a VERSION
+    (job_version None) — the ASOF foreachBatch route must deploy it as a
+    PLAIN named job writing b<id>/ batches directly to the configured
+    sink path, not a versioned layout with a literal 'vNone/' subdir and
+    _CURRENT='vNone'."""
+    import os as _os
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    e = SqlEngine(spark, time_col="t")
+    src = str(tmp_path / "sjp_in")
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b")], "k int, t int, tag string"
+    ).write.parquet(src)
+    e.register_table(
+        "quotes_sjp",
+        spark.createDataFrame([(1, 4, 10.0)], "k int, rt int, v double"),
+    )
+    out = str(tmp_path / "sjp_out")
+    e.execute_streaming(
+        "START JOB sjp AS SELECT sjs.tag, q.v "
+        "FROM sjs ASOF LEFT JOIN quotes_sjp q "
+        "ON sjs.k = q.k AND sjs.t >= q.rt "
+        f"WITH ('sjs.type' = 'file_source', 'sjs.path' = '{src}', "
+        "'sjs.format' = 'parquet', 'sjp.type' = 'file_sink', "
+        f"'sjp.format' = 'parquet', 'sjp.path' = '{out}')"
+    )
+    names = set(_os.listdir(out))
+    assert not any(n.startswith("v") for n in names), names
+    assert not _os.path.exists(_os.path.join(out, "_CURRENT"))
+    assert "b0" in names, names
+    got = sorted(
+        (r["tag"], r["v"]) for r in _read_fb_sink(spark, out).collect()
+    )
+    assert got == [("a", 10.0), ("b", 10.0)]
+    assert "sjp" not in e._versioned_sinks

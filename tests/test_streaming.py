@@ -1194,3 +1194,103 @@ def test_changelog_retain_rejects_non_positive(spark, tmp_path):
             f"'rr.path' = '{tmp_path / 'rr_out'}', "
             "'rr.changelog.retain' = '0')"
         )
+
+
+def test_resolve_pointer_tolerates_midflip(tmp_path):
+    """r15 review finding: pointer reads must tolerate the delete+rename
+    window of the Hadoop-FS flip (dst briefly missing, <p>.tmp holding
+    the NEW value) and distinguish never-written from torn."""
+    from velostream_spark.sql.engine import _LocalFs, _resolve_pointer
+
+    fs = _LocalFs()
+    p = str(tmp_path / "_CURRENT")
+    assert _resolve_pointer(fs, p) is None  # never written -> None
+    fs.write_text_atomic(p, "v1")
+    assert _resolve_pointer(fs, p) == "v1"
+    # mid-flip window: dst gone, tmp (already holding the NEW value)
+    # present -> the new value is served, no spin-out
+    os.remove(p)
+    with open(p + ".tmp", "w") as f:
+        f.write("v2")
+    # a same-thread resolver cannot wait out a flip nobody completes:
+    # after the spin it must raise, never fall through to a layout that
+    # silently unions every version's data
+    with pytest.raises(IOError):
+        _resolve_pointer(fs, p)
+    # flip completes -> served again
+    os.replace(p + ".tmp", p)
+    assert _resolve_pointer(fs, p) == "v2"
+
+
+def test_versioned_fb_layout_first_commit_flip(spark, tmp_path):
+    """r15 review finding: _CURRENT must not point at a version subdir
+    that does not exist yet. A NEW version's pointer flips on its first
+    committed batch; a version that already has output on disk
+    (rollback target, same-version redeploy) flips at deploy time."""
+    import os as _os
+
+    from velostream_spark.sql.engine import SqlEngine
+
+    e = SqlEngine(spark)
+    parent = str(tmp_path / "vfl")
+    cur = _os.path.join(parent, "_CURRENT")
+    sub, wrap = e._versioned_fb_layout("vflj", "1", {"path": parent})
+    assert sub["path"] == _os.path.join(parent, "v1")
+    assert not _os.path.exists(cur), "flipped before v1 had any output"
+    seen = []
+    fb = wrap(lambda df, bid: seen.append(bid))
+    fb(None, 0)
+    assert seen == [0] and open(cur).read() == "v1"
+    assert e._versioned_sinks["vflj"] == parent
+    # pre-existing subdir (e.g. the version served before): eager flip
+    _os.makedirs(_os.path.join(parent, "v2"))
+    e._versioned_fb_layout("vflj", "2", {"path": parent})
+    assert open(cur).read() == "v2"
+
+
+def test_fb_sink_readable_during_first_compaction_window(spark, tmp_path):
+    """r15 review finding: _gen dirs exist but no _MANIFEST was ever
+    flipped (the FIRST compaction cycle is still writing its generation)
+    — every b<id>/ is still on disk, so the reader must serve the plain
+    per-batch layout instead of spinning out with a torn-pointer
+    IOError."""
+    import os as _os
+
+    from velostream_spark.sql.engine import SqlEngine, _read_fb_sink
+
+    out = str(tmp_path / "fcw")
+    fb = SqlEngine._changelog_foreach_batch(
+        "parquet", {"path": out}, "update", retain=5
+    )
+    for i in range(3):
+        fb(spark.createDataFrame([(i,)], "v int").coalesce(1), i)
+    # simulate the first cycle mid-write: a _gen dir, no manifest yet
+    _os.makedirs(_os.path.join(out, "_gen00000000"))
+    got = sorted(r["v"] for r in _read_fb_sink(spark, out).collect())
+    assert got == [0, 1, 2]
+
+
+def test_wait_surfaces_continuous_job_failure(spark, tmp_path):
+    """r15 review finding: the drain branch of wait() must re-raise a
+    crashed continuous query (the old awaitTermination path did) instead
+    of returning cleanly over an empty sink with state='stopped'."""
+    src = str(tmp_path / "wf_in")
+    df = spark.createDataFrame([(1, 1.0)], "event_id int, value double")
+    df.write.parquet(src)
+    mgr = StreamJobManager(spark, checkpoint_root=str(tmp_path / "wf_ck"))
+
+    def build():
+        return stream_parquet(spark, src, schema=df.schema)
+
+    def boom(batch_df, batch_id):
+        raise RuntimeError("sink exploded")
+
+    mgr.deploy(
+        "wfail", build, sink_format="parquet",
+        sink_options={"path": str(tmp_path / "wf_out")},
+        output_mode="append", foreach_batch=boom,
+        trigger={"processingTime": "0 seconds"},
+    )
+    with pytest.raises(Exception, match="sink exploded|StreamingQuery"):
+        mgr.wait("wfail", timeout_s=60)
+    assert mgr.jobs["wfail"].state == "failed"

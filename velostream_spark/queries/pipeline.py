@@ -1247,9 +1247,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = n
     # a corpus exhausting its pairs early yields fewer merges; the oracle
     # always emits the full rank range, so pad the tail (vacuously
-    # monotone) instead of presenting a permanent row-count mismatch
-    for r in range(len(merges) + 1, _BPE_TRAIN_N_MERGES + 1):
-        rows.append((r, None, None, None, True))
+    # monotone) instead of presenting a permanent row-count mismatch.
+    # EXCEPT when there are no merges at all: the oracle's rank range is
+    # a CROSS JOIN against the rank-1 row, so an empty merge list yields
+    # 0 oracle rows — padding would invert the mismatch it exists to fix
+    if merges:
+        for r in range(len(merges) + 1, _BPE_TRAIN_N_MERGES + 1):
+            rows.append((r, None, None, None, True))
     return spark.createDataFrame(
         rows,
         "merge_rank int, first_left string, first_right string, "

@@ -324,6 +324,28 @@ def _maybe_compact_changelog(
     )
 
 
+def _resolve_pointer(fs, path: str) -> "str | None":
+    """Read a pointer file, tolerating the delete+rename window of
+    ``_HadoopFs.write_text_atomic`` (HDFS rename does not overwrite, so
+    a flip is delete-then-rename): mid-flip the destination is briefly
+    missing while ``<path>.tmp`` — already holding the NEW value — still
+    exists. Local flips use ``os.replace`` and never enter the window.
+    Returns None only when neither the pointer nor an in-flight flip
+    exists (i.e. the pointer was never written)."""
+    import time as _time
+
+    for _ in range(50):
+        try:
+            if fs.exists(path):
+                return fs.read_text(path).strip()
+        except Exception:
+            pass  # deleted between exists and read — flip in flight
+        if not fs.exists(path + ".tmp"):
+            return None
+        _time.sleep(0.02)
+    raise IOError(f"pointer {path} unreadable: flip never completed")
+
+
 def _read_fb_sink(
     spark: SparkSession, out_dir: str, fmt: str = "parquet"
 ) -> DataFrame:
@@ -347,15 +369,13 @@ def _read_fb_sink(
     import json
 
     fs = _fs_for(spark, out_dir)
-    cur = os.path.join(out_dir, "_CURRENT")
-    if fs.exists(cur):
+    cur = _resolve_pointer(fs, os.path.join(out_dir, "_CURRENT"))
+    if cur is not None:
         # versioned fb deploys write each version to its own v<version>/
         # subdir (fresh per-version checkpoints restart batch ids at 0 —
         # a shared b<id> namespace would read one version's batches as
         # another's committed replays); _CURRENT names the serving one
-        return _read_fb_sink(
-            spark, os.path.join(out_dir, fs.read_text(cur).strip()), fmt
-        )
+        return _read_fb_sink(spark, os.path.join(out_dir, cur), fmt)
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", True)
@@ -369,26 +389,15 @@ def _read_fb_sink(
     if snaps:  # pointer mid-replace on a delete+rename store
         return reader.format(fmt).load(os.path.join(out_dir, snaps[-1]))
     mpath = os.path.join(out_dir, "_MANIFEST")
-    man = None
-    for _ in range(50):
-        if fs.exists(mpath):
-            man = json.loads(fs.read_text(mpath))
-            break
-        if not any(
-            re.fullmatch(r"_gen\d+", n) for n in fs.list_names(out_dir)
-        ):
-            break  # never compacted — plain per-batch layout below
-        # _gen dirs exist but no manifest: the delete+rename pointer flip
-        # on a non-atomic store is mid-replace (sub-millisecond) — wait it
-        # out rather than silently reading only the uncompacted tail
-        import time as _time
-
-        _time.sleep(0.02)
-    else:
-        raise IOError(
-            f"{mpath} missing while generation dirs exist — compacted "
-            "changelog unreadable (torn pointer flip?)"
-        )
+    mtext = _resolve_pointer(fs, mpath)
+    # mtext None covers BOTH never-compacted layouts and the window
+    # where the FIRST compaction cycle is still writing its _gen dir
+    # (a Spark job taking seconds) before any _MANIFEST flip: b<id>/
+    # dirs are only ever deleted at the start of a cycle that READ a
+    # manifest, so with no manifest ever flipped the plain per-batch
+    # layout below is still complete — and _gen dirs are hidden from
+    # the recursive lister by Spark's underscore filter
+    man = json.loads(mtext) if mtext is not None else None
     if man is not None:
         paths = [os.path.join(out_dir, g) for g in man["gens"]] + [
             os.path.join(out_dir, n)
@@ -1681,25 +1690,17 @@ class SqlEngine:
         if st.kind == "deploy_job":
             # file-sink changelogs (EMIT CHANGES / non-windowed EMIT
             # FINAL) version like everything else: the foreachBatch
-            # writer rides the JobVersion (r14 verdict task 2). Each
-            # version's changelog lands in its own v<version>/ subdir
-            # behind a _CURRENT pointer: per-version checkpoints restart
-            # batch ids at 0 (and canary runs two versions at once), so
-            # a shared b<id> namespace would skip one version's batches
-            # as the other's committed replays.
-            vparent = None
+            # writer rides the JobVersion (r14 verdict task 2) and the
+            # sink layout through _versioned_fb_layout (per-version
+            # subdirs, first-commit _CURRENT flip).
             if fb is not None and "path" in sink_options:
-                vparent = sink_options["path"]
-                fb = self._changelog_foreach_batch(
-                    sink_format,
-                    {
-                        **sink_options,
-                        "path": os.path.join(
-                            vparent, f"v{st.job_version}"
-                        ),
-                    },
-                    out_mode,
-                    retain=retain,
+                sub_options, wrap = self._versioned_fb_layout(
+                    st.name, st.job_version, sink_options
+                )
+                fb = wrap(
+                    self._changelog_foreach_batch(
+                        sink_format, sub_options, out_mode, retain=retain
+                    )
                 )
             job = self.jobs.deploy_version(
                 st.name, st.job_version, build,
@@ -1708,9 +1709,6 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=sink_options,
                 output_mode=out_mode, foreach_batch=fb, trigger=trig,
             )
-            if vparent is not None:
-                self._flip_current_version(vparent, st.job_version)
-                self._versioned_sinks[st.name] = vparent
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -1823,18 +1821,22 @@ class SqlEngine:
                 "ASOF JOIN streaming jobs support file and memory sinks "
                 "(Kafka broker transport is environment-exempted)"
             )
-        versioned = st.kind in ("deploy_job", "start_job")
-        vparent = None
+        # START JOB parses without a VERSION (job_version None) — it is a
+        # plain named deploy, not a versioned one (the r15 'vNone/'
+        # subdir bug)
+        versioned = st.kind == "deploy_job" and st.job_version is not None
+        wrap = None
         if sink_format == "memory":
             from velostream_spark.streaming.runner import _scratch_dir
 
             out_dir = _scratch_dir(f"vs-asoffb-{st.name}-")
         elif versioned:
-            # per-version subdir + _CURRENT pointer: fresh per-version
-            # checkpoints restart batch ids at 0, so versions must not
-            # share a b<id> namespace (see _read_fb_sink)
-            vparent = sink_options["path"]
-            out_dir = os.path.join(vparent, f"v{st.job_version}")
+            # per-version subdir + first-commit _CURRENT flip (see
+            # _versioned_fb_layout / _read_fb_sink)
+            sub_options, wrap = self._versioned_fb_layout(
+                st.name, st.job_version, sink_options
+            )
+            out_dir = sub_options["path"]
         else:
             out_dir = sink_options["path"]
 
@@ -1875,11 +1877,9 @@ class SqlEngine:
                 strategy=st.job_strategy or "replace",
                 canary_pct=st.canary_pct,
                 sink_format=sink_format, sink_options=dict(sink_options),
-                output_mode="append", trigger=trigger, foreach_batch=fb,
+                output_mode="append", trigger=trigger,
+                foreach_batch=wrap(fb) if wrap is not None else fb,
             )
-            if vparent is not None:
-                self._flip_current_version(vparent, st.job_version)
-                self._versioned_sinks[st.name] = vparent
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -2189,8 +2189,10 @@ class SqlEngine:
             )
         # versioned deploys (r14 verdict task 2): the intermediate is
         # PER-VERSION — plan shapes differ across versions, so they can
-        # never share an enrichment stream, its checkpoint, or its files
-        versioned = st.kind in ("deploy_job", "start_job")
+        # never share an enrichment stream, its checkpoint, or its files.
+        # START JOB parses without a VERSION (job_version None): plain
+        # named deploy, never the versioned layout (the 'vNone/' bug)
+        versioned = st.kind == "deploy_job" and st.job_version is not None
         inter = f"_{st.name}_enriched" + (
             f"__{st.job_version}" if versioned else ""
         )
@@ -2330,19 +2332,20 @@ class SqlEngine:
         # writer, memory sinks natively; no window is withheld (the EMIT
         # CHANGES contract), while the FINAL form keeps append+watermark.
         out_mode = "update" if st.emit == "changes" else "append"
-        vparent = None
         fb2_options = dict(sink_options)
+        wrap2 = None
         if versioned and out_mode != "append" and "path" in sink_options \
                 and sink_format not in ("memory", "kafka"):
-            # per-version changelog subdir + _CURRENT pointer (see
-            # _read_fb_sink): per-version checkpoints restart batch ids
-            vparent = sink_options["path"]
-            fb2_options["path"] = os.path.join(
-                vparent, f"v{st.job_version}"
+            # per-version changelog subdir + first-commit _CURRENT flip
+            # (see _versioned_fb_layout / _read_fb_sink)
+            fb2_options, wrap2 = self._versioned_fb_layout(
+                st.name, st.job_version, sink_options
             )
         fb2 = self._changelog_foreach_batch(
             sink_format, fb2_options, out_mode, retain=retain
         )
+        if fb2 is not None and wrap2 is not None:
+            fb2 = wrap2(fb2)
         if versioned:
             # step 2 carries the version lifecycle; the PREVIOUS version's
             # enrichment job is stopped once the switch resolves (canary
@@ -2358,9 +2361,6 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=dict(sink_options),
                 output_mode=out_mode, trigger=trig, foreach_batch=fb2,
             )
-            if vparent is not None:
-                self._flip_current_version(vparent, st.job_version)
-                self._versioned_sinks[st.name] = vparent
             if prev_inter and prev_inter != inter and strategy != "canary":
                 with contextlib.suppress(Exception):
                     self.jobs.stop(prev_inter)
@@ -2729,6 +2729,45 @@ class SqlEngine:
             os.path.join(parent, "_CURRENT"), f"v{version}"
         )
 
+    def _versioned_fb_layout(
+        self, name: str, version: str, sink_options: dict
+    ):
+        """Shared layout for a VERSIONED foreachBatch deploy writing to a
+        file sink (the deploy_job changelog, ASOF enrichment, and
+        composed-step-2 sites all use this): rebase the writer into the
+        version's own ``v<version>/`` subdir and flip the parent's
+        ``_CURRENT`` pointer to it on the version's FIRST COMMITTED
+        BATCH — not at deploy time. Per-version checkpoints restart
+        batch ids at 0 (and canary runs two versions concurrently), so
+        versions must not share a ``b<id>`` namespace; and a new
+        version's subdir does not exist until its batch 0 commits, so an
+        eager flip would point blue_green readers at a missing dir
+        during exactly the cutover window the strategy exists to hide.
+        A version that ALREADY has output on disk (same-version
+        redeploy, a canary resuming) flips immediately — its subdir is
+        serviceable now. Returns ``(sub_options, wrap)`` where ``wrap``
+        decorates the foreachBatch fn with the deferred flip."""
+        vparent = sink_options["path"]
+        sub_dir = os.path.join(vparent, f"v{version}")
+        sub_options = {**sink_options, "path": sub_dir}
+        self._versioned_sinks[name] = vparent
+        if _fs_for(self.spark, vparent).exists(sub_dir):
+            self._flip_current_version(vparent, version)
+            flipped = [True]
+        else:
+            flipped = []
+
+        def wrap(fb):
+            def fb_with_flip(batch_df, batch_id):
+                fb(batch_df, batch_id)
+                if not flipped:
+                    self._flip_current_version(vparent, version)
+                    flipped.append(True)
+
+            return fb_with_flip
+
+        return sub_options, wrap
+
     def _job(self, st: Statement):
         action = st.job_action
         if action in ("start", "deploy"):
@@ -2742,15 +2781,23 @@ class SqlEngine:
         if action == "rollback":
             import contextlib
 
-            job = self.jobs.rollback(st.target, st.job_version)
-            ver = self.jobs.current_version.get(st.target)
-            parent = self._versioned_sinks.get(st.target)
-            if parent is not None and ver is not None:
-                self._flip_current_version(parent, ver)
-            # composed shape: the rolled-back version's step-2 build reads
-            # ITS OWN intermediate dir — restart that version's enrichment
-            # job (from its checkpoint) and retire the superseded one, or
-            # the aggregation would silently read a frozen intermediate
+            # composed shape: the rolled-back version's step-2 build
+            # reads ITS OWN intermediate dir — restart that version's
+            # enrichment (from its checkpoint) and DRAIN it BEFORE
+            # jobs.rollback activates step 2, or a bounded (availableNow)
+            # step-2 snapshot lists the still-frozen intermediate and
+            # permanently misses rows that arrived while the other
+            # version served (r15 review finding). Resolve the target
+            # version the same way jobs.rollback will.
+            ver = st.job_version
+            if ver is None:
+                cur = self.jobs.current_version.get(st.target)
+                prior = [
+                    v.version
+                    for v in self.jobs.versions.get(st.target, [])
+                    if v.version != cur
+                ]
+                ver = prior[-1] if prior else None
             inter = self._composed_inters.get((st.target, ver))
             cur_inter = self._composed_intermediates.get(st.target)
             if inter is not None and inter != cur_inter:
@@ -2759,7 +2806,13 @@ class SqlEngine:
                         self.jobs.stop(cur_inter)
                 with contextlib.suppress(Exception):
                     self.jobs.start(inter)
+                    self.jobs.wait(inter)
                 self._composed_intermediates[st.target] = inter
+            job = self.jobs.rollback(st.target, st.job_version)
+            ver = self.jobs.current_version.get(st.target)
+            parent = self._versioned_sinks.get(st.target)
+            if parent is not None and ver is not None:
+                self._flip_current_version(parent, ver)
             return job
         raise ValueError(f"unknown job action: {action!r}")
 

@@ -318,24 +318,34 @@ class StreamJobManager:
         if q is None:
             return
         trig = job.trigger or {}
-        if "processingTime" in trig or "continuous" in trig:
-            deadline = time.monotonic() + timeout_s
-            quiet = 0
-            while q.isActive and time.monotonic() < deadline:
-                status = q.status or {}
-                if (
-                    q.lastProgress is not None
-                    and not status.get("isDataAvailable")
-                    and not status.get("isTriggerActive")
-                ):
-                    quiet += 1
-                    if quiet >= 2:
-                        break
-                else:
-                    quiet = 0
-                time.sleep(0.05)
-        else:
-            q.awaitTermination(timeout_s)
+        try:
+            if "processingTime" in trig or "continuous" in trig:
+                deadline = time.monotonic() + timeout_s
+                quiet = 0
+                while q.isActive and time.monotonic() < deadline:
+                    status = q.status or {}
+                    if (
+                        q.lastProgress is not None
+                        and not status.get("isDataAvailable")
+                        and not status.get("isTriggerActive")
+                    ):
+                        quiet += 1
+                        if quiet >= 2:
+                            break
+                    else:
+                        quiet = 0
+                    time.sleep(0.05)
+                if not q.isActive:
+                    # the query terminated underneath the drain poll —
+                    # surface a crash (StreamingQueryException) exactly
+                    # like the bounded path's awaitTermination would,
+                    # instead of returning cleanly over an empty sink
+                    q.awaitTermination(1)
+            else:
+                q.awaitTermination(timeout_s)
+        except Exception:
+            job.state = "failed"
+            raise
         if not q.isActive and job.state == "running":
             job.state = "stopped"
 
