@@ -380,8 +380,11 @@ def _read_fb_sink(
     if fmt == "csv":
         reader = reader.option("header", True)
     ptr = os.path.join(out_dir, "_LATEST")
-    if fs.exists(ptr):
-        target = fs.read_text(ptr).strip()
+    try:
+        target = _resolve_pointer(fs, ptr)
+    except IOError:
+        target = None  # torn flip: the newest-snapshot listing below
+    if target is not None:
         return reader.format(fmt).load(os.path.join(out_dir, target))
     snaps = sorted(
         n for n in fs.list_names(out_dir) if re.fullmatch(r"_snap\d+", n)
