@@ -410,10 +410,25 @@ def build_replica_pool(
     return root, combo_dirs
 
 
+def _cpu_ticks() -> "tuple[int, int] | None":
+    """(steal_ticks, total_ticks) from /proc/stat — the r14/r15 verdicts
+    adjudicated bench drift by hand-correlating vmstat logs; sampling
+    steal around the run makes every record carry its own evidence."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal ...
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     from velostream_spark.registry import all_queries
     from velostream_spark.session import get_session, load_tables
 
+    ticks0 = _cpu_ticks()
     spark = get_session("velostream-spark-bench")
     tracker = spark.sparkContext.statusTracker()
     catalog = all_queries()
@@ -590,9 +605,16 @@ def main() -> None:
                 history = json.load(fh).get("runs_history", [])
         except (OSError, ValueError):
             history = []
-        history.append(
-            {"total_wall_sec": round(total, 3), "queries": dict(times)}
-        )
+        run_rec = {"total_wall_sec": round(total, 3), "queries": dict(times)}
+        ticks1 = _cpu_ticks()
+        if ticks0 is not None and ticks1 is not None:
+            dsteal, dtotal = ticks1[0] - ticks0[0], ticks1[1] - ticks0[1]
+            if dtotal > 0:
+                # machine-wide mean steal % over the whole invocation —
+                # the drift evidence the verdicts previously pulled from
+                # hand-run vmstat logs
+                run_rec["steal_pct"] = round(100.0 * dsteal / dtotal, 2)
+        history.append(run_rec)
         sidecar["runs_history"] = history[-8:]
         try:
             with open(stats_path, "w") as fh:
