@@ -1294,3 +1294,45 @@ def test_wait_surfaces_continuous_job_failure(spark, tmp_path):
     with pytest.raises(Exception, match="sink exploded|StreamingQuery"):
         mgr.wait("wfail", timeout_s=60)
     assert mgr.jobs["wfail"].state == "failed"
+
+
+def test_versioned_native_file_sink_same_path_rejected(spark, tmp_path):
+    """A second VERSION of a job writing a NATIVE append file sink to
+    the SAME directory would have its restarted batch ids silently
+    skipped by Spark's _spark_metadata commit log (the native-sink twin
+    of the shared-b<id> bug) — deploy_version must fail fast and name
+    the fix; a distinct per-version path stays fine."""
+    src = str(tmp_path / "nfs_in")
+    df = spark.createDataFrame([(1, 1.0)], "event_id int, value double")
+    df.write.parquet(src)
+    mgr = StreamJobManager(spark, checkpoint_root=str(tmp_path / "nfs_ck"))
+
+    def build():
+        return stream_parquet(spark, src, schema=df.schema)
+
+    shared = str(tmp_path / "nfs_out")
+    mgr.deploy_version(
+        "nfs", "1", build, sink_format="parquet",
+        sink_options={"path": shared}, output_mode="append",
+    )
+    mgr.wait("nfs")
+    with pytest.raises(ValueError, match="_spark_metadata|own sink path"):
+        mgr.deploy_version(
+            "nfs", "2", build, sink_format="parquet",
+            sink_options={"path": shared}, output_mode="append",
+        )
+    # same VERSION redeploy of the same path is legitimate (the version
+    # keeps its checkpoint, so batch ids never collide) ...
+    mgr.deploy_version(
+        "nfs", "1", build, sink_format="parquet",
+        sink_options={"path": shared}, output_mode="append",
+    )
+    mgr.wait("nfs")
+    # ... and a per-version path deploys clean
+    mgr.deploy_version(
+        "nfs", "2", build, sink_format="parquet",
+        sink_options={"path": str(tmp_path / "nfs_out_v2")},
+        output_mode="append",
+    )
+    mgr.wait("nfs")
+    assert mgr.current_version["nfs"] == "2"

@@ -204,6 +204,33 @@ class StreamJobManager:
         strategy = strategy.lower()
         if strategy not in ("blue_green", "canary", "rolling", "replace"):
             raise ValueError(f"unknown deployment strategy: {strategy!r}")
+        # NATIVE file sinks (no foreachBatch) commit through Spark's
+        # per-directory _spark_metadata log, keyed by batch id from the
+        # query's OWN checkpoint. Per-version checkpoints restart batch
+        # ids at 0, so a second version writing the SAME directory has
+        # its batches silently SKIPPED as the first version's committed
+        # replays — the native-sink twin of the shared-b<id> namespace
+        # bug the foreachBatch routes fixed with v<version>/ subdirs.
+        # foreachBatch routes handle shared paths; native ones must not.
+        path = (sink_options or {}).get("path")
+        if foreach_batch is None and path:
+            clash = [
+                v.version
+                for v in self.versions.get(name, [])
+                if v.version != version
+                and v.foreach_batch is None
+                and v.sink_options.get("path") == path
+            ]
+            if clash:
+                raise ValueError(
+                    f"job {name!r} version {version!r} targets the same "
+                    f"native file-sink path as version(s) {clash}: Spark's "
+                    "_spark_metadata commit log would silently skip the "
+                    "new version's restarted batch ids as committed "
+                    "replays. Give each version its own sink path, or use "
+                    "an update/complete EMIT mode (the foreachBatch "
+                    "changelog lays versions out in v<version>/ subdirs)."
+                )
         jv = JobVersion(
             version=version,
             build=build,
