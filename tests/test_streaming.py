@@ -1207,14 +1207,12 @@ def test_resolve_pointer_tolerates_midflip(tmp_path):
     assert _resolve_pointer(fs, p) is None  # never written -> None
     fs.write_text_atomic(p, "v1")
     assert _resolve_pointer(fs, p) == "v1"
-    # mid-flip window: dst gone, tmp (already holding the NEW value)
-    # present -> the new value is served, no spin-out
+    # mid-flip window with nobody completing the rename: a same-thread
+    # resolver waits the spin out and must then RAISE, never fall
+    # through to a layout that silently unions every version's data
     os.remove(p)
     with open(p + ".tmp", "w") as f:
         f.write("v2")
-    # a same-thread resolver cannot wait out a flip nobody completes:
-    # after the spin it must raise, never fall through to a layout that
-    # silently unions every version's data
     with pytest.raises(IOError):
         _resolve_pointer(fs, p)
     # flip completes -> served again
@@ -1234,17 +1232,25 @@ def test_versioned_fb_layout_first_commit_flip(spark, tmp_path):
     e = SqlEngine(spark)
     parent = str(tmp_path / "vfl")
     cur = _os.path.join(parent, "_CURRENT")
-    sub, wrap = e._versioned_fb_layout("vflj", "1", {"path": parent})
+    sub, wrap, post = e._versioned_fb_layout("vflj", "1", {"path": parent})
     assert sub["path"] == _os.path.join(parent, "v1")
     assert not _os.path.exists(cur), "flipped before v1 had any output"
+    post()  # deploy succeeded; v1 has no output yet -> still no flip
+    assert not _os.path.exists(cur)
+    assert e._versioned_sinks["vflj"] == parent
     seen = []
     fb = wrap(lambda df, bid: seen.append(bid))
     fb(None, 0)
     assert seen == [0] and open(cur).read() == "v1"
-    assert e._versioned_sinks["vflj"] == parent
-    # pre-existing subdir (e.g. the version served before): eager flip
+    # pre-existing subdir (e.g. the version served before): flips at
+    # post_deploy time — NOT before the deploy validates (a failed
+    # deploy must not repoint readers at a non-serving version)
     _os.makedirs(_os.path.join(parent, "v2"))
-    e._versioned_fb_layout("vflj", "2", {"path": parent})
+    _sub2, _wrap2, post2 = e._versioned_fb_layout(
+        "vflj", "2", {"path": parent}
+    )
+    assert open(cur).read() == "v1", "flipped before deploy succeeded"
+    post2()
     assert open(cur).read() == "v2"
 
 
@@ -1320,6 +1326,14 @@ def test_versioned_native_file_sink_same_path_rejected(spark, tmp_path):
         mgr.deploy_version(
             "nfs", "2", build, sink_format="parquet",
             sink_options={"path": shared}, output_mode="append",
+        )
+    # a trailing-slash / file:// alias of the same directory must not
+    # slip past the guard
+    with pytest.raises(ValueError, match="_spark_metadata|own sink path"):
+        mgr.deploy_version(
+            "nfs", "2", build, sink_format="parquet",
+            sink_options={"path": "file://" + shared + "/"},
+            output_mode="append",
         )
     # same VERSION redeploy of the same path is legitimate (the version
     # keeps its checkpoint, so batch ids never collide) ...

@@ -341,6 +341,13 @@ def _resolve_pointer(fs, path: str) -> "str | None":
         except Exception:
             pass  # deleted between exists and read — flip in flight
         if not fs.exists(path + ".tmp"):
+            # TOCTOU: the flip may have COMPLETED between the two checks
+            # (dst absent when sampled, tmp gone because the rename
+            # landed) — re-check dst before concluding never-written; a
+            # genuine read error here propagates instead of masquerading
+            # as a missing pointer
+            if fs.exists(path):
+                return fs.read_text(path).strip()
             return None
         _time.sleep(0.02)
     raise IOError(f"pointer {path} unreadable: flip never completed")
@@ -1696,8 +1703,9 @@ class SqlEngine:
             # writer rides the JobVersion (r14 verdict task 2) and the
             # sink layout through _versioned_fb_layout (per-version
             # subdirs, first-commit _CURRENT flip).
+            post_deploy = None
             if fb is not None and "path" in sink_options:
-                sub_options, wrap = self._versioned_fb_layout(
+                sub_options, wrap, post_deploy = self._versioned_fb_layout(
                     st.name, st.job_version, sink_options
                 )
                 fb = wrap(
@@ -1712,6 +1720,8 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=sink_options,
                 output_mode=out_mode, foreach_batch=fb, trigger=trig,
             )
+            if post_deploy is not None:
+                post_deploy()
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -1828,7 +1838,7 @@ class SqlEngine:
         # plain named deploy, not a versioned one (the r15 'vNone/'
         # subdir bug)
         versioned = st.kind == "deploy_job" and st.job_version is not None
-        wrap = None
+        wrap = post_deploy = None
         if sink_format == "memory":
             from velostream_spark.streaming.runner import _scratch_dir
 
@@ -1836,7 +1846,7 @@ class SqlEngine:
         elif versioned:
             # per-version subdir + first-commit _CURRENT flip (see
             # _versioned_fb_layout / _read_fb_sink)
-            sub_options, wrap = self._versioned_fb_layout(
+            sub_options, wrap, post_deploy = self._versioned_fb_layout(
                 st.name, st.job_version, sink_options
             )
             out_dir = sub_options["path"]
@@ -1883,6 +1893,8 @@ class SqlEngine:
                 output_mode="append", trigger=trigger,
                 foreach_batch=wrap(fb) if wrap is not None else fb,
             )
+            if post_deploy is not None:
+                post_deploy()
         else:
             job = self.jobs.deploy(
                 st.name, build, sink_format=sink_format,
@@ -2336,12 +2348,12 @@ class SqlEngine:
         # CHANGES contract), while the FINAL form keeps append+watermark.
         out_mode = "update" if st.emit == "changes" else "append"
         fb2_options = dict(sink_options)
-        wrap2 = None
+        wrap2 = post_deploy2 = None
         if versioned and out_mode != "append" and "path" in sink_options \
                 and sink_format not in ("memory", "kafka"):
             # per-version changelog subdir + first-commit _CURRENT flip
             # (see _versioned_fb_layout / _read_fb_sink)
-            fb2_options, wrap2 = self._versioned_fb_layout(
+            fb2_options, wrap2, post_deploy2 = self._versioned_fb_layout(
                 st.name, st.job_version, sink_options
             )
         fb2 = self._changelog_foreach_batch(
@@ -2364,6 +2376,8 @@ class SqlEngine:
                 sink_format=sink_format, sink_options=dict(sink_options),
                 output_mode=out_mode, trigger=trig, foreach_batch=fb2,
             )
+            if post_deploy2 is not None:
+                post_deploy2()
             if prev_inter and prev_inter != inter and strategy != "canary":
                 with contextlib.suppress(Exception):
                     self.jobs.stop(prev_inter)
@@ -2747,18 +2761,17 @@ class SqlEngine:
         eager flip would point blue_green readers at a missing dir
         during exactly the cutover window the strategy exists to hide.
         A version that ALREADY has output on disk (same-version
-        redeploy, a canary resuming) flips immediately — its subdir is
-        serviceable now. Returns ``(sub_options, wrap)`` where ``wrap``
-        decorates the foreachBatch fn with the deferred flip."""
+        redeploy, a canary resuming) flips as soon as its deploy
+        SUCCEEDS — its subdir is serviceable now, but flipping before
+        deploy_version validates would point readers at a non-serving
+        version if the deploy raises. Returns ``(sub_options, wrap,
+        post_deploy)``: ``wrap`` decorates the foreachBatch fn with the
+        deferred first-commit flip; the call site invokes
+        ``post_deploy()`` after deploy_version returns."""
         vparent = sink_options["path"]
         sub_dir = os.path.join(vparent, f"v{version}")
         sub_options = {**sink_options, "path": sub_dir}
-        self._versioned_sinks[name] = vparent
-        if _fs_for(self.spark, vparent).exists(sub_dir):
-            self._flip_current_version(vparent, version)
-            flipped = [True]
-        else:
-            flipped = []
+        flipped = []
 
         def wrap(fb):
             def fb_with_flip(batch_df, batch_id):
@@ -2769,7 +2782,15 @@ class SqlEngine:
 
             return fb_with_flip
 
-        return sub_options, wrap
+        def post_deploy():
+            self._versioned_sinks[name] = vparent
+            if not flipped and _fs_for(self.spark, vparent).exists(
+                sub_dir
+            ):
+                self._flip_current_version(vparent, version)
+                flipped.append(True)
+
+        return sub_options, wrap, post_deploy
 
     def _job(self, st: Statement):
         action = st.job_action
@@ -2790,26 +2811,22 @@ class SqlEngine:
             # jobs.rollback activates step 2, or a bounded (availableNow)
             # step-2 snapshot lists the still-frozen intermediate and
             # permanently misses rows that arrived while the other
-            # version served (r15 review finding). Resolve the target
-            # version the same way jobs.rollback will.
-            ver = st.job_version
-            if ver is None:
-                cur = self.jobs.current_version.get(st.target)
-                prior = [
-                    v.version
-                    for v in self.jobs.versions.get(st.target, [])
-                    if v.version != cur
-                ]
-                ver = prior[-1] if prior else None
+            # version served (r15 review finding). The target resolves
+            # through the SAME helper rollback() uses, and a failed
+            # restart/drain ABORTS the rollback with its error — eating
+            # it and switching anyway would silently reintroduce the
+            # frozen-intermediate loss this ordering exists to prevent.
+            ver = self.jobs.resolve_rollback_target(
+                st.target, st.job_version
+            ).version
             inter = self._composed_inters.get((st.target, ver))
             cur_inter = self._composed_intermediates.get(st.target)
             if inter is not None and inter != cur_inter:
                 if cur_inter is not None:
                     with contextlib.suppress(Exception):
                         self.jobs.stop(cur_inter)
-                with contextlib.suppress(Exception):
-                    self.jobs.start(inter)
-                    self.jobs.wait(inter)
+                self.jobs.start(inter)  # no-op if still running (canary)
+                self.jobs.wait(inter)
                 self._composed_intermediates[st.target] = inter
             job = self.jobs.rollback(st.target, st.job_version)
             ver = self.jobs.current_version.get(st.target)

@@ -28,6 +28,16 @@ from pyspark.sql.streaming import StreamingQuery
 PlanBuilder = Callable[[], DataFrame]
 
 
+def _norm_sink_path(path: str) -> str:
+    """Normalize a sink path for the native-file-sink clash guard:
+    '/out', '/out/', 'file:///out' and '/a/./out' all name ONE
+    directory, and raw string equality would let an alias bypass the
+    guard straight into the _spark_metadata batch-skip it prevents."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    return os.path.normpath(path.rstrip("/")) if path else path
+
+
 @dataclass
 class StreamJob:
     name: str
@@ -214,12 +224,13 @@ class StreamJobManager:
         # foreachBatch routes handle shared paths; native ones must not.
         path = (sink_options or {}).get("path")
         if foreach_batch is None and path:
+            norm = _norm_sink_path(path)
             clash = [
                 v.version
                 for v in self.versions.get(name, [])
                 if v.version != version
                 and v.foreach_batch is None
-                and v.sink_options.get("path") == path
+                and _norm_sink_path(v.sink_options.get("path", "")) == norm
             ]
             if clash:
                 raise ValueError(
@@ -273,9 +284,14 @@ class StreamJobManager:
         self.current_version[name] = jv.version
         return new_job
 
-    def rollback(self, name: str, target_version: str | None = None) -> StreamJob:
-        """ROLLBACK JOB name [TO VERSION 'v'] — stop the serving version and
-        reactivate the target (default: the previous version)."""
+    def resolve_rollback_target(
+        self, name: str, target_version: str | None = None
+    ) -> JobVersion:
+        """The version a ROLLBACK will reactivate (default: the last
+        deployed version that is not current). Exposed so callers that
+        must prepare the target BEFORE the switch (the engine restarts
+        and drains a composed job's enrichment first) resolve it the
+        same way rollback() will."""
         history = self.versions.get(name, [])
         if not history:
             raise KeyError(f"job {name!r} has no deployed versions")
@@ -284,12 +300,16 @@ class StreamJobManager:
             prior = [v for v in history if v.version != current]
             if not prior:
                 raise ValueError(f"job {name!r} has no version to roll back to")
-            jv = prior[-1]
-        else:
-            matches = [v for v in history if v.version == target_version]
-            if not matches:
-                raise KeyError(f"job {name!r} has no version {target_version!r}")
-            jv = matches[-1]
+            return prior[-1]
+        matches = [v for v in history if v.version == target_version]
+        if not matches:
+            raise KeyError(f"job {name!r} has no version {target_version!r}")
+        return matches[-1]
+
+    def rollback(self, name: str, target_version: str | None = None) -> StreamJob:
+        """ROLLBACK JOB name [TO VERSION 'v'] — stop the serving version and
+        reactivate the target (default: the previous version)."""
+        jv = self.resolve_rollback_target(name, target_version)
         # a rollback is always an immediate switch
         stop_first = JobVersion(
             version=jv.version,
