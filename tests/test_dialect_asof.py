@@ -2027,3 +2027,85 @@ def test_start_job_asof_plain_sink_layout(spark, tmp_path):
     )
     assert got == [("a", 10.0), ("b", 10.0)]
     assert "sjp" not in e._versioned_sinks
+
+
+def test_deploy_job_emit_final_same_path_across_versions_rejected(
+    spark, tmp_path
+):
+    """SQL-surface pin for the native-sink clash guard: a versioned
+    composed EMIT FINAL job writes through Spark's NATIVE append file
+    sink (no foreachBatch), so a second VERSION deploying to the SAME
+    path must fail fast — its fresh checkpoint restarts batch ids at 0
+    and the sink's _spark_metadata log would silently skip them as the
+    first version's committed replays."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    src = str(tmp_path / "svp_in")
+    spark.createDataFrame(
+        [(1, 0, base), (2, 0, base + dt.timedelta(minutes=6))],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_svp",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 5.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "svp_out")
+    stmt = (
+        "DEPLOY JOB svp VERSION '{v}' AS "
+        "SELECT s.k, COUNT(*) AS n FROM s ASOF LEFT JOIN snaps_svp q "
+        "ON s.k = q.k AND s.ts >= q.rt GROUP BY s.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        f"WITH ('s.type' = 'file_source', 's.path' = '{src}', "
+        "'s.format' = 'parquet', 'svp.type' = 'file_sink', "
+        f"'svp.format' = 'parquet', 'svp.path' = '{out}')"
+    )
+    e.execute_streaming(stmt.format(v="1"))
+    with pytest.raises(ValueError, match="_spark_metadata|own sink path"):
+        e.execute_streaming(stmt.format(v="2"))
+
+
+def test_rejected_versioned_composed_deploy_stops_orphan_enrichment(
+    spark, tmp_path
+):
+    """A step-2 rejection (the clash guard) must not leave the NEW
+    version's already-deployed enrichment running as an orphan, and the
+    serving deployment keeps working untouched."""
+    import datetime as dt
+
+    e = SqlEngine(spark, time_col="ts")
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+    src = str(tmp_path / "orp_in")
+    spark.createDataFrame(
+        [(1, 0, base), (2, 0, base + dt.timedelta(minutes=6))],
+        "event_id int, k int, ts timestamp",
+    ).write.parquet(src)
+    e.register_table(
+        "snaps_orp",
+        spark.createDataFrame(
+            [(0, base - dt.timedelta(minutes=1), 5.0)],
+            "k int, rt timestamp, v double",
+        ),
+    )
+    out = str(tmp_path / "orp_out")
+    stmt = (
+        "DEPLOY JOB orp VERSION '{v}' AS "
+        "SELECT s2.k, COUNT(*) AS n FROM s2 ASOF LEFT JOIN snaps_orp q "
+        "ON s2.k = q.k AND s2.ts >= q.rt GROUP BY s2.k "
+        "WINDOW TUMBLING(INTERVAL '5' MINUTE) EMIT FINAL "
+        f"WITH ('s2.type' = 'file_source', 's2.path' = '{src}', "
+        "'s2.format' = 'parquet', 'orp.type' = 'file_sink', "
+        f"'orp.format' = 'parquet', 'orp.path' = '{out}')"
+    )
+    e.execute_streaming(stmt.format(v="1"))
+    with pytest.raises(ValueError):
+        e.execute_streaming(stmt.format(v="2"))
+    orphan = e.jobs.jobs.get("_orp_enriched__2")
+    assert orphan is not None and orphan.state in ("stopped", "failed")
+    # serving bookkeeping untouched
+    assert e._composed_intermediates["orp"] == "_orp_enriched__1"
+    assert e.jobs.current_version["orp"] == "1"

@@ -2370,12 +2370,25 @@ class SqlEngine:
             import contextlib
 
             strategy = (st.job_strategy or "replace").lower()
-            job = self.jobs.deploy_version(
-                st.name, st.job_version, build,
-                strategy=strategy, canary_pct=st.canary_pct,
-                sink_format=sink_format, sink_options=dict(sink_options),
-                output_mode=out_mode, trigger=trig, foreach_batch=fb2,
-            )
+            try:
+                job = self.jobs.deploy_version(
+                    st.name, st.job_version, build,
+                    strategy=strategy, canary_pct=st.canary_pct,
+                    sink_format=sink_format,
+                    sink_options=dict(sink_options),
+                    output_mode=out_mode, trigger=trig, foreach_batch=fb2,
+                )
+            except Exception:
+                # step 1 already deployed this version's enrichment; a
+                # rejected step 2 (e.g. the native-sink path clash guard)
+                # must not leave it running as an orphan. Same-version
+                # redeploys excepted: there the enrichment IS the
+                # serving intermediate (same name/dir/checkpoint) and
+                # stopping it would starve the still-serving step 2.
+                if inter != prev_inter:
+                    with contextlib.suppress(Exception):
+                        self.jobs.stop(st1.name)
+                raise
             if post_deploy2 is not None:
                 post_deploy2()
             if prev_inter and prev_inter != inter and strategy != "canary":
