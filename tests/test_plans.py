@@ -653,3 +653,23 @@ def test_quality_classifier_plan_zero_shuffle_pure_codegen(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "Generate", "Join"):
         assert node not in plan, plan
+
+
+def test_sketch_twins_hll_branch_is_object_hash_binary_buffer(spark):
+    # r15-opt: the HLL branch of the three sketch twins must be the
+    # Datasketches TypedImperativeAggregate (ONE growable binary buffer
+    # per group, ObjectHashAggregate) — never HLL++'s fixed 1639-long-
+    # column buffer inlined into HashAggregate rows ("Aggregate
+    # Attributes [3278]" in plans/r15/approx_count_distinct_before.txt,
+    # 26 KB-wide shuffle rows; branch measured 1.62 s -> 0.245 s at
+    # sf0.1, tools/hll_spot.py)
+    for name in (
+        "approx_count_distinct",
+        "hypertable_rollup_approx",
+        "corpus_stats_approx",
+    ):
+        plan = plan_of(spark, name)
+        assert "hll_sketch_agg" in plan, (name, plan)
+        assert "ObjectHashAggregate" in plan, (name, plan)
+        assert "approx_count_distinct" not in plan, (name, plan)
+        assert "MS[0]" not in plan, (name, plan)

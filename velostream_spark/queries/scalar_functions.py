@@ -498,24 +498,37 @@ def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_COUNT_DISTINCT — the reference fakes this with an exact
-    HashSet (accumulator.rs:212-220); we use real HyperLogLog++, which is
-    the point at 100 TB (bounded memory per group). HLL estimates differ
-    across engines, so the entry carries the r13-verdict validation
-    shape: the SAME query recomputes the exact distinct counts and
-    asserts each HLL estimate within 4x the configured rsd (0.01 → ±4%,
-    well past the three-sigma tail; Spark's HLL++ is deterministic per
-    dataset, so the boolean is stable) — emitted columns are the exact
+    HashSet (accumulator.rs:212-220); we use a real HyperLogLog sketch,
+    which is the point at 100 TB (bounded memory per group). The sketch
+    is Spark's Datasketches ``hll_sketch_agg`` at lgConfigK=14 (rsd =
+    1.04/sqrt(2^14) ≈ 0.81% ≤ the 0.01 the validation band assumes). HLL
+    estimates differ across engines, so the entry carries the r13-verdict
+    validation shape: the SAME query recomputes the exact distinct counts
+    and asserts each HLL estimate within 4x rsd 0.01 (±4%, well past the
+    three-sigma tail; the sketch is a deterministic register-max over the
+    input set, so the boolean is stable) — emitted columns are the exact
     counts plus all-true ``*_within_bound`` booleans DuckDB rebuilds
     literally, making a bound violation a driver-caught hash mismatch.
 
     The sketch aggregates run in their OWN aggregation branch, joined
-    back on the (broadcast, 3-row) group keys: mixing
-    ``approx_count_distinct`` with exact COUNT(DISTINCT) in one agg
-    plants the HLL partial state under the distinct-Expand grouping —
-    one 16 KB sketch buffer PER DISTINCT KEY VALUE, millions of buffers
-    instead of 2 per group (measured 47.9 s → sub-second at sf0.1, r15).
-    The same split applies to the rollup twins (corpus_stats_approx,
-    hypertable_rollup_approx)."""
+    back on the (broadcast, 3-row) group keys: mixing a sketch agg
+    with exact COUNT(DISTINCT) in one agg plants the sketch partial
+    state under the distinct-Expand grouping — one sketch buffer PER
+    DISTINCT KEY VALUE, millions of buffers instead of 2 per group
+    (measured 47.9 s → sub-second at sf0.1, r15). The same split applies
+    to the rollup twins (corpus_stats_approx, hypertable_rollup_approx).
+
+    r15-opt (guide §2.3 narrower types / §1 measure): the sketch branch
+    itself switched from ``approx_count_distinct(rsd=0.01)`` — HLL++ as
+    an ImperativeAggregate whose FIXED buffer is 2x1639 long columns
+    ("Aggregate Attributes [3278]" in plans/r15/
+    approx_count_distinct_before.txt), inlined per group into
+    HashAggregate rows and shuffled as 26 KB-wide rows — to Datasketches
+    ``hll_sketch_agg(col, 14)``: a TypedImperativeAggregate with ONE
+    growable binary buffer per group via ObjectHashAggregate (sparse
+    below ~thousands of distincts, ≤12 KB dense). Same estimator family,
+    same precision class, identical emitted columns; branch measured
+    1.62 s → 0.245 s at sf0.1 (tools/hll_spot.py)."""
     t = tables(spark, sf_dir)
     tol = 4 * 0.01
 
@@ -531,8 +544,8 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
     )
     sketch = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_ao"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(14))).alias("_ao"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14))).alias("_ap"),
     )
     return exact.join(F.broadcast(sketch), "l_returnflag").select(
         "l_returnflag",
