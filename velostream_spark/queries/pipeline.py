@@ -1816,13 +1816,16 @@ def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFr
         strategy, _, per_key = choose_group_attach_strategy(tf, ["word"])
         if strategy == "join":
             probe_totals = per_key.withColumnRenamed("_c", "df")
-    # N = docs with >=1 token, computed SCAN-SIDE (token_count > 0 is
-    # equivalent to having a nonempty word after normalization) — a
-    # countDistinct over the exploded words would re-run the explode and
-    # add a two-phase distinct for the same number
+    # N = docs with >=1 token, computed SCAN-SIDE — a countDistinct over
+    # the exploded words would re-run the explode and add a two-phase
+    # distinct for the same number. token_count(text) > 0 reduces to
+    # trim(text) != '' (token_count is NULL only for NULL text, 0 only
+    # for whitespace-only text, else >= 1), so the count branch needs no
+    # normalize/split regex pass at all (r15-opt, guide §1.2 per-task
+    # work: same rows, two regex passes over the corpus dropped).
     nd = (
         t["documents"]
-        .where(textops.token_count(F.col("text")) > 0)
+        .where(F.trim(F.col("text")) != "")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # df comes FREE from tf's own rows — tf is distinct on (doc_id, word),
@@ -1975,24 +1978,36 @@ def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
     from velostream_spark.operators.skewagg import attach_group_agg
 
     t = tables(spark, sf_dir)
-    docs = t["documents"].where(textops.token_count(F.col("text")) >= 2)
     # STAGE the words array before the lambda: an expression inside a
     # higher-order function's lambda is re-evaluated per element (no CSE
     # across the lambda boundary), so element_at(split(text), i) would
-    # re-split the whole text once per bigram — O(len²) per document
-    staged = docs.select(
+    # re-split the whole text once per bigram — O(len²) per document.
+    # r15-opt: there is NO >=2-token filter operator at all — a
+    # token_count(text) >= 2 pre-filter made every document tokenize
+    # TWICE (the filter's count + the projection's ws; and a size(ws)
+    # filter over the staged array gets pushed below the projection by
+    # Catalyst, re-deriving the split — see
+    # plans/r15/bigram_lm_score_before.txt). Instead the sequence is
+    # GUARDED: size(ws) < 2 (and NULL text, where the when-condition is
+    # NULL) yields an empty bigram array that explode simply drops, so
+    # each document is tokenized exactly once and short docs produce the
+    # identical zero output rows the filter produced.
+    staged = t["documents"].select(
         "doc_id", textops.words(F.col("text")).alias("ws")
     )
     bg = staged.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("ws"), i).alias("prev"),
-                    F.element_at(F.col("ws"), i + 1).alias("cur"),
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("prev"),
+                        F.element_at(F.col("ws"), i + 1).alias("cur"),
+                    ),
                 ),
-            )
+            )  # no otherwise: NULL array, which explode drops like empty
         ).alias("p"),
     ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     tfb = bg.groupBy("doc_id", "prev", "cur").agg(
@@ -2268,9 +2283,12 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velostream_spark.operators.classify import linear_text_score
 
     t = tables(spark, sf_dir)
+    # trim(text) != '' ⟺ token_count(text) > 0 (NULL text → NULL count,
+    # whitespace-only → 0, else ≥ 1): the gate predicate costs a trim,
+    # not a second normalize/split regex pass per document (r15-opt).
     staged = (
         t["documents"]
-        .where(textops.token_count(F.col("text")) > 0)
+        .where(F.trim(F.col("text")) != "")
         .select("doc_id", textops.words(F.col("text")).alias("ws"))
     )
     scored = staged.select(

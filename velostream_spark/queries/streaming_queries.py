@@ -733,8 +733,12 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velostream_spark.queries.pipeline import _fixture_weights
 
     sdf = stream_table(spark, sf_dir, "documents")
+    # trim(text) != '' ⟺ token_count(text) > 0 (NULL → NULL, whitespace-
+    # only → 0, else ≥ 1) — the gate predicate without a second
+    # normalize/split regex pass per document (r15-opt, the
+    # quality_classifier_score batch twin carries the same shape).
     staged = (
-        sdf.where(textops.token_count(F.col("text")) > 0)
+        sdf.where(F.trim(F.col("text")) != "")
         .select("doc_id", textops.words(F.col("text")).alias("ws"))
     )
     scored = staged.select(
