@@ -12,8 +12,29 @@ implementation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def gate_rows(df: DataFrame, cond: Column) -> DataFrame:
+    """Keep rows where ``cond`` is TRUE without the predicate being pushed
+    below the current projection.
+
+    A plain ``.where`` over staged expression columns gets substituted
+    through the Project by PushDownPredicate: the Filter lands BELOW the
+    projection and re-derives every staged expression it references — for
+    text pipelines that re-runs the normalize/split regex chain once in
+    the Filter and again in the Project, per document.  Here the row
+    rides a 1-element array that ``explode`` drops when the condition is
+    false or NULL (exactly ``.where`` semantics); generators are not
+    pushed through, so every staged column evaluates once.  Measured on
+    the curation gopher gate at sf0.1: 0.69 s → 0.195 s for the
+    staged-scan subplan, identical rows (r15-opt, guide §1.2/§4.4 —
+    the duplicated-evaluation disease, fixed without a non-determinism
+    marker)."""
+    return df.select(
+        F.explode(F.when(cond, F.array(F.struct(*df.columns)))).alias("_kept")
+    ).select("_kept.*")
 
 # ---------------------------------------------------------------------------
 # Normalization & tokenization

@@ -1065,13 +1065,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.words(txt).alias("_words"),
     )
     gf = textops.gopher_features_from(F.col("text"), F.col("_norm"), F.col("_words"))
-    q = staged.where(
+    # gate_rows, not .where: the predicate would be pushed below the
+    # staging projection and re-run the normalize/split regex chain per
+    # document — and this lineage executes TWICE (the offsets pass), so
+    # the double evaluation was paid on both branches (r15-opt; see
+    # textops.gate_rows)
+    q = textops.gate_rows(
+        staged,
         gf["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
         & gf["mean_word_len"].between(
             textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
         )
         & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
-        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO),
     )
     from pyspark.sql.window import Window
 

@@ -539,13 +539,17 @@ def curation_stream(sdf: DataFrame) -> DataFrame:
         textops.words(txt).alias("_words"),
     )
     gf = textops.gopher_features_from(F.col("text"), F.col("_norm"), F.col("_words"))
-    q = staged.where(
+    # gate_rows, not .where: the predicate would be pushed below the
+    # staging projection and re-run the normalize/split regex chain per
+    # document (r15-opt; see textops.gate_rows)
+    q = textops.gate_rows(
+        staged,
         gf["n_words"].between(textops.GOPHER_MIN_WORDS, textops.GOPHER_MAX_WORDS)
         & gf["mean_word_len"].between(
             textops.GOPHER_MIN_MEAN_WORD_LEN, textops.GOPHER_MAX_MEAN_WORD_LEN
         )
         & (gf["stop_hits"] >= textops.GOPHER_MIN_STOPWORD_HITS)
-        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO)
+        & (gf["symbol_ratio"] <= textops.GOPHER_MAX_SYMBOL_RATIO),
     )
     # fp key: coalesce(lang,'') on BOTH engines (concat_ws would silently
     # skip a NULL lang while the oracle's || propagated it — round-8
@@ -850,11 +854,28 @@ def streaming_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ),
     ).otherwise(F.col("text"))
-    gated = sdf.select(
+    # r15-opt: stage (augmented text, count) and gate BEFORE scrubbing —
+    # a plain `.where(n_redactions > 0)` is pushed below the projection,
+    # so kept docs pay the pii_count regex chain twice; gating first also
+    # runs the (heavier) scrub_pii replace chain only on the kept
+    # fraction. Per doc: pii_count once, scrub_pii once per KEPT doc
+    # (was: count 1+keep times, scrub per candidate). Batch-analog A/B at
+    # sf0.1: 0.47 -> 0.39 s; the 16x-amortized streaming wall is
+    # floor-dominated either way (0.05-0.09 reported across a drifting
+    # window, shape-independent).
+    staged = textops.gate_rows(
+        sdf.select(
+            "doc_id",
+            aug.alias("_aug"),
+            textops.pii_count(aug).cast("long").alias("n_redactions"),
+        ),
+        F.col("n_redactions") > 0,
+    )
+    gated = staged.select(
         "doc_id",
-        textops.scrub_pii(aug).alias("clean_text"),
-        textops.pii_count(aug).cast("long").alias("n_redactions"),
-    ).where(F.col("n_redactions") > 0)
+        textops.scrub_pii(F.col("_aug")).alias("clean_text"),
+        "n_redactions",
+    )
     return run_available_now(gated, "append", "streaming_pii_gate")
 
 
