@@ -144,6 +144,8 @@ def bloom_anti_join(
     columns beat a checkpoint write. Measured (tools/bloom_spot.py, 128x/
     512x): derived keys 13.90/53.2 s -> staged 11.62/49.3 s -> stored
     column 10.29/42.7 s; full table in PERF.md."""
+    from velostream_spark.operators.textops import gate_rows
+
     if stage_a:
         a = a.localCheckpoint(eager=False)
     words = bloom_build(b, key_col, m_bits, k)
@@ -152,8 +154,17 @@ def bloom_anti_join(
     # the join's own hash build dedupes — an explicit distinct would add a
     # full |B| exchange for nothing
     keys = b.select(key_col)
-    kept_neg = a.where(~hit | F.col(key_col).isNull())
-    confirmed = a.where(hit & F.col(key_col).isNotNull()).join(
+    # gate_rows, not .where (r15-opt): a plain filter is pushed below A's
+    # projection, so a DERIVED key (md5(normalize(text))) is re-inlined
+    # into every one of the k xxhash64 probe sites in the Filter AND
+    # recomputed in the projection; gate_rows keeps the probe referencing
+    # the once-computed key attribute (CollapseProject declines to
+    # duplicate the non-cheap alias). Measured on the documents corpus at
+    # sf0.1: 0.60 -> 0.29 s for the full anti-join, identical rows —
+    # and it applies to the STREAMING left side too, where stage_a's
+    # localCheckpoint is unavailable.
+    kept_neg = gate_rows(a, ~hit | F.col(key_col).isNull())
+    confirmed = gate_rows(a, hit & F.col(key_col).isNotNull()).join(
         keys, key_col, "left_anti"
     )
     return kept_neg.unionByName(confirmed)
