@@ -183,6 +183,7 @@ def ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
+    id_minmax: "tuple[int, int] | None" = None,
 ) -> "np.ndarray":
     """Deterministic IVF centroids: corpus vectors evenly spaced across the
     NUMERIC id range (no RNG, reproducible), selected fully distributed —
@@ -195,7 +196,14 @@ def ivf_centroids(
     stays driver-sized (K × dim floats)."""
     import pandas as pd
 
-    lo, hi = corpus.agg(F.min(id_col), F.max(id_col)).first()
+    # id_minmax lets a caller that already aggregates over the corpus
+    # (e.g. streaming_decontam_gate's benchmark-count) fuse the id-range
+    # scan into its own job instead of paying a separate aggregate here
+    # (r15-opt: one fewer eager job per index build).
+    if id_minmax is not None:
+        lo, hi = id_minmax
+    else:
+        lo, hi = corpus.agg(F.min(id_col), F.max(id_col)).first()
     span = hi - lo
     targets = sorted({lo + span * i // n_centroids for i in range(n_centroids)})
     tarr = np.asarray(targets, dtype=np.float64)

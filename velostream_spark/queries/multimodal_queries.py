@@ -356,7 +356,18 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     thr = 0.3
     emb = tables(spark, sf_dir)["embeddings"]
-    cents = similarity.ivf_centroids(emb, "embedding", "vec_id", 8)
+    # ONE aggregate fuses the centroid id-range scan with the benchmark
+    # count the broadcast-ceiling decision needs (r15-opt: was two eager
+    # jobs — agg(min,max) inside ivf_centroids plus a separate count —
+    # per fn() call; both remain one-time index-build work)
+    lo, hi, n_b = emb.agg(
+        F.min("vec_id"),
+        F.max("vec_id"),
+        F.count(F.when(F.col("vec_id") % 5 == 0, F.lit(1))),
+    ).first()
+    cents = similarity.ivf_centroids(
+        emb, "embedding", "vec_id", 8, id_minmax=(lo, hi)
+    )
 
     def norm_of(vc: str):
         return F.sqrt(
@@ -392,10 +403,9 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell-equi-join — Spark extracts the cell equality as the join key
     # and keeps the cosine as residual, so candidates stay cell-bounded
     # either way (stream-static left-anti is stateless per micro-batch in
-    # both plans). The count scans the RAW benchmark rows (parquet count,
-    # no Arrow pass) — the same one-time index-build class as the
-    # centroid selection above.
-    n_b = emb.where(F.col("vec_id") % 5 == 0).count()
+    # both plans). The count was computed in the fused index-build
+    # aggregate above (raw benchmark rows, no Arrow pass) — the same
+    # one-time index-build class as the centroid selection.
     rhs = b if n_b > DECONTAM_BROADCAST_MAX_ROWS else F.broadcast(b)
     out = (
         a.join(rhs, hit, "left_anti")
