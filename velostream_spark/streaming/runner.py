@@ -16,13 +16,115 @@ their outputs are small aggregates by construction.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import math
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 _COUNTER = itertools.count()
+
+#: Size-adaptive shuffle/state partitioning for BOUNDED runs (guide §2:
+#: derive partitioning from input size, never a constant). Structured
+#: Streaming fixes its state-store partition count to
+#: spark.sql.shuffle.partitions at query start and AQE cannot coalesce it
+#: afterwards, so a small bounded stream otherwise pays one state-store
+#: instance (delta-file commit per micro-batch, maintenance thread) per
+#: session shuffle partition — measured 1.18 s vs 0.71 s for an identical
+#: dropDuplicates job at 32 vs 8 partitions on this host. The partition
+#: count here is ceil(source_bytes / target), CLAMPED ABOVE at the
+#: session's own shuffle-partition setting: a corpus-scale input always
+#: yields >= the configured parallelism, so cluster behavior is the
+#: session default, unchanged — only small bounded runs stop paying for
+#: empty state stores. Override the target via
+#: $VS_STREAM_TARGET_PART_BYTES (bytes; "-1" disables the sizing).
+_TARGET_PART_BYTES = int(
+    os.environ.get("VS_STREAM_TARGET_PART_BYTES", str(4 * 1024 * 1024))
+)
+
+def _stream_input_bytes(sdf: DataFrame) -> "int | None":
+    """Total bytes of the local file sources feeding ``sdf``, read from
+    the analyzed plan's StreamingRelation leaves (path + pathGlobFilter
+    options). None when any source is not a readable local file/dir —
+    callers then keep the session's shuffle-partition setting."""
+    import fnmatch
+
+    def _opt(opts, key):
+        v = opts.get(key)
+        return v.get() if v.isDefined() else None
+
+    try:
+        # analyzed, not logical: a bare readStream is an
+        # UnresolvedDataSource until analysis resolves the file source
+        leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()  # type: ignore[attr-defined]
+        total = 0
+        seen = False
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if "StreamingRelation" not in leaf.getClass().getName():
+                continue
+            opts = leaf.dataSource().options()
+            path = _opt(opts, "path")
+            if not path:
+                return None
+            seen = True
+            glob = _opt(opts, "pathGlobFilter")
+            if os.path.isfile(path):
+                total += os.path.getsize(path)
+            elif os.path.isdir(path):
+                for root, _dirs, files in os.walk(path, followlinks=True):
+                    # the glob applies to names directly under `path`
+                    # (Spark applies it per listed top-level entry); a
+                    # matched entry that is itself a directory counts in
+                    # full via the walk below it
+                    rel_root = os.path.relpath(root, path)
+                    top = rel_root.split(os.sep, 1)[0]
+                    for f in files:
+                        name = f if rel_root == "." else top
+                        if glob and not fnmatch.fnmatch(name, glob):
+                            continue
+                        with contextlib.suppress(OSError):
+                            total += os.path.getsize(os.path.join(root, f))
+            else:
+                return None
+    except Exception:
+        return None
+    return total if seen and total > 0 else None
+
+
+@contextlib.contextmanager
+def _sized_shuffle_partitions(sdf: DataFrame):
+    """Set spark.sql.shuffle.partitions from the stream's source size for
+    the duration of a bounded run (state partition count is captured at
+    query start), then restore the session value."""
+    spark = sdf.sparkSession
+    if _TARGET_PART_BYTES <= 0:
+        yield
+        return
+    n_bytes = _stream_input_bytes(sdf)
+    if n_bytes is None:
+        yield
+        return
+    try:
+        session_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        yield
+        return
+    n = min(session_n, max(1, math.ceil(n_bytes / _TARGET_PART_BYTES)))
+    # Hysteresis: only act when the sizing at least HALVES the partition
+    # count — a 29-for-32 rewrite cannot win anything but still perturbs
+    # the plan; the target of this sizing is the small-input regime where
+    # n collapses to a handful.
+    if n > session_n // 2:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_n))
 
 #: Throwaway checkpoints/sinks (unique per call, never resumed) go to tmpfs
 #: when the host has one — state-store commits and sink files then cost
@@ -76,9 +178,22 @@ def run_available_now(
     ckpt = _scratch_dir(f"vs-ckpt-{name}-")
     if output_mode == "append":
         out_dir = _scratch_dir(f"vs-out-{name}-")
+        with _sized_shuffle_partitions(sdf):
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out_dir)
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout_s)
+        # Explicit schema: a zero-row run leaves no data files to infer from.
+        return sdf.sparkSession.read.schema(sdf.schema).parquet(out_dir)
+    with _sized_shuffle_partitions(sdf):
         q = (
-            sdf.writeStream.format("parquet")
-            .option("path", out_dir)
+            sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
@@ -86,17 +201,6 @@ def run_available_now(
             .start()
         )
         q.awaitTermination(timeout_s)
-        # Explicit schema: a zero-row run leaves no data files to infer from.
-        return sdf.sparkSession.read.schema(sdf.schema).parquet(out_dir)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
     return sdf.sparkSession.table(name)
 
 
@@ -112,15 +216,16 @@ def run_foreach_batch(
     ``func(batch_df, batch_id)`` is invoked once per micro-batch."""
     name = _unique(query_name or "vs_feb")
     ckpt = _scratch_dir(f"vs-ckpt-{name}-")
-    q = (
-        sdf.writeStream.foreachBatch(func)
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with _sized_shuffle_partitions(sdf):
+        q = (
+            sdf.writeStream.foreachBatch(func)
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
 
 
 def max_event_time(spark: SparkSession, batch_df: DataFrame, ts_col: str):
