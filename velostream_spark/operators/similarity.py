@@ -206,6 +206,35 @@ def ivf_centroids(
         lo, hi = corpus.agg(F.min(id_col), F.max(id_col)).first()
     span = hi - lo
     targets = sorted({lo + span * i // n_centroids for i in range(n_centroids)})
+
+    if len(targets) <= 128:
+        # Pure-JVM argmin (r15-opt): one whole-stage-codegen aggregate with
+        # a min(struct(|id−t|, id)) column per target — id-only scan,
+        # partial aggregation per partition, no Python workers. Replaces
+        # the mapInPandas searchsorted pass + K-row groupBy below for the
+        # small K every index build here uses (8–16); struct min is
+        # lexicographic, so the (dist, id) tie-break is identical. Bounded
+        # at 128 columns to keep the generated code sane — past that the
+        # numpy pass wins on per-row work anyway (K subtractions per row
+        # vs O(log n) searchsorted per partition).
+        idc = F.col(id_col)
+        row = corpus.select(id_col).agg(
+            *(
+                F.min(
+                    F.struct(F.abs(idc - F.lit(t)).alias("d"), idc.alias("i"))
+                ).alias(f"_m{j}")
+                for j, t in enumerate(targets)
+            )
+        ).first()
+        chosen = sorted({row[j]["i"] for j in range(len(targets)) if row[j] is not None})
+        rows = (
+            corpus.where(F.col(id_col).isin(chosen))
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        return np.array([r[1] for r in rows], dtype=np.float64)
+
     tarr = np.asarray(targets, dtype=np.float64)
 
     # Per-target argmin as a map-side numpy reduction: each partition emits
