@@ -234,10 +234,36 @@ AMORTIZED = {
     # _spread() skips the shuffle (measured 0.74 -> ~0.5 s).
     "protobuf_roundtrip": (("orders",), 1),
     "avro_roundtrip": (("customer",), 1),
-    # (Extending rep=1 normalization to the remaining lineitem entries was
-    # measured and NOT adopted: their scans are lighter — fewer columns /
-    # early pruning — so the multi-file layout bought nothing there, e.g.
-    # group_by_agg 0.21→0.30-0.34 s across two runs.)
+    # documents/embeddings rep=1 layout normalization (r15-opt): the base
+    # sf0.1 documents/embeddings files are also ONE parquet row group, so
+    # every scan-side stage — regex tokenization, explode+aggregate, Arrow
+    # matmuls — ran in a single task. tools/layout_spot.py interleaved A/B
+    # (bench methodology: derive once, execute 4×, median) measured these
+    # winners on the 16-file layout: bpe_encode 5.26×, quality_classifier
+    # 2.84×, ann_brute_force 2.79×, gopher 2.68×, bpe_pair_counts 2.53×,
+    # doc_chunking 2.23×, multimodal_frame_sample 1.74×, bigram_lm_grouped
+    # 1.66×, simhash 1.64×, bigram_lm_auto 1.63×, multimodal_image_stats
+    # 1.25×, ann_lsh_topk 1.24×, bigram_lm_score 1.23×.
+    "bpe_encode": (("documents",), 1),
+    "bpe_pair_counts": (("documents",), 1),
+    "bigram_lm_score": (("documents",), 1),
+    "bigram_lm_grouped": (("documents",), 1),
+    "bigram_lm_auto": (("documents",), 1),
+    "simhash": (("documents",), 1),
+    "quality_classifier_score": (("documents",), 1),
+    "gopher_quality_filter": (("documents",), 1),
+    "doc_chunking": (("documents",), 1),
+    "multimodal_image_stats": (("documents",), 1),
+    "multimodal_frame_sample": (("documents",), 1),
+    "ann_brute_force_topk": (("embeddings",), 1),
+    "ann_lsh_topk": (("embeddings",), 1),
+    # (Extending rep=1 normalization further was measured and NOT adopted:
+    # remaining lineitem entries' scans are lighter — fewer columns / early
+    # pruning — so the multi-file layout bought nothing there, e.g.
+    # group_by_agg 0.21→0.30-0.34 s across two runs; the tfidf family,
+    # corpus_stats family, heavy_hitters family, ann_ivf_topk, semdedup,
+    # dedup_exact and the shuffle-bound curation entries measured 0.89-1.06×
+    # — their cost is the post-scan exchange, not the scan.)
 }
 
 #: Entries whose fn() legitimately runs a small eager Spark job while
@@ -297,7 +323,18 @@ _SHIFT_COLS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "part": ["p_partkey"],
     "customer": ["c_custkey"],
+    # embeddings: rep=1 layout normalization only (the ANN entries are
+    # content-keyed — replication would change neighbor sets)
+    "embeddings": ["vec_id"],
 }
+
+#: rep=1 layout-normalized file counts per table (r15-opt). The default 32
+#: matches the replica pool's long-standing multi-file rewrite; the tiny
+#: documents/embeddings tables (5 K / 2 K rows) measured fastest at 16
+#: files — 32 splits of 5 K rows put task overhead above the parallelism
+#: gain on several entries (tools/layout_spot.py A/B, medians of 4
+#: bench-style runs per layout).
+_REP1_FILES = {"documents": 16, "embeddings": 16}
 
 #: PK and FK columns over the same key domain must shift by the SAME offset,
 #: or cross-table joins (l_suppkey = s_suppkey, ...) break across replicas.
@@ -313,6 +350,7 @@ _KEY_DOMAIN = {
     "l_suppkey": "supp",
     "p_partkey": "part",
     "l_partkey": "part",
+    "vec_id": "vec",
 }
 
 
@@ -371,11 +409,13 @@ def build_replica_pool(
         reps = spark.range(rep).select(F.col("id").alias("rep"))
         offs = {c: dom_max[_KEY_DOMAIN[c]] + 1 for c in _SHIFT_COLS[t]}
         dst = os.path.join(root, f"{t}_x{rep}.parquet")
-        # repartition(32): write a realistic multi-file layout (the base
+        # Multi-file layout: write a realistic multi-file layout (the base
         # parquet is a single row group — unsplittable — which caps any
         # scan of it at 1-3 tasks; production tables at 100 TB are always
         # many files). For rep=1 the rep column is constant 0, so every
-        # value is bit-identical to the source — pure layout change.
+        # value is bit-identical to the source — pure layout change; the
+        # tiny rep=1 tables take their measured file count from _REP1_FILES.
+        nfiles = _REP1_FILES.get(t, 32) if rep == 1 else 32
         (
             df.crossJoin(F.broadcast(reps))
             .select(
@@ -386,7 +426,7 @@ def build_replica_pool(
                     for c in df.columns
                 ]
             )
-            .repartition(32)
+            .repartition(nfiles)
             .write.mode("overwrite")
             .parquet(dst)
         )

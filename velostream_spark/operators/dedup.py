@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from velostream_spark.operators import textops
+from velostream_spark.session import spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -172,7 +173,7 @@ def minhash_stage(
     """
     rows_per_band = num_hashes // num_bands
     return (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        spread(df)
         .select(
             F.col(id_col).alias("_id"),
             textops.shingles(F.col(text_col), shingle_n).alias("_sh"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from velostream_spark.operators import curation, dedup, sampling, similarity, textops
 from velostream_spark.registry import query, tables
+from velostream_spark.session import spread
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -40,8 +41,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage normalize/split once per row; every feature derives from the
     # staged columns (CollapseProject keeps multi-referenced non-cheap
     # expressions un-inlined, so the regex+split runs once, not per feature).
-    par = spark.sparkContext.defaultParallelism
-    staged = t["documents"].repartition(par).select(
+    staged = spread(t["documents"]).select(
         "doc_id",
         txt.alias("text"),
         textops.normalize(txt).alias("_norm"),
@@ -777,8 +777,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     clean = textops.scrub_pii(aug)
-    par = spark.sparkContext.defaultParallelism
-    return t["documents"].repartition(par).select(
+    return spread(t["documents"]).select(
         "doc_id",
         clean.alias("clean_text"),
         textops.pii_count(aug).cast("long").alias("n_redactions"),
@@ -812,8 +811,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted slices (no per-element lambdas — 2-4× over the naive
     transform/filter forms, measured)."""
     t = tables(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    staged = t["documents"].repartition(par).select(
+    staged = spread(t["documents"]).select(
         "doc_id", textops.words(F.col("text")).alias("_w")
     )
     w = F.col("_w")
@@ -946,8 +944,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     own word array. The repartition below is the bench-scale substitute
     for multi-file scan parallelism (single-file corpus = one scan task)."""
     t = tables(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    return curation.span_dedup(t["documents"].repartition(par), "text", "doc_id")
+    return curation.span_dedup(spread(t["documents"]), "text", "doc_id")
 
 
 _CORPUS_MIX_ORACLE = curation.corpus_mix_sql("documents", "lang", "doc_id")
@@ -1055,9 +1052,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     would WRITE the packed corpus (it is the deliverable) and shuffle over
     the written table, making the offsets pass a count-only scan."""
     t = tables(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
     txt = F.col("text")
-    staged = t["documents"].repartition(par).select(
+    staged = spread(t["documents"]).select(
         "doc_id",
         "lang",
         txt.alias("text"),

@@ -83,6 +83,30 @@ def get_session(app_name: str = "velostream-spark", **extra_conf: str) -> SparkS
     return spark
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input arrives with too few
+    splits to use the machine (r15-opt, guide §2/§6).
+
+    The bench's base tables are ONE parquet row group (row groups are the
+    split unit), so every scan-side stage — regex tokenization, explode,
+    Arrow matmuls — otherwise runs in a single task; the text entries
+    spread that scan across cores with ``repartition``. But a production
+    100-TB table (and the bench pool's layout-normalized rep=1 tables)
+    already arrives as many files, where the same repartition is a pure
+    full-payload shuffle for nothing — measured 0.57-0.86× on the
+    normalized layout. This helper keeps the single-file escape hatch and
+    skips the exchange when the scan already has splits: hysteresis at
+    target/2, because 16 splits on 32 cores parallelize the scan fine
+    while a blanket ``>= target`` check would re-shuffle a 16-file table
+    into 32 partitions for a marginal (measured: negative) return.
+    """
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
+    return df.repartition(n)
+
+
 #: Runtime session confs the whole catalog's semantics assume.  These are
 #: applied inside ``load_tables`` (all runtime-settable) so queries behave
 #: identically in ANY SparkSession — including a vanilla one the correctness
