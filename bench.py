@@ -257,13 +257,28 @@ AMORTIZED = {
     "multimodal_frame_sample": (("documents",), 1),
     "ann_brute_force_topk": (("embeddings",), 1),
     "ann_lsh_topk": (("embeddings",), 1),
+    # Second wave, measured AFTER session.spread() landed: these entries'
+    # in-query repartition is skipped on a multi-file input, so the
+    # normalization that previously LOST on them (0.57-0.86×, redundant
+    # full-payload exchange) now wins — pii_scrub 1.66×, text_analysis
+    # 1.39×, curation_pipeline 1.31×, span_dedup 1.28×, minhash_lsh_pairs
+    # 1.27×, repetition_filter 1.20× (tools/layout_spot.py, interleaved
+    # derive-once/execute-4 medians).
+    "text_analysis": (("documents",), 1),
+    "pii_scrub": (("documents",), 1),
+    "repetition_filter": (("documents",), 1),
+    "span_dedup": (("documents",), 1),
+    "curation_pipeline": (("documents",), 1),
+    "minhash_lsh_pairs": (("documents",), 1),
     # (Extending rep=1 normalization further was measured and NOT adopted:
     # remaining lineitem entries' scans are lighter — fewer columns / early
     # pruning — so the multi-file layout bought nothing there, e.g.
     # group_by_agg 0.21→0.30-0.34 s across two runs; the tfidf family,
-    # corpus_stats family, heavy_hitters family, ann_ivf_topk, semdedup,
-    # dedup_exact and the shuffle-bound curation entries measured 0.89-1.06×
-    # — their cost is the post-scan exchange, not the scan.)
+    # corpus_stats family, heavy_hitters family, ann_ivf_topk, semdedup and
+    # sequence_packing_ffd measured 0.93-1.15× across repeated A/Bs — their
+    # cost is the post-scan exchange, not the scan; dedup_exact 0.67× and
+    # global_shuffle 0.54× actively lose, their single post-scan exchange
+    # prefers the 1-task scan's fewer, larger map blocks.)
 }
 
 #: Entries whose fn() legitimately runs a small eager Spark job while

@@ -1,14 +1,19 @@
 #!/usr/bin/env python
 """Interleaved A/B spot (r15-opt): scan-heavy documents/embeddings entries
-against the BASE single-row-group parquet vs a 32-file layout-normalized
+against the BASE single-row-group parquet vs a 16-file layout-normalized
 copy (the bench pool's rep=1 rewrite — values bit-identical, layout only).
 
 The base sf0.1 files are ONE parquet row group (row groups are Spark's
 split unit), so every scan-side stage — regex tokenization, explode,
 partial aggregation, Arrow matmuls — runs in a SINGLE task regardless of
 cores. Production tables at 100 TB are always many files; the bench
-already normalizes 6 lineitem/codec entries this way (AMORTIZED rep=1).
+already normalizes lineitem/codec entries this way (AMORTIZED rep=1).
 This spot measures which remaining entries the same normalization helps.
+
+Methodology matches bench.py: derive the DataFrame ONCE untimed per
+layout (batch entries execute a prebuilt plan there too), then execute
+4× to the noop sink and report the median, interleaving layouts so
+machine drift hits both arms equally.
 
 Run AFTER pytest/bench are idle:  python tools/layout_spot.py [entry ...]
 """
@@ -24,40 +29,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 DEFAULT_ENTRIES = [
-    "bigram_lm_score",
-    "bigram_lm_grouped",
-    "bpe_encode",
-    "bpe_pair_counts",
-    "simhash",
-    "tfidf_topk_terms",
-    "tfidf_topk_terms_join",
-    "corpus_stats",
-    "corpus_stats_approx",
-    "heavy_hitters",
-    "heavy_hitters_cms",
+    "text_analysis",
+    "pii_scrub",
+    "repetition_filter",
+    "span_dedup",
+    "curation_pipeline",
     "minhash_lsh_pairs",
-    "gopher_quality_filter",
-    "doc_chunking",
-    "dedup_exact",
-    "multimodal_image_stats",
-    "multimodal_frame_sample",
-    "ann_ivf_topk",
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
-    "pq_encode",
     "semdedup",
     "sequence_packing_ffd",
-    "quality_classifier_score",
+    "tfidf_topk_terms",
+    "tfidf_topk_terms_join",
+    "tfidf_topk_terms_auto",
+    "corpus_stats",
+    "corpus_stats_approx",
 ]
 
 #: entry -> tables to rewrite multi-file (everything else symlinks to base)
 TABLES = {"documents", "embeddings"}
+N_FILES = 16
 
 
 def build_norm_dir(spark, sf_dir: str) -> str:
     import tempfile
-
-    from pyspark.sql import functions as F  # noqa: F401
 
     from velostream_spark.session import TABLE_NAMES, load_tables
 
@@ -70,7 +63,7 @@ def build_norm_dir(spark, sf_dir: str) -> str:
             continue
         dst = os.path.join(root, f"{t}.parquet")
         if t in TABLES:
-            dfs[t].repartition(32).write.mode("overwrite").parquet(dst)
+            dfs[t].repartition(N_FILES).write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
     return root
@@ -78,7 +71,7 @@ def build_norm_dir(spark, sf_dir: str) -> str:
 
 def main() -> None:
     from velostream_spark.registry import all_queries
-    from velostream_spark.session import get_session
+    from velostream_spark.session import get_session, load_tables
 
     entries = sys.argv[1:] or DEFAULT_ENTRIES
     spark = get_session("layout-spot")
@@ -91,22 +84,24 @@ def main() -> None:
 
     for name in entries:
         entry = catalog[name]
-        walls: dict[str, list[float]] = {"base": [], "norm": []}
+        walls: dict[str, list[float]] = {"base": [], "n16": []}
         plans = {}
+        for tag, d in (("base", SF), ("n16", norm)):
+            load_tables(spark, d, register_views=True)
+            plans[tag] = entry.fn(spark, d)
         for _ in range(4):
-            for tag, d in (("base", SF), ("norm", norm)):
+            for tag in ("base", "n16"):
                 t0 = time.perf_counter()
-                df = entry.fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
+                plans[tag].write.format("noop").mode("overwrite").save()
                 walls[tag].append(time.perf_counter() - t0)
-                plans[tag] = df
-                spark.catalog.clearCache()
+        spark.catalog.clearCache()
         mb = statistics.median(walls["base"])
-        mn = statistics.median(walls["norm"])
+        mn = statistics.median(walls["n16"])
         print(
-            f"{name}: base={mb:.3f} norm={mn:.3f} "
+            f"{name}: base={mb:.3f} n16={mn:.3f} "
             f"({mb / mn:.2f}x)  walls base={['%.2f' % w for w in walls['base']]} "
-            f"norm={['%.2f' % w for w in walls['norm']]}"
+            f"n16={['%.2f' % w for w in walls['n16']]}",
+            flush=True,
         )
 
     import shutil
