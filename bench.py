@@ -223,6 +223,12 @@ AMORTIZED = {
     "decimal_arithmetic": (("lineitem",), 1),
     "percentile_aggs": (("lineitem",), 1),
     "percentile_aggs_approx": (("lineitem",), 1),
+    # statistical_aggs: heavy per-row math (stddev/var families), so the
+    # scan-task parallelism the multi-file layout restores matters —
+    # measured 1.85x / 1.65x across two interleaved A/Bs (hypertable_
+    # rollup and its approx twin were measured 1.00-1.28x unstable and
+    # stay on base layout)
+    "statistical_aggs": (("lineitem",), 1),
     # two COUNT(DISTINCT) columns -> Expand x3 (1.8M rows) that the
     # single-row-group base layout runs in ONE task; multi-file layout
     # parallelizes the expand+aggregate like the entries above
