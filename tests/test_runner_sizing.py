@@ -73,3 +73,49 @@ def test_state_partitions_follow_sizing_end_to_end(spark):
     t = load_tables(spark, SF_SMOKE, register_views=False)
     expect = {r["user_id"] for r in t["events"].select("user_id").distinct().collect()}
     assert got == expect
+
+
+def test_local_ckpt_file_manager_set_and_restored(spark):
+    # r16: the runner's throwaway local checkpoints use the FileSystem-based
+    # manager (process-cached FileSystem) for the duration of a bounded run,
+    # then the session conf is restored exactly.
+    assert spark.conf.get(runner._FM_CONF, None) is None
+    with runner._local_ckpt_file_manager(spark):
+        assert spark.conf.get(runner._FM_CONF) == runner._FM_FS_BASED
+    assert spark.conf.get(runner._FM_CONF, None) is None
+    # a user-chosen manager is put back, not clobbered
+    spark.conf.set(runner._FM_CONF, "com.example.CustomManager")
+    try:
+        with runner._local_ckpt_file_manager(spark):
+            assert spark.conf.get(runner._FM_CONF) == runner._FM_FS_BASED
+        assert spark.conf.get(runner._FM_CONF) == "com.example.CustomManager"
+    finally:
+        spark.conf.unset(runner._FM_CONF)
+
+
+def test_local_ckpt_file_manager_respects_disable_env(spark, monkeypatch):
+    monkeypatch.setattr(runner, "_LOCAL_CKPT_FM", False)
+    with runner._local_ckpt_file_manager(spark):
+        assert spark.conf.get(runner._FM_CONF, None) is None
+
+
+def test_bounded_run_results_identical_under_fs_manager(spark):
+    # same stateful job, default vs FileSystem-based manager → identical rows
+    from velostream_spark.streaming.runner import run_available_now
+
+    def run():
+        sdf = stream_table(spark, SF_SMOKE, "events").select(
+            "event_id", "user_id", "value"
+        )
+        out = run_available_now(
+            sdf.dropDuplicates(["user_id"]), "append", "fm_parity"
+        )
+        return {tuple(r) for r in out.collect()}
+
+    with_fm = run()
+    try:
+        runner._LOCAL_CKPT_FM = False
+        without_fm = run()
+    finally:
+        runner._LOCAL_CKPT_FM = True
+    assert with_fm == without_fm and len(with_fm) > 0

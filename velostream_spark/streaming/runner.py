@@ -75,15 +75,14 @@ def _stream_input_bytes(sdf: DataFrame) -> "int | None":
                 total += os.path.getsize(path)
             elif os.path.isdir(path):
                 for root, _dirs, files in os.walk(path, followlinks=True):
-                    # the glob applies to names directly under `path`
-                    # (Spark applies it per listed top-level entry); a
-                    # matched entry that is itself a directory counts in
-                    # full via the walk below it
-                    rel_root = os.path.relpath(root, path)
-                    top = rel_root.split(os.sep, 1)[0]
+                    # pathGlobFilter matches each listed LEAF file's name
+                    # (Spark applies the glob to file names during
+                    # listing, at any depth) — match every file's own
+                    # name; an approximation only in that Spark's
+                    # non-recursive listing may not descend where this
+                    # walk does, which over-counts, never under-counts
                     for f in files:
-                        name = f if rel_root == "." else top
-                        if glob and not fnmatch.fnmatch(name, glob):
+                        if glob and not fnmatch.fnmatch(f, glob):
                             continue
                         with contextlib.suppress(OSError):
                             total += os.path.getsize(os.path.join(root, f))
@@ -98,7 +97,12 @@ def _stream_input_bytes(sdf: DataFrame) -> "int | None":
 def _sized_shuffle_partitions(sdf: DataFrame):
     """Set spark.sql.shuffle.partitions from the stream's source size for
     the duration of a bounded run (state partition count is captured at
-    query start), then restore the session value."""
+    query start), then restore the session value.
+
+    Assumes the session runs bounded streams SEQUENTIALLY (the bench and
+    tests do): the override is session-global while the run starts, so a
+    query planned concurrently on the same session would pick it up. Scope
+    via a cloned session (spark.newSession()) if that ever changes."""
     spark = sdf.sparkSession
     if _TARGET_PART_BYTES <= 0:
         yield
@@ -125,6 +129,57 @@ def _sized_shuffle_partitions(sdf: DataFrame):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_n))
+
+#: Checkpoint file manager for the runner's throwaway LOCAL checkpoints
+#: (r16, guide §5 — driver-side per-run fixed costs). Spark's default
+#: FileContext-based manager constructs a fresh FileContext +
+#: AbstractFileSystem per metadata log AND per state-store provider
+#: (FileContext has no instance cache), which a long-lived production
+#: query pays once but a bounded run-to-completion pays on EVERY run:
+#: measured ~40 ms per metadata op (latestOffset / walCommit /
+#: commitOffsets) and a large share of the stateful addBatch wall.
+#: FileSystemBasedCheckpointFileManager — Spark's own fallback manager —
+#: goes through the process-wide FileSystem CACHE instead: interleaved
+#: same-session A/B (tools/ckpt_fm_spot.py) measured the metadata trio
+#: 42/41/42 → 9/9/9 ms and whole-job walls 0.57 → 0.40 s (stateless) /
+#: 1.10 → 0.71 s (stateful dropDuplicates). The FileContext manager's
+#: stronger rename-without-overwrite atomicity exists to protect DURABLE
+#: checkpoints from concurrent zombie drivers; a fresh single-driver
+#: scratch dir per run (never resumed, deleted at exit) has no such
+#: writer, so this is scoped HERE — production jobs with their own
+#: checkpointLocation (streaming/jobs.py) keep Spark's default. Disable
+#: via $VS_STREAM_LOCAL_CKPT_FM=0.
+_FM_CONF = "spark.sql.streaming.checkpointFileManagerClass"
+_FM_FS_BASED = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+_LOCAL_CKPT_FM = os.environ.get("VS_STREAM_LOCAL_CKPT_FM", "1") != "0"
+
+
+@contextlib.contextmanager
+def _local_ckpt_file_manager(spark):
+    """Apply the FileSystem-based checkpoint manager for the duration of
+    one bounded run over a runner-owned local scratch checkpoint, then
+    restore the session value. Same sequential-session assumption as
+    :func:`_sized_shuffle_partitions`."""
+    if not _LOCAL_CKPT_FM:
+        yield
+        return
+    try:
+        prev = spark.conf.get(_FM_CONF, None)
+    except Exception:
+        yield
+        return
+    spark.conf.set(_FM_CONF, _FM_FS_BASED)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_FM_CONF)
+        else:
+            spark.conf.set(_FM_CONF, prev)
+
 
 #: Throwaway checkpoints/sinks (unique per call, never resumed) go to tmpfs
 #: when the host has one — state-store commits and sink files then cost
@@ -178,7 +233,9 @@ def run_available_now(
     ckpt = _scratch_dir(f"vs-ckpt-{name}-")
     if output_mode == "append":
         out_dir = _scratch_dir(f"vs-out-{name}-")
-        with _sized_shuffle_partitions(sdf):
+        with _sized_shuffle_partitions(sdf), _local_ckpt_file_manager(
+            sdf.sparkSession
+        ):
             q = (
                 sdf.writeStream.format("parquet")
                 .option("path", out_dir)
@@ -191,7 +248,9 @@ def run_available_now(
             q.awaitTermination(timeout_s)
         # Explicit schema: a zero-row run leaves no data files to infer from.
         return sdf.sparkSession.read.schema(sdf.schema).parquet(out_dir)
-    with _sized_shuffle_partitions(sdf):
+    with _sized_shuffle_partitions(sdf), _local_ckpt_file_manager(
+        sdf.sparkSession
+    ):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -216,7 +275,9 @@ def run_foreach_batch(
     ``func(batch_df, batch_id)`` is invoked once per micro-batch."""
     name = _unique(query_name or "vs_feb")
     ckpt = _scratch_dir(f"vs-ckpt-{name}-")
-    with _sized_shuffle_partitions(sdf):
+    with _sized_shuffle_partitions(sdf), _local_ckpt_file_manager(
+        sdf.sparkSession
+    ):
         q = (
             sdf.writeStream.foreachBatch(func)
             .queryName(name)
