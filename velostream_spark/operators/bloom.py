@@ -106,8 +106,16 @@ def bloom_might_contain(
     key: Column, words: list[int], m_bits: int, k: int = 5
 ) -> Column:
     """Pure-codegen membership test against the literal bitmap: true iff
-    ALL k bits are set (possibly-in-B); false means definitely-not-in-B."""
-    bitmap = F.lit(words)
+    ALL k bits are set (possibly-in-B); false means definitely-not-in-B.
+
+    The bitmap ships as ONE array<long> Literal node (bulk-transferred —
+    functions/litarray.py), not a CreateArray with m/64 child literals:
+    the k probe sites each reference the bitmap, so the list form planted
+    k·(m/64) expression nodes in the filter — ~80K at m=2^20 — and
+    Catalyst analysis of that tree dominated plan build (r16, guide §5)."""
+    from velostream_spark.functions.litarray import long_array_lit
+
+    bitmap = long_array_lit(words)
     conds = []
     for p in _positions(key, m_bits, k):
         word = F.element_at(bitmap, (F.shiftright(p, 6) + 1).cast("int"))

@@ -70,7 +70,13 @@ def linear_text_score(
     the array is empty. The aggregate runs scan-side: no explode, no
     shuffle, one weight lookup per word inside codegen."""
     n = len(weights)
-    w = F.lit([float(x) for x in weights])
+    # ONE bulk-transferred array<double> Literal node, not a CreateArray
+    # with n child literals — the 4096-element list form cost ~0.5 s of
+    # Catalyst analysis per plan build (r16, guide §5 —
+    # functions/litarray.py).
+    from velostream_spark.functions.litarray import double_array_lit
+
+    w = double_array_lit([float(x) for x in weights])
     total = F.aggregate(
         words_array,
         F.lit(0.0),

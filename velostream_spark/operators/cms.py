@@ -97,10 +97,22 @@ def cms_estimate(key: Column, grid: list[list[int]], w: int) -> Column:
     """Pure-codegen frequency estimate: MIN over the d depth rows of the
     key's counter — >= the true count ALWAYS (collisions only add)."""
     lookups = [
-        F.element_at(F.lit(row), (_pos(key, i, w) + 1).cast("int"))
+        F.element_at(_row_lit(row), (_pos(key, i, w) + 1).cast("int"))
         for i, row in enumerate(grid)
     ]
     return lookups[0] if len(lookups) == 1 else F.least(*lookups)
+
+
+def _row_lit(row: list[int]) -> Column:
+    """ONE array<long> Literal node for a grid row (r16, guide §5 driver
+    cost): ``F.lit(list)`` builds a CreateArray with one child Literal PER
+    CELL — 4096 nodes per depth row, 12K+ per estimate expression that
+    Catalyst re-walks on every pass. functions/litarray.py bulk-transfers
+    the row and wraps it in a SINGLE Literal of ArrayType — same values,
+    same element_at plan shape, millisecond build."""
+    from velostream_spark.functions.litarray import long_array_lit
+
+    return long_array_lit(row)
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +186,7 @@ def cms_estimate_md5(key: Column, grid: list[list[int]], w: int) -> Column:
     """Codegen estimate over an md5-position grid (literal lookup, MIN
     over depths — zero Python, zero shuffle)."""
     lookups = [
-        F.element_at(F.lit(row), (_pos_md5(key, i, w) + 1).cast("int"))
+        F.element_at(_row_lit(row), (_pos_md5(key, i, w) + 1).cast("int"))
         for i, row in enumerate(grid)
     ]
     return lookups[0] if len(lookups) == 1 else F.least(*lookups)

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from velostream_spark.functions.litarray import double_array_lit
+
 
 def _round6(a: "np.ndarray") -> "np.ndarray":
     """In-place ROUND(x, 6) — bit-identical to ``np.round(a, 6)`` (same
@@ -122,7 +124,10 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(v)) for v in plane]),
+                # one bulk-transferred array<double> Literal per plane
+                # (not dim child literals) — keeps n_planes × dim out of
+                # the analysis tree (r16, guide §5 — functions/litarray.py)
+                double_array_lit(plane),
                 lambda x, p: x.cast("double") * p,
             ),
             F.lit(0.0),

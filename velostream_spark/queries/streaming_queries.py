@@ -946,7 +946,11 @@ def streaming_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from velostream_spark.operators.cms import cms_build_md5, cms_estimate_md5
 
     ev = tables(spark, sf_dir)["events"]
-    grid = cms_build_md5(ev, "user_id", w=4096, d=3)
+    # spread() the one-time build scan: a single-file events input would
+    # md5-hash every row in one task (r16 — see heavy_hitters_cms)
+    from velostream_spark.session import spread
+
+    grid = cms_build_md5(spread(ev), "user_id", w=4096, d=3)
     sdf = stream_table(spark, sf_dir, "events")
     gated = sdf.select(
         "event_id",
