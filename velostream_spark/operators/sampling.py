@@ -140,30 +140,7 @@ def pack_sequences_ffd(
             [token_col, id_col], ascending=[False, True], kind="mergesort"
         )
         toks = pdf[token_col].to_numpy()
-        # open packs as a sorted list of (remaining, pack_id); first-fit =
-        # smallest remaining that still fits? NO — true FFD takes the
-        # FIRST-OPENED pack that fits. Keep packs in open order and scan;
-        # a best-fit variant (bisect on remainder) is provided by the
-        # sorted list — we implement FIRST-fit faithfully but accelerate
-        # the common miss case with a running max of remainders.
-        remaining: list[int] = []  # remainder per pack, in open order
-        max_rem = -1
-        assign = []
-        for t in toks:
-            t = int(t)
-            placed = -1
-            if t <= max_rem:
-                for j, r in enumerate(remaining):
-                    if r >= t:
-                        placed = j
-                        break
-            if placed < 0:
-                remaining.append(budget - t)
-                placed = len(remaining) - 1
-            else:
-                remaining[placed] -= t
-            assign.append(placed)
-            max_rem = max(remaining)
+        assign = _ffd_assign(toks, budget)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].to_numpy(),
@@ -178,3 +155,87 @@ def pack_sequences_ffd(
         F.col(strata_col).cast("string") if strata_col else F.lit("all"),
     ).select(id_col, "_stratum", F.col(token_col).cast("long").alias(token_col))
     return staged.groupBy("_stratum").applyInPandas(pack_cell, out_schema)
+
+
+def _ffd_assign(toks, budget: int) -> list[int]:
+    """First-fit-decreasing pack assignment for one stratum's token sizes
+    (already sorted descending). Open packs live in OPEN ORDER and each
+    document takes the FIRST-OPENED pack that fits — true first-fit, not
+    best-fit; a running max of remainders short-circuits the scan for
+    documents that must open a new pack. Worst case O(n·packs)."""
+    remaining: list[int] = []  # remainder per pack, in open order
+    max_rem = -1
+    assign = []
+    for t in toks:
+        t = int(t)
+        placed = -1
+        if t <= max_rem:
+            for j, r in enumerate(remaining):
+                if r >= t:
+                    placed = j
+                    break
+        if placed < 0:
+            remaining.append(budget - t)
+            placed = len(remaining) - 1
+        else:
+            remaining[placed] -= t
+        assign.append(placed)
+        max_rem = max(remaining)
+    return assign
+
+
+def pack_sequences_ffd_summary(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """:func:`pack_sequences_ffd` reduced to PER-PACK summary rows in the
+    SAME single Arrow pass — for validation/reporting consumers that never
+    need the per-document assignment (r15 verdict task 8: the FFD query
+    consumed the packed frame twice — a per-pack aggregate branch and a
+    per-stratum distinct-id branch — and Spark has no CSE across join
+    branches, so the whole explode+pack subtree ran TWICE). Each stratum
+    cell runs the identical :func:`_ffd_assign` and emits one row per
+    pack: doc count, token sum, oversized count — plus the stratum's
+    distinct-id count repeated on every row, so coverage checks need no
+    second pass. One groupBy(stratum) exchange, one Python subtree."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "_stratum string, pack_id long, n_docs long, pack_tokens long, "
+        "n_over long, stratum_distinct_ids long"
+    )
+
+    def summarize_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n_distinct = int(pdf[id_col].nunique())
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        toks = pdf[token_col].to_numpy()
+        assign = np.asarray(_ffd_assign(toks, budget), dtype=np.int64)
+        n_packs = int(assign.max()) + 1 if len(assign) else 0
+        return pd.DataFrame(
+            {
+                "_stratum": pdf["_stratum"].iloc[:1].repeat(n_packs).to_numpy()
+                if n_packs
+                else pdf["_stratum"].iloc[:0].to_numpy(),
+                "pack_id": np.arange(n_packs, dtype=np.int64),
+                "n_docs": np.bincount(assign, minlength=n_packs).astype(np.int64),
+                "pack_tokens": np.bincount(
+                    assign, weights=toks, minlength=n_packs
+                ).astype(np.int64),
+                "n_over": np.bincount(
+                    assign, weights=(toks > budget), minlength=n_packs
+                ).astype(np.int64),
+                "stratum_distinct_ids": np.full(n_packs, n_distinct, dtype=np.int64),
+            }
+        )
+
+    staged = df.withColumn(
+        "_stratum",
+        F.col(strata_col).cast("string") if strata_col else F.lit("all"),
+    ).select(id_col, "_stratum", F.col(token_col).cast("long").alias(token_col))
+    return staged.groupBy("_stratum").applyInPandas(summarize_cell, out_schema)

@@ -1396,22 +1396,18 @@ def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens"
         ),
     )
-    packed = sampling.pack_sequences_ffd(
+    # r16 (r15 verdict task 8, guide §4): per-pack summaries and the
+    # per-stratum distinct-id count come from ONE applyInPandas pass —
+    # the old shape consumed the packed frame twice (a per-pack aggregate
+    # branch joined to a per-stratum countDistinct branch) and Spark has
+    # no CSE across join branches, so the whole tokenize+pack Arrow
+    # subtree executed TWICE. Same aggregates, same FFD core
+    # (sampling._ffd_assign), one Python subtree in the plan, no join.
+    per_pack = sampling.pack_sequences_ffd_summary(
         toks, "doc_id", "tokens", _FFD_BUDGET, "lang"
     )
-    per_pack = packed.groupBy(F.col("_stratum").alias("lang"), "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tokens").alias("pack_tokens"),
-        F.sum((F.col("tokens") > _FFD_BUDGET).cast("int")).alias("n_over"),
-    )
-    # per-lang distinct doc_ids straight off the packs (coverage: a doc
-    # packed twice would inflate n_docs vs this; a dropped doc already
-    # breaks the exact n_docs/total_tokens columns vs the oracle)
-    distinct_docs = packed.groupBy(F.col("_stratum").alias("lang")).agg(
-        F.countDistinct("doc_id").alias("_n_distinct")
-    )
     half = _FFD_BUDGET / 2
-    per_lang = per_pack.groupBy("lang").agg(
+    per_lang = per_pack.groupBy(F.col("_stratum").alias("lang")).agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("pack_tokens").cast("long").alias("total_tokens"),
         F.sum("n_over").cast("long").alias("n_oversized"),
@@ -1425,7 +1421,10 @@ def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("n_over") == 0, F.col("pack_tokens")).otherwise(0)
         ).alias("_small_tokens"),
-    ).join(distinct_docs, "lang")
+        # coverage input: every pack row of a stratum carries the same
+        # cell-computed distinct-id count — max() just reads it back
+        F.max("stratum_distinct_ids").alias("_n_distinct"),
+    )
     return per_lang.select(
         "lang",
         "n_docs",
@@ -1818,6 +1817,25 @@ def _tfidf_topk_terms(spark: SparkSession, sf_dir: str, strategy: str) -> DataFr
         strategy, _, per_key = choose_group_attach_strategy(tf, ["word"])
         if strategy == "join":
             probe_totals = per_key.withColumnRenamed("_c", "df")
+    if strategy == "window":
+        # r16 (guide §2.4 — share one exchange): pre-partition the exploded
+        # tokens by word, so ONE hash(word) exchange serves BOTH the
+        # (doc_id, word) tf aggregation (hash(word) clusters every
+        # (doc_id, word) group — partitioning exprs ⊆ grouping keys) and
+        # the df window. The old shape paid hash(doc_id, word) for the agg
+        # plus a second full-|tf| hash(word) exchange for the window
+        # (plans/r16/tfidf_topk_terms_before.txt nodes 5+7); this trades
+        # them for ONE exchange of the un-combined token occurrences
+        # (plans/r16/..._after.txt: corpus exchanges 3 → 2). Interleaved
+        # A/B at sf0.1: med 0.649 → 0.607 s (tools/onex_spot.py — modest
+        # here where fixed costs dominate; the win scales with the
+        # removed full-|tf| exchange). Skew ceiling unchanged: the df
+        # window already put each word's full posting in one task.
+        tf = (
+            w.repartition("word")
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     # N = docs with >=1 token, computed SCAN-SIDE — a countDistinct over
     # the exploded words would re-run the explode and add a two-phase
     # distinct for the same number. token_count(text) > 0 reduces to
@@ -2043,7 +2061,40 @@ def _bigram_lm_score(spark: SparkSession, sf_dir: str, strategy: str) -> DataFra
             tfb, ["prev", "cur"], F.sum("cnt"), "cb", "join", totals=model
         )
     else:
-        v = tfb.agg(F.countDistinct("cur").alias("v"))
+        # r16 (guide §2.4 — share one exchange): pre-partition the exploded
+        # bigrams by prev, so ONE hash(prev) exchange serves the
+        # (doc, prev, cur) tfb aggregation AND both corpus windows
+        # (hash(prev) clusters (prev, cur) groups and prev groups alike —
+        # partitioning exprs ⊆ both window partition specs). The old shape
+        # paid three full-|tfb| exchanges here: hash(doc, prev, cur) for
+        # the agg, hash(prev, cur) for the cb window, hash(prev) for the
+        # cp window (plans/r16/bigram_lm_score_before.txt; after: corpus
+        # exchanges 4 → 2 counting the final doc agg). Interleaved A/B at
+        # sf0.1 incl. the V-branch change below: med 1.013 → 0.893 s
+        # (tools/onex_spot.py). Skew ceiling unchanged — the cp window
+        # already put each prev's full posting in one task (that boundary
+        # is what routes to the join twin).
+        tfb = bg.repartition("prev").groupBy("doc_id", "prev", "cur").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # V from the tokens directly (r15 verdict task 4's intent): the
+        # old branch re-ran the WHOLE tfb subplan (explode + corpus-sized
+        # hash(doc, prev, cur) exchange + dedup) only to count distinct
+        # continuations. distinct cur over tfb ≡ distinct over every
+        # token at positions 2..len of docs with ≥2 tokens — one re-scan
+        # with a plain slice-explode and a map-side-combined two-phase
+        # distinct whose exchange is vocabulary-sized, no corpus exchange.
+        v = (
+            staged.select(
+                F.explode(
+                    F.when(
+                        F.size("ws") >= 2,
+                        F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    )
+                ).alias("cur")
+            )
+            .agg(F.countDistinct("cur").alias("v"))
+        )
         counted = attach_group_agg(
             tfb, ["prev", "cur"], F.sum("cnt"), "cb", strategy
         )
@@ -2197,7 +2248,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        grid = cms.cms_build_md5(words, "word", w=4096, d=3)
+        # The one-time grid build tokenizes the corpus in ITS OWN eager
+        # job — spread() the build-side scan so a single-file input does
+        # not run that regex pass in one task (r16, guide §2/§6: this was
+        # most of the entry's ~5 s untimed derive wall, which stretched
+        # every full bench and pytest session). The TIMED estimate path
+        # below keeps the plain scan — its plan is unchanged.
+        words_build = (
+            spread(t["documents"])
+            .select(F.explode(textops.words(F.col("text"))).alias("word"))
+            .where(F.length("word") > 0)
+        )
+        grid = cms.cms_build_md5(words_build, "word", w=4096, d=3)
         # every occurrence lands in exactly one depth-0 cell, so the
         # depth-0 row sum IS the corpus total N — the bound needs no
         # extra pass
