@@ -31,10 +31,20 @@ def gate_rows(df: DataFrame, cond: Column) -> DataFrame:
     the curation gopher gate at sf0.1: 0.69 s → 0.195 s for the
     staged-scan subplan, identical rows (r15-opt, guide §1.2/§4.4 —
     the duplicated-evaluation disease, fixed without a non-determinism
-    marker)."""
+    marker).
+
+    Columns resolve POSITIONALLY (``df[c]``, r16 ADVICE): name-string
+    resolution would read a dotted column name as a nested-field
+    reference. The wrapper alias is collision-checked against the input
+    columns."""
+    kept = "_kept"
+    while kept in df.columns:
+        kept += "_"
     return df.select(
-        F.explode(F.when(cond, F.array(F.struct(*df.columns)))).alias("_kept")
-    ).select("_kept.*")
+        F.explode(
+            F.when(cond, F.array(F.struct(*[df[c] for c in df.columns])))
+        ).alias(kept)
+    ).select(f"{kept}.*")
 
 # ---------------------------------------------------------------------------
 # Normalization & tokenization

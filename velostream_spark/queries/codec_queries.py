@@ -72,9 +72,11 @@ def _spread(df, spark, target: int = 16):
     fastest on 32 cores — r7 sweep). A multi-file production layout (or the
     bench pool's layout-normalized tables) already provides the splits, so
     it skips the shuffle entirely — at 100 TB the source always arrives as
-    many files and this is the no-exchange path."""
+    many files and this is the no-exchange path. Split probe =
+    ``df.inputFiles()`` (metadata-only), not ``df.rdd`` — see
+    session.spread (r16, ADVICE)."""
     n = min(target, spark.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() >= n:
+    if len(df.inputFiles()) >= n:
         return df
     return df.repartition(n)
 

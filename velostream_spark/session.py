@@ -99,10 +99,19 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     target/2, because 16 splits on 32 cores parallelize the scan fine
     while a blanket ``>= target`` check would re-shuffle a 16-file table
     into 32 partitions for a marginal (measured: negative) return.
+
+    The split probe is ``df.inputFiles()`` — driver-side file-index
+    metadata, no execution (r16, ADVICE: probing ``df.rdd`` under AQE
+    eagerly materializes any upstream shuffle stages at plan-build time,
+    and byte-range splits of one single-row-group file count as splits
+    that each decode zero rows). One big MULTI-row-group file now takes
+    the repartition path too — for the row-group-per-file layouts every
+    caller uses, file count IS the split count; when no file source backs
+    the frame (empty list), repartition is the safe pre-r15 behavior.
     """
     spark = df.sparkSession
     n = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, n // 2):
+    if len(df.inputFiles()) >= max(2, n // 2):
         return df
     return df.repartition(n)
 
