@@ -644,6 +644,12 @@ def main() -> None:
                 # between-runs gap like r13's 34.22 s vs 29.66 s is now
                 # self-explaining — the outlier run is visible in-row
                 "walls": all_walls[q],
+                # r15 verdict task 7: the first run's wall, explicit — for
+                # entries whose fn() memoizes one-time index builds
+                # (streaming_bloom_dedup / streaming_decontam_gate) this
+                # is the index-INCLUSIVE cost, kept visible next to the
+                # steady-state median
+                "first_run_wall": all_walls[q][0],
                 **({"derive": derive[q]} if q in derive else {}),
             }
             for q in times
