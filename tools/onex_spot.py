@@ -119,6 +119,16 @@ def main():
     spark = get_session("onex-spot")
     t = load_tables(spark, SF_DIR, register_views=False)
     docs = t["documents"]
+    # $VS_ONEX_FILES=16 rewrites documents to N files first (the bench's
+    # rep=1 layout for the bigram entries) so the A/B runs on that shape.
+    nfiles = int(os.environ.get("VS_ONEX_FILES", "0"))
+    if nfiles:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="vs-onex-", dir="/dev/shm")
+        docs.repartition(nfiles).write.mode("overwrite").parquet(d)
+        docs = spark.read.parquet(d)
+        print(f"documents rewritten to {nfiles} files", flush=True)
     docs.groupBy("lang").count().write.format("noop").mode("overwrite").save()
 
     for label, builder in (("tfidf", tfidf), ("bigram", bigram)):
